@@ -1,0 +1,465 @@
+"""Relational query surface over the replicated tables (SURVEY.md §2.7).
+
+The reference delegates all relational querying to ClickHouse SQL over its
+replicated latest-state tables (pass-through executor
+``clickhouse/connect.py:25-26``). Our engine exposes the same surface as
+Spark DataFrame/SQL over the fixture tables: filters, equi joins
+(inner/left/semi/anti), broadcast joins, aggregations, rollup/cube, window
+functions, sort/limit top-k, and set operations.
+
+Scale notes (100 TB):
+
+- ``nation``/``region`` are bounded dimensions -> explicit ``F.broadcast``
+  (no shuffle of the fact side's join key).
+- ``supplier``/``part``/``customer`` grow with SF -> left to AQE's
+  runtime broadcast-threshold decision rather than hard-coded hints.
+- Fact-fact joins (lineitem x orders) shuffle on the join key; at scale
+  these benefit from bucketing both tables on orderkey (see
+  ``plans/layout.py``); AQE handles skew splits.
+- All aggregates are expressed declaratively so Catalyst produces
+  partial (map-side) aggregation before the shuffle.
+
+Determinism: money math is done in DECIMAL(18,2)/(18,4) then cast back to
+double — exact and order-independent, so results hash-match the DuckDB
+oracle bit-for-bit (see registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --- determinism helpers (Spark side) ---------------------------------------
+
+
+def dec2(c: Column | str) -> Column:
+    """Recover the exact 2-decimal value stored in a double column."""
+    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
+
+
+def money_sum(c: Column | str, alias: str) -> Column:
+    return F.sum(dec2(c)).cast("double").alias(alias)
+
+
+def money_avg(c: Column | str, alias: str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec2(col)).cast("double") / F.count(col)).alias(alias)
+
+
+def revenue_expr() -> Column:
+    """l_extendedprice * (1 - l_discount), exact in decimal."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return dec2("l_extendedprice") * (one - dec2("l_discount"))
+
+
+# SQL fragment mirrors of the helpers (DuckDB side).
+SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+           " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+# --- TPC-H-style aggregation (filter + group + multi-agg) -------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST({SQL_REV} AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+    doc="TPC-H Q1-style pricing summary: pushed filter + grouped multi-aggregate.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    one = F.lit(1).cast("decimal(18,2)")
+    charge = revenue_expr().cast("decimal(18,4)") * (one + dec2("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            money_avg("l_quantity", "avg_qty"),
+            money_avg("l_extendedprice", "avg_price"),
+            money_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- flagship: multi-way join + aggregate (broadcast dims) ------------------
+
+
+@query(
+    "q3_revenue_by_nation",
+    oracle=f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg", "broadcast", "flagship"),
+    doc="Flagship: fact-fact shuffle join (lineitem x orders x customer) "
+        "with broadcast dimension joins (nation, region), grouped revenue.",
+)
+def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+# --- top-k with deterministic tiebreak --------------------------------------
+
+
+@query(
+    "q_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS order_cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    doc="Top-10 customers by spend; exact decimal ordering + key tiebreak "
+        "makes the LIMIT deterministic.",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(money_sum("o_totalprice", "total_spend"), F.count("*").alias("order_cnt"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --- left join with empty-side counting -------------------------------------
+
+
+@query(
+    "q_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS order_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join", "left", "agg"),
+    doc="Left outer join preserving customers with zero orders.",
+)
+def q_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# --- semi / anti joins ------------------------------------------------------
+
+
+@query(
+    "q_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    tags=("join", "semi"),
+    doc="Left-semi join: customers having at least one open order.",
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    customer = load_table(spark, "customer", sf_dir)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+    doc="Left-anti join: customers with no orders at all.",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- rollup / cube ----------------------------------------------------------
+
+
+@query(
+    "q_rollup_revenue_by_year_status",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS order_cnt
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP over (year, status): subtotal + grand-total rows.",
+)
+def q_rollup_revenue_by_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(money_sum("o_totalprice", "revenue"), F.count("*").alias("order_cnt"))
+    )
+
+
+@query(
+    "q_cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+    doc="CUBE over (returnflag, linestatus): all grouping-set combinations.",
+)
+def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), money_sum("l_quantity", "sum_qty")
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+
+@query(
+    "q_window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "rank"),
+    doc="Ranking window: top-3 orders per customer by price (deterministic "
+        "tiebreak on orderkey).",
+)
+def q_window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+    tags=("window", "frame"),
+    doc="Analytic window with explicit ROWS frame: per-customer running "
+        "spend in order-date order.",
+)
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "q_window_lag_lead_gap",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    tags=("window", "lag"),
+    doc="LAG window: days between a customer's consecutive orders.",
+)
+def q_window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+
+@query(
+    "q_set_ops_nation_segments",
+    oracle="""
+    WITH auto AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         bld  AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'both' AS tag, c_nationkey FROM (SELECT * FROM auto INTERSECT SELECT * FROM bld)
+    UNION ALL
+    SELECT 'auto_only' AS tag, c_nationkey FROM (SELECT * FROM auto EXCEPT SELECT * FROM bld)
+    UNION ALL
+    SELECT 'bld_only' AS tag, c_nationkey FROM (SELECT * FROM bld EXCEPT SELECT * FROM auto)
+    """,
+    tags=("setop",),
+    doc="INTERSECT / EXCEPT / UNION ALL over nation sets of two market segments.",
+)
+def q_set_ops_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey").distinct()
+    bld = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    both = auto.intersect(bld).select(F.lit("both").alias("tag"), "c_nationkey")
+    auto_only = auto.exceptAll(bld).select(F.lit("auto_only").alias("tag"), "c_nationkey")
+    bld_only = bld.exceptAll(auto).select(F.lit("bld_only").alias("tag"), "c_nationkey")
+    return both.unionAll(auto_only).unionAll(bld_only)
+
+
+# --- distinct aggregation ---------------------------------------------------
+
+
+@query(
+    "q_distinct_customers_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "distinct"),
+    doc="COUNT DISTINCT per group (expanded to partial aggregation by Catalyst).",
+)
+def q_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("distinct_customers"),
+        F.count("*").alias("order_cnt"),
+    )
+
+
+@query(
+    "q_approx_distinct_customers",
+    oracle=None,  # approximate sketch — no exact SQL oracle; rows-only check
+    tags=("agg", "approx"),
+    doc="approx_count_distinct (HyperLogLog++) — the scale path for distinct "
+        "counting; checked rows-only because sketches are engine-specific.",
+)
+def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    )
+
+
+# --- multi-way join with mixed dimensions -----------------------------------
+
+
+@query(
+    "q_supplier_part_volume",
+    oracle="""
+    SELECT s_name, p_brand,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS shipments
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    GROUP BY s_name, p_brand
+    """,
+    tags=("join", "agg"),
+    doc="Fact joined to two scaling dimensions (supplier, part) — broadcast "
+        "decision left to AQE since both grow with SF.",
+)
+def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg(money_sum("l_quantity", "total_qty"), F.count("*").alias("shipments"))
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]`` single-JVM; the configs below are chosen so
+the same code scales to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic broadcast selection) — replaces hand-tuned shuffle.partitions.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (which reads parquet values as-is).
+- Arrow enabled for the few Pandas-UDF operators (similarity/multimodal);
+  everything else stays JVM-side in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "arango-clickhouse-replica-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime shuffle-partition coalescing + skew handling. At
+        # cluster scale this is what keeps 100TB shuffles from producing
+        # millions of tiny tasks or a handful of skewed giants.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Static default sized for local test data; AQE coalesces down,
+        # and on a real cluster this would be ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # Deterministic timestamps, matching the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow transfer for Pandas UDFs (vectorized python path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/supplier/part) stay broadcast-able.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    return builder.getOrCreate()
