@@ -1,1 +1,112 @@
-"""Placeholder — populated in subsequent milestones."""
+"""CDC pipeline queries: envelope stream -> latest-state table (SURVEY §2.6).
+
+These exercise the engine's core capability — turning an append-only
+change log into a queryable latest-state table — end to end, with a full
+SQL oracle (the synthetic change stream is SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import latest_alive, latest_state, merge_upsert, preprocess_envelopes
+from ..sources.cdc_envelopes import CHANGES_SQL, synthetic_event_envelopes
+from ..sources.tables import load_table
+from .registry import query
+
+_LATEST_ALIVE_SQL = f"""
+    WITH changes AS ({CHANGES_SQL}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY _ver DESC, _deleted DESC) AS rn
+      FROM changes
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM ranked WHERE rn = 1 AND _deleted = 0
+"""
+
+
+def _apply_pipeline(spark: SparkSession, sf_dir: str, replay: int = 1) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    if replay > 1:
+        replayed = env
+        for _ in range(replay - 1):
+            replayed = replayed.unionByName(env)
+        env = replayed
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"], initial_tick=0)
+    return latest_alive(rows, keys=["event_id"]).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+@query(
+    "cdc_latest_state",
+    oracle=_LATEST_ALIVE_SQL,
+    tags=("cdc", "dedup", "upsert"),
+    doc="Full CDC apply: envelope filters (P1-P3), _ver/_deleted stamps "
+        "(D1/D2), ReplacingMergeTree dedup (M1), soft-delete filter (P6). "
+        "Update wins by version; delete wins by version.",
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_pipeline(spark, sf_dir)
+
+
+@query(
+    "cdc_replay_idempotent",
+    oracle=_LATEST_ALIVE_SQL,
+    tags=("cdc", "idempotence"),
+    doc="At-least-once semantics (T2/T3/M4): replaying the entire change "
+        "stream twice yields the identical latest state — version dedup "
+        "absorbs duplicates, so the oracle is unchanged.",
+)
+def cdc_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _apply_pipeline(spark, sf_dir, replay=2)
+
+
+@query(
+    "cdc_snapshot_overlap",
+    oracle=_LATEST_ALIVE_SQL,
+    tags=("cdc", "snapshot"),
+    doc="Snapshot ∪ CDC overlap resolution (M4, store.py:51-58): a "
+        "snapshot taken at tick 0 (the base table as upserts) merged with "
+        "the full change stream; overlap rows are duplicates resolved by "
+        "version dedup.",
+)
+def cdc_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    snapshot = ev.withColumn("_ver", (F.col("event_id") * 2).cast("long")).withColumn(
+        "_deleted", F.lit(0)
+    )
+    env = synthetic_event_envelopes(spark, sf_dir)
+    stream_rows = preprocess_envelopes(env, initial_tick=0)
+    merged = merge_upsert(snapshot, stream_rows, keys=["event_id"])
+    return merged.filter(F.col("_deleted") == 0).select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double").alias("value")
+    )
+
+
+@query(
+    "cdc_deleted_keys",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY _ver DESC, _deleted DESC) AS rn
+      FROM changes
+    )
+    SELECT event_id, CAST(_ver AS BIGINT) AS _ver
+    FROM ranked WHERE rn = 1 AND _deleted = 1
+    """,
+    tags=("cdc", "soft-delete"),
+    doc="The tombstone ledger: keys whose winning version is a soft delete "
+        "(M2) — what a reader of the raw replicated table must exclude.",
+)
+def cdc_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, initial_tick=0)
+    winners = latest_state(rows, keys=["event_id"])
+    return winners.filter(F.col("_deleted") == 1).select(
+        "event_id", F.col("_ver").cast("long").alias("_ver")
+    )

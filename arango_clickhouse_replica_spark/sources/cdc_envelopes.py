@@ -1,0 +1,75 @@
+"""Deterministic synthetic WAL-envelope streams over the fixture tables.
+
+The driver provides no live ArangoDB/Kafka, so CDC correctness is proven
+on synthetic change streams derived from a keyed fixture table, following
+the FIXTURES.md recipe (§"CDC-apply fixture recipe"):
+
+- every row becomes an upsert envelope (``type=2300``, ``tick=2*key``);
+- keys with ``key % 10 == 0`` get a later update (``tick=2*key+1``) with a
+  mutated value column (update wins);
+- keys with ``key % 20 == 7`` get a delete (``type=2302``,
+  ``tick=2*key+1``) (delete wins);
+- a sample of null-payload tombstones is appended (dropped by P2).
+
+The same construction is expressible in plain SQL, so the full CDC
+pipeline (preprocess -> version dedup -> soft-delete filter) has a DuckDB
+oracle. Envelope wire shape mirrors test/test_consumer.py:8-26.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import REMOVE_DOCUMENT, UPSERT_DOCUMENT
+from .tables import load_table
+
+EVENTS_CUID = "c_events"
+
+
+def synthetic_event_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL envelopes (tick, type, cuid, data struct) from the events table."""
+    ev = load_table(spark, "events", sf_dir)
+    cols = ev.columns
+
+    def envelope(df: DataFrame, tick, op: int) -> DataFrame:
+        return df.select(
+            tick.cast("long").alias("tick"),
+            F.lit(op).alias("type"),
+            F.lit(EVENTS_CUID).alias("cuid"),
+            F.struct(*[F.col(c) for c in cols]).alias("data"),
+        )
+
+    two_id = F.col("event_id") * 2
+    base = envelope(ev, two_id, UPSERT_DOCUMENT)
+    updates = envelope(
+        ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000),
+        two_id + 1,
+        UPSERT_DOCUMENT,
+    )
+    deletes = envelope(ev.filter(F.col("event_id") % 20 == 7), two_id + 1, REMOVE_DOCUMENT)
+    tombstones = (
+        ev.filter(F.col("event_id") % 50 == 3)
+        .select(
+            F.lit(1).cast("long").alias("tick"),
+            F.lit(UPSERT_DOCUMENT).alias("type"),
+            F.lit(EVENTS_CUID).alias("cuid"),
+            F.lit(None).cast(base.schema["data"].dataType).alias("data"),
+        )
+    )
+    return base.unionByName(updates).unionByName(deletes).unionByName(tombstones)
+
+
+# The same change stream in DuckDB SQL (for oracles). Produces the flattened
+# post-preprocess shape: payload columns + _ver + _deleted.
+CHANGES_SQL = """
+  SELECT 2*event_id AS _ver, 0 AS _deleted,
+         event_id, ts, user_id, event_type, value, props
+  FROM events
+  UNION ALL
+  SELECT 2*event_id+1, 0, event_id, ts, user_id, event_type, value+1000, props
+  FROM events WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT 2*event_id+1, 1, event_id, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 20 = 7
+"""

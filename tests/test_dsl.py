@@ -1,0 +1,200 @@
+"""Schema-DSL compiler tests, mirroring the reference's test/test_schema.py
+cases (casting, defaults, required/PK rejection, unknown cast) plus the
+Spark-specific surfaces (map input, union chains, custom casts)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from arango_clickhouse_replica_spark.schema import TableMapping, apply_mapping
+
+SCHEMA = {
+    "properties": {
+        "Id": {"type": "int", "ch_type": "Int64", "ref": "_key"},
+        "Name": {"type": "str", "ref": "name", "default": "temp"},
+        "Attr1": {"type": "int", "ref": "attr1", "default": 10},
+        "Attr2": {"type": "int", "ref": "attr2", "required": True},
+    },
+    "primary_key": "Id",
+}
+MAPPING = TableMapping.from_dict(SCHEMA)
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_casting_from_typed_columns(spark):
+    df = spark.createDataFrame(
+        [("1", "t1", 1, 2)], "_key string, name string, attr1 long, attr2 long"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert _rows(res.valid) == [{"Id": 1, "Name": "t1", "Attr1": 1, "Attr2": 2}]
+    assert res.rejected.count() == 0
+
+
+def test_casting_from_string_columns(spark):
+    df = spark.createDataFrame(
+        [("1", "t1", "1", "2")], "_key string, name string, attr1 string, attr2 string"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert _rows(res.valid) == [{"Id": 1, "Name": "t1", "Attr1": 1, "Attr2": 2}]
+
+
+def test_default_assignment_on_null(spark):
+    # null == absent (transformer.py:68): Attr1 default 10, Name default 'temp'
+    df = spark.createDataFrame(
+        [("1", None, None, "2")], "_key string, name string, attr1 string, attr2 string"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert _rows(res.valid) == [{"Id": 1, "Name": "temp", "Attr1": 10, "Attr2": 2}]
+
+
+def test_primary_key_missing_rejects(spark):
+    df = spark.createDataFrame(
+        [(None, "t1", "1", "2")], "_key string, name string, attr1 string, attr2 string"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert res.valid.count() == 0
+    (rej,) = res.rejected.collect()
+    assert "Id primary key value is required" in rej._errors
+
+
+def test_required_missing_rejects(spark):
+    df = spark.createDataFrame(
+        [("1", "t1", "1", None)], "_key string, name string, attr1 string, attr2 string"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert res.valid.count() == 0
+    (rej,) = res.rejected.collect()
+    assert "Attr2 value is not present" in rej._errors
+
+
+def test_cast_failure_rejects(spark):
+    # int('abc') raises in the reference -> reject
+    df = spark.createDataFrame(
+        [("1", "t1", "abc", "2")], "_key string, name string, attr1 string, attr2 string"
+    )
+    res = apply_mapping(df, MAPPING)
+    assert res.valid.count() == 0
+    (rej,) = res.rejected.collect()
+    assert any("Attr1" in e and "cast" in e for e in rej._errors)
+
+
+def test_unknown_cast_name_raises(spark):
+    import copy
+
+    bad = copy.deepcopy(SCHEMA)
+    bad["properties"]["Name"]["type"] = "str1"
+    df = spark.createDataFrame([("1", "t1", "1", "2")],
+                               "_key string, name string, attr1 string, attr2 string")
+    with pytest.raises(AttributeError, match="custom type cast mapping not found"):
+        apply_mapping(df, TableMapping.from_dict(bad))
+
+
+def test_union_type_chain(spark):
+    m = TableMapping.from_dict({
+        "properties": {
+            "Id": {"type": "int", "ref": "_key"},
+            "V": {"type": ["int", "str"], "ref": "v"},
+        },
+        "primary_key": "Id",
+    })
+    df = spark.createDataFrame([("1", "abc"), ("2", "12")], "_key string, v string")
+    res = apply_mapping(df, m)
+    got = {r["Id"]: r["V"] for r in _rows(res.valid)}
+    assert got == {1: "abc", 2: "12"}  # unified to string; int parse wins for '12'
+
+
+def test_union_type_all_fail_rejects(spark):
+    m = TableMapping.from_dict({
+        "properties": {
+            "Id": {"type": "int", "ref": "_key"},
+            "V": {"type": ["int", "float"], "ref": "v"},
+        },
+        "primary_key": "Id",
+    })
+    df = spark.createDataFrame([("1", "abc")], "_key string, v string")
+    res = apply_mapping(df, m)
+    assert res.valid.count() == 0
+    assert res.rejected.count() == 1
+
+
+def test_custom_to_array_and_datetime(spark):
+    # the full tables/test.yaml shape: custom transform + datetime + metadata defaults
+    m = TableMapping.from_dict({
+        "properties": {
+            "Id": {"type": "int", "ref": "_key"},
+            "Answers": {"type": "to_array", "ref": "answers", "default": []},
+            "SubmittedOn": {"type": "from_datetime", "ref": "submitted_on"},
+            "_ver": {"type": "int", "default": 1},
+            "_deleted": {"type": "int", "default": 0},
+        },
+        "primary_key": "Id",
+    })
+    df = spark.createDataFrame(
+        [("1", "a,b,c", "2024-01-02T03:04:05"), ("2", None, None)],
+        "_key string, answers string, submitted_on string",
+    )
+    res = apply_mapping(df, m)
+    rows = {r["Id"]: r for r in _rows(res.valid)}
+    assert rows[1]["Answers"] == ["a", "b", "c"]
+    assert rows[1]["SubmittedOn"].isoformat() == "2024-01-02T03:04:05"
+    assert rows[2]["Answers"] == []  # default
+    assert rows[2]["SubmittedOn"] is None
+    assert rows[1]["_ver"] == 1 and rows[1]["_deleted"] == 0
+
+
+def test_decode_json(spark):
+    m = TableMapping.from_dict({
+        "properties": {
+            "Id": {"type": "int", "ref": "_key"},
+            "Props": {"type": "decode_json", "ref": "props"},
+        },
+        "primary_key": "Id",
+    })
+    df = spark.createDataFrame([("1", '{"k": "69"}'), ("2", "not json")],
+                               "_key string, props string")
+    res = apply_mapping(df, m)
+    (ok,) = _rows(res.valid)
+    assert ok == {"Id": 1, "Props": {"k": "69"}}
+    assert res.rejected.count() == 1  # bad json -> reject
+
+
+def test_schemaless_map_input(spark):
+    # Arango-style schemaless doc carried as map<string,string> in column 'data'
+    df = spark.createDataFrame(
+        [Row(data={"_key": "1", "name": "t1", "attr1": "1", "attr2": "2"}),
+         Row(data={"_key": "2", "attr2": "5"})],  # missing name/attr1 -> defaults
+        "data map<string,string>",
+    )
+    res = apply_mapping(df, MAPPING, doc_col="data")
+    rows = {r["Id"]: r for r in _rows(res.valid)}
+    assert rows[1] == {"Id": 1, "Name": "t1", "Attr1": 1, "Attr2": 2}
+    assert rows[2] == {"Id": 2, "Name": "temp", "Attr1": 10, "Attr2": 5}
+
+
+def test_bool_truthiness(spark):
+    m = TableMapping.from_dict({
+        "properties": {
+            "Id": {"type": "int", "ref": "_key"},
+            "B1": {"type": "bool", "ref": "s"},
+            "B2": {"type": "bool", "ref": "n"},
+        },
+        "primary_key": "Id",
+    })
+    df = spark.createDataFrame([("1", "", 0), ("2", "x", 3)],
+                               "_key string, s string, n long")
+    res = apply_mapping(df, m)
+    rows = {r["Id"]: r for r in _rows(res.valid)}
+    # Python bool(''): False... but '' is present and non-null here; bool('')=False
+    assert rows[1]["B1"] is False and rows[1]["B2"] is False
+    assert rows[2]["B1"] is True and rows[2]["B2"] is True
+
+
+def test_dead_letter_preserves_input(spark):
+    df = spark.createDataFrame([(None, "t1", "9", "2")],
+                               "_key string, name string, attr1 string, attr2 string")
+    res = apply_mapping(df, MAPPING)
+    (rej,) = res.rejected.collect()
+    assert rej.name == "t1" and rej.attr1 == "9"  # original row intact (A4)
