@@ -5,6 +5,7 @@ from . import relational  # noqa: E402,F401
 from . import scalar_fns  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

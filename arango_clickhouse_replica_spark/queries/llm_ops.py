@@ -1,1 +1,605 @@
-"""Placeholder — populated in subsequent milestones."""
+"""LLM-data-pipeline operators (SURVEY §2.12, driver-mandated extensions):
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+and text analysis (token stats, language heuristic, quality scoring,
+fingerprinting) over the ``documents`` / ``embeddings`` tables.
+
+Determinism strategy for cross-engine oracles:
+
+- Hashing uses ``md5`` (identical hex output in Spark and DuckDB); minhash
+  = lexicographic MIN over salted md5 strings — no engine-specific hash.
+- Cosine similarity folds the dot product SEQUENTIALLY over the vector
+  (Spark ``F.aggregate``, DuckDB ``list_reduce``): float->double casts and
+  float*float products are exact, and both engines round the same
+  accumulation sequence identically -> bit-identical doubles.
+- Ratios are single divisions of exact integers; rankings always carry a
+  unique-id tiebreak.
+
+Scale notes (100 TB):
+
+- Exact dedup = hash shuffle on the fingerprint; Jaccard/MinHash use
+  shingle/band BLOCKING so the candidate join is band-local (never a
+  cross join); embedding near-dup blocks on the ``label`` partition key.
+- Brute-force ANN is the correctness baseline (O(Q*N)); the LSH-bucketed
+  variant is the scale path — random-hyperplane signatures bucket the
+  join, cutting candidates by ~2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+# Word-trigram shingles, distinct per doc (Spark side).
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+)
+# Same in DuckDB (scalar range + list_transform + unnest; no lateral needed).
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),"
+    " i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("s"))
+    )
+
+
+_DOC_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: bit-identical to DuckDB list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_DOT_SQL = ("list_reduce(list_transform(list_zip({a}, {b}),"
+            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)")
+_NORM_SQL = ("sqrt(list_reduce(list_transform({a},"
+             " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (f"({_DOT_SQL.format(a=a, b=b)}"
+            f" / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS BIGINT)
+               / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+    doc="Token counting (whitespace tokenizer): counts, vocabulary size, "
+        "average token length — single exact division for determinism.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long") / n_tok)
+        .alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_lang_stopword_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'b'))) AS BIGINT) AS stop_hits,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ('the', 'a', 'b'))) AS BIGINT)
+                     * 20 >= CAST(len(string_split(text, ' ')) AS BIGINT)
+                THEN 'stopword-heavy' ELSE 'stopword-light' END AS predicted_class
+    FROM documents
+    """,
+    tags=("text", "lang-id"),
+    doc="Language-ID heuristic: stopword-hit counting (the n-gram-profile "
+        "approach, integer-ratio thresholds so the class boundary is exact).",
+)
+def text_lang_stopword_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "b"))).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.alias("stop_hits"),
+        F.when(hits * 20 >= F.size(toks).cast("long"), "stopword-heavy")
+        .otherwise("stopword-light")
+        .alias("predicted_class"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)
+                 AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_punct,
+           CAST((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END)
+              + (CASE WHEN n_distinct * 4 > n_tokens THEN 1 ELSE 0 END) AS INTEGER)
+               AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+    doc="Quality scoring: length window + punctuation ratio + lexical "
+        "diversity, combined as an integer 0-3 score (pure integer "
+        "arithmetic -> exact parity).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))).cast("long")
+    score = (
+        F.when(n_tokens.between(20, 2000), 1).otherwise(0)
+        + F.when(n_punct * 10 < n_chars, 1).otherwise(0)
+        + F.when(n_distinct * 4 > n_tokens, 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprint_dedup",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "exact"),
+    doc="Document fingerprinting + exact dedup: md5 over "
+        "whitespace-normalized lowercased text, keep the smallest doc_id "
+        "per group. At scale: one hash-partition shuffle on the fingerprint.",
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").cast("long").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact / Jaccard / MinHash-LSH / SimHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_union_self",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM (SELECT DISTINCT * FROM
+          (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem))
+    GROUP BY l_returnflag
+    """,
+    tags=("dedup", "exact"),
+    doc="Exact full-row dedup (dropDuplicates): a doubled table collapses "
+        "back to the original cardinality.",
+)
+def dedup_exact_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.unionAll(li)
+        .dropDuplicates()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    tags=("dedup", "jaccard", "near-dup"),
+    doc="N-gram (word-trigram) Jaccard near-dup: shingle-blocked pair "
+        "generation (never a cross join), exact integer set sizes, top-20 "
+        "most-similar pairs with full tiebreak.",
+)
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("long").alias("common"),
+            (F.col("common").cast("double") / (F.col("ca") + F.col("cb") - F.col("common")))
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, g AS seed, MIN(md5(g::VARCHAR || '|' || s)) AS minhash
+      FROM sh, generate_series(0, 7) AS t(g)
+      GROUP BY doc_id, g
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band, string_agg(minhash, '' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, sig)
+    WHERE a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    doc="MinHash+LSH near-dup candidates: 8 salted-md5 minhashes, 4 bands "
+        "of 2, band-bucket join. The minhash is a lexicographic MIN over "
+        "md5 strings — portable across engines (no murmur dependence). At "
+        "scale the band join is the only shuffle and is bucket-local.",
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed")
+    mh = (
+        sh.select("doc_id", "s", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))))
+             .alias("minhash"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr("seed div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x.getField("minhash"),
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    bits AS (
+      SELECT doc_id, g AS pos,
+             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(s), g, 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END) AS balance
+      FROM sh, generate_series(1, 16) AS t(g)
+      GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN balance >= 0 THEN CAST(2 AS BIGINT) ** (pos - 1)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+    doc="SimHash fingerprints: one sign bit per md5 nibble position "
+        "(16-bit signature), majority-voted across the doc's shingles. "
+        "Portable bit extraction via hex-char strpos — no engine hash.",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("s"))
+    bits = (
+        sh.select("doc_id", "h", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"))
+        .withColumn(
+            "nibble",
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("pos"), F.lit(1))) - 1,
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum(F.when(F.col("nibble") >= 8, 1).otherwise(-1)).alias("balance"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("balance") >= 0,
+                       F.pow(F.lit(2), F.col("pos") - 1).cast("long")).otherwise(F.lit(0))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+    tags=("dedup", "embedding", "near-dup"),
+    doc="Embedding-cosine near-dup with label blocking: pairs are "
+        "generated within a blocking partition (label), never globally. "
+        "Sequential-fold dot product -> bit-identical threshold behavior.",
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round("__sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round({_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "topk"),
+    doc="Brute-force cosine top-k (the ANN correctness baseline): every "
+        "query vector scored against the full table, per-query top-5 via "
+        "ranking window with rounded-similarity + id tiebreak.",
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "ann_topk_vectorized",
+    oracle=None,  # float accumulation order differs from the sequential-fold
+    # oracle; correctness is cross-checked against ann_cosine_topk_bruteforce
+    # in tests/test_llm_ops.py (same neighbors at 1e-4 tolerance)
+    tags=("similarity", "ann", "pandas-udf", "bench"),
+    doc="Vectorized brute-force ANN (the throughput path): query vectors "
+        "broadcast as a numpy matrix, candidates scored per Arrow batch "
+        "with one BLAS matmul in mapInPandas, per-partition top-k then a "
+        "tiny global re-rank — the sharded-search pattern; scales "
+        "linearly with executors, shuffles only Q*k*partitions rows.",
+)
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    k = 5
+    qrows = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+            sims = qm @ cand.T  # (Q, B)
+            cid = pdf["vec_id"].to_numpy()
+            topn = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+            part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+            rows = {
+                "query_id": np.repeat(ids, topn),
+                "neighbor_id": cid[part.ravel()],
+                "cos_sim": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=None,  # engine-internal hash for hyperplanes -> rows-only check;
+    # recall vs. the brute-force baseline is asserted in tests/test_llm_ops.py
+    tags=("similarity", "ann", "lsh"),
+    doc="Multi-probe LSH-bucketed ANN (the scale path): 6 random-hyperplane "
+        "sign bits (hyperplane components derived from murmur3 of "
+        "(plane, dim)) bucket the vectors; each query probes its own bucket "
+        "plus all hamming-distance-1 buckets. At 100 TB the probe join "
+        "replaces the O(Q*N) cross product with a co-partitioned equi-join "
+        "on the bucket key (candidates cut by ~2^bits / (bits+1)).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    dim = 64
+    planes = 6
+
+    # signature bit p = sign( sum_d hyper(p,d) * emb[d] ), hyper in [-0.5, 0.5)
+    def sig_bit(p: int) -> Column:
+        comps = [
+            ((F.hash(F.lit(p * 1024 + d)) % 1000).cast("double") / 1000.0)
+            * F.element_at("embedding", d + 1).cast("double")
+            for d in range(dim)
+        ]
+        total = comps[0]
+        for c in comps[1:]:
+            total = total + c
+        return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits = [sig_bit(p) for p in range(planes)]
+    sig = F.concat(*[b.cast("string") for b in bits])
+    bucketed = emb.withColumn("bucket", sig)
+
+    # multi-probe: the exact bucket + every 1-bit flip of it
+    def probes_of(bucket: Column) -> Column:
+        flips = [
+            F.concat(
+                F.substring(bucket, 1, i),
+                (F.lit(1) - F.substring(bucket, i + 1, 1).cast("int")).cast("string"),
+                F.substring(bucket, i + 2, planes - i - 1),
+            )
+            for i in range(planes)
+        ]
+        return F.array(bucket, *flips)
+
+    q = (
+        bucketed.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes_of(F.col("bucket"))).alias("bucket"),
+        )
+    )
+    e = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"), "bucket"
+    )
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    scored = (
+        q.join(e, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,134 @@
+"""Structured Streaming CDC pipeline (SURVEY §2.8, §3.5).
+
+Collapses the reference's producer/consumer loops (WAL poll ->
+Kafka -> per-table consumer thread -> bulk insert,
+replication/producer/publisher.py:129-163 +
+replication/consumer/loader.py:89-169) into one streaming query per
+table:
+
+    readStream (file or Kafka envelope source)
+      -> foreachBatch: preprocess (P1-P3, D1/D2) [+ mapping DSL]
+      -> APPEND to the columnar target table
+
+The target stays append-only — exactly ClickHouse ReplacingMergeTree's
+write path — and reads go through the ``latest_state``/``latest_alive``
+merge-on-read views (M1/M2). ``compact()`` rewrites winners periodically
+(M3), using a temp-dir + atomic swap like the reference's snapshot loader
+(K4, replication/replicator/store.py:25-27,87-89).
+
+What the checkpoint replaces (T2/T3/T6): the Redis ``last-tick`` token
+(publisher.py:24-46), manual Kafka commits (loader.py:147-157), and the
+replay/ack protocol (reader.py:37-60) — source offsets + the idempotent
+version-dedup make redelivery a no-op. ``Trigger.AvailableNow`` is the
+drain-and-stop backlog probe (S6, broker.py:25-32).
+
+Scale notes: the apply is a narrow stage (no shuffle); appends are
+partition-parallel; per-key ordering is irrelevant by design (M5) because
+the merge is version-based, so arbitrary source parallelism is safe — the
+reference needed 1 Kafka partition per topic for ordering; we do not.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.cdc import latest_alive, latest_state, preprocess_envelopes
+from ..schema.dsl import TableMapping, compile_mapping
+
+
+class CdcPipeline:
+    """One replicated table: envelope stream in, latest-state views out."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        target_dir: str,
+        checkpoint_dir: str,
+        keys: Sequence[str],
+        mapping: TableMapping | None = None,
+        tracked_cuids: Sequence[str] | None = None,
+        initial_tick: int | None = None,
+        dead_letter_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.target_dir = target_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.keys = list(keys)
+        self.mapping = mapping
+        self.tracked_cuids = tracked_cuids
+        self.initial_tick = initial_tick
+        self.dead_letter_dir = dead_letter_dir
+
+    # -- write path ---------------------------------------------------------
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        rows = preprocess_envelopes(
+            batch,
+            tracked_cuids=self.tracked_cuids,
+            initial_tick=self.initial_tick,
+        )
+        if self.mapping is not None:
+            compiled = compile_mapping(self.mapping, rows.schema)
+            result = compiled.apply(rows)
+            rows = result.valid
+            if self.dead_letter_dir is not None:
+                result.rejected.write.mode("append").parquet(self.dead_letter_dir)
+        rows.write.mode("append").parquet(self.target_dir)
+
+    def start(
+        self,
+        envelope_dir: str,
+        envelope_schema: T.StructType,
+        *,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        reader = self.spark.readStream.schema(envelope_schema)
+        if max_files_per_trigger is not None:  # backpressure (T1/T4 analog)
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(envelope_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_drained(self, envelope_dir: str, envelope_schema: T.StructType) -> None:
+        q = self.start(envelope_dir, envelope_schema, available_now=True)
+        q.awaitTermination()
+
+    # -- read path (merge-on-read, M1/M2) -----------------------------------
+
+    def raw(self) -> DataFrame:
+        return self.spark.read.parquet(self.target_dir)
+
+    def latest(self) -> DataFrame:
+        """All winning versions, including soft-deleted rows."""
+        return latest_state(self.raw(), self.keys)
+
+    def latest_alive(self) -> DataFrame:
+        """The queryable latest-state table (soft deletes excluded)."""
+        return latest_alive(self.raw(), self.keys)
+
+    # -- maintenance (M3/K4) ------------------------------------------------
+
+    def compact(self) -> None:
+        """Rewrite the target keeping only winners: write to a temp dir,
+        then atomically swap — the reference's create-temp / drop / rename
+        snapshot dance (store.py:25-27, 87-89)."""
+        tmp = f"{self.target_dir}__compact_{uuid.uuid4().hex[:8]}"
+        self.latest().write.mode("overwrite").parquet(tmp)
+        old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.target_dir, old)
+        os.rename(tmp, self.target_dir)
+        shutil.rmtree(old)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect overhead). The flagship runs once untimed as JVM warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of every operator family; heavy pairwise ops use their
+# scale-path variants (the all-pairs jaccard join is excluded: with the
+# fixtures' ~30-word vocabulary its shingle blocking degenerates at sf0.1,
+# which is a data artifact, not an operator property).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_revenue_by_nation",
+    "q_supplier_part_volume",
+    "q_orders_per_customer",
+    "q_window_top_orders_per_customer",
+    "q_window_running_spend",
+    "q_set_ops_nation_segments",
+    "q_json_extract_props",
+    "q_explode_token_counts",
+    "q_tumbling_hourly",
+    "q_session_windows_5m",
+    "cdc_latest_state",
+    "cdc_snapshot_overlap",
+    "text_fingerprint_dedup",
+    "text_quality_score",
+    "dedup_exact_union_self",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_fingerprints",
+    "ann_topk_vectorized",
+    "mm_payload_stats",
+]
+
+
+def main() -> None:
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (JVM/codegen/parquet footer caches)
+    QUERIES["q3_revenue_by_nation"].build(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name].build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
