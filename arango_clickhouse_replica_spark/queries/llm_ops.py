@@ -37,10 +37,12 @@ from .registry import query
 # shared builders
 # ---------------------------------------------------------------------------
 
-# Word-trigram shingles, distinct per doc (Spark side).
+# Word-trigram shingles, distinct per doc. The token array is materialized
+# ONCE per row in a prior projection so the per-shingle lambda does three
+# O(1) array indexes + concat_ws instead of re-splitting the text.
 _SHINGLES = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-    " i -> array_join(slice(split(text, ' '), i, 3), ' ')))"
+    "array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
 )
 # Same in DuckDB (scalar range + list_transform + unnest; no lateral needed).
 _SHINGLES_SQL = (
@@ -52,7 +54,8 @@ _SHINGLES_SQL = (
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("s"))
     )
 
@@ -295,50 +298,48 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_MINS_SQL = ",\n           ".join(
+    f"MIN(substr(md5(s), {1 + 4 * g}, 4)) AS m{g}" for g in range(8)
+)
+_MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, m{2 * b} || m{2 * b + 1} AS sig FROM mins"
+    for b in range(4)
+)
+
+
 @query(
     "dedup_minhash_lsh_candidates",
     oracle=f"""
     WITH sh AS ({_DOC_SHINGLES_SQL}),
-    mh AS (
-      SELECT doc_id, g AS seed, MIN(md5(g::VARCHAR || '|' || s)) AS minhash
-      FROM sh, generate_series(0, 7) AS t(g)
-      GROUP BY doc_id, g
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, seed // 2 AS band, string_agg(minhash, '' ORDER BY seed) AS sig
-      FROM mh GROUP BY doc_id, seed // 2
+      {_MINHASH_BANDS_SQL}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b USING (band, sig)
     WHERE a.doc_id < b.doc_id
     """,
     tags=("dedup", "minhash", "lsh"),
-    doc="MinHash+LSH near-dup candidates: 8 salted-md5 minhashes, 4 bands "
-        "of 2, band-bucket join. The minhash is a lexicographic MIN over "
-        "md5 strings — portable across engines (no murmur dependence). At "
-        "scale the band join is the only shuffle and is bucket-local.",
+    doc="MinHash+LSH near-dup candidates: ONE md5 per shingle sliced into "
+        "eight 16-bit minhash lanes (substr positions 1,5,..29), 4 bands "
+        "of 2 lanes, band-bucket join. Single map-side-combinable groupBy "
+        "(8 MIN aggregates in one pass — no seed explode, no second "
+        "shuffle); lexicographic MIN over fixed-width hex = numeric MIN, "
+        "portable across engines. At scale the band join is the only "
+        "wide shuffle and is bucket-local.",
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed")
-    mh = (
-        sh.select("doc_id", "s", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))))
-             .alias("minhash"))
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("s"))
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(F.substring("h", 1 + 4 * g, 4)).alias(f"m{g}") for g in range(8)]
     )
-    bands = (
-        mh.withColumn("band", F.expr("seed div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda x: x.getField("minhash"),
-                ),
-                "",
-            ).alias("sig")
-        )
+    stack = ", ".join(f"{b}, concat(m{2 * b}, m{2 * b + 1})" for b in range(4))
+    bands = mins.select(
+        "doc_id", F.expr(f"stack(4, {stack}) AS (band, sig)")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -350,47 +351,54 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BALANCES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(s), {g}, 1)) - 1 >= 8"
+    f" THEN 1 ELSE -1 END) AS b{g}"
+    for g in range(1, 17)
+)
+_SIMHASH_COMBINE_SQL = "\n              + ".join(
+    f"(CASE WHEN b{g} >= 0 THEN CAST({1 << (g - 1)} AS BIGINT) ELSE 0 END)"
+    for g in range(1, 17)
+)
+
+
 @query(
     "dedup_simhash_fingerprints",
     oracle=f"""
     WITH sh AS ({_DOC_SHINGLES_SQL}),
     bits AS (
-      SELECT doc_id, g AS pos,
-             SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(s), g, 1)) - 1 >= 8
-                      THEN 1 ELSE -1 END) AS balance
-      FROM sh, generate_series(1, 16) AS t(g)
-      GROUP BY doc_id, g
+      SELECT doc_id,
+           {_SIMHASH_BALANCES_SQL}
+      FROM sh GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(SUM(CASE WHEN balance >= 0 THEN CAST(2 AS BIGINT) ** (pos - 1)
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+           CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash
+    FROM bits
     """,
     tags=("dedup", "simhash"),
     doc="SimHash fingerprints: one sign bit per md5 nibble position "
         "(16-bit signature), majority-voted across the doc's shingles. "
-        "Portable bit extraction via hex-char strpos — no engine hash.",
+        "All 16 bit-balances are computed as parallel SUM aggregates in "
+        "ONE map-side-combinable groupBy over the shingle rows (no "
+        "16-way position explode, no second shuffle). Portable bit "
+        "extraction via hex-char strpos — no engine hash.",
 )
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("s"))
-    bits = (
-        sh.select("doc_id", "h", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"))
-        .withColumn(
-            "nibble",
-            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), F.col("pos"), F.lit(1))) - 1,
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum(F.when(F.col("nibble") >= 8, 1).otherwise(-1)).alias("balance"))
+    nibble = lambda g: F.instr(F.lit("0123456789abcdef"), F.substring("h", g, 1)) - 1  # noqa: E731
+    bits = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(nibble(g) >= 8, 1).otherwise(-1)).alias(f"b{g}")
+            for g in range(1, 17)
+        ]
     )
-    return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("balance") >= 0,
-                       F.pow(F.lit(2), F.col("pos") - 1).cast("long")).otherwise(F.lit(0))
-            ).cast("long").alias("simhash")
+    simhash = None
+    for g in range(1, 17):
+        term = F.when(F.col(f"b{g}") >= 0, F.lit(1 << (g - 1)).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 @query(
