@@ -2,6 +2,8 @@ from .registry import QUERIES, Query, query
 
 # Importing these modules populates the registry.
 from . import relational  # noqa: E402,F401
+from . import relational_ext  # noqa: E402,F401
+from . import dsl_queries  # noqa: E402,F401
 from . import scalar_fns  # noqa: E402,F401
 from . import cdc_queries  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401

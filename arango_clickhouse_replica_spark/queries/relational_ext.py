@@ -1,0 +1,444 @@
+"""Extended relational surface (SURVEY.md §2.7): as-of / range joins,
+advanced window functions (range frames, distribution, first/last/nth),
+exact percentiles, pivot, grouping sets, correlated subqueries, argmax
+aggregation, skew-salted two-phase aggregation, and histogram binning.
+
+The reference delegates this whole surface to ClickHouse SQL over its
+replicated tables (pass-through executor ``clickhouse/connect.py:25-26``);
+here each capability is a first-class, oracle-checked Spark query.
+
+Scale notes (100 TB):
+
+- The as-of join (``operators/asof.py``) is union + ONE key shuffle, never
+  an inequality-join explosion.
+- The range join anchors on an equi key (user_id) so Catalyst plans a
+  hash join with the range as a post-join predicate — no cross product.
+- The salted aggregation demonstrates the two-phase (salt -> combine)
+  pattern for hot grouping keys; with exact DECIMAL partials the re-agg
+  is lossless, so the oracle is the plain GROUP BY.
+- ``max_by`` replaces window top-1 where only the argmax row is needed:
+  a map-side-combinable aggregate (one shuffle, no sort) vs. the
+  window's shuffle + full per-key sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join_backward
+from ..sources.tables import load_table
+from .registry import query
+from .relational import dec2
+
+# --- as-of join (custom operator; backward, inclusive) ----------------------
+
+
+@query(
+    "q_asof_join_latest_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.event_type,
+             o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, event_type,
+           o_orderkey AS asof_o_orderkey,
+           o_totalprice AS asof_o_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "custom-operator"),
+    doc="As-of (temporal) join: each event enriched with the user's most "
+        "recent order at event time. Spark side is the union+carry-forward "
+        "operator (one key shuffle); the oracle is the equivalent "
+        "row_number-over-inequality-join formulation.",
+)
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type", "ts")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "user_id")
+    joined = asof_join_backward(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+    return joined.filter(F.col("asof_o_orderkey").isNotNull()).select(
+        "event_id", "user_id", "event_type",
+        F.col("asof_o_orderkey").cast("long").alias("asof_o_orderkey"),
+        "asof_o_totalprice",
+    )
+
+
+# --- range (interval) join --------------------------------------------------
+
+
+@query(
+    "q_range_join_event_bursts",
+    oracle="""
+    SELECT a.event_id, a.user_id, CAST(COUNT(b.event_id) AS BIGINT) AS prior_10m
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts >= a.ts - INTERVAL 10 MINUTE
+     AND b.ts < a.ts
+    GROUP BY a.event_id, a.user_id
+    """,
+    tags=("join", "range"),
+    doc="Range (interval) join: per event, how many events the same user "
+        "produced in the preceding 10 minutes. The equi key (user_id) "
+        "anchors a hash join; the time band is a post-join predicate — "
+        "no cross product at any scale.",
+)
+def q_range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("b.ts") < F.col("a.ts")),
+            "left",
+        )
+        .groupBy(F.col("a.event_id").alias("event_id"), F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.col("b.event_id")).alias("prior_10m"))
+    )
+
+
+# --- window: RANGE frame over event time ------------------------------------
+
+
+@query(
+    "q_window_range_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+    doc="RANGE window frame over event time: per-customer trailing-30-day "
+        "spend. Spark orders by days-since-epoch with a numeric range "
+        "frame (-29..0) — identical semantics to the interval RANGE frame.",
+)
+def q_window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-29, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+# --- window: distribution functions -----------------------------------------
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+    doc="Distribution window functions (ntile / percent_rank / cume_dist) "
+        "per segment over a unique sort (acctbal, custkey) so bucket "
+        "edges are deterministic across engines. Partitioned — never a "
+        "global single-reducer sort.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "q_window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+    doc="Navigation window functions (first_value / last_value / "
+        "nth_value) with an explicit unbounded frame and a unique sort.",
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+# --- exact percentiles ------------------------------------------------------
+
+
+@query(
+    "q_percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 6) AS p75
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile"),
+    doc="Exact percentiles (linear interpolation) per group — Spark "
+        "percentile() == DuckDB quantile_cont(), rounded to absorb the "
+        "last-ulp of interpolation.",
+)
+def q_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+# --- pivot ------------------------------------------------------------------
+
+
+@query(
+    "q_pivot_status_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot (wide aggregation): order totals by year x status. Spark "
+        "pivot with an EXPLICIT value list — never the two-pass "
+        "distinct-discovery pivot — so the plan is a single aggregate.",
+)
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec2("o_totalprice")).cast("double"))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+# --- grouping sets ----------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+    doc="Explicit GROUPING SETS with GROUPING() markers (beyond "
+        "rollup/cube): per-flag, per-status, and grand totals in one pass.",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+# --- correlated subqueries --------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery_above_avg",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                  / COUNT(*)
+           FROM customer i WHERE i.c_mktsegment = c.c_mktsegment)
+    """,
+    tags=("subquery", "correlated"),
+    doc="Correlated scalar subquery: customers above their segment's mean "
+        "balance (exact decimal mean). Catalyst decorrelates to an "
+        "aggregate + join — no per-row re-execution.",
+)
+def q_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    cust.createOrReplaceTempView("__sq_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM __sq_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+              (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                      / COUNT(*)
+               FROM __sq_customer i WHERE i.c_mktsegment = c.c_mktsegment)
+    """)
+
+
+@query(
+    "q_exists_high_value_order",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("subquery", "exists"),
+    doc="EXISTS / NOT EXISTS correlated predicates — planned as left-semi "
+        "and left-anti hash joins.",
+)
+def q_exists_high_value_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust.createOrReplaceTempView("__ex_customer")
+    orders.createOrReplaceTempView("__ex_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM __ex_customer c
+        WHERE EXISTS (SELECT 1 FROM __ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM __ex_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """)
+
+
+# --- argmax aggregation (top-1 without a window) ----------------------------
+
+
+@query(
+    "q_argmax_latest_order",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                   * 10000000000 + o_orderkey) AS latest_orderkey,
+           arg_max(o_totalprice,
+                   CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                   * 10000000000 + o_orderkey) AS latest_totalprice
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "argmax"),
+    doc="Argmax via max_by: each customer's latest order in ONE map-side-"
+        "combinable aggregate (no window sort). The ordering key packs "
+        "(days, orderkey) into a single BIGINT for an exact total order.",
+)
+def q_argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    ordkey = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("latest_orderkey"),
+        F.max_by("o_totalprice", ordkey).alias("latest_totalprice"),
+    )
+
+
+# --- skew-salted two-phase aggregation --------------------------------------
+
+
+@query(
+    "q_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salting"),
+    doc="Skew-salted two-phase aggregation: phase 1 groups by (key, salt) "
+        "spreading a hot key over 16 reducers; phase 2 combines the exact "
+        "DECIMAL partials. Result is provably identical to the plain "
+        "GROUP BY (the oracle). The pattern for power-law keys at 100 TB "
+        "when AQE skew handling isn't enough.",
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    salted = li.withColumn("__salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(dec2("l_quantity")).alias("pq"),
+        F.count("*").alias("pn"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pn").alias("n"),
+    )
+
+
+# --- histogram binning ------------------------------------------------------
+
+
+@query(
+    "q_histogram_order_totals",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+    doc="Histogram binning: fixed-width buckets via arithmetic floor "
+        "division (portable across engines), count + extrema per bucket.",
+)
+def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -17,13 +17,9 @@ def _canon(v):
     """Canonical, engine-independent representation of one cell."""
     if v is None:
         return "␀"
-    # numpy scalars / arrays → python
-    if hasattr(v, "item") and not isinstance(v, (list, tuple, dict)):
-        try:
-            v = v.item()
-        except (ValueError, AttributeError):
-            pass
-    if hasattr(v, "tolist"):  # numpy array
+    # numpy scalars AND arrays → python (tolist handles both; never use
+    # .item(), which silently collapses single-element arrays to scalars)
+    if hasattr(v, "tolist") and not isinstance(v, (list, tuple, dict)):
         v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
