@@ -120,3 +120,56 @@ def dsl_mapping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(entries), ",").alias("props_kv"),
         F.array_join("tags", ",").alias("tags"),
     )
+
+
+# Dead-letter channel (A1/A4): rows that fail validation are split off
+# with their error messages, never dropped silently (loader.py:40-49,
+# 82-86 semantics). Corruption is injected deterministically so the
+# rejected set is SQL-expressible.
+_DEADLETTER_MAPPING = TableMapping.from_dict(
+    {
+        "table_name": "docs_strict",
+        "schema": {
+            "primary_key": ["id"],
+            "properties": {
+                "id": {"type": "int", "ref": "doc_id"},
+                "body": {"type": "str", "ref": "text", "required": True},
+                "size": {"type": "int", "ref": "n_chars_s"},
+            },
+        },
+    }
+)
+
+
+@query(
+    "dsl_deadletter_split",
+    oracle="""
+    SELECT doc_id AS id,
+           concat_ws(';',
+             CASE WHEN doc_id % 7 = 0 THEN 'body value is not present' END,
+             CASE WHEN doc_id % 11 = 0 THEN 'size: cast to [''int''] failed' END
+           ) AS errors
+    FROM documents
+    WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    """,
+    tags=("dsl", "dead-letter", "error-handling"),
+    doc="Dead-letter split (A1/A4, loader.py:40-49): deterministically "
+        "corrupted rows (missing required field every 7th, uncastable int "
+        "every 11th) are rejected with their exact error messages; the "
+        "oracle reproduces the rejected set and messages. Valid rows "
+        "continue unaffected (asserted in tests/test_dsl.py).",
+)
+def dsl_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    corrupted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("n_chars").cast("string"), F.lit("x")))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars_s"),
+    )
+    rejected = apply_mapping(corrupted, _DEADLETTER_MAPPING).rejected
+    return rejected.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.array_join("_errors", ";").alias("errors"),
+    )

@@ -1,0 +1,117 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in windowed aggregations (streaming/windows.py) cover the
+reference's event-time surface; these operators cover what built-ins
+can't express:
+
+- ``streaming_first_seen``: cross-batch exact dedup — emit a key's row
+  only the FIRST time it is ever seen. The streaming analogue of the
+  batch fingerprint dedup (text_fingerprint_dedup): run it on a document
+  stream keyed by content fingerprint and the sink receives each unique
+  document exactly once, no matter how often the crawler re-delivers.
+  (``dropDuplicates`` on a stream keeps state too but cannot bound or
+  inspect it per key, and ``dropDuplicatesWithinWatermark`` forgets;
+  this operator owns its state explicitly.)
+- ``streaming_running_totals``: per-key running count/sum emitted every
+  micro-batch (update mode) — the live per-table ingest counters the
+  reference keeps in Redis (``publisher.py:24-46``), kept in the state
+  store instead.
+
+Scale notes (100 TB stream): state is hash-partitioned by key across
+executors (same shuffle as any groupBy); each micro-batch touches only
+the keys present in that batch. Arrow moves rows to Python in batches —
+the grouped-map path is vectorized, not row-at-a-time. State per key is
+O(1) (a flag / two counters). For unbounded key spaces set a TTL via
+``GroupStateTimeout.ProcessingTimeTimeout`` so dead keys age out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    *,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit each key's first-ever row; suppress all later arrivals.
+
+    Works on a streaming DataFrame grouped by ``key_cols``; output schema
+    equals the input schema. With ``state_ttl_ms`` set, a key's memory
+    ages out after that long without arrivals (bounded state for
+    unbounded key spaces — re-arrivals after expiry re-emit).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    ttl = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted
+                pass
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+        state.update((True,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if first is not None:
+            yield first
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        dedup, out_schema, state_schema, "update", ttl
+    )
+
+
+def streaming_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key lifetime (count, sum) re-emitted on every batch the key
+    appears in — update-mode live counters."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def totals(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        totals, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

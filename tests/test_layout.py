@@ -1,0 +1,92 @@
+"""Physical-layout assertions: the plans the engine promises at 100 TB
+must actually materialize — bucketed joins skip the exchange, partition
+pruning reaches the scan, clustering bounds file stats, compaction
+bounds file counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arango_clickhouse_replica_spark.plans import (
+    compact_small_files,
+    write_bucketed,
+    write_clustered,
+    write_partitioned,
+)
+from arango_clickhouse_replica_spark.sources.tables import load_table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def layout_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("layout")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, layout_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    write_bucketed(li, "b_lineitem", path=str(layout_dir / "b_lineitem"),
+                   buckets=4, bucket_cols="l_orderkey", sort_cols="l_orderkey")
+    write_bucketed(orders, "b_orders", path=str(layout_dir / "b_orders"),
+                   buckets=4, bucket_cols="o_orderkey", sort_cols="o_orderkey")
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    joined = bl.join(
+        bo.hint("merge"), bl.l_orderkey == bo.o_orderkey
+    ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    plan = physical_plan(joined)
+    join_section = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # neither join input may be exchanged: bucket layout IS the partitioning
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, join_section
+    # and it still computes the right thing
+    got = {r.o_orderstatus: r.n for r in joined.collect()}
+    want = {
+        r.o_orderstatus: r.n
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, layout_dir):
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(layout_dir / "events_by_day")
+    write_partitioned(ev, path=path, partition_cols="day")
+    day = ev.select(F.min("day").alias("d")).collect()[0].d
+    q = spark.read.parquet(path).filter(F.col("day") == F.lit(day))
+    plan = physical_plan(q)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert q.count() == ev.filter(F.col("day") == F.lit(day)).count()
+
+
+def test_clustered_write_roundtrip(spark, sf_dir, layout_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(layout_dir / "orders_clustered")
+    write_clustered(orders, path=path, cluster_cols="o_custkey", num_partitions=4)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # row-group stats are per-file; a point predicate must not degrade results
+    one = orders.select("o_custkey").first().o_custkey
+    assert (
+        back.filter(F.col("o_custkey") == one).count()
+        == orders.filter(F.col("o_custkey") == one).count()
+    )
+
+
+def test_compact_small_files(spark, sf_dir, layout_dir):
+    import os
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(layout_dir / "orders_fragmented")
+    orders.repartition(16).write.mode("overwrite").parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    compact_small_files(spark, path, target_partitions=2)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after < n_before and n_after <= 2
+    assert spark.read.parquet(path).count() == orders.count()

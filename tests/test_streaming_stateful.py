@@ -1,0 +1,86 @@
+"""Cross-batch stateful operators: first-seen dedup must suppress
+re-deliveries across micro-batches; running totals must accumulate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arango_clickhouse_replica_spark.sources.tables import load_table
+from arango_clickhouse_replica_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_totals,
+)
+
+
+@pytest.fixture
+def stream_dirs(tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    return src
+
+
+def _run_stream(spark, src_dir, schema, build, query_name):
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = build(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_first_seen_suppresses_redelivery(spark, sf_dir, stream_dirs):
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    sample = ev.limit(50)
+    # batch 1: 50 events; batch 2: the SAME 50 re-delivered + 10 new
+    sample.write.mode("append").parquet(stream_dirs)
+    _run_stream(
+        spark, stream_dirs, sample.schema,
+        lambda s: streaming_first_seen(s, "event_id"), "first_seen_t",
+    )
+    n1 = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM first_seen_t").collect()[0].n
+    assert n1 == 50
+
+    redelivered = sample
+    fresh = ev.filter(~F.col("event_id").isin([r.event_id for r in sample.collect()])).limit(10)
+    redelivered.unionByName(fresh).write.mode("append").parquet(stream_dirs)
+    _run_stream(
+        spark, stream_dirs, sample.schema,
+        lambda s: streaming_first_seen(s, "event_id"), "first_seen_t2",
+    )
+    # a FRESH query (fresh state) over both files sees 60 uniques exactly once
+    rows = spark.sql("SELECT event_id, COUNT(*) AS c FROM first_seen_t2 GROUP BY event_id").collect()
+    assert len(rows) == 60
+    assert all(r.c == 1 for r in rows)
+
+
+def test_running_totals_accumulate(spark, sf_dir, stream_dirs):
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    sample = ev.limit(200)
+    sample.write.mode("append").parquet(stream_dirs)
+    _run_stream(
+        spark, stream_dirs, sample.schema,
+        lambda s: streaming_running_totals(s, "user_id", "value"), "totals_t",
+    )
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.table("totals_t")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max_by("total", "n").alias("total"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in sample.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
