@@ -32,6 +32,11 @@ HEADLINE = [
     "q_window_top_orders_per_customer",
     "q_window_running_spend",
     "q_set_ops_nation_segments",
+    "q_asof_join_latest_order",
+    "q_window_range_30d_spend",
+    "q_percentiles_by_segment",
+    "q_argmax_latest_order",
+    "dsl_mapping_documents",
     "q_json_extract_props",
     "q_explode_token_counts",
     "q_tumbling_hourly",
