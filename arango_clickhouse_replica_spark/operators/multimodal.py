@@ -115,3 +115,98 @@ def extract_features(media: DataFrame, *, decode: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("scale_denom", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, scale_denom: int = 4,
+                 decode: str = "fake") -> DataFrame:
+    """Resize/downsample plumbing (1:1 mapInPandas, payload -> payload).
+
+    ``decode='fake'``: deterministic byte-decimation (every
+    ``scale_denom``-th byte) stands in for pixel resampling; the batch
+    shape, schema, and narrow-stage contract are exactly what a real
+    ``PIL.Image.resize`` implementation drops into.
+    """
+    if decode == "image" and not _HAVE_PIL:
+        raise NotImplementedError(
+            "image resize requires PIL/pillow, not present in this environment"
+        )
+    if decode not in ("fake", "image"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+    if scale_denom < 1:
+        raise ValueError("scale_denom must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, out_n = [], []
+            for raw in pdf["payload"]:
+                b = bytes(raw) if raw is not None else b""
+                small = b[::scale_denom]
+                out_payload.append(small)
+                out_n.append(len(small))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "n_bytes": out_n,
+                    "scale_denom": scale_denom,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_bytes", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, frame_size: int = 256,
+                  every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing (1:N mapInPandas, one row per kept frame).
+
+    The payload is treated as fixed-size frames; every ``every_n``-th
+    frame is emitted as its own row — the exact one-to-many batch shape
+    of real video keyframe extraction (where a demuxer replaces the
+    fixed-size split). Output rows >> input rows is the point: the
+    downstream per-frame feature pipeline parallelizes over frames.
+    """
+    if frame_size < 1 or every_n < 1:
+        raise ValueError("frame_size and every_n must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames, sizes = [], [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(raw) if raw is not None else b""
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fno in range(0, n_frames, every_n):
+                    chunk = b[fno * frame_size: (fno + 1) * frame_size]
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": nos,
+                    "frame": frames,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

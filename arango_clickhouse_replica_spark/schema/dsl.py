@@ -37,9 +37,11 @@ Semantics parity with the reference interpreter:
 
 Documented divergences (Python-interpreter quirks we do not replicate):
 
-- Defaults are validated/cast at COMPILE time. (The reference passes the
-  default through the runtime caster, so ``default: []`` with a
-  string-asserting cast rejects every row that needs the default —
+- Defaults are cast to the output type ONCE at compile time, via
+  try_cast: a default that cannot represent in the target type becomes
+  NULL instead of rejecting rows. (The reference passes the default
+  through the runtime caster, so ``default: []`` with a string-asserting
+  cast rejects every row that needs the default —
   tables/test.yaml:43-44's ``Answers`` — which can only be a bug.)
 - ``str`` cast of an array renders Spark's canonical form, not Python
   ``repr``.
@@ -226,11 +228,15 @@ class CompiledMapping:
 
 
 def _literal(value: Any, target: T.DataType) -> Column:
+    # try_cast: a default that cannot represent in the target type becomes
+    # NULL deterministically instead of an ANSI runtime CAST_INVALID_INPUT
+    # for every row that needs it. (The reference pushes defaults through
+    # the runtime caster and rejects those rows — a documented bug we fix.)
     if isinstance(value, (list, tuple)):
         if not value:
-            return F.array().cast(target)
-        return F.array(*[F.lit(v) for v in value]).cast(target)
-    return F.lit(value).cast(target)
+            return F.array().try_cast(target)
+        return F.array(*[F.lit(v) for v in value]).try_cast(target)
+    return F.lit(value).try_cast(target)
 
 
 def compile_mapping(

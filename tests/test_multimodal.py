@@ -41,3 +41,56 @@ def test_image_decode_is_explicitly_stubbed(spark, sf_dir):
         extract_features(media, decode="image")
     with pytest.raises(ValueError):
         extract_features(media, decode="bogus")
+
+
+def test_resize_media_decimates_payload(spark, sf_dir):
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir)).limit(20)
+    out = resize_media(media, scale_denom=4)
+    rows = {r.media_id: r for r in out.collect()}
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(rows) == set(src)
+    for mid, r in rows.items():
+        assert bytes(r.payload) == src[mid][::4]
+        assert r.n_bytes == len(src[mid][::4])
+
+
+def test_resize_image_mode_is_stubbed(spark, sf_dir):
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        resize_media(media, decode="image")
+
+
+def test_sample_frames_one_to_many(spark, sf_dir):
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir)).limit(10)
+    out = sample_frames(media, frame_size=64, every_n=2)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.media_id, []).append(r)
+    for mid, payload in src.items():
+        n_frames = (len(payload) + 63) // 64
+        expect_kept = len(range(0, n_frames, 2))
+        assert len(got[mid]) == expect_kept
+        for r in got[mid]:
+            assert r.frame_no % 2 == 0
+            assert bytes(r.frame) == payload[r.frame_no * 64:(r.frame_no + 1) * 64]

@@ -1,0 +1,58 @@
+"""Plan-quality guards: scale anti-patterns must not silently appear.
+
+Every registered query's physical plan is checked for the things that
+break at 100 TB regardless of correctness: cartesian products,
+broadcast-nested-loop joins, and row-at-a-time Python UDFs. Queries
+whose SEMANTICS are all-pairs keep an explicit allowlist entry with the
+reason — additions must be deliberate.
+"""
+
+import pytest
+
+from arango_clickhouse_replica_spark.queries import QUERIES
+
+# name -> reason an otherwise-forbidden pattern is the intended plan
+BNLJ_ALLOWED = {
+    "ann_cosine_topk_bruteforce":
+        "the brute-force baseline IS all-pairs by definition; queries are "
+        "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
+        "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
+}
+
+ALL_NAMES = sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_scale_antipatterns(spark, sf_dir, name):
+    df = QUERIES[name].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in plan (would be O(N*M) at scale)"
+        )
+    # row-at-a-time Python UDFs never belong in the hot path; Arrow-batched
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are fine
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_fact_scans_prune_columns(spark, sf_dir):
+    """The flagship join-agg must not read lineitem columns it doesn't use."""
+    df = QUERIES["q3_revenue_by_nation"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [seg for seg in plan.split("FileScan parquet")
+            if "lineitem.parquet" in seg]
+    assert scan, "no lineitem scan found"
+    read_schema = scan[0].split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" in read_schema
+    for unused in ("l_comment", "l_shipmode", "l_quantity", "l_tax"):
+        assert unused not in read_schema, f"unused column {unused} read"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q1's shipdate predicate must appear in PushedFilters."""
+    df = QUERIES["q1_pricing_summary"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed, pushed
