@@ -611,3 +611,70 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@query(
+    "ann_ivf_probed",
+    oracle=None,  # centroid assignment is engine-internal; recall vs the
+    # brute-force baseline is asserted in tests/test_llm_ops.py
+    tags=("similarity", "ann", "ivf"),
+    doc="IVF (inverted-file) ANN — the second scale path besides LSH: "
+        "16 deterministic seed centroids; every vector is assigned to its "
+        "nearest centroid by a broadcast argmin (narrow stage, min_by), "
+        "queries probe their 3 nearest cells, and exact scoring runs only "
+        "inside probed cells via a co-partitioned equi-join on cell id. "
+        "At 100 TB the cell assignment is one broadcast pass and the "
+        "probe join touches nprobe/C of the data (~19% here) instead of "
+        "all pairs; cells are the partitioning key, so each probe is "
+        "shuffle-local.",
+)
+def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_cells, n_probe, k = 16, 3, 5
+
+    # seed centroids: the first vector of every (vec_id % n_cells) class —
+    # deterministic, data-derived, no iteration (k-means would refine them;
+    # assignment/probe mechanics are identical)
+    w_seed = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select((F.col("vec_id") % n_cells).cast("int").alias("cell"),
+                F.col("embedding").alias("c_emb"))
+    )
+
+    def nearest_cells(df: DataFrame, id_col: str, n: int) -> DataFrame:
+        """ids x centroids -> n nearest cell ids per vector (broadcast)."""
+        d = df.crossJoin(F.broadcast(centroids))
+        sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+            _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cell"))
+        return (
+            d.withColumn("c_sim", sim)
+            .withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n)
+        )
+
+    # index side: each vector lives in exactly its nearest cell
+    indexed = nearest_cells(emb, "vec_id", 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"), "cell"
+    )
+    # query side: probe the n_probe nearest cells
+    probes = nearest_cells(
+        emb.filter(F.col("vec_id") % 100 == 0), "vec_id", n_probe
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(indexed, ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -35,3 +35,16 @@ def test_minhash_candidates_subset_property(spark, sf_dir):
     jacc = QUERIES["dedup_ngram_jaccard_topk"].build(spark, sf_dir)
     assert cands.count() >= 0  # may legitimately be empty on random text
     assert jacc.count() <= 20
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    brute = QUERIES["ann_cosine_topk_bruteforce"].build(spark, sf_dir)
+    ivf = QUERIES["ann_ivf_probed"].build(spark, sf_dir)
+    truth = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    # random uniform embeddings are the worst case for coarse quantization;
+    # probing 3/16 cells must still recover a meaningful fraction
+    assert recall > 0.05
+    assert all(q % 100 == 0 for q, _ in approx)

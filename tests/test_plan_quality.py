@@ -17,6 +17,11 @@ BNLJ_ALLOWED = {
         "the brute-force baseline IS all-pairs by definition; queries are "
         "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
         "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
+    "ann_ivf_probed":
+        "IVF cell assignment broadcasts the 16 centroids against every "
+        "vector (O(N*16) narrow pass) — that broadcast loop IS the "
+        "assignment step; the candidate scoring join itself is an "
+        "equi-join on cell id",
 }
 
 ALL_NAMES = sorted(QUERIES)
