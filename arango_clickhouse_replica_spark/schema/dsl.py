@@ -369,3 +369,59 @@ def apply_mapping(
     """Convenience: compile against ``df``'s schema and apply."""
     compiled = compile_mapping(mapping, df.schema, doc_col=doc_col, registry=registry)
     return compiled.apply(df)
+
+
+def python_cast(fn: Callable[[Any], Any], out_type: T.DataType) -> CastBuilder:
+    """Wrap a reference-style custom transformer into a CastBuilder.
+
+    The reference's extension contract (§2.11, tables/transform.py:6-8,
+    invoked per value at transformer.py:94) is an arbitrary Python
+    callable ``value -> value`` that RAISES to reject the row. This is
+    the escape hatch for transforms no Column expression can produce;
+    prefer native builders — a Python cast is a row-at-a-time UDF.
+
+    Divergence note: a raise maps to NULL-on-nonnull-input (the failure
+    predicate), so a custom cast that legitimately returns None for a
+    present value is indistinguishable from a rejection.
+    """
+
+    def guarded(v):
+        if v is None:
+            return None
+        try:
+            return fn(v)
+        except Exception:
+            return None
+
+    udf = F.udf(guarded, out_type)
+
+    def build(col: Column, src: T.DataType | None) -> tuple[Column, Column, T.DataType]:
+        v = udf(col)
+        failed = col.isNotNull() & v.isNull()
+        return v, failed, out_type
+
+    return build
+
+
+def register_sql_casts(spark, custom: dict[str, Callable[[Any], Any]] | None = None,
+                       prefix: str = "dsl_") -> list[str]:
+    """Expose reference-style transforms to ad-hoc Spark SQL (§2.11's
+    ``spark.udf.register`` surface). ``custom`` maps names to plain
+    ``value -> value`` callables (raise -> NULL); each registers as
+    ``{prefix}{name}`` so the SQL pass-through surface can reuse the
+    same transforms the mapping DSL uses."""
+    names = []
+    for name, fn in (custom or {}).items():
+        fn_name = f"{prefix}{name}"
+
+        def guarded(v, _fn=fn):
+            if v is None:
+                return None
+            try:
+                return _fn(v)
+            except Exception:
+                return None
+
+        spark.udf.register(fn_name, guarded)
+        names.append(fn_name)
+    return names

@@ -198,3 +198,54 @@ def test_dead_letter_preserves_input(spark):
     res = apply_mapping(df, MAPPING)
     (rej,) = res.rejected.collect()
     assert rej.name == "t1" and rej.attr1 == "9"  # original row intact (A4)
+
+
+def test_python_cast_escape_hatch(spark):
+    """§2.11 contract: a value->value callable that raises rejects the row."""
+    from pyspark.sql import types as T
+
+    from arango_clickhouse_replica_spark.schema.dsl import (
+        TableMapping,
+        apply_mapping,
+        python_cast,
+    )
+
+    def csv_headtail(v):
+        parts = v.split(",")
+        if len(parts) < 2:
+            raise ValueError("need >= 2 fields")
+        return f"{parts[0]}..{parts[-1]}"
+
+    mapping = TableMapping.from_dict(
+        {
+            "schema": {
+                "primary_key": ["k"],
+                "properties": {
+                    "k": {"type": "int"},
+                    "span": {"type": "csv_headtail", "ref": "raw"},
+                },
+            }
+        }
+    )
+    df = spark.createDataFrame(
+        [(1, "a,b,c"), (2, "solo"), (3, "x,y")], ["k", "raw"]
+    )
+    reg = {"csv_headtail": python_cast(csv_headtail, T.StringType())}
+    res = apply_mapping(df, mapping, registry=reg)
+    got = {r.k: r.span for r in res.valid.collect()}
+    assert got == {1: "a..c", 3: "x..y"}
+    assert res.rejected.count() == 1
+
+
+def test_register_sql_casts(spark):
+    from arango_clickhouse_replica_spark.schema.dsl import register_sql_casts
+
+    names = register_sql_casts(
+        spark, {"shout": lambda v: v.upper(), "half": lambda v: v // 2}
+    )
+    assert set(names) == {"dsl_shout", "dsl_half"}
+    row = spark.sql(
+        "SELECT dsl_shout('abc') AS s, dsl_half(9) AS h, dsl_shout(NULL) AS n"
+    ).collect()[0]
+    # registration without an explicit returnType yields strings (Spark default)
+    assert row.s == "ABC" and row.h == "4" and row.n is None
