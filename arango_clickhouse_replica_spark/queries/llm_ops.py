@@ -416,11 +416,16 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Sequential-fold dot product -> bit-identical threshold behavior.",
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    # Norms are computed ONCE per vector before the pair join (a narrow
+    # projection); per-pair work is a single dot product. Same fold, same
+    # bits — only 3x less arithmetic than recomputing norms per pair.
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -463,12 +468,16 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
     )
-    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
-    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("e_emb"), F.col("nrm").alias("e_nrm"))
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm"))
     scored = (
         F.broadcast(q)
         .join(e, F.col("neighbor_id") != F.col("query_id"))
@@ -553,27 +562,37 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on the bucket key (candidates cut by ~2^bits / (bits+1)).",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
     from pyspark.sql.window import Window
 
     emb = load_table(spark, "embeddings", sf_dir)
     dim = 64
     planes = 6
 
-    # signature bit p = sign( sum_d hyper(p,d) * emb[d] ), hyper in [-0.5, 0.5)
-    def sig_bit(p: int) -> Column:
-        comps = [
-            ((F.hash(F.lit(p * 1024 + d)) % 1000).cast("double") / 1000.0)
-            * F.element_at("embedding", d + 1).cast("double")
+    # Hyperplane components are deterministic driver-side constants
+    # (md5-derived, in [-0.5, 0.5)), shipped as literal arrays; each
+    # signature bit is then one zip_with + sequential-fold dot product —
+    # a compact codegen tree instead of 64 per-row hash() expressions.
+    def hyperplane(p: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 1000)
+            / 1000.0 - 0.5
             for d in range(dim)
         ]
-        total = comps[0]
-        for c in comps[1:]:
-            total = total + c
+
+    def sig_bit(p: int) -> Column:
+        plane = F.array(*[F.lit(c) for c in hyperplane(p)])
+        total = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
 
     bits = [sig_bit(p) for p in range(planes)]
     sig = F.concat(*[b.cast("string") for b in bits])
-    bucketed = emb.withColumn("bucket", sig)
+    bucketed = emb.withColumn("bucket", sig).withColumn("nrm", _norm(F.col("embedding")))
 
     # multi-probe: the exact bucket + every 1-bit flip of it
     def probes_of(bucket: Column) -> Column:
@@ -592,13 +611,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.explode(probes_of(F.col("bucket"))).alias("bucket"),
         )
     )
     e = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"), "bucket",
     )
-    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm"))
     scored = (
         q.join(e, ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -631,7 +652,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     n_cells, n_probe, k = 16, 3, 5
 
     # seed centroids: the first vector of every (vec_id % n_cells) class —
@@ -649,7 +672,7 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         """ids x centroids -> n nearest cell ids per vector (broadcast)."""
         d = df.crossJoin(F.broadcast(centroids))
         sim = _dot(F.col("embedding"), F.col("c_emb")) / (
-            _norm(F.col("embedding")) * _norm(F.col("c_emb"))
+            F.col("nrm") * _norm(F.col("c_emb"))
         )
         w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cell"))
         return (
@@ -660,14 +683,16 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # index side: each vector lives in exactly its nearest cell
     indexed = nearest_cells(emb, "vec_id", 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"), "cell"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"), "cell",
     )
     # query side: probe the n_probe nearest cells
     probes = nearest_cells(
         emb.filter(F.col("vec_id") % 100 == 0), "vec_id", n_probe
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+             F.col("nrm").alias("q_nrm"), "cell")
 
-    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("e_emb")))
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         probes.join(indexed, ["cell"])
@@ -677,4 +702,79 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "llm_corpus_curation",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    quality AS (
+      SELECT *,
+             (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END)
+           + (CASE WHEN n_distinct * 4 > n_tokens THEN 1 ELSE 0 END) AS q
+      FROM scored
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM deduped
+    WHERE q >= 2
+    GROUP BY lang, source
+    """,
+    tags=("llm", "pipeline", "composition"),
+    doc="The composed training-data curation pipeline in one plan: "
+        "fingerprint -> exact dedup (keep smallest doc_id) -> quality "
+        "gate (score >= 2) -> per-(lang, source) corpus stats. One "
+        "narrow scoring pass, one fingerprint shuffle, one final "
+        "aggregate — the operators compose without extra materialization.",
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))).cast("long")
+    q = (
+        F.when(n_tokens.between(20, 2000), 1).otherwise(0)
+        + F.when(n_punct * 10 < n_chars, 1).otherwise(0)
+        + F.when(n_distinct * 4 > n_tokens, 1).otherwise(0)
+    )
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+        n_tokens.alias("n_tokens"),
+        q.alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.filter(F.col("q") >= 2)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
     )

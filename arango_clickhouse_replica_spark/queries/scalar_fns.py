@@ -172,3 +172,38 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.split(F.substring("text", 1, 40), " "))), ","
         ).alias("head_vocab"),
     )
+
+
+@query(
+    "q_variant_schemaless",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+    GROUP BY event_type
+    """,
+    tags=("scalar", "variant", "schemaless"),
+    doc="Schemaless documents as Spark 4 VARIANT (SURVEY §1.5's mapping "
+        "for Arango's schema-free rows): parse_json once into a variant "
+        "column, typed path access via try_variant_get (shredded access, "
+        "no full re-parse per field), predicate + aggregate on the "
+        "extracted value.",
+)
+def q_variant_schemaless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )

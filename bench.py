@@ -46,6 +46,8 @@ HEADLINE = [
     "text_fingerprint_dedup",
     "text_quality_score",
     "dedup_exact_union_self",
+    "llm_corpus_curation",
+    "q_variant_schemaless",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_fingerprints",
     "ann_topk_vectorized",
