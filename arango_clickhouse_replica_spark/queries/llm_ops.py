@@ -538,7 +538,14 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    # The fixture is a single small file -> one input split -> ONE python
+    # worker; spread candidates across the cores first. (At real scale the
+    # file splits already provide this parallelism and the repartition
+    # would be dropped — shuffling 100 TB to feed UDF workers is wrong.)
+    shards = emb.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    partial = shards.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         partial.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -442,3 +442,29 @@ def q_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "q_window_rank_vs_dense",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS price_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY round(o_totalprice / 100000) DESC,
+                 o_orderkey)
+    """,
+    tags=("window", "ranking"),
+    doc="rank() vs dense_rank() with real ties (coarse price bands) and a "
+        "unique final tiebreak so both engines agree on every row.",
+)
+def q_window_rank_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round(F.col("o_totalprice") / 100000).desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+    )

@@ -107,6 +107,41 @@ class CdcPipeline:
         q = self.start(envelope_dir, envelope_schema, available_now=True)
         q.awaitTermination()
 
+    def start_kafka(
+        self,
+        *,
+        bootstrap_servers: str,
+        topics: str,
+        data_schema: T.DataType,
+        starting_offsets: str = "earliest",
+        max_offsets_per_trigger: int | None = None,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """The production source: Kafka envelope topics (S5) through the
+        same foreachBatch apply. Offsets checkpoint exactly like the file
+        source; ``maxOffsetsPerTrigger`` is the poll-batch backpressure
+        knob (settings.yaml:43 analog). Requires a reachable broker —
+        construction is lazy, connection happens at start."""
+        from ..sources.kafka import decode_envelopes, kafka_stream_reader
+
+        raw = kafka_stream_reader(
+            self.spark,
+            bootstrap_servers=bootstrap_servers,
+            topics=topics,
+            starting_offsets=starting_offsets,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+        ).load()
+        stream = decode_envelopes(raw, data_schema).drop(
+            "key", "topic", "partition", "offset"
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- read path (merge-on-read, M1/M2) -----------------------------------
 
     def raw(self) -> DataFrame:

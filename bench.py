@@ -67,8 +67,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Each query runs twice: the first pass absorbs plan compilation +
+    # codegen + JIT (one-time costs that dwarf sf0.1 execution and add
+    # 30-50% run-to-run noise); the second pass is the steady-state
+    # throughput figure a long-running engine actually delivers.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        QUERIES[name].build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         QUERIES[name].build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
