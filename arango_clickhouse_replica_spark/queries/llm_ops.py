@@ -785,3 +785,138 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+@query(
+    "text_bpe_regex_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS n_pieces,
+           CAST(len(list_distinct(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_vocab,
+           CAST(len(list_filter(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]'), t -> len(t) = 1)) AS BIGINT)
+               AS n_single_char
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+    doc="BPE-ish regex tokenization (the mandated second tokenizer beside "
+        "whitespace): alpha runs / digit runs / single punctuation marks "
+        "as separate pieces — the pre-tokenization split GPT-style BPE "
+        "vocabularies use. Piece count, vocabulary size, and single-char "
+        "fragment count per document, all in codegen.",
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_vocab"),
+        F.size(F.filter(pieces, lambda t: F.length(t) == 1)).cast("long")
+        .alias("n_single_char"),
+    )
+
+
+# Tiny per-language char-trigram profiles (the classic n-gram LID method;
+# real systems learn these — a fixed literal profile keeps the oracle exact).
+_LID_PROFILES = {
+    "latin": ["the", "and", "ing", "ent", "ion", "er ", "es ", " de", " la", "el "],
+    "digit_punct": ["0. ", "1. ", ". 1", ". 0", "00 ", ", 0", "0, ", "9. ", ". 9", "99 "],
+}
+
+
+def _lid_sql_profile(name: str) -> str:
+    return "[" + ", ".join(f"'{t}'" for t in _LID_PROFILES[name]) + "]"
+
+
+@query(
+    "text_lang_char_ngram",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, length(substr(text, 1, 120)) - 1),
+                                          i -> substr(substr(text, 1, 120), i, 3)))
+                 AS tri
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(list_filter(tri, t -> list_contains({_lid_sql_profile('latin')}, t)))
+                AS BIGINT) AS latin_hits,
+           CAST(len(list_filter(tri, t -> list_contains({_lid_sql_profile('digit_punct')}, t)))
+                AS BIGINT) AS digit_hits,
+           CASE WHEN len(list_filter(tri, t -> list_contains({_lid_sql_profile('latin')}, t)))
+                     >= len(list_filter(tri, t -> list_contains({_lid_sql_profile('digit_punct')}, t)))
+                THEN 'latin' ELSE 'digit_punct' END AS predicted_profile
+    FROM grams
+    """,
+    tags=("text", "lang-id", "ngram"),
+    doc="Character-n-gram language ID (the n-gram-profile method proper, "
+        "complementing the stopword heuristic): distinct char trigrams of "
+        "the document head scored against fixed literal profiles, argmax "
+        "class with a deterministic tie rule. At scale: narrow map stage, "
+        "profiles are literals (no join).",
+)
+def text_lang_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # expr: substring with a lambda-bound start index needs SQL form
+    tri = F.expr(
+        "array_distinct(transform(sequence(1, length(substr(text, 1, 120)) - 2),"
+        " i -> substring(substr(text, 1, 120), i, 3)))"
+    )
+    lat = F.array([F.lit(t) for t in _LID_PROFILES["latin"]])
+    dig = F.array([F.lit(t) for t in _LID_PROFILES["digit_punct"]])
+    latin_hits = F.size(F.filter(tri, lambda t: F.array_contains(lat, t))).cast("long")
+    digit_hits = F.size(F.filter(tri, lambda t: F.array_contains(dig, t))).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        latin_hits.alias("latin_hits"),
+        digit_hits.alias("digit_hits"),
+        F.when(latin_hits >= digit_hits, "latin").otherwise("digit_punct")
+        .alias("predicted_profile"),
+    )
+
+
+@query(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, substr(text, 1, 24) AS head,
+             substr(text, 1, 1) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 6
+    """,
+    tags=("dedup", "levenshtein", "near-dup"),
+    doc="Edit-distance near-dup with (lang, first-char) blocking: "
+        "Levenshtein over fixed-length heads runs only inside blocks "
+        "(an equi-join on the block key), never across the corpus — the "
+        "fuzzy-match analogue of the shingle/band blocking used by the "
+        "set-similarity dedups.",
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "doc_id", "lang",
+        F.substring("text", 1, 24).alias("head"),
+        F.substring("text", 1, 1).alias("blk"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+    )
