@@ -468,3 +468,22 @@ def q_window_rank_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("int").alias("price_rank"),
         F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
     )
+
+
+@query(
+    "q_approx_percentile_sketch",
+    oracle=None,  # sketch-based: engine-specific estimates; bounds are
+    # asserted against the exact percentiles in tests/test_approx.py
+    tags=("agg", "approx", "sketch"),
+    doc="Approximate percentiles via the KLL-style sketch "
+        "(approx_percentile with accuracy 100): single-pass, mergeable, "
+        "constant memory per group — the 100 TB path where exact "
+        "percentile's full sort/shuffle is not affordable. Error bound "
+        "vs the exact answer is test-asserted.",
+)
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 100).alias("approx_pcts"),
+        F.approx_count_distinct("c_custkey").alias("approx_customers"),
+    )
