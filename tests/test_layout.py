@@ -90,3 +90,32 @@ def test_compact_small_files(spark, sf_dir, layout_dir):
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_after < n_before and n_after <= 2
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_bucketed_cdc_target_merges_without_shuffle(spark, sf_dir, layout_dir):
+    """The CDC merge-on-read view over a target bucketed on the primary
+    key needs NO exchange at all: the bucketed scan already satisfies the
+    window's required distribution, and Spark pushes a WindowGroupLimit
+    (per-key top-1) below the full window — the ideal 100 TB layout for
+    ReplacingMergeTree-style tables."""
+    from arango_clickhouse_replica_spark.operators.cdc import (
+        latest_state,
+        preprocess_envelopes,
+    )
+    from arango_clickhouse_replica_spark.sources.cdc_envelopes import (
+        synthetic_event_envelopes,
+    )
+
+    rows = preprocess_envelopes(
+        synthetic_event_envelopes(spark, sf_dir), initial_tick=0
+    )
+    write_bucketed(rows, "cdc_bucketed", path=str(layout_dir / "cdc_bucketed"),
+                   buckets=4, bucket_cols="event_id", sort_cols=["event_id", "_ver"])
+    view = latest_state(spark.table("cdc_bucketed"), ["event_id"])
+    plan = physical_plan(view)
+    assert "Exchange" not in plan, plan
+    assert "WindowGroupLimit" in plan
+    # and it computes the same latest state as the unbucketed path
+    want = {(r.event_id, r._ver) for r in latest_state(rows, ["event_id"]).collect()}
+    got = {(r.event_id, r._ver) for r in view.collect()}
+    assert got == want
