@@ -9,5 +9,6 @@ from . import cdc_queries  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

@@ -1,0 +1,346 @@
+"""Event-analytics query surface: funnel conversion, cohort retention,
+forward fill (IGNORE NULLS), event transitions, SCD Type 2 intervals,
+ordered string aggregation, exact-decimal statistical moments, unpivot.
+
+The reference replicates change streams into latest-state tables and
+delegates analytics to ClickHouse SQL (pass-through executor
+``clickhouse/connect.py:25-26``); these queries are the standard
+product-analytics workload a user of such a replica runs downstream,
+expressed as first-class oracle-checked Spark plans.
+
+Scale notes (100 TB):
+
+- Funnel stages aggregate to per-user minima FIRST (users << events), so
+  the stage joins are small-table joins, never event-x-event.
+- Cohort retention is two hash aggregations on (user) then
+  (cohort, offset) — both map-side combinable, no window over raw events.
+- Forward fill / transitions / SCD2 are ONE window each, partitioned by
+  user_id: a single key shuffle, state bounded per user, no self-join.
+- Moments use exact DECIMAL partial sums (order-independent across any
+  partitioning) folded into closed-form variance/correlation on the
+  driver-visible aggregate row — bit-identical under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+# --- funnel conversion ------------------------------------------------------
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+    tags=("analytics", "funnel"),
+    doc="Ordered funnel view -> click -> purchase: each stage counts users "
+        "whose stage event strictly follows their previous-stage time. "
+        "Aggregates to per-user minima before joining, so stage joins are "
+        "user-cardinality, never event-cardinality.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("vt")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .join(F.broadcast(v), "user_id")
+           .filter(F.col("ts") > F.col("vt"))
+           .groupBy("user_id").agg(F.min("ts").alias("ct")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .join(F.broadcast(c), "user_id")
+           .filter(F.col("ts") > F.col("ct"))
+           .groupBy("user_id").agg(F.min("ts").alias("pt")))
+    stages = (
+        v.select(F.lit("view").alias("stage"))
+        .unionAll(c.select(F.lit("click").alias("stage")))
+        .unionAll(p.select(F.lit("purchase").alias("stage")))
+    )
+    return stages.agg(
+        F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") == "click", 1)).alias("n_click_after_view"),
+        F.count(F.when(F.col("stage") == "purchase", 1)).alias("n_purchase_after_click"),
+    )
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_wk
+      FROM events GROUP BY user_id
+    )
+    SELECT STRFTIME(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(DATEDIFF('day', f.cohort_wk,
+                         CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "cohort"),
+    doc="Weekly cohort retention: users bucketed by first-seen week, "
+        "activity counted per (cohort, week offset). Two hash "
+        "aggregations; the first-seen dim (|users|) broadcasts.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_wk")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                        F.col("cohort_wk")) / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+# --- forward fill (last_value IGNORE NULLS) ---------------------------------
+
+
+@query(
+    "q_forward_fill_purchase",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    tags=("analytics", "window", "ignore-nulls"),
+    doc="Forward fill: every event carries the user's most recent purchase "
+        "amount (LAST_VALUE ... IGNORE NULLS over a running frame). One "
+        "window = one key shuffle; per-key state is a single scalar.",
+)
+def q_forward_fill_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# --- event transition matrix ------------------------------------------------
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("analytics", "window", "markov"),
+    doc="First-order transition matrix over per-user event sequences "
+        "(LEAD + pair count). One window shuffle on user_id, then a "
+        "25-cell aggregate.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- SCD Type 2 history intervals -------------------------------------------
+
+
+@query(
+    "q_scd2_event_intervals",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    """,
+    tags=("analytics", "scd2", "window"),
+    doc="SCD Type 2 from a change stream: each per-user change becomes a "
+        "[valid_from, valid_to) interval, open-ended row flagged current. "
+        "This is the history-table view of the reference's "
+        "ReplacingMergeTree latest-state semantics (readme.md:89-91) — "
+        "latest-state = is_current rows.",
+)
+def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# --- ordered string aggregation ---------------------------------------------
+
+
+@query(
+    "q_string_agg_segments",
+    oracle="""
+    SELECT n.n_name,
+           (SELECT STRING_AGG(s, ',' ORDER BY s)
+            FROM (SELECT DISTINCT c.c_mktsegment AS s
+                  FROM customer c WHERE c.c_nationkey = n.n_nationkey))
+             AS segments,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey) AS BIGINT) AS n_customers
+    FROM nation n
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+    """,
+    tags=("analytics", "string-agg"),
+    doc="Ordered string aggregation: per nation, the sorted distinct "
+        "market segments serialized to one CSV string (collect_set -> "
+        "array_sort -> array_join; scalar output per the no-complex-"
+        "output rule). Map-side-combinable set agg, broadcast dim join.",
+)
+def q_string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",")
+            .alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "segments", "n_customers")
+    )
+
+
+# --- exact-decimal statistical moments --------------------------------------
+
+
+@query(
+    "q_stat_moments_by_segment",
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                 * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CAST(sx AS DOUBLE) / n AS mean_acctbal,
+           (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)) AS var_acctbal
+    FROM s
+    """,
+    tags=("analytics", "statistics"),
+    doc="Sample mean/variance per segment from EXACT decimal partial sums "
+        "(sum x, sum x^2) folded through the closed form on the aggregate "
+        "row — bit-identical under any partitioning, unlike naive "
+        "double accumulation. The built-in var_samp is the same algebra "
+        "with float partials.",
+)
+def q_stat_moments_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    x = F.col("c_acctbal").cast("decimal(18,2)")
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return s.select(
+        "c_mktsegment",
+        "n",
+        (sx / F.col("n")).alias("mean_acctbal"),
+        ((F.col("n") * sxx - sx * sx) / (n * (F.col("n") - 1))).alias("var_acctbal"),
+    )
+
+
+# --- unpivot (wide -> long) -------------------------------------------------
+
+
+@query(
+    "q_unpivot_order_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    """,
+    tags=("analytics", "unpivot"),
+    doc="Unpivot (wide -> long): per-status metrics melted to "
+        "(status, metric, value) rows via DataFrame.unpivot — the inverse "
+        "of q_pivot_status_by_year. Values unified to DOUBLE (unpivot "
+        "requires one value type); money goes through exact decimal first.",
+)
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("total_price"),
+        F.count_distinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

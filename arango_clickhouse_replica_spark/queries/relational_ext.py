@@ -487,3 +487,76 @@ def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 100).alias("approx_pcts"),
         F.approx_count_distinct("c_custkey").alias("approx_customers"),
     )
+
+
+@query(
+    "q_set_ops_all_multiset",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_linestatus = 'F'),
+         b AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_discount > 0.05)
+    SELECT 'intersect_all' AS tag, flag, COUNT(*) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY flag
+    UNION ALL
+    SELECT 'except_all' AS tag, flag, COUNT(*) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY flag
+    """,
+    tags=("setop", "multiset"),
+    doc="Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL keep "
+        "duplicate multiplicities (min / difference of per-value counts), "
+        "unlike the distinct variants — counted per flag to keep the "
+        "result compact.",
+)
+def q_set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_linestatus") == "F").select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_returnflag").alias("flag"))
+    inter = (
+        a.intersectAll(b).groupBy("flag").agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("tag"), "flag", "n")
+    )
+    exc = (
+        a.exceptAll(b).groupBy("flag").agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("tag"), "flag", "n")
+    )
+    return inter.unionAll(exc)
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status
+      FROM orders
+    )
+    SELECT status,
+           COUNT(*) AS n_rows,
+           COUNT(price) AS n_price,
+           CAST(SUM(CAST(COALESCE(price, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_coalesced,
+           CAST(COUNT(CASE WHEN price IS NULL THEN 1 END) AS BIGINT) AS n_null_price,
+           CAST(COUNT(*) FILTER (WHERE NULLIF(status, 'O') IS NULL) AS BIGINT) AS n_o_or_null
+    FROM t
+    GROUP BY status
+    """,
+    tags=("scalar", "null-semantics"),
+    doc="NULL semantics end to end: NULL grouping keys form their own "
+        "group, COUNT(col) vs COUNT(*), COALESCE in aggregates, NULLIF, "
+        "and filtered aggregation over a three-valued predicate.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    t = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_orderstatus")).alias("status"),
+    )
+    return t.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.sum(F.coalesce(F.col("price"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("double").alias("total_coalesced"),
+        F.count(F.when(F.col("price").isNull(), 1)).cast("long").alias("n_null_price"),
+        F.count_if(F.nullif(F.col("status"), F.lit("O")).isNull()).cast("long")
+        .alias("n_o_or_null"),
+    )
