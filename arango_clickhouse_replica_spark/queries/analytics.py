@@ -344,3 +344,138 @@ def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --- date-spine gap fill ----------------------------------------------------
+
+
+@query(
+    "q_gap_fill_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders
+    ),
+    spine AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT STRFTIME(s.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.rev, 0) AS DOUBLE) AS revenue,
+           COALESCE(daily.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+    """,
+    tags=("analytics", "gap-fill", "generator"),
+    doc="Date-spine gap fill: a generated contiguous day spine "
+        "(sequence + explode) left-joined to daily revenue so quiet days "
+        "appear as explicit zeros. The spine is O(days) — generated on "
+        "one row and broadcast; the fact side aggregates before joining.",
+)
+def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    spine = (
+        orders.agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+            F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("rev"), F.lit(0)).cast("double").alias("revenue"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# --- percent of total (ratio_to_report) -------------------------------------
+
+
+@query(
+    "q_pct_of_total_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(nation_rev AS DOUBLE) AS revenue,
+           CAST(nation_rev AS DOUBLE) / CAST(SUM(nation_rev) OVER () AS DOUBLE)
+             AS pct_of_total
+    FROM rev
+    """,
+    tags=("analytics", "window", "ratio"),
+    doc="Percent-of-total (ratio_to_report): nation revenue share via an "
+        "unpartitioned window over the ALREADY-AGGREGATED 25-row result — "
+        "the single-partition exchange touches nation-cardinality rows, "
+        "never the fact table. Exact decimal partials keep the ratio "
+        "bit-stable.",
+)
+def q_pct_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))
+    )
+    total = F.sum("nation_rev").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        F.col("nation_rev").cast("double").alias("revenue"),
+        (F.col("nation_rev").cast("double") / total.cast("double"))
+        .alias("pct_of_total"),
+    )
+
+
+# --- month-over-month growth ------------------------------------------------
+
+
+@query(
+    "q_mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+    FROM monthly
+    """,
+    tags=("analytics", "window", "timeseries"),
+    doc="Month-over-month growth: LAG over the monthly aggregate series "
+        "(months-cardinality rows, so the unpartitioned ordered window is "
+        "trivially small after the map-side-combinable monthly rollup). "
+        "Delta computed on exact decimals, cast once to double.",
+)
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy().orderBy("month")
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("mom_delta"),
+    )
