@@ -920,3 +920,59 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 6)
     )
+
+
+@query(
+    "dedup_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DOC_SHINGLES_SQL}),
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS lab FROM edges
+      UNION
+      SELECT e.b AS node, r.lab
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lab < e.b
+    )
+    SELECT node AS doc_id,
+           MIN(lab) AS cluster_id,
+           CAST(CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS INT)
+             AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "minhash", "clustering", "iterative"),
+    doc="Near-dup CLUSTERS, not just pairs: MinHash/LSH candidate pairs "
+        "form a graph; connected components (iterative min-label "
+        "propagation, operators/components.py) assign every document its "
+        "cluster, canonical member = min doc_id. This is the 'keep one "
+        "per fuzzy-duplicate group' step of corpus curation. The oracle "
+        "is a recursive CTE whose min-label propagation is never pruned "
+        "(the component minimum always passes the r.lab < e.b guard).",
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = dedup_minhash_lsh_candidates(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )
