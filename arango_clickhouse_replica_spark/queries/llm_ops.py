@@ -976,3 +976,74 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+    """,
+    tags=("curation", "sampling"),
+    doc="Deterministic stratified sampling for training-data mixing: keep "
+        "50% of English and 12.5% of everything else by comparing a "
+        "fixed-width md5 hex prefix against a per-stratum threshold "
+        "(lexicographic compare of fixed-width hex == numeric compare — "
+        "portable across engines, no RNG state). Reproducible across "
+        "runs, engines, and partitionings; a pure narrow filter that "
+        "pushes to the scan at any scale.",
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("20"))
+    return docs.filter(bucket < threshold).select("doc_id", "lang", "source")
+
+
+@query(
+    "curation_token_pack_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(GREATEST(1, n_chars // 4) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, est_tokens,
+             SUM(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, est_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST((cum_tokens - est_tokens) // 8192 AS BIGINT) AS bin_id
+    FROM packed
+    """,
+    tags=("curation", "packing", "window"),
+    doc="Sequence packing for training: documents stream into 8192-token "
+        "bins per language in deterministic doc_id order — bin is derived "
+        "from the EXCLUSIVE running token total (cum - own), i.e. the "
+        "bin the document STARTS in. One window per language partition "
+        "(single key shuffle); at scale, packing runs per shard/date "
+        "partition so no global sort is needed.",
+)
+def curation_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+        .cast("long").alias("est_tokens"),
+    )
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn("cum_tokens", F.sum("est_tokens").over(w))
+    return packed.select(
+        "doc_id", "lang", "est_tokens", "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("est_tokens")) / 8192)
+        .cast("long").alias("bin_id"),
+    )
