@@ -1047,3 +1047,37 @@ def curation_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum_tokens") - F.col("est_tokens")) / 8192)
         .cast("long").alias("bin_id"),
     )
+
+
+@query(
+    "curation_source_mixing",
+    oracle="""
+    SELECT d.doc_id, d.source, g.epoch,
+           CAST(1 + (CAST(SUBSTR(d.source, 4, 10) AS BIGINT) % 3) AS BIGINT)
+             AS n_epochs
+    FROM documents d,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(
+             1, 1 + (CAST(SUBSTR(d.source, 4, 10) AS BIGINT) % 3))) AS epoch) g
+    """,
+    tags=("curation", "mixing", "generator"),
+    doc="Dataset mixing with oversampling: each document is replicated "
+        "epoch-many times (per-source integer weight, here derived from "
+        "the source id) via sequence + explode — the standard way to "
+        "express 'source A sees 3 epochs, source B sees 1' in a training "
+        "mix. A narrow generator (no shuffle, no join); downstream "
+        "shuffles see the already-mixed multiplicity.",
+)
+def curation_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_epochs = (
+        F.lit(1) + F.substring("source", 4, 10).cast("long") % 3
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", n_epochs.alias("n_epochs"))
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs")))
+            .alias("epoch"),
+            "n_epochs",
+        )
+    )
