@@ -560,3 +560,37 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.nullif(F.col("status"), F.lit("O")).isNull()).cast("long")
         .alias("n_o_or_null"),
     )
+
+
+@query(
+    "q_weighted_avg_discount",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS wavg_discount,
+           CAST(COUNT(DISTINCT CASE WHEN l_discount > 0.05
+                                    THEN l_orderkey END) AS BIGINT)
+             AS n_discounted_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted"),
+    doc="Price-weighted average discount per flag (exact decimal "
+        "numerator and denominator, ONE double division at the end) plus "
+        "a conditional COUNT DISTINCT — distinct orders that ever "
+        "exceeded 5% discount. Both are single-pass, map-side-"
+        "combinable aggregates.",
+)
+def q_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(price * disc).cast("double") / F.sum(price).cast("double"))
+        .alias("wavg_discount"),
+        F.count_distinct(
+            F.when(F.col("l_discount") > 0.05, F.col("l_orderkey"))
+        ).cast("long").alias("n_discounted_orders"),
+    )
