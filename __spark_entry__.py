@@ -3,17 +3,27 @@
 Thin shim over ``arango_clickhouse_replica_spark.queries.QUERIES`` — the
 central registry where every implemented operator from SURVEY.md §2 lives
 as a named (Spark builder, DuckDB oracle SQL) pair.
+
+The driver verifies a bounded window of ``queries()`` per round, in dict
+order. To get EVERY registered query a driver correctness row across
+rounds, ``queries()`` rotates: names without a prior driver verification
+(no ``hash_match: true`` row, and no rows-only check for oracle-less
+entries, in any ``CORRECTNESS_r*.json`` the driver has written back into
+the repo) are emitted FIRST; already-verified names follow as regression
+coverage in registry order.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 from arango_clickhouse_replica_spark.queries import QUERIES  # noqa: E402
 
@@ -26,11 +36,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP].build(spark, SMOKE_SF_DIR)
 
 
+def _previously_verified() -> set[str]:
+    """Names with a prior driver correctness row that actually checked out.
+
+    ``hash_match: true`` counts for oracle-backed queries; for oracle-less
+    (rows-only) entries a recorded ``spark_rows`` with the ``no_oracle``
+    marker counts as their (weaker, by design) check having run.
+    """
+    seen: set[str] = set()
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                seen.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # Rows-only check only still counts if the query is STILL
+                # oracle-less; if an oracle was added since, re-verify.
+                q = QUERIES.get(name)
+                if q is not None and q.oracle is None:
+                    seen.add(name)
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    seen = _previously_verified()
+    names = list(QUERIES)
+    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator (SURVEY.md §2)."""
-    return {name: q.build for name, q in QUERIES.items()}
+    """One entry per implemented operator (SURVEY.md §2), rotation-ordered."""
+    return {name: QUERIES[name].build for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
+    }

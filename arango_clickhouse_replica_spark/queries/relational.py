@@ -423,15 +423,35 @@ def q_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "q_approx_distinct_customers",
-    oracle=None,  # approximate sketch — no exact SQL oracle; rows-only check
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx"),
     doc="approx_count_distinct (HyperLogLog++) — the scale path for distinct "
-        "counting; checked rows-only because sketches are engine-specific.",
+        "counting. The checkable property is exact: the exact distinct count "
+        "plus a boolean asserting the HLL estimate (rsd=1%) lands within 5% "
+        "of it (the oracle emits literal TRUE), so the sketch is exercised "
+        "AND the row hash-matches DuckDB.",
 )
 def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= F.greatest(F.lit(2.0), F.col("exact_customers") * 0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -472,20 +472,46 @@ def q_window_rank_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_percentile_sketch",
-    oracle=None,  # sketch-based: engine-specific estimates; bounds are
-    # asserted against the exact percentiles in tests/test_approx.py
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM customer GROUP BY c_mktsegment
+    """,
     tags=("agg", "approx", "sketch"),
     doc="Approximate percentiles via the KLL-style sketch "
         "(approx_percentile with accuracy 100): single-pass, mergeable, "
         "constant memory per group — the 100 TB path where exact "
-        "percentile's full sort/shuffle is not affordable. Error bound "
-        "vs the exact answer is test-asserted.",
+        "percentile's full sort/shuffle is not affordable. The checkable "
+        "property is exact: group counts plus booleans asserting each "
+        "estimate lands within the documented bound of the exact "
+        "percentile (the oracle emits literal TRUE), so the sketch is "
+        "exercised AND the row hash-matches DuckDB.",
 )
 def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
-    return cust.groupBy("c_mktsegment").agg(
-        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 100).alias("approx_pcts"),
-        F.approx_count_distinct("c_custkey").alias("approx_customers"),
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.percentile_approx("c_acctbal", 0.25, 100).alias("_a25"),
+        F.percentile_approx("c_acctbal", 0.50, 100).alias("_a50"),
+        F.percentile_approx("c_acctbal", 0.75, 100).alias("_a75"),
+        F.expr("percentile(c_acctbal, 0.25D)").alias("_e25"),
+        F.expr("percentile(c_acctbal, 0.50D)").alias("_e50"),
+        F.expr("percentile(c_acctbal, 0.75D)").alias("_e75"),
+        (F.max("c_acctbal") - F.min("c_acctbal")).cast("double").alias("_spread"),
+    )
+
+    def ok(a: str, e: str) -> Column:
+        # accuracy=100 => rank error <= 1%; value error bounded by a
+        # generous fraction of the per-group value spread.
+        return F.abs(F.col(a).cast("double") - F.col(e)) <= F.col("_spread") * 0.25
+
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        ok("_a25", "_e25").alias("p25_ok"),
+        ok("_a50", "_e50").alias("p50_ok"),
+        ok("_a75", "_e75").alias("p75_ok"),
     )
 
 

@@ -94,8 +94,10 @@ def q_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, value,
+             -- Spark session_window ends are EXCLUSIVE ([start, last+gap)):
+             -- a gap of exactly 5 minutes starts a NEW session, hence >=.
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+                       OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
