@@ -66,6 +66,30 @@ _DOC_SHINGLES_SQL = f"""
 """
 
 
+def _hot_shingle_cap(n_docs: int) -> int:
+    """Document-frequency cap: shingles in >1% of the corpus (floor 5) are
+    stopword-like and dominate the O(df^2) pair-join cost — drop them
+    before blocking, as production MinHash pipelines do."""
+    return max(5, n_docs // 100)
+
+
+def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.blocking import drop_hot_shingles
+
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    return drop_hot_shingles(_doc_shingles(spark, sf_dir), _hot_shingle_cap(n_docs))
+
+
+# Same cap in DuckDB: NOT IN the (small) hot-shingle list.
+_DOC_SHINGLES_CAPPED_SQL = f"""
+  SELECT * FROM ({_DOC_SHINGLES_SQL}) sh0
+  WHERE s NOT IN (
+    SELECT s FROM ({_DOC_SHINGLES_SQL}) GROUP BY s
+    HAVING COUNT(*) > GREATEST(5, (SELECT COUNT(*) FROM documents) // 100)
+  )
+"""
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product: bit-identical to DuckDB list_reduce."""
     return F.aggregate(
@@ -251,7 +275,7 @@ def dedup_exact_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard_topk",
     oracle=f"""
-    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    WITH sh AS ({_DOC_SHINGLES_CAPPED_SQL}),
     cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -269,11 +293,14 @@ def dedup_exact_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "jaccard", "near-dup"),
     doc="N-gram (word-trigram) Jaccard near-dup: shingle-blocked pair "
-        "generation (never a cross join), exact integer set sizes, top-20 "
-        "most-similar pairs with full tiebreak.",
+        "generation (never a cross join) over DISCRIMINATIVE shingles "
+        "(document frequency capped at 1% of the corpus — a hot shingle "
+        "with df=d costs O(d^2) pairs, so the cap is what keeps the "
+        "block join from going quadratic at 100 TB), exact integer set "
+        "sizes, top-20 most-similar pairs with full tiebreak.",
 )
 def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles_capped(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -310,7 +337,7 @@ _MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
 @query(
     "dedup_minhash_lsh_candidates",
     oracle=f"""
-    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    WITH sh AS ({_DOC_SHINGLES_CAPPED_SQL}),
     mins AS (
       SELECT doc_id,
            {_MINHASH_MINS_SQL}
@@ -329,11 +356,14 @@ _MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
         "of 2 lanes, band-bucket join. Single map-side-combinable groupBy "
         "(8 MIN aggregates in one pass — no seed explode, no second "
         "shuffle); lexicographic MIN over fixed-width hex = numeric MIN, "
-        "portable across engines. At scale the band join is the only "
-        "wide shuffle and is bucket-local.",
+        "portable across engines. Signatures are computed over "
+        "DISCRIMINATIVE shingles only (document-frequency cap, see "
+        "dedup_ngram_jaccard_topk) so stopword-like shingles neither "
+        "dominate the minhash lanes nor the band buckets. At scale the "
+        "band join is the only wide shuffle and is bucket-local.",
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("s"))
+    sh = _doc_shingles_capped(spark, sf_dir).withColumn("h", F.md5("s"))
     mins = sh.groupBy("doc_id").agg(
         *[F.min(F.substring("h", 1 + 4 * g, 4)).alias(f"m{g}") for g in range(8)]
     )
@@ -413,22 +443,34 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding", "near-dup"),
     doc="Embedding-cosine near-dup with label blocking: pairs are "
         "generated within a blocking partition (label), never globally. "
+        "Labels larger than the cap are further split into "
+        "random-hyperplane sign sub-blocks (operators/blocking.py) so one "
+        "giant label cannot go quadratic — the guard is inactive (empty "
+        "sub-key, exact semantics) until a label actually overflows, which "
+        "fixture labels never do, so the oracle stays exact. "
         "Sequential-fold dot product -> bit-identical threshold behavior.",
 )
 def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.blocking import with_sub_block
+
     # Norms are computed ONCE per vector before the pair join (a narrow
     # projection); per-pair work is a single dot product. Same fold, same
     # bits — only 3x less arithmetic than recomputing norms per pair.
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    emb = with_sub_block(
+        load_table(spark, "embeddings", sf_dir), label_cap=10_000
+    ).withColumn("nrm", _norm(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .withColumn("__sim", sim)
         .filter(F.col("__sim") >= 0.4)
         .select(
@@ -512,7 +554,18 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     k = 5
-    qrows = emb.filter(F.col("vec_id") % 100 == 0).select("vec_id", "embedding").collect()
+    # The query set is BOUNDED (Q_MAX constant), not a fraction of N: the
+    # driver-side collect therefore has a fixed ceiling no matter how big
+    # the candidate table grows. orderBy before limit keeps it
+    # deterministic across partitionings.
+    q_max = 4096
+    qrows = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(q_max)
+        .collect()
+    )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -538,13 +591,14 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    # The fixture is a single small file -> one input split -> ONE python
-    # worker; spread candidates across the cores first. (At real scale the
-    # file splits already provide this parallelism and the repartition
-    # would be dropped — shuffling 100 TB to feed UDF workers is wrong.)
-    shards = emb.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # A single small file -> one input split -> ONE python worker; spread
+    # candidates across the cores ONLY in that case. At real scale the
+    # file splits already provide the parallelism and the repartition is
+    # skipped — shuffling 100 TB to feed UDF workers is wrong.
+    shards = emb.select("vec_id", "embedding")
+    parallelism = spark.sparkContext.defaultParallelism
+    if shards.rdd.getNumPartitions() < parallelism:
+        shards = shards.repartition(parallelism)
     partial = shards.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

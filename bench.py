@@ -21,9 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative of every operator family; heavy pairwise ops use their
-# scale-path variants (the all-pairs jaccard join is excluded: with the
-# fixtures' ~30-word vocabulary its shingle blocking degenerates at sf0.1,
-# which is a data artifact, not an operator property).
+# scale-path variants. The jaccard pair join is back in the headline set
+# now that its shingle blocking carries a hot-shingle document-frequency
+# cap (operators/blocking.py).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_revenue_by_nation",
@@ -46,6 +46,7 @@ HEADLINE = [
     "text_fingerprint_dedup",
     "text_quality_score",
     "dedup_exact_union_self",
+    "dedup_ngram_jaccard_topk",
     "llm_corpus_curation",
     "q_variant_schemaless",
     "dedup_minhash_lsh_candidates",
