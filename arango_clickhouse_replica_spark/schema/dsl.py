@@ -50,7 +50,7 @@ Documented divergences (Python-interpreter quirks we do not replicate):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -218,11 +218,19 @@ class CompiledMapping:
     error_cols: list[Column]
     spark_schema: T.StructType
 
-    def apply(self, df: DataFrame) -> TransformResult:
-        """One narrow projection + filter; no Python in the row path."""
+    def apply(self, df: DataFrame, passthrough: Sequence[str] = ()) -> TransformResult:
+        """One narrow projection + filter; no Python in the row path.
+
+        ``passthrough``: source columns to carry into ``valid`` unchanged
+        alongside the mapped properties (the CDC pipeline re-attaches
+        ``_ver``/``_deleted`` this way when the user's mapping does not
+        declare them — without them the version merge and soft-delete
+        filter would silently degrade).
+        """
         errors = F.filter(F.array(*self.error_cols), lambda x: x.isNotNull())
         with_err = df.withColumn("_errors", errors)
-        valid = with_err.filter(F.size("_errors") == 0).select(*self.value_cols)
+        extra = [F.col(c) for c in passthrough]
+        valid = with_err.filter(F.size("_errors") == 0).select(*self.value_cols, *extra)
         rejected = with_err.filter(F.size("_errors") > 0)
         return TransformResult(valid=valid, rejected=rejected)
 

@@ -17,6 +17,12 @@ No ClickHouse server or JDBC driver exists in the test environment:
 ``jdbc_batch_writer`` only CONFIGURES the writer (Spark connects lazily
 on ``.save()``); ``write_jdbc_append`` raises a clear error if the
 driver class is absent.
+
+Bootstrapping a fresh target: generate the ``ReplacingMergeTree(_ver)``
+DDL (and the optional Buffer-table DDL) from the same ``TableMapping``
+the pipeline uses via ``schema.ddl.create_table_ddl`` /
+``buffer_table_ddl``, execute it over JDBC once, then point this sink at
+the table.
 """
 
 from __future__ import annotations

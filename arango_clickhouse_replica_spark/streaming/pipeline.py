@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import latest_alive, latest_state, preprocess_envelopes
 from ..schema.dsl import TableMapping, compile_mapping
+from .monitor import TickGapMonitor
 
 
 class CdcPipeline:
@@ -57,6 +58,7 @@ class CdcPipeline:
         tracked_cuids: Sequence[str] | None = None,
         initial_tick: int | None = None,
         dead_letter_dir: str | None = None,
+        tick_monitor: "TickGapMonitor | None" = None,
     ) -> None:
         self.spark = spark
         self.target_dir = target_dir
@@ -66,10 +68,15 @@ class CdcPipeline:
         self.tracked_cuids = tracked_cuids
         self.initial_tick = initial_tick
         self.dead_letter_dir = dead_letter_dir
+        self.tick_monitor = tick_monitor
 
     # -- write path ---------------------------------------------------------
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.tick_monitor is not None and "tick" in batch.columns:
+            # A2: tick-continuity probe on the RAW batch (pre-filter —
+            # txn markers occupy ticks too), publisher.py:140-141 analog.
+            self.tick_monitor.observe(batch, batch_id)
         rows = preprocess_envelopes(
             batch,
             tracked_cuids=self.tracked_cuids,
@@ -77,10 +84,21 @@ class CdcPipeline:
         )
         if self.mapping is not None:
             compiled = compile_mapping(self.mapping, rows.schema)
-            result = compiled.apply(rows)
+            # Re-attach _ver/_deleted when the mapping does not declare
+            # them: without _ver, latest() raises; without _deleted,
+            # latest_alive() silently stops filtering soft deletes.
+            declared = {p.name for p in self.mapping.properties}
+            meta = [c for c in ("_ver", "_deleted")
+                    if c not in declared and c in rows.columns]
+            result = compiled.apply(rows, passthrough=meta)
             rows = result.valid
             if self.dead_letter_dir is not None:
-                result.rejected.write.mode("append").parquet(self.dead_letter_dir)
+                # Idempotent per-batch path: a retried/replayed batch
+                # OVERWRITES its own dead letters instead of appending
+                # duplicates (rejected rows carry no _ver to dedup on).
+                result.rejected.write.mode("overwrite").parquet(
+                    os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
+                )
         rows.write.mode("append").parquet(self.target_dir)
 
     def start(
@@ -159,8 +177,17 @@ class CdcPipeline:
 
     def compact(self) -> None:
         """Rewrite the target keeping only winners: write to a temp dir,
-        then atomically swap — the reference's create-temp / drop / rename
-        snapshot dance (store.py:25-27, 87-89)."""
+        then swap — the reference's create-temp / drop / rename snapshot
+        dance (store.py:25-27, 87-89).
+
+        SINGLE-WRITER, NO-CONCURRENT-READER maintenance operation: the
+        two-rename swap has a window where the target path does not
+        exist, ``os.rename`` is same-filesystem only, and object stores
+        have no rename at all — do not run while the stream is active or
+        a reader holds the path. (On a real deployment this is a Delta
+        ``OPTIMIZE``/``REPLACE TABLE`` — a transactional table format is
+        the right swap primitive at scale; this local-parquet variant
+        keeps the engine storage-agnostic.)"""
         tmp = f"{self.target_dir}__compact_{uuid.uuid4().hex[:8]}"
         self.latest().write.mode("overwrite").parquet(tmp)
         old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"

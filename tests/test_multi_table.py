@@ -114,3 +114,48 @@ def test_two_tables_replicate_in_isolation(spark, sf_dir, setup):
         assert {s["table"] for s in mgr.statuses()} == {"events", "documents"}
     finally:
         mgr.stop_all()
+
+
+def test_mapping_without_meta_columns_keeps_merge_semantics(spark, sf_dir, tmp_path):
+    """A mapping that does NOT declare _ver/_deleted must still merge by
+    version and filter soft deletes: the pipeline re-attaches them
+    (CompiledMapping.apply passthrough) instead of silently dropping."""
+    env_dir = str(tmp_path / "env")
+    os.makedirs(env_dir)
+    env = synthetic_event_envelopes(spark, sf_dir)
+    env.write.mode("append").parquet(env_dir)
+
+    bare = TableMapping.from_dict(
+        {
+            "table_name": "events_bare",
+            "schema": {
+                "primary_key": ["event_id"],
+                "properties": {
+                    "event_id": {"type": "int"},
+                    "value": {"type": "float"},
+                },
+            },
+        }
+    )
+    pipe = CdcPipeline(
+        spark,
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["event_id"],
+        mapping=bare,
+    )
+    pipe.run_until_drained(env_dir, env.schema)
+
+    assert {"_ver", "_deleted"} <= set(pipe.raw().columns)
+    alive = pipe.latest_alive()
+    # deletes (key % 20 == 7) are filtered, updates (key % 10 == 0) win
+    assert alive.filter(F.col("event_id") % 20 == 7).count() == 0
+    from arango_clickhouse_replica_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, "events", sf_dir)
+    updated = (
+        alive.join(ev.select("event_id", F.col("value").alias("orig")), "event_id")
+        .filter((F.col("event_id") % 10 == 0))
+    )
+    assert updated.count() > 0
+    assert updated.filter(F.col("value") != F.col("orig") + 1000).count() == 0
