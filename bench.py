@@ -92,6 +92,56 @@ def main() -> None:
             }
         )
     )
+    _check_regressions(timings, sf)
+
+
+def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
+    """Newest driver-recorded BENCH_r*.json at the same SF, if any."""
+    here = Path(__file__).resolve().parent
+    best: tuple[int, Path] | None = None
+    for p in here.glob("BENCH_r*.json"):
+        m = re.search(r"BENCH_r(\d+)\.json", p.name)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, p)
+    if best is None:
+        return None
+    try:
+        data = json.loads(best[1].read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if isinstance(data.get("parsed"), dict):  # driver-wrapped shape
+        data = {"sf": data.get("sf"), **data["parsed"]}
+    if data.get("sf") != sf or not isinstance(data.get("queries"), dict):
+        return None
+    return best[1].name, data["queries"]
+
+
+def _check_regressions(timings: dict[str, float], sf) -> None:
+    """Per-query regression guard vs the previous round's recorded bench:
+    >1.5x slower AND >1s absolute (run-to-run noise on a loaded box is
+    ±40%, and deliberate small trade-offs — e.g. adding a guard stage —
+    should not trip it) fails the run AFTER the JSON line is printed,
+    naming the offenders. SPARK_GRAFT_NO_REGRESSION_CHECK=1 skips."""
+    if os.environ.get("SPARK_GRAFT_NO_REGRESSION_CHECK"):
+        return
+    prev = _previous_round_timings(sf)
+    if prev is None:
+        return
+    src, old = prev
+    offenders = [
+        f"{name}: {timings[name]:.2f}s vs {old[name]:.2f}s in {src}"
+        for name in timings
+        if name in old
+        and timings[name] > 1.5 * old[name]
+        and timings[name] - old[name] > 1.0
+    ]
+    if offenders:
+        print("BENCH REGRESSION (>1.5x and >1s):", file=sys.stderr)
+        for line in offenders:
+            print(f"  {line}", file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":
