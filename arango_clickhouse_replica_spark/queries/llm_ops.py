@@ -245,6 +245,182 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    ov AS (SELECT t.doc_id, COUNT(*) AS n_overlap
+           FROM train t JOIN eval_sh e USING (s) GROUP BY t.doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+    SELECT sz.doc_id,
+           CAST(sz.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           2 * COALESCE(ov.n_overlap, 0) >= sz.n_shingles AS contaminated
+    FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+    """,
+    tags=("text", "decontamination", "llm-pipeline"),
+    doc="Benchmark decontamination: per training document, the fraction "
+        "of its word-trigram shingles that also occur anywhere in the "
+        "held-out eval set (docs with doc_id % 97 == 0 stand in for the "
+        "benchmark); >= 50% overlap flags the doc as contaminated. The "
+        "threshold compares 2*overlap >= n (pure integers — no float "
+        "division in the checked columns). Scale shape: the eval "
+        "shingle set is tiny relative to a 100 TB corpus, so it "
+        "BROADCASTS and the overlap join is a narrow broadcast-hash "
+        "probe on every shingle partition — no shuffle of the corpus.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    sz = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ov = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        sz.join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) * 2 >= F.col("n_shingles"))
+            .alias("contaminated"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+    doc="PII detection + redaction: count and mask email/phone matches "
+        "per document (regexp_extract_all + global regexp_replace — "
+        "whole-stage-codegen JVM regex, no Python). The synthetic corpus "
+        "contains no PII, so a deterministic email+phone is injected "
+        "into every 7th doc IN BOTH ENGINES first; the redacted text is "
+        "compared by md5 so the checked row stays narrow. Patterns are "
+        "restricted to the Java-regex/RE2 common subset.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS b
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    per_bg AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(MAX(c) AS BIGINT) AS top_bigram_n
+            FROM per_bg GROUP BY doc_id),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+            FROM documents)
+    SELECT a.doc_id, a.n_bigrams, a.top_bigram_n,
+           t.n_tokens - t.n_distinct AS dup_tokens,
+           (a.top_bigram_n * 5 >= a.n_bigrams)
+             OR ((t.n_tokens - t.n_distinct) * 2 >= t.n_tokens) AS repetitive
+    FROM agg a JOIN tok t ON a.doc_id = t.doc_id
+    """,
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+    doc="Repetition filter (Gopher-style): a doc is repetitive when its "
+        "most frequent word-bigram covers >= 20% of all bigrams or "
+        "duplicate tokens are >= 50% of tokens. Integer-ratio thresholds "
+        "(n*5 >= total) keep the class boundary exact across engines. "
+        "One explode + two map-side-combinable groupBys; at 100 TB the "
+        "per-(doc,bigram) count shuffles on a high-cardinality composite "
+        "key (no hot keys by construction).",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat_ws(' ', toks[i-1], toks[i]))"
+            )
+        ).alias("b"),
+    )
+    agg = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_n"),
+        )
+    )
+    toks = F.split("text", " ")
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return agg.join(tok, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        (F.col("n_tokens") - F.col("n_distinct")).alias("dup_tokens"),
+        (
+            (F.col("top_bigram_n") * 5 >= F.col("n_bigrams"))
+            | ((F.col("n_tokens") - F.col("n_distinct")) * 2 >= F.col("n_tokens"))
+        ).alias("repetitive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: exact / Jaccard / MinHash-LSH / SimHash
 # ---------------------------------------------------------------------------
@@ -363,22 +539,12 @@ _MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
         "band join is the only wide shuffle and is bucket-local.",
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles_capped(spark, sf_dir).withColumn("h", F.md5("s"))
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(F.substring("h", 1 + 4 * g, 4)).alias(f"m{g}") for g in range(8)]
-    )
-    stack = ", ".join(f"{b}, concat(m{2 * b}, m{2 * b + 1})" for b in range(4))
-    bands = mins.select(
-        "doc_id", F.expr(f"stack(4, {stack}) AS (band, sig)")
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # Shared with the incremental streaming deduper (streaming/dedup.py):
+    # the batch and streaming paths compute the IDENTICAL signature.
+    from ..operators.minhash import band_signatures, candidate_pairs
+
+    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
+    return candidate_pairs(bands)
 
 
 _SIMHASH_BALANCES_SQL = ",\n           ".join(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.cdc import REMOVE_DOCUMENT, UPSERT_DOCUMENT
 from .tables import load_table
@@ -73,3 +74,58 @@ CHANGES_SQL = """
   SELECT 2*event_id+1, 1, event_id, ts, user_id, event_type, value, props
   FROM events WHERE event_id % 20 = 7
 """
+
+
+# ---------------------------------------------------------------------------
+# JSONL envelope files (the reference's exact wire shape)
+# ---------------------------------------------------------------------------
+
+def envelope_schema(data_schema: T.DataType) -> T.StructType:
+    """The WAL envelope wire schema (test/test_consumer.py:8-26): ``tick``
+    is a STRING-encoded integer on the wire (reader.py:53), ``data`` holds
+    the full post-image document."""
+    return T.StructType(
+        [
+            T.StructField("tick", T.StringType()),
+            T.StructField("type", T.IntegerType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("cuid", T.StringType()),
+            T.StructField("tid", T.StringType()),
+            T.StructField("data", data_schema),
+        ]
+    )
+
+
+def _normalize(env: DataFrame) -> DataFrame:
+    """Wire shape -> the pipeline's envelope columns (tick LONG)."""
+    return env.select(
+        F.col("tick").cast("long").alias("tick"),
+        "type",
+        "cuid",
+        "data",
+    )
+
+
+def read_envelopes_jsonl(
+    spark: SparkSession, path: str, data_schema: T.DataType
+) -> DataFrame:
+    """Batch-read newline-delimited JSON envelopes (one orjson-encoded
+    envelope per line — the Kafka message value format, reader.py:27-28),
+    normalized for ``preprocess_envelopes``."""
+    return _normalize(spark.read.schema(envelope_schema(data_schema)).json(path))
+
+
+def stream_envelopes_jsonl(
+    spark: SparkSession,
+    path: str,
+    data_schema: T.DataType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant of :func:`read_envelopes_jsonl` — the file-drop
+    ingest path (S1 without a broker): tail a directory of JSONL envelope
+    files exactly as the Kafka source tails topics."""
+    reader = spark.readStream.schema(envelope_schema(data_schema))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize(reader.json(path))

@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import latest_alive, latest_state, preprocess_envelopes
 from ..schema.dsl import TableMapping, compile_mapping
+from .merge_sink import BucketedMergeSink
 from .monitor import TickGapMonitor
 
 
@@ -59,6 +60,7 @@ class CdcPipeline:
         initial_tick: int | None = None,
         dead_letter_dir: str | None = None,
         tick_monitor: "TickGapMonitor | None" = None,
+        merge_sink: "BucketedMergeSink | None" = None,
     ) -> None:
         self.spark = spark
         self.target_dir = target_dir
@@ -69,6 +71,7 @@ class CdcPipeline:
         self.initial_tick = initial_tick
         self.dead_letter_dir = dead_letter_dir
         self.tick_monitor = tick_monitor
+        self.merge_sink = merge_sink
 
     # -- write path ---------------------------------------------------------
 
@@ -99,7 +102,11 @@ class CdcPipeline:
                 result.rejected.write.mode("overwrite").parquet(
                     os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
                 )
-        rows.write.mode("append").parquet(self.target_dir)
+        if self.merge_sink is not None:
+            # merge-on-WRITE: versions resolved now, reads are plain scans
+            self.merge_sink.apply_batch(rows, batch_id)
+        else:
+            rows.write.mode("append").parquet(self.target_dir)
 
     def start(
         self,
@@ -163,14 +170,20 @@ class CdcPipeline:
     # -- read path (merge-on-read, M1/M2) -----------------------------------
 
     def raw(self) -> DataFrame:
+        if self.merge_sink is not None:
+            return self.merge_sink.read()
         return self.spark.read.parquet(self.target_dir)
 
     def latest(self) -> DataFrame:
         """All winning versions, including soft-deleted rows."""
+        if self.merge_sink is not None:
+            return self.merge_sink.read()  # already merged at write time
         return latest_state(self.raw(), self.keys)
 
     def latest_alive(self) -> DataFrame:
         """The queryable latest-state table (soft deletes excluded)."""
+        if self.merge_sink is not None:
+            return self.merge_sink.read_alive()
         return latest_alive(self.raw(), self.keys)
 
     # -- maintenance (M3/K4) ------------------------------------------------
