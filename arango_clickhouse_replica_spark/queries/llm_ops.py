@@ -293,6 +293,52 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_token_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    j AS (SELECT doc_id, length(bin(c)) AS r FROM tok JOIN vocab USING (t))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r) AS BIGINT) AS rarity_sum,
+           CAST(SUM(r) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS mean_rarity
+    FROM j GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm-scoring", "llm-pipeline"),
+    doc="Unigram-LM rarity scoring (perplexity proxy): each token scores "
+        "its corpus-frequency magnitude as the INTEGER bit-length of its "
+        "count (length(bin(c)) — an exact log2 bin, so the oracle "
+        "hash-matches where float logprobs would drift in the last ulp); "
+        "a doc's mean bin is low when built from rare tokens. Scale "
+        "shape: one map-side-combinable vocab count, then a corpus-sized "
+        "equi-join on token — the classic skew join (stopwords are hot "
+        "keys): AQE skew-split handles moderate skew, and when the vocab "
+        "fits (it is << corpus) a broadcast removes the shuffle "
+        "entirely, which is what Catalyst picks here.",
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    rarity = F.length(F.bin("c"))
+    return (
+        tok.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(rarity).cast("long").alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_sum",
+            (F.col("rarity_sum") / F.col("n_tokens")).alias("mean_rarity"),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+1-555-[0-9]{4}"
 
