@@ -67,10 +67,13 @@ _DOC_SHINGLES_SQL = f"""
 
 
 def _hot_shingle_cap(n_docs: int) -> int:
-    """Document-frequency cap: shingles in >1% of the corpus (floor 5) are
-    stopword-like and dominate the O(df^2) pair-join cost — drop them
-    before blocking, as production MinHash pipelines do."""
-    return max(5, n_docs // 100)
+    """Document-frequency cap: shingles in >1% of the corpus (floor 5,
+    ceiling 256) are stopword-like and dominate the O(df^2) pair cost —
+    drop them before blocking, as production MinHash pipelines do. The
+    ABSOLUTE ceiling is what makes per-shingle doc lists bounded at any
+    corpus size (a shingle shared by >256 documents carries no dedup
+    signal), so the pair generator can safely materialize them."""
+    return max(5, min(256, n_docs // 100))
 
 
 def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +88,7 @@ _DOC_SHINGLES_CAPPED_SQL = f"""
   SELECT * FROM ({_DOC_SHINGLES_SQL}) sh0
   WHERE s NOT IN (
     SELECT s FROM ({_DOC_SHINGLES_SQL}) GROUP BY s
-    HAVING COUNT(*) > GREATEST(5, (SELECT COUNT(*) FROM documents) // 100)
+    HAVING COUNT(*) > GREATEST(5, LEAST(256, (SELECT COUNT(*) FROM documents) // 100))
   )
 """
 
@@ -524,11 +527,25 @@ def dedup_exact_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles_capped(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Pair generation via grouped doc lists instead of a self-join: ONE
+    # shuffle (groupBy shingle) + a narrow combination explode, vs the
+    # join's two-sided shuffle. Safe ONLY because the df cap bounds each
+    # list at 256 ids (so <= ~32k pairs per shingle, no giant rows).
+    docs_per_shingle = sh.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        docs_per_shingle.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))

@@ -61,3 +61,35 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed, pushed
+
+
+def test_decontam_broadcasts_eval_set(spark, sf_dir):
+    """The decontamination probe must broadcast the (small) eval shingle
+    set — shuffling the corpus for the overlap check is the 100 TB
+    anti-pattern this query exists to avoid."""
+    df = QUERIES["decontam_ngram_overlap"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_pair_lists_are_capped(spark, sf_dir):
+    """The grouped pair generator materializes per-shingle doc lists;
+    they must be bounded by the hot-shingle df cap."""
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.queries.llm_ops import (
+        _doc_shingles_capped,
+        _hot_shingle_cap,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    cap = _hot_shingle_cap(n_docs)
+    assert cap <= 256
+    max_df = (
+        _doc_shingles_capped(spark, sf_dir)
+        .groupBy("s").agg(F.count("*").alias("df"))
+        .agg(F.max("df").alias("m")).first().m
+    )
+    assert max_df <= cap
