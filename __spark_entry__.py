@@ -16,6 +16,7 @@ coverage in registry order.
 from __future__ import annotations
 
 import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -36,15 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP].build(spark, SMOKE_SF_DIR)
 
 
-def _previously_verified() -> set[str]:
-    """Names with a prior driver correctness row that actually checked out.
+def _previously_verified() -> dict[str, int]:
+    """Names with a prior driver correctness row that actually checked
+    out, mapped to the LAST round number they were verified in.
 
     ``hash_match: true`` counts for oracle-backed queries; for oracle-less
     (rows-only) entries a recorded ``spark_rows`` with the ``no_oracle``
     marker counts as their (weaker, by design) check having run.
     """
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -52,21 +56,27 @@ def _previously_verified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                seen.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            ok = row.get("hash_match") is True
+            if not ok and row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # Rows-only check only still counts if the query is STILL
                 # oracle-less; if an oracle was added since, re-verify.
                 q = QUERIES.get(name)
-                if q is not None and q.oracle is None:
-                    seen.add(name)
+                ok = q is not None and q.oracle is None
+            if ok:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
 def _ordered_names() -> list[str]:
+    """Never-verified queries first (registry order); verified ones after,
+    least-recently-verified first, so the bounded per-round window both
+    covers new work immediately and cycles regression checks over old."""
     seen = _previously_verified()
     names = list(QUERIES)
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    idx = {n: i for i, n in enumerate(names)}
+    unseen = [n for n in names if n not in seen]
+    green = sorted((n for n in names if n in seen), key=lambda n: (seen[n], idx[n]))
+    return unseen + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
