@@ -33,6 +33,18 @@ class TickGap:
     missing: int        # ticks lost in between
 
 
+@dataclass(frozen=True)
+class BatchProgress:
+    """One micro-batch's progress record — the analog of the reference's
+    per-batch log line ``'processed {tick_start}-{last_included}: overall
+    {N} docs'`` (publisher.py:155-156)."""
+
+    batch_id: int
+    tick_from: int
+    tick_to: int
+    n_envelopes: int
+
+
 @dataclass
 class TickGapMonitor:
     """Per-micro-batch tick-continuity check (A2).
@@ -47,14 +59,22 @@ class TickGapMonitor:
     on_gap: Callable[[TickGap], None] | None = None
     last_tick: int | None = None
     gaps: list[TickGap] = field(default_factory=list)
+    progress: list[BatchProgress] = field(default_factory=list)
 
     def observe(self, batch: DataFrame, batch_id: int) -> TickGap | None:
         row = batch.agg(
             F.min(F.col(self.tick_col).cast("long")).alias("mn"),
             F.max(F.col(self.tick_col).cast("long")).alias("mx"),
+            F.count("*").alias("n"),
         ).first()
         if row is None or row.mn is None:
             return None  # empty batch
+        self.progress.append(
+            BatchProgress(
+                batch_id=batch_id, tick_from=row.mn, tick_to=row.mx,
+                n_envelopes=row.n,
+            )
+        )
         gap = None
         if self.last_tick is not None and row.mn > self.last_tick + 1:
             gap = TickGap(

@@ -74,3 +74,14 @@ def test_gap_alarm_fires_through_pipeline(spark, sf_dir, tmp_path):
     assert alarms == mon.gaps
     assert mon.gaps[0].expected_from == 21
     assert mon.gaps[0].observed_from > 1000
+
+
+def test_batch_progress_records(spark):
+    """Per-batch progress (the reference's 'processed X-Y: overall N docs'
+    log, publisher.py:155-156) accumulates alongside gap detection."""
+    mon = TickGapMonitor()
+    mon.observe(_env(spark, [1, 2, 3]), 0)
+    mon.observe(_env(spark, []), 1)
+    mon.observe(_env(spark, [8, 9]), 2)
+    assert [(p.batch_id, p.tick_from, p.tick_to, p.n_envelopes)
+            for p in mon.progress] == [(0, 1, 3, 3), (2, 8, 9, 2)]

@@ -41,6 +41,13 @@ def main() -> None:
                     help="wipe checkpoint+target and rebuild from the full envelope log")
     ap.add_argument("--drain", action="store_true",
                     help="process available envelopes then exit (Trigger.AvailableNow)")
+    ap.add_argument("--ddl", action="store_true",
+                    help="print the generated ClickHouse target DDL per mapped "
+                         "table (schema/ddl.py) and exit — for bootstrapping a "
+                         "fresh JDBC target")
+    ap.add_argument("--merge-on-write", action="store_true",
+                    help="use the bucketed merge-on-write sink instead of the "
+                         "append-only + merge-on-read target")
     args = ap.parse_args()
 
     from arango_clickhouse_replica_spark.schema.dsl import TableMapping
@@ -50,6 +57,20 @@ def main() -> None:
         ReplicationManager,
         TableRunner,
     )
+    from arango_clickhouse_replica_spark.streaming.merge_sink import BucketedMergeSink
+    from arango_clickhouse_replica_spark.streaming.monitor import TickGapMonitor
+
+    if args.ddl:
+        from arango_clickhouse_replica_spark.schema.ddl import create_table_ddl
+
+        if not args.mappings:
+            raise SystemExit("--ddl requires --mappings")
+        for name in args.tables.split(","):
+            yml = os.path.join(args.mappings, f"{name}.yaml")
+            if not os.path.exists(yml):
+                raise SystemExit(f"no mapping for table {name!r}: {yml}")
+            print(create_table_ddl(TableMapping.from_yaml_file(yml)))
+        return
 
     spark = get_spark("replicate")
     mgr = ReplicationManager(spark)
@@ -65,13 +86,28 @@ def main() -> None:
             if os.path.exists(yml):
                 mapping = TableMapping.from_yaml_file(yml)
         state = os.path.join(args.state_root, name)
+        target_dir = os.path.join(state, "target")
+        sink = (
+            BucketedMergeSink(spark, target_dir, keys)
+            if args.merge_on_write
+            else None
+        )
+        monitor = TickGapMonitor(
+            on_gap=lambda g, t=name: print(
+                f"{t}: TICKS LOST asked for {g.expected_from} "
+                f"but got {g.observed_from} ({g.missing} missing)",
+                file=sys.stderr,
+            )
+        )
         pipe = CdcPipeline(
             spark,
-            target_dir=os.path.join(state, "target"),
+            target_dir=target_dir,
             checkpoint_dir=os.path.join(state, "ckpt"),
             keys=keys,
             mapping=mapping,
             dead_letter_dir=os.path.join(state, "dead"),
+            tick_monitor=monitor,
+            merge_sink=sink,
         )
         schema = spark.read.parquet(env_dir).schema
         if args.resync:

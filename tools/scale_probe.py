@@ -33,6 +33,10 @@ PROBES = [
     "llm_corpus_curation",
     "dedup_minhash_lsh_candidates",
     "ann_topk_vectorized",
+    "dedup_ngram_jaccard_topk",
+    "decontam_ngram_overlap",
+    "text_repetition_filter",
+    "text_token_rarity",
 ]
 
 
