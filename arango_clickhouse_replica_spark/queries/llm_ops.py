@@ -839,10 +839,60 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle(planes: int = 6, dim: int = 64) -> str:
+    """DuckDB mirror of ann_lsh_bucketed: the hyperplanes are
+    deterministic md5-derived constants, so the ENTIRE pipeline —
+    signature bits, multi-probe bucket explosion, bucket join, cosine
+    ranking — is SQL-expressible with the same sequential-fold arithmetic
+    (bit-identical doubles) the other embedding oracles use."""
+    from ..operators.blocking import hyperplane
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(c) for c in hyperplane(p, dim)) + "]"
+
+    def bit_sql(p: int) -> str:
+        return (
+            "(CASE WHEN list_reduce(list_transform(list_zip(embedding, "
+            f"{plane_lit(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]),"
+            " (p, q) -> p + q) >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    bucket = " || ".join(f"CAST({bit_sql(p)} AS VARCHAR)" for p in range(planes))
+    flips = ", ".join(
+        f"substr(bucket, 1, {i}) ||"
+        f" CAST(1 - CAST(substr(bucket, {i + 1}, 1) AS INT) AS VARCHAR) ||"
+        f" substr(bucket, {i + 2}, {planes - i - 1})"
+        for i in range(planes)
+    )
+    norm = _NORM_SQL.format(a="embedding")
+    dot = _DOT_SQL.format(a="q_emb", b="e.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {norm} AS nrm, {bucket} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+             unnest([bucket, {flips}]) AS bucket
+      FROM bucketed WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT DISTINCT query_id, e.vec_id AS neighbor_id,
+             round({dot} / (q_nrm * e.nrm), 4) AS cos_sim
+      FROM q JOIN bucketed e USING (bucket)
+      WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
 @query(
     "ann_lsh_bucketed",
-    oracle=None,  # engine-internal hash for hyperplanes -> rows-only check;
-    # recall vs. the brute-force baseline is asserted in tests/test_llm_ops.py
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "ann", "lsh"),
     doc="Multi-probe LSH-bucketed ANN (the scale path): 6 random-hyperplane "
         "sign bits (hyperplane components derived from murmur3 of "
@@ -852,27 +902,23 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on the bucket key (candidates cut by ~2^bits / (bits+1)).",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from pyspark.sql.window import Window
+
+    from ..operators.blocking import hyperplane
 
     emb = load_table(spark, "embeddings", sf_dir)
     dim = 64
     planes = 6
 
     # Hyperplane components are deterministic driver-side constants
-    # (md5-derived, in [-0.5, 0.5)), shipped as literal arrays; each
-    # signature bit is then one zip_with + sequential-fold dot product —
-    # a compact codegen tree instead of 64 per-row hash() expressions.
-    def hyperplane(p: int) -> list[float]:
-        return [
-            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 1000)
-            / 1000.0 - 0.5
-            for d in range(dim)
-        ]
-
+    # (operators/blocking.py hyperplane, md5-derived in [-0.5, 0.5)),
+    # shipped as literal arrays; each signature bit is then one zip_with
+    # + sequential-fold dot product — a compact codegen tree instead of
+    # 64 per-row hash() expressions. The SAME constants are rendered
+    # into the DuckDB oracle (_ann_lsh_oracle), which is why this query
+    # is fully hash-checkable despite being an LSH pipeline.
     def sig_bit(p: int) -> Column:
-        plane = F.array(*[F.lit(c) for c in hyperplane(p)])
+        plane = F.array(*[F.lit(c) for c in hyperplane(p, dim)])
         total = F.aggregate(
             F.zip_with(F.col("embedding"), plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -924,10 +970,51 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 3, k: int = 5) -> str:
+    """DuckDB mirror of ann_ivf_probed: seed centroids are data-derived
+    but DETERMINISTIC (first vector per vec_id % n_cells class), so
+    assignment, probing, and in-cell scoring all replay exactly."""
+    norm = _NORM_SQL.format(a="embedding")
+    c_sim = (f"({_DOT_SQL.format(a='embedding', b='c_emb')}"
+             f" / (nrm * {_NORM_SQL.format(a='c_emb')}))")
+    dot = _DOT_SQL.format(a="q_emb", b="e_emb")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    centroids AS (
+      SELECT CAST(vec_id % {n_cells} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {n_cells}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {c_sim} DESC, cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    indexed AS (SELECT vec_id AS neighbor_id, embedding AS e_emb,
+                       nrm AS e_nrm, cell
+                FROM assign WHERE c_rank = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      nrm AS q_nrm, cell
+               FROM assign WHERE c_rank <= {n_probe} AND vec_id % 100 = 0),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             round({dot} / (q_nrm * e_nrm), 4) AS cos_sim
+      FROM probes JOIN indexed USING (cell)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 @query(
     "ann_ivf_probed",
-    oracle=None,  # centroid assignment is engine-internal; recall vs the
-    # brute-force baseline is asserted in tests/test_llm_ops.py
+    oracle=_ann_ivf_oracle(),
     tags=("similarity", "ann", "ivf"),
     doc="IVF (inverted-file) ANN — the second scale path besides LSH: "
         "16 deterministic seed centroids; every vector is assigned to its "
