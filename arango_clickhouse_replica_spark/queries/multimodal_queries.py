@@ -37,14 +37,46 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_feature_extract",
-    oracle=None,  # Pandas-UDF decode path; deterministic but not SQL —
-    # cross-validated against a JVM-native computation in tests/test_multimodal.py
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    v AS (
+      SELECT media_id, n_bytes,
+             list_transform(range(1, CAST(n_bytes AS INT) + 1),
+                 i -> strpos('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1) AS hi,
+             list_transform(range(1, CAST(n_bytes AS INT) + 1),
+                 i -> strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS lo
+      FROM h
+    )
+    SELECT media_id, 'application/octet-stream' AS mime, n_bytes,
+           CAST(len(list_filter(hi, x -> x BETWEEN 0 AND 3)) AS BIGINT) || ',' ||
+           CAST(len(list_filter(hi, x -> x BETWEEN 4 AND 7)) AS BIGINT) || ',' ||
+           CAST(len(list_filter(hi, x -> x BETWEEN 8 AND 11)) AS BIGINT) || ',' ||
+           CAST(len(list_filter(hi, x -> x BETWEEN 12 AND 15)) AS BIGINT)
+               AS byte_histogram,
+           printf('%08x', CAST(COALESCE(list_sum(
+               list_transform(list_zip(hi, lo), p -> 16 * p[1] + p[2])), 0)
+               % 4294967296 AS BIGINT)) AS checksum
+    FROM v
+    """,
     tags=("multimodal", "pandas-udf"),
     doc="Arrow-batched decode/feature-extract over mapInPandas: byte "
         "histogram + checksum per payload (deterministic fake decode; the "
         "real codec raises NotImplementedError where it would plug in). "
-        "Narrow stage — no shuffle; parallelism = input file splits.",
+        "Narrow stage — no shuffle; parallelism = input file splits. The "
+        "oracle replays the byte math from hex(encode(text)) in DuckDB — "
+        "so even the Python decode path is hash-checked; the histogram "
+        "serializes to a CSV string for the canonicalizer.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(load_table(spark, "documents", sf_dir))
-    return extract_features(media, decode="fake")
+    return extract_features(media, decode="fake").select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.array_join("byte_histogram", ",").alias("byte_histogram"),
+        "checksum",
+    )
