@@ -1451,3 +1451,109 @@ def curation_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_epochs",
         )
     )
+
+
+@query(
+    "curation_shard_export",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS digest,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 64 AS BIGINT) AS shard,
+             CAST(GREATEST(1, n_chars // 4) AS BIGINT) AS est_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY digest)
+                AS INT) AS seq,
+           est_tokens
+    FROM t
+    """,
+    tags=("curation", "sharding", "window"),
+    doc="Training-shard export plan: a deterministic global shuffle. Each "
+        "document hash-routes to one of 64 shards via an md5 prefix "
+        "(portable across engines — no RNG, no engine hash), and gets a "
+        "reproducible within-shard sequence number ordered by digest, "
+        "which decorrelates crawl/source ordering — the 'global shuffle' "
+        "a training run needs. Exactly ONE shuffle (on shard); the "
+        "writer then does partitionBy(shard) with maxRecordsPerFile. At "
+        "100 TB, shard count scales to data/target-shard-size and the "
+        "per-shard window stays bounded by design.",
+)
+def curation_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    digest = F.md5(F.col("doc_id").cast("string"))
+    t = docs.select(
+        "doc_id",
+        digest.alias("digest"),
+        (F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % 64)
+        .alias("shard"),
+        F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+        .cast("long").alias("est_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("digest")
+    return t.select(
+        "doc_id", "shard",
+        F.row_number().over(w).alias("seq"),
+        "est_tokens",
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+             CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax
+      FROM embeddings
+    )
+    SELECT vec_id, vmin, vmax,
+           CAST(CASE WHEN vmax = vmin THEN 0 ELSE COALESCE(list_sum(
+               list_transform(e, x -> LEAST(255.0, floor(
+                   (x - vmin) * 255.0 / (vmax - vmin))))), 0) END
+               AS BIGINT) AS qsum,
+           CAST(len(e) AS INT) AS dim
+    FROM v
+    """,
+    tags=("embedding", "quantization"),
+    doc="Int8 vector quantization for embedding storage at scale (4x "
+        "smaller than float32; the standard trick for 100 TB embedding "
+        "stores feeding ANN): per-vector min/max affine quantization, "
+        "checked via an integer checksum (sum of quantized codes). All "
+        "arithmetic is float32->double widening (exact) then double "
+        "ops in the same order in both engines, and floor() instead of "
+        "round() so no half-even/half-up divergence — bit-identical "
+        "cross-engine. A narrow projection: no shuffle, pushes to scan.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    v = emb.select(
+        "vec_id", e.alias("e"), vmin.alias("vmin"), vmax.alias("vmax")
+    )
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255.0),
+        F.floor((x - F.col("vmin")) * F.lit(255.0)
+                / (F.col("vmax") - F.col("vmin"))),
+    )
+    qsum = F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("long")).otherwise(
+        F.coalesce(
+            F.aggregate(
+                "e", F.lit(0.0),
+                lambda acc, x: acc + code(x),
+            ),
+            F.lit(0.0),
+        ).cast("long")
+    )
+    return v.select(
+        "vec_id", "vmin", "vmax",
+        qsum.alias("qsum"),
+        F.size("e").alias("dim"),
+    )

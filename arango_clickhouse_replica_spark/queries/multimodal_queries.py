@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -79,4 +84,74 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.array_join("byte_histogram", ",").alias("byte_histogram"),
         "checksum",
+    )
+
+
+@query(
+    "mm_resize_decimate",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT media_id,
+           array_to_string(list_transform(
+               range(0, CAST((nb + 3) // 4 AS INT)),
+               i -> substr(hx, CAST(8*i + 1 AS INT), 2)), '') AS payload_hex,
+           CAST((nb + 3) // 4 AS BIGINT) AS n_bytes,
+           4 AS scale_denom
+    FROM h
+    """,
+    tags=("multimodal", "pandas-udf"),
+    doc="Resize/downsample plumbing over mapInPandas (payload -> payload, "
+        "1:1): deterministic byte decimation stands in for pixel "
+        "resampling where PIL.Image.resize would plug in. Narrow stage — "
+        "no shuffle. The oracle replays the every-4th-byte decimation "
+        "from hex(encode(text)) in DuckDB; payloads compare as hex "
+        "strings (binary output columns break the canonicalizer).",
+)
+def mm_resize_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    resized = resize_media(media, scale_denom=4, decode="fake")
+    return resized.select(
+        "media_id",
+        F.hex("payload").alias("payload_hex"),
+        "n_bytes",
+        F.col("scale_denom").cast("int").alias("scale_denom"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(fno AS INT) AS frame_no,
+           substr(hx, CAST(fno * 512 + 1 AS INT), 512) AS frame_hex,
+           CAST(length(substr(hx, CAST(fno * 512 + 1 AS INT), 512)) // 2
+                AS BIGINT) AS frame_bytes
+    FROM h, unnest(range(0, CAST((nb + 255) // 256 AS INT), 2)) AS u(fno)
+    """,
+    tags=("multimodal", "pandas-udf"),
+    doc="Frame-sampling plumbing over mapInPandas (payload -> rows, 1:N): "
+        "the payload splits into fixed 256-byte frames and every 2nd "
+        "frame is emitted as its own row — the batch shape of video "
+        "keyframe extraction, where a demuxer replaces the fixed split. "
+        "Narrow generator stage; downstream per-frame pipelines "
+        "parallelize over the exploded rows. Oracle replays the split "
+        "via substr over hex(encode(text)) with a step-2 range.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    frames = sample_frames(media, frame_size=256, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.hex("frame").alias("frame_hex"),
+        "frame_bytes",
     )
