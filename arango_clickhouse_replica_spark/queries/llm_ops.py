@@ -1557,3 +1557,112 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum.alias("qsum"),
         F.size("e").alias("dim"),
     )
+
+
+@query(
+    "dedup_passage_segments",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             array_to_string(words[CAST(8*i + 1 AS INT):CAST(8*i + 8 AS INT)],
+                             ' ') AS seg
+      FROM w, unnest(range(0, CAST(ceil(len(words) / 8.0) AS INT))) AS u(i)
+    ),
+    df AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_segments,
+           CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM segs s JOIN df d ON s.seg = d.seg
+    GROUP BY s.doc_id
+    """,
+    tags=("dedup", "passage"),
+    doc="Passage-level deduplication (the C4/Gopher shape: drop or "
+        "down-weight documents whose passages also appear elsewhere): "
+        "text splits into fixed 8-word segments, segments hash-group "
+        "across the corpus, and each document gets its duplicated-"
+        "passage fraction. Two hash shuffles (segment df, then the "
+        "segment->doc rollup), both map-side combinable; no pair join "
+        "anywhere, so cost is linear in total segments at 100 TB. At "
+        "scale the segment key would be md5(seg) to keep shuffle rows "
+        "narrow — semantics identical.",
+)
+def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    segs = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                r"""transform(
+                      sequence(0, cast(ceil(size(split(text, '\\s+')) / 8.0)
+                                       as int) - 1),
+                      i -> array_join(slice(split(text, '\\s+'),
+                                            8*i + 1, 8), ' '))"""
+            ).alias("segs"),
+        )
+        .select("doc_id", F.explode("segs").alias("seg"))
+    )
+    df_counts = segs.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        segs.join(df_counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id", "n_segments", "n_dup_segments",
+            (F.col("n_dup_segments").cast("double")
+             / F.col("n_segments").cast("double")).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "text_vocab_build",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY token
+    )
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT)
+               AS token_id
+    FROM c
+    """,
+    tags=("text", "vocab"),
+    doc="Vocabulary construction for tokenizer training: corpus-wide "
+        "token counts (one map-side-combinable hash aggregate over the "
+        "exploded tokens — the 100 TB wordcount) followed by rank "
+        "assignment ordered by frequency then token. The global "
+        "row_number sorts only the AGGREGATED vocabulary (millions of "
+        "rows, not the corpus), the standard shape; ties break on the "
+        "token string so ids are deterministic across engines and runs.",
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.select(
+        "token", "freq", F.row_number().over(w).alias("token_id")
+    )
