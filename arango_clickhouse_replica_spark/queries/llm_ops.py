@@ -1591,24 +1591,24 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "across the corpus, and each document gets its duplicated-"
         "passage fraction. Two hash shuffles (segment df, then the "
         "segment->doc rollup), both map-side combinable; no pair join "
-        "anywhere, so cost is linear in total segments at 100 TB. At "
-        "scale the segment key would be md5(seg) to keep shuffle rows "
-        "narrow — semantics identical.",
+        "anywhere, so cost is linear in total segments at 100 TB. The "
+        "engine-side segment key is md5(seg) so shuffle rows stay "
+        "narrow; the oracle groups the raw string — identical grouping.",
 )
 def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     segs = (
-        docs.select(
+        docs.select("doc_id", F.split("text", r"\s+").alias("words"))
+        .select(
             "doc_id",
             F.expr(
-                r"""transform(
-                      sequence(0, cast(ceil(size(split(text, '\\s+')) / 8.0)
-                                       as int) - 1),
-                      i -> array_join(slice(split(text, '\\s+'),
-                                            8*i + 1, 8), ' '))"""
+                """transform(
+                      sequence(0, cast(ceil(size(words) / 8.0) as int) - 1),
+                      i -> array_join(slice(words, 8*i + 1, 8), ' '))"""
             ).alias("segs"),
         )
-        .select("doc_id", F.explode("segs").alias("seg"))
+        .select("doc_id", F.explode("segs").alias("seg_raw"))
+        .select("doc_id", F.md5("seg_raw").alias("seg"))
     )
     df_counts = segs.groupBy("seg").agg(
         F.count_distinct("doc_id").alias("ndocs")

@@ -51,8 +51,13 @@ HEADLINE = [
     "q_variant_schemaless",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_fingerprints",
+    "dedup_passage_segments",
     "ann_topk_vectorized",
+    "embed_quantize_int8",
+    "curation_shard_export",
+    "text_vocab_build",
     "mm_payload_stats",
+    "mm_feature_extract",
 ]
 
 
