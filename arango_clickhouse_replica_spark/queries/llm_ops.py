@@ -1666,3 +1666,159 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "token", "freq", F.row_number().over(w).alias("token_id")
     )
+
+
+@query(
+    "curation_chunk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS INT) AS chunk_id,
+           CAST(len(words[CAST(s + 1 AS INT):CAST(s + 64 AS INT)]) AS INT)
+               AS chunk_tokens,
+           md5(array_to_string(words[CAST(s + 1 AS INT):CAST(s + 64 AS INT)],
+                               ' ')) AS chunk_md5
+    FROM w, unnest(range(0, len(words), 48)) AS u(s)
+    """,
+    tags=("curation", "chunking", "generator"),
+    doc="Context-window chunking (RAG indexing / long-doc training prep): "
+        "each document explodes into 64-token windows on a 48-token "
+        "stride (16-token overlap), the standard overlap-chunking shape. "
+        "A narrow 1:N generator — no shuffle, no join; chunk content is "
+        "md5-compared so checked rows stay narrow. At 100 TB parallelism "
+        "is the input split count and output size is a constant factor "
+        "of input tokens (64/48).",
+)
+def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("words") - 1, F.lit(48))
+            ).alias("s"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / 48).cast("int").alias("chunk_id"),
+            F.size(F.expr("slice(words, s + 1, 64)")).alias("chunk_tokens"),
+            F.md5(F.array_join(F.expr("slice(words, s + 1, 64)"), " "))
+            .alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "curation_fim_split",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    b AS (
+      SELECT doc_id, words,
+             CAST(len(words) // 3 AS INT) AS m1,
+             CAST((2 * len(words)) // 3 AS INT) AS m2,
+             CAST(len(words) AS INT) AS n
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(m1 AS BIGINT) AS prefix_tokens,
+           CAST(m2 - m1 AS BIGINT) AS middle_tokens,
+           CAST(n - m2 AS BIGINT) AS suffix_tokens,
+           md5(array_to_string(words[1:m1], ' ')) AS prefix_md5,
+           md5(array_to_string(words[m1 + 1:m2], ' ')) AS middle_md5,
+           md5(array_to_string(words[m2 + 1:n], ' ')) AS suffix_md5
+    FROM b
+    """,
+    tags=("curation", "fim"),
+    doc="Fill-in-the-middle (FIM) sample construction: each document "
+        "splits deterministically into prefix/middle/suffix thirds on "
+        "token boundaries — the transformation behind infilling "
+        "pretraining objectives (the production variant samples the "
+        "split points; deterministic thirds keep it oracle-checkable). "
+        "A pure narrow projection: no shuffle, pushes to scan, parts "
+        "compared by md5.",
+)
+def curation_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+    ).select(
+        "doc_id", "words",
+        (F.size("words") / 3).cast("int").alias("m1"),
+        (F.size("words") * 2 / 3).cast("int").alias("m2"),
+        F.size("words").alias("n"),
+    )
+    part = lambda start, stop: F.array_join(  # noqa: E731
+        F.expr(f"slice(words, {start}, {stop})"), " "
+    )
+    return b.select(
+        "doc_id",
+        F.col("m1").cast("long").alias("prefix_tokens"),
+        (F.col("m2") - F.col("m1")).cast("long").alias("middle_tokens"),
+        (F.col("n") - F.col("m2")).cast("long").alias("suffix_tokens"),
+        F.md5(part("1", "m1")).alias("prefix_md5"),
+        F.md5(part("m1 + 1", "m2 - m1")).alias("middle_md5"),
+        F.md5(part("m2 + 1", "n - m2")).alias("suffix_md5"),
+    )
+
+
+@query(
+    "curation_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             CAST(GREATEST(1, n_chars // 4) AS BIGINT) AS est_tokens,
+             n_chars,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                 AS fingerprint
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS distinct_docs,
+           1.0 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM t
+    GROUP BY source, lang
+    """,
+    tags=("curation", "stats"),
+    doc="Dataset-card statistics: per (source, lang) stratum — document "
+        "and token totals plus the exact duplicate rate from normalized "
+        "fingerprints. ONE hash aggregate over the corpus (map-side "
+        "combinable except the distinct, which Spark expands to a "
+        "two-level agg keyed by (source, lang, fingerprint) — still "
+        "linear, no join). The numbers a training mix is designed "
+        "against; all integer-derived so cross-engine exact.",
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    t = docs.select(
+        "source", "lang", "n_chars",
+        F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+        .cast("long").alias("est_tokens"),
+        fp.alias("fingerprint"),
+    )
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("fingerprint").alias("distinct_docs"),
+        )
+        .select(
+            "source", "lang", "n_docs", "total_tokens", "total_chars",
+            "distinct_docs",
+            (F.lit(1.0) - F.col("distinct_docs").cast("double")
+             / F.col("n_docs").cast("double")).alias("dup_rate"),
+        )
+    )
