@@ -1729,9 +1729,11 @@ def curation_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m1 AS BIGINT) AS prefix_tokens,
            CAST(m2 - m1 AS BIGINT) AS middle_tokens,
            CAST(n - m2 AS BIGINT) AS suffix_tokens,
-           md5(array_to_string(words[1:m1], ' ')) AS prefix_md5,
-           md5(array_to_string(words[m1 + 1:m2], ' ')) AS middle_md5,
-           md5(array_to_string(words[m2 + 1:n], ' ')) AS suffix_md5
+           md5(COALESCE(array_to_string(words[1:m1], ' '), '')) AS prefix_md5,
+           md5(COALESCE(array_to_string(words[m1 + 1:m2], ' '), ''))
+               AS middle_md5,
+           md5(COALESCE(array_to_string(words[m2 + 1:n], ' '), ''))
+               AS suffix_md5
     FROM b
     """,
     tags=("curation", "fim"),

@@ -37,6 +37,12 @@ PROBES = [
     "decontam_ngram_overlap",
     "text_repetition_filter",
     "text_token_rarity",
+    "dedup_passage_segments",
+    "text_vocab_build",
+    "curation_shard_export",
+    "curation_chunk_windows",
+    "curation_dataset_card",
+    "embed_quantize_int8",
 ]
 
 
