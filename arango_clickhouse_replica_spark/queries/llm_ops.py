@@ -68,12 +68,14 @@ _DOC_SHINGLES_SQL = f"""
 
 def _hot_shingle_cap(n_docs: int) -> int:
     """Document-frequency cap: shingles in >1% of the corpus (floor 5,
-    ceiling 256) are stopword-like and dominate the O(df^2) pair cost —
+    ceiling 64) are stopword-like and dominate the O(df^2) pair cost —
     drop them before blocking, as production MinHash pipelines do. The
     ABSOLUTE ceiling is what makes per-shingle doc lists bounded at any
-    corpus size (a shingle shared by >256 documents carries no dedup
-    signal), so the pair generator can safely materialize them."""
-    return max(5, min(256, n_docs // 100))
+    corpus size (a shingle shared by >64 documents carries no dedup
+    signal), so the pair generator can safely materialize them. The 10x
+    scale probe is what set the ceiling: at 256 the pair stage went
+    14x at 10x data (O(cap^2) per hot shingle); at 64 it's linear."""
+    return max(5, min(64, n_docs // 100))
 
 
 def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +90,7 @@ _DOC_SHINGLES_CAPPED_SQL = f"""
   SELECT * FROM ({_DOC_SHINGLES_SQL}) sh0
   WHERE s NOT IN (
     SELECT s FROM ({_DOC_SHINGLES_SQL}) GROUP BY s
-    HAVING COUNT(*) > GREATEST(5, LEAST(256, (SELECT COUNT(*) FROM documents) // 100))
+    HAVING COUNT(*) > GREATEST(5, LEAST(64, (SELECT COUNT(*) FROM documents) // 100))
   )
 """
 
@@ -530,7 +532,7 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pair generation via grouped doc lists instead of a self-join: ONE
     # shuffle (groupBy shingle) + a narrow combination explode, vs the
     # join's two-sided shuffle. Safe ONLY because the df cap bounds each
-    # list at 256 ids (so <= ~32k pairs per shingle, no giant rows).
+    # list at 64 ids (so <= ~2k pairs per shingle, no giant rows).
     docs_per_shingle = sh.groupBy("s").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
