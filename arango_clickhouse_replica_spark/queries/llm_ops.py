@@ -906,7 +906,7 @@ def _ann_lsh_oracle(planes: int = 6, dim: int = 64) -> str:
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..operators.blocking import hyperplane
+    from ..operators.blocking import sign_signature
 
     emb = load_table(spark, "embeddings", sf_dir)
     dim = 64
@@ -918,18 +918,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + sequential-fold dot product — a compact codegen tree instead of
     # 64 per-row hash() expressions. The SAME constants are rendered
     # into the DuckDB oracle (_ann_lsh_oracle), which is why this query
-    # is fully hash-checkable despite being an LSH pipeline.
-    def sig_bit(p: int) -> Column:
-        plane = F.array(*[F.lit(c) for c in hyperplane(p, dim)])
-        total = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    bits = [sig_bit(p) for p in range(planes)]
-    sig = F.concat(*[b.cast("string") for b in bits])
+    # is fully hash-checkable despite being an LSH pipeline; the SAME
+    # shared kernel also drives the label sub-blocking guard.
+    sig = sign_signature(F.col("embedding"), planes, dim)
     bucketed = emb.withColumn("bucket", sig).withColumn("nrm", _norm(F.col("embedding")))
 
     # multi-probe: the exact bucket + every 1-bit flip of it

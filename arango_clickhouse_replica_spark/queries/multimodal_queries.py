@@ -96,9 +96,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT media_id,
-           array_to_string(list_transform(
+           COALESCE(array_to_string(list_transform(
                range(0, CAST((nb + 3) // 4 AS INT)),
-               i -> substr(hx, CAST(8*i + 1 AS INT), 2)), '') AS payload_hex,
+               i -> substr(hx, CAST(8*i + 1 AS INT), 2)), ''), '')
+               AS payload_hex,
            CAST((nb + 3) // 4 AS BIGINT) AS n_bytes,
            4 AS scale_denom
     FROM h

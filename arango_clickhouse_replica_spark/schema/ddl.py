@@ -75,10 +75,21 @@ def primary_key_type(mapping: TableMapping) -> str:
 def _column_lines(mapping: TableMapping) -> list[str]:
     # User columns in mapping order; the metadata trio last, in the
     # contract order _ver, _rev, _deleted (readme.md:91) regardless of
-    # where the YAML declares them.
+    # where the YAML declares them. `_ver` and `_deleted` are injected
+    # when the mapping omits them: the engine clause references `_ver`
+    # and soft-delete reads filter `_deleted`, and the pipeline
+    # re-attaches both to every batch whether or not the mapping
+    # declares them (streaming/pipeline.py) — so the target table must
+    # always carry them. `_rev` stays declaration-only (nothing in the
+    # engine depends on it).
     meta_order = list(_META_TYPES)
+    props = list(mapping.properties)
+    declared = {p.name for p in props}
+    for name in ("_ver", "_deleted"):
+        if name not in declared:
+            props.append(Property(name=name, type="int", ref=name))
     props = sorted(
-        mapping.properties,
+        props,
         key=lambda p: meta_order.index(p.name) if p.name in _META_TYPES else -1,
     )
     lines = []
@@ -109,8 +120,10 @@ def create_table_ddl(
     lines.append(") ENGINE = ReplacingMergeTree(_ver)")
     lines.append(f"      PRIMARY KEY ({key_list})")
     lines.append(f"      ORDER BY ({key_list})")
-    for k, v in (settings or {}).items():
-        lines.append(f"      SETTINGS {k} = {v}")
+    if settings:
+        # ClickHouse takes ONE comma-separated SETTINGS clause.
+        joined = ", ".join(f"{k} = {v}" for k, v in settings.items())
+        lines.append(f"      SETTINGS {joined}")
     return "\n".join(lines) + "\n"
 
 

@@ -100,9 +100,19 @@ class IncrementalLshDedup:
         return writer.start()
 
     def all_candidates(self) -> DataFrame:
-        """Every near-dup candidate pair seen so far (normalized, distinct)."""
-        return (
-            self.spark.read.parquet(self.pairs_dir)
-            .select("doc_a", "doc_b")  # drop the batch_id partition column
-            .distinct()
-        )
+        """Every near-dup candidate pair seen so far (normalized, distinct).
+
+        A stream that has produced no pairs yet (no batches ran, or every
+        batch's pair set was empty) leaves nothing for parquet schema
+        inference — return an empty typed frame instead of raising.
+        """
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            return (
+                self.spark.read.parquet(self.pairs_dir)
+                .select("doc_a", "doc_b")  # drop the batch_id partition column
+                .distinct()
+            )
+        except AnalysisException:
+            return self.spark.createDataFrame([], "doc_a long, doc_b long")

@@ -76,37 +76,49 @@ class CdcPipeline:
     # -- write path ---------------------------------------------------------
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        if self.tick_monitor is not None and "tick" in batch.columns:
-            # A2: tick-continuity probe on the RAW batch (pre-filter —
-            # txn markers occupy ticks too), publisher.py:140-141 analog.
-            self.tick_monitor.observe(batch, batch_id)
-        rows = preprocess_envelopes(
-            batch,
-            tracked_cuids=self.tracked_cuids,
-            initial_tick=self.initial_tick,
-        )
-        if self.mapping is not None:
-            compiled = compile_mapping(self.mapping, rows.schema)
-            # Re-attach _ver/_deleted when the mapping does not declare
-            # them: without _ver, latest() raises; without _deleted,
-            # latest_alive() silently stops filtering soft deletes.
-            declared = {p.name for p in self.mapping.properties}
-            meta = [c for c in ("_ver", "_deleted")
-                    if c not in declared and c in rows.columns]
-            result = compiled.apply(rows, passthrough=meta)
-            rows = result.valid
-            if self.dead_letter_dir is not None:
-                # Idempotent per-batch path: a retried/replayed batch
-                # OVERWRITES its own dead letters instead of appending
-                # duplicates (rejected rows carry no _ver to dedup on).
-                result.rejected.write.mode("overwrite").parquet(
-                    os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
-                )
-        if self.merge_sink is not None:
-            # merge-on-WRITE: versions resolved now, reads are plain scans
-            self.merge_sink.apply_batch(rows, batch_id)
-        else:
-            rows.write.mode("append").parquet(self.target_dir)
+        # The batch feeds up to four actions (monitor agg, dead-letter
+        # write, merge-sink bucket probe, target write) — pin it so the
+        # source read + transform run once, not once per action.
+        multi_action = self.tick_monitor is not None or (
+            self.mapping is not None and self.dead_letter_dir is not None
+        ) or self.merge_sink is not None
+        if multi_action:
+            batch = batch.persist()
+        try:
+            if self.tick_monitor is not None and "tick" in batch.columns:
+                # A2: tick-continuity probe on the RAW batch (pre-filter —
+                # txn markers occupy ticks too), publisher.py:140-141 analog.
+                self.tick_monitor.observe(batch, batch_id)
+            rows = preprocess_envelopes(
+                batch,
+                tracked_cuids=self.tracked_cuids,
+                initial_tick=self.initial_tick,
+            )
+            if self.mapping is not None:
+                compiled = compile_mapping(self.mapping, rows.schema)
+                # Re-attach _ver/_deleted when the mapping does not declare
+                # them: without _ver, latest() raises; without _deleted,
+                # latest_alive() silently stops filtering soft deletes.
+                declared = {p.name for p in self.mapping.properties}
+                meta = [c for c in ("_ver", "_deleted")
+                        if c not in declared and c in rows.columns]
+                result = compiled.apply(rows, passthrough=meta)
+                rows = result.valid
+                if self.dead_letter_dir is not None:
+                    # Idempotent per-batch path: a retried/replayed batch
+                    # OVERWRITES its own dead letters instead of appending
+                    # duplicates (rejected rows carry no _ver to dedup on).
+                    result.rejected.write.mode("overwrite").parquet(
+                        os.path.join(self.dead_letter_dir, f"batch_id={batch_id}")
+                    )
+            if self.merge_sink is not None:
+                # merge-on-WRITE: versions resolved now, reads are plain scans
+                self.merge_sink.apply_batch(rows, batch_id)
+            else:
+                rows.write.mode("append").parquet(self.target_dir)
+        finally:
+            if multi_action:
+                batch.unpersist()
 
     def start(
         self,
@@ -202,7 +214,21 @@ class CdcPipeline:
         the right swap primitive at scale; this local-parquet variant
         keeps the engine storage-agnostic.)"""
         tmp = f"{self.target_dir}__compact_{uuid.uuid4().hex[:8]}"
-        self.latest().write.mode("overwrite").parquet(tmp)
+        if self.merge_sink is not None:
+            # The merge-on-write target is already winners-only; compact
+            # here means coalescing the per-batch small files WITHOUT
+            # destroying the __bucket partition layout the sink's
+            # partition-pruned reads depend on.
+            from .merge_sink import BUCKET_COL
+
+            (
+                self.spark.read.parquet(self.target_dir)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(tmp)
+            )
+        else:
+            self.latest().write.mode("overwrite").parquet(tmp)
         old = f"{self.target_dir}__old_{uuid.uuid4().hex[:8]}"
         os.rename(self.target_dir, old)
         os.rename(tmp, self.target_dir)

@@ -101,26 +101,24 @@ def main() -> None:
 
 
 def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
-    """Newest driver-recorded BENCH_r*.json at the same SF, if any."""
+    """Newest driver-recorded BENCH_r*.json at the same SF, if any —
+    newest-first so one off-scale recording doesn't disable the guard."""
     here = Path(__file__).resolve().parent
-    best: tuple[int, Path] | None = None
+    rounds: list[tuple[int, Path]] = []
     for p in here.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)\.json", p.name)
         if m:
-            r = int(m.group(1))
-            if best is None or r > best[0]:
-                best = (r, p)
-    if best is None:
-        return None
-    try:
-        data = json.loads(best[1].read_text())
-    except (OSError, json.JSONDecodeError):
-        return None
-    if isinstance(data.get("parsed"), dict):  # driver-wrapped shape
-        data = {"sf": data.get("sf"), **data["parsed"]}
-    if data.get("sf") != sf or not isinstance(data.get("queries"), dict):
-        return None
-    return best[1].name, data["queries"]
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data.get("parsed"), dict):  # driver-wrapped shape
+            data = {"sf": data.get("sf"), **data["parsed"]}
+        if data.get("sf") == sf and isinstance(data.get("queries"), dict):
+            return path.name, data["queries"]
+    return None
 
 
 def _check_regressions(timings: dict[str, float], sf) -> None:

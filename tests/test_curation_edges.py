@@ -22,6 +22,7 @@ EDGE_DOCS = [
     (5, " ".join(f"w{i % 7}" for i in range(65)), "en", "src1", 205),
     (6, " ".join(f"w{i % 7}" for i in range(64)), "fr", "src2", 200),  # dup of 4
     (7, "exactly three words", "de", "src2", 19),  # dup of 3
+    (8, "", "en", "src1", 0),  # empty payload (zero bytes, zero tokens)
 ]
 
 EDGE_QUERIES = [
@@ -31,6 +32,10 @@ EDGE_QUERIES = [
     "curation_shard_export",
     "dedup_passage_segments",
     "text_vocab_build",
+    "mm_payload_stats",
+    "mm_feature_extract",
+    "mm_resize_decimate",
+    "mm_frame_sample",
 ]
 
 

@@ -75,6 +75,39 @@ def test_primary_key_type_prefers_ch_type():
     assert primary_key_type(mapping) == "UInt32"
 
 
+def test_meta_columns_injected_when_mapping_omits_them():
+    # A user mapping without _ver/_deleted (the pipeline re-attaches them
+    # to every batch) must still get a valid ReplacingMergeTree(_ver)
+    # target: both columns injected, _rev NOT invented.
+    mapping = TableMapping.from_dict(
+        {
+            "table_name": "T",
+            "schema": {
+                "properties": {
+                    "Id": {"type": "int", "ref": "_key"},
+                    "Name": {"type": "str"},
+                },
+                "primary_key": "Id",
+            },
+        }
+    )
+    ddl = create_table_ddl(mapping)
+    assert "`_ver`" in ddl and "UInt64" in ddl
+    assert "`_deleted`" in ddl and "UInt8" in ddl
+    assert "`_rev`" not in ddl
+    # injected metas come after user columns
+    assert ddl.index("`Name`") < ddl.index("`_ver`") < ddl.index("`_deleted`")
+
+
+def test_multiple_settings_emit_one_clause():
+    mapping = TableMapping.from_dict(_ref())
+    ddl = create_table_ddl(
+        mapping, settings={"index_granularity": 256, "ttl_only_drop_parts": 1}
+    )
+    assert ddl.count("SETTINGS") == 1
+    assert "SETTINGS index_granularity = 256, ttl_only_drop_parts = 1" in ddl
+
+
 def test_type_derivation_fallbacks():
     assert clickhouse_type(Property("x", "float", "x")) == "Float64"
     assert clickhouse_type(Property("x", "[List, int]", "x")) == "Array(Int64)"

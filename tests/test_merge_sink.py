@@ -98,3 +98,24 @@ def test_merge_sink_touches_only_affected_buckets(spark, tmp_path, env):
         if os.path.getmtime(os.path.join(sink.target_dir, e)) != old_mtime
     ]
     assert len(changed) == 1
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path, env):
+    env_dir, schema = env
+    pipe, sink = _merge_pipe(spark, tmp_path)
+    pipe.run_until_drained(env_dir, schema)
+    before = {(r.event_id, r.value) for r in sink.read_alive().collect()}
+
+    pipe.compact()
+
+    # layout survives: partition dirs intact, reads unchanged
+    buckets = [e for e in os.listdir(sink.target_dir) if e.startswith("__bucket=")]
+    assert len(buckets) == 4
+    assert {(r.event_id, r.value) for r in sink.read_alive().collect()} == before
+
+    # and the sink still merges incrementally after the rewrite
+    batch = spark.read.schema(schema).parquet(env_dir)
+    from arango_clickhouse_replica_spark.operators.cdc import preprocess_envelopes
+
+    sink.apply_batch(preprocess_envelopes(batch), batch_id=1000)
+    assert {(r.event_id, r.value) for r in sink.read_alive().collect()} == before

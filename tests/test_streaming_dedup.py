@@ -79,3 +79,10 @@ def test_streaming_drive_matches_one_shot(spark, sf_dir, tmp_path):
 
     assert len(os.listdir(inc.store_dir)) >= 2  # really ran >1 micro-batch
     assert _pairs(inc.all_candidates()) == _expected_one_shot(spark, sf_dir)
+
+
+def test_all_candidates_empty_before_any_pairs(spark, tmp_path):
+    dedup = _dedup(spark, tmp_path, name="empty")
+    out = dedup.all_candidates()
+    assert out.columns == ["doc_a", "doc_b"]
+    assert out.count() == 0
