@@ -184,7 +184,14 @@ class CdcPipeline:
     def raw(self) -> DataFrame:
         if self.merge_sink is not None:
             return self.merge_sink.read()
-        return self.spark.read.parquet(self.target_dir)
+        # mergeSchema: the append-only target accumulates files written
+        # across pipeline restarts; when the source collection gained a
+        # field in between (schema evolution), footers disagree and a
+        # plain read would resolve to whichever footer it samples —
+        # merge them so new columns surface (null-backfilled) instead.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.target_dir
+        )
 
     def latest(self) -> DataFrame:
         """All winning versions, including soft-deleted rows."""

@@ -106,3 +106,33 @@ def test_compact_preserves_latest_state(spark, sf_dir, dirs):
     after = {(r.event_id, r.value) for r in pipe.latest_alive().collect()}
     assert after == before
     assert pipe.raw().count() < raw_before  # duplicates physically removed
+
+
+def test_schema_evolution_across_restarts(spark, tmp_path):
+    """A field added to the source collection between runs must surface in
+    latest() (null-backfilled for pre-evolution rows) — parquet footers in
+    the append-only target disagree after evolution, so raw() merges them."""
+    from arango_clickhouse_replica_spark.streaming import CdcPipeline
+
+    pipe = CdcPipeline(
+        spark,
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["id"],
+    )
+    v1 = spark.createDataFrame(
+        [(1, 2300, "c1", (10, "a"))],
+        "tick long, type int, cuid string, data struct<id:long, name:string>",
+    )
+    v2 = spark.createDataFrame(
+        [(2, 2300, "c1", (20, "b", "x@y.z"))],
+        "tick long, type int, cuid string, "
+        "data struct<id:long, name:string, email:string>",
+    )
+    pipe._apply_batch(v1, batch_id=0)
+    pipe._apply_batch(v2, batch_id=1)
+
+    rows = {r.id: r for r in pipe.latest().collect()}
+    assert set(rows) == {10, 20}
+    assert rows[20].email == "x@y.z"
+    assert rows[10].email is None  # pre-evolution row, null-backfilled
