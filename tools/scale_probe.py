@@ -135,7 +135,7 @@ def main() -> None:
         f"A ratio near {K} = linear scaling (shuffle/partition bound);",
         "well below = fixed overhead still dominates; well above = blowup.",
         "",
-        "| query | sf0.1 (s) | ~sf1 (s) | ratio |",
+        f"| query | sf0.1 (s) | ~sf{K/10:g} (s) | ratio |",
         "|---|---|---|---|",
     ]
     for name in PROBES:
