@@ -1603,15 +1603,25 @@ def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("segs").alias("seg_raw"))
         .select("doc_id", F.md5("seg_raw").alias("seg"))
     )
-    df_counts = segs.groupBy("seg").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    # Only DUPLICATED segments (df >= 2 — a small minority of a real
+    # corpus) need to flow back to documents: filtering before the join
+    # keeps the probe side small (broadcast-eligible far beyond the
+    # point where the full segment-count table outgrows it; the 20x
+    # probe showed that crossover as a 4.7x step), and a left join +
+    # null test preserves the exact per-doc counts.
+    dup_segs = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("seg")
+        .withColumn("__dup", F.lit(1))
     )
     return (
-        segs.join(df_counts, "seg")
+        segs.join(dup_segs, "seg", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_segments"),
-            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
             .alias("n_dup_segments"),
         )
         .select(
