@@ -100,14 +100,20 @@ def synthesize(spark, out_dir: str) -> None:
 
 
 def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
+    # Min of repeated warm runs: the box is shared, and an external
+    # noisy neighbor inflates a single timing by 2-10x (observed); the
+    # MIN over a few runs estimates the uncontended cost.
     out = {}
     for name in PROBES:
         queries[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite").save()  # warm
-        t0 = time.perf_counter()
-        queries[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 2)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
     return out
 
 
