@@ -10,5 +10,6 @@ from . import llm_ops  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import text_lm  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

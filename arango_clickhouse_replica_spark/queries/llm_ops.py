@@ -1075,6 +1075,124 @@ def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_int8_oracle(shortlist: int = 10, k: int = 5) -> str:
+    """DuckDB mirror of ann_topk_int8_rerank: the symmetric int8
+    quantization (floor(x * 127 / max|x|), clamped) is pure double
+    arithmetic replayed in the same order on both engines, the
+    approximate score is an exact-integer dot product, and the rescore
+    reuses the sequential-fold cosine — fully hash-checkable."""
+    codes = ("CASE WHEN vabs = 0 THEN list_transform(e, x -> 0) ELSE "
+             "list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, "
+             "floor(x * 127.0 / vabs))) AS BIGINT)) END")
+    qdot = ("list_reduce(list_transform(list_zip(q.q_codes, c.codes),"
+            " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)")
+    dot = _DOT_SQL.format(a="q_emb", b="e_emb")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_aggregate(list_transform(embedding, x -> abs(x)),
+                                 'max') AS DOUBLE) AS vabs,
+             {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    coded AS (SELECT vec_id, embedding, nrm, {codes} AS codes FROM base),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+                 codes AS q_codes
+          FROM coded WHERE vec_id % 100 = 0),
+    shortlist AS (
+      SELECT query_id, neighbor_id, q_emb, e_emb, q_nrm, e_nrm
+      FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id, q.q_emb,
+               c.embedding AS e_emb, q.q_nrm, c.nrm AS e_nrm,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST({qdot} AS BIGINT) DESC, c.vec_id) AS arn
+        FROM q JOIN coded c ON c.vec_id <> q.query_id
+      ) WHERE arn <= {shortlist}
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             round({dot} / (q_nrm * e_nrm), 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round({dot} / (q_nrm * e_nrm), 4) DESC,
+                                         neighbor_id) AS rn
+      FROM shortlist
+    ) WHERE rn <= {k}
+    """
+
+
+@query(
+    "ann_topk_int8_rerank",
+    oracle=_ann_int8_oracle(),
+    tags=("similarity", "ann", "quantization"),
+    doc="Two-stage quantized ANN (the 100 TB memory-bandwidth play, the "
+        "shape behind FAISS SQ8 / ScaNN): vectors compress to symmetric "
+        "int8 codes (floor(x*127/max|x|) — 4x less data scanned than "
+        "float32), stage 1 shortlists per query by the EXACT-integer "
+        "code dot product (no float divergence), stage 2 rescores only "
+        "the shortlist with the full-precision sequential-fold cosine. "
+        "Queries broadcast; candidate scan is narrow and embarrassingly "
+        "parallel; only Q*shortlist rows reach the rescore window.",
+)
+def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    shortlist, k = 10, 5
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+        .cast("double").alias("vabs"),
+    )
+    code = F.when(F.col("vabs") == 0, F.transform("embedding", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0),
+                        F.floor(x.cast("double") * 127.0 / F.col("vabs"))),
+            ).cast("long"),
+        )
+    )
+    coded = emb.select("vec_id", "embedding", "nrm", code.alias("codes"))
+    q = coded.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), F.col("codes").alias("q_codes"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"), F.col("codes").alias("e_codes"),
+    )
+    # stage 1: exact-integer approximate score over the int8 codes
+    qdot = F.aggregate(
+        F.zip_with("q_codes", "e_codes",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ).cast("long")
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    short = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx", qdot)
+        .withColumn("arn", F.row_number().over(w_approx))
+        .filter(F.col("arn") <= shortlist)
+    )
+    # stage 2: full-precision rescore of the shortlist only
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        short.select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 @query(
     "llm_corpus_curation",
     oracle="""

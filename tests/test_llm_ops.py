@@ -48,3 +48,31 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # probing 3/16 cells must still recover a meaningful fraction
     assert recall > 0.05
     assert all(q % 100 == 0 for q, _ in approx)
+
+
+def test_ann_int8_rerank_recall_vs_bruteforce(spark, sf_dir):
+    brute = QUERIES["ann_cosine_topk_bruteforce"].build(spark, sf_dir)
+    q8 = QUERIES["ann_topk_int8_rerank"].build(spark, sf_dir)
+    truth = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in q8.collect()}
+    assert truth
+    # int8 symmetric quantization keeps ~7 bits of signal per dim; with a
+    # 2x shortlist the reranked top-5 should recover most true neighbors
+    recall = len(truth & set(got)) / len(truth)
+    assert recall >= 0.5
+    # the rescore stage is full precision: any pair shared with the
+    # baseline must carry the identical rounded cosine
+    base_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    for pair in truth & set(got):
+        assert got[pair] == base_sims[pair]
+
+
+def test_text_lm_scores_are_well_formed(spark, sf_dir):
+    lp = QUERIES["text_unigram_logprob"].build(spark, sf_dir).collect()
+    assert lp and all(r.avg_logprob_bits < 0 for r in lp)  # probs < 1
+    ent = QUERIES["text_word_entropy"].build(spark, sf_dir).collect()
+    for r in ent:
+        # 0 <= H <= log2(n_distinct) (+ rounding slack from decimal lanes)
+        assert -1e-5 <= r.entropy_bits <= __import__("math").log2(max(r.n_distinct, 2)) + 1e-5
+    kl = QUERIES["text_source_kl_mixture"].build(spark, sf_dir).collect()
+    assert kl and all(r.kl_bits >= -1e-5 for r in kl)  # KL >= 0

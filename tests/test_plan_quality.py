@@ -17,6 +17,19 @@ BNLJ_ALLOWED = {
         "the brute-force baseline IS all-pairs by definition; queries are "
         "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
         "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
+    "ann_topk_int8_rerank":
+        "stage 1 deliberately scans every candidate's int8 codes against "
+        "the broadcast query set (the FAISS-SQ8 flat-scan shape: 4x less "
+        "bandwidth than float32, embarrassingly parallel); only "
+        "Q*shortlist rows continue to the full-precision rescore",
+    "text_unigram_logprob":
+        "the only BNLJ is the 1-row corpus-total aggregate cross-joined "
+        "(broadcast) onto the vocabulary — an O(V*1) literal attach, not "
+        "a pair join; the word-keyed joins are hash equi-joins",
+    "text_source_kl_mixture":
+        "same 1-row corpus-total broadcast attach as "
+        "text_unigram_logprob; source totals go through a broadcast hash "
+        "equi-join on the source key",
     "ann_ivf_probed":
         "IVF cell assignment broadcasts the 16 centroids against every "
         "vector (O(N*16) narrow pass) — that broadcast loop IS the "
