@@ -129,3 +129,73 @@ def stream_envelopes_jsonl(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return _normalize(reader.json(path))
+
+
+# ---------------------------------------------------------------------------
+# CSV envelope files (flat dump shape: JSON payload in a string column)
+# ---------------------------------------------------------------------------
+
+def _csv_wire_schema() -> T.StructType:
+    """CSV wire columns: same envelope fields as JSONL, but ``data`` is an
+    orjson-encoded STRING cell (CSV has no nested types). This is the
+    flat-file dump shape WAL archives land in when the broker sink writes
+    CSV instead of JSONL."""
+    return T.StructType(
+        [
+            T.StructField("tick", T.StringType()),
+            T.StructField("type", T.IntegerType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("cuid", T.StringType()),
+            T.StructField("tid", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+
+
+def _parse_csv(env: DataFrame, data_schema: T.DataType) -> DataFrame:
+    """CSV wire shape -> pipeline envelope columns: the JSON payload cell
+    parses JVM-side (``from_json``, whole-stage codegen — no Python); a
+    NULL/empty cell becomes a NULL struct, exactly the tombstone shape
+    P2 drops."""
+    return env.select(
+        F.col("tick").cast("long").alias("tick"),
+        "type",
+        "cuid",
+        F.from_json("data", data_schema).alias("data"),
+    )
+
+
+def read_envelopes_csv(
+    spark: SparkSession, path: str, data_schema: T.DataType
+) -> DataFrame:
+    """Batch-read CSV envelope dumps (header row, quoted JSON payload
+    column), normalized for ``preprocess_envelopes``."""
+    reader = (
+        spark.read.schema(_csv_wire_schema())
+        .option("header", "true")
+        # RFC-4180 dumps escape quotes by doubling them; Spark's default
+        # escape is backslash, so the JSON payload cell needs this or it
+        # truncates at the first embedded quote
+        .option("escape", '"')
+    )
+    return _parse_csv(reader.csv(path), data_schema)
+
+
+def stream_envelopes_csv(
+    spark: SparkSession,
+    path: str,
+    data_schema: T.DataType,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming variant of :func:`read_envelopes_csv` — tail a directory
+    of CSV envelope dumps (S1 without a broker), same file-drop mechanics
+    as the JSONL source."""
+    reader = (
+        spark.readStream.schema(_csv_wire_schema())
+        .option("header", "true")
+        .option("escape", '"')  # RFC-4180 doubled quotes (see batch reader)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse_csv(reader.csv(path), data_schema)

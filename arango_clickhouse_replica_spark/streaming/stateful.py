@@ -31,6 +31,7 @@ from collections.abc import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -114,4 +115,68 @@ def streaming_running_totals(
 
     return df.groupBy(key_col).applyInPandasWithState(
         totals, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_dataset_card(df: DataFrame) -> DataFrame:
+    """Live dataset-card counters over a streaming ``documents`` feed:
+    per (source, lang) stratum, lifetime document / estimated-token /
+    character totals re-emitted on every batch the stratum appears in —
+    the streaming face of the batch ``curation_dataset_card`` query.
+
+    The token estimate (``greatest(1, n_chars // 4)``) is projected
+    JVM-side BEFORE the stateful operator, so Python only sums three
+    integer columns per Arrow batch. State per stratum is three counters
+    (O(1)); strata are hash-partitioned, so 1000 executors hold disjoint
+    slices. The batch card's ``distinct_docs``/``dup_rate`` column is
+    deliberately absent here: exact distinct is not an O(1)-mergeable
+    counter — production systems bolt an HLL sketch into this same state
+    slot, and the batch query stays the exact source of truth.
+    """
+    projected = df.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+        .cast("long")
+        .alias("est_tokens"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("total_tokens", T.LongType()),
+            T.StructField("total_chars", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("total_tokens", T.LongType()),
+            T.StructField("total_chars", T.LongType()),
+        ]
+    )
+
+    def card(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, toks, chars = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            toks += int(pdf["est_tokens"].sum())
+            chars += int(pdf["n_chars"].sum())
+        state.update((n, toks, chars))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "lang": [key[1]],
+                "n_docs": [n],
+                "total_tokens": [toks],
+                "total_chars": [chars],
+            }
+        )
+
+    return projected.groupBy("source", "lang").applyInPandasWithState(
+        card, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

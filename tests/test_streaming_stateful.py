@@ -84,3 +84,43 @@ def test_running_totals_accumulate(spark, sf_dir, stream_dirs):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_dataset_card_totals_match_batch(spark, sf_dir, stream_dirs):
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_dataset_card,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "lang", "n_chars"
+    )
+    # two micro-batches: an uneven split of the corpus
+    docs.filter(F.col("doc_id") % 3 == 0).write.mode("append").parquet(stream_dirs)
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(stream_dirs)
+    _run_stream(
+        spark, stream_dirs, docs.schema, streaming_dataset_card, "card_t"
+    )
+    # update mode re-emits a stratum per batch it appears in: the LAST
+    # emission per stratum is its lifetime total
+    got = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens, r.total_chars)
+        for r in spark.sql(
+            """SELECT source, lang, n_docs, total_tokens, total_chars
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang
+                                                  ORDER BY n_docs DESC) AS rn
+                     FROM card_t) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        (r.source, r.lang): (r.n_docs, r.total_tokens, r.total_chars)
+        for r in docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.greatest(F.lit(1), (F.col("n_chars") / 4).cast("long"))
+            ).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want
