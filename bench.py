@@ -58,6 +58,10 @@ HEADLINE = [
     "text_vocab_build",
     "mm_payload_stats",
     "mm_feature_extract",
+    "text_unigram_logprob",
+    "text_source_kl_mixture",
+    "text_bigram_heavy_hitters",
+    "ann_topk_int8_rerank",
 ]
 
 

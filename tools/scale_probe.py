@@ -43,6 +43,10 @@ PROBES = [
     "curation_chunk_windows",
     "curation_dataset_card",
     "embed_quantize_int8",
+    "text_unigram_logprob",
+    "text_source_kl_mixture",
+    "text_bigram_heavy_hitters",
+    "ann_topk_int8_rerank",
 ]
 
 
