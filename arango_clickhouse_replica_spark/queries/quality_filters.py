@@ -1,0 +1,277 @@
+"""Corpus-rewriting quality filters over ``documents``: C4-style
+duplicated-segment removal (a *transform*, not just a score), CCNet-style
+per-language perplexity terciles, and a fastText-shape hashed-n-gram
+linear classifier. These extend SURVEY §2.12 (the driver-mandated LLM
+pipeline surface) past scoring into the actual keep/drop/rewrite
+decisions a training-data pipeline executes.
+
+Cross-engine determinism: every score is exact integer/decimal
+arithmetic until a single final double division (see
+``queries/registry.py`` rules); rewritten text is md5-compared so
+checked rows stay narrow; orderings that feed NTILE carry a doc_id
+tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+from .text_lm import UNIGRAM_LOGPROB_SQL, text_unigram_logprob
+
+# --- shared 8-word segmentation (same shape as dedup_passage_segments) --
+
+_SEGMENTS_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS words
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(words[CAST(8*i + 1 AS INT):CAST(8*i + 8 AS INT)],
+                             ' ') AS seg
+      FROM w, unnest(range(0, CAST(ceil(len(words) / 8.0) AS INT))) AS u(i)
+    )
+"""
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, seg_raw) — fixed 8-word segments with position."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.split("text", r"\s+").alias("words"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    """transform(
+                          sequence(0, cast(ceil(size(words) / 8.0) as int) - 1),
+                          i -> array_join(slice(words, 8*i + 1, 8), ' '))"""
+                )
+            ).alias("pos", "seg_raw"),
+        )
+    )
+
+
+@query(
+    "curation_segment_dedup_rewrite",
+    oracle=_SEGMENTS_SQL + """,
+    dup AS (
+      SELECT md5(seg) AS seg_key FROM segs GROUP BY md5(seg)
+      HAVING COUNT(*) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.seg_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           md5(COALESCE(string_agg(s.seg, ' ' ORDER BY s.pos)
+                        FILTER (WHERE d.seg_key IS NULL), ''))
+               AS kept_md5
+    FROM segs s LEFT JOIN dup d ON md5(s.seg) = d.seg_key
+    GROUP BY s.doc_id
+    """,
+    tags=("curation", "dedup", "rewrite"),
+    doc="C4-style duplicated-passage REMOVAL: where dedup_passage_segments "
+        "only scores documents, this rewrites them — every 8-word segment "
+        "whose exact text occurs more than once anywhere in the corpus "
+        "(including within the same document) is dropped, and the "
+        "surviving segments are reassembled in position order. The "
+        "duplicate set is tiny relative to the corpus (df>=2 segments "
+        "only), so the decision join probes a small build side, exactly "
+        "the shape the 20x probe validated for passage dedup; the "
+        "reassembly is one per-doc aggregate whose state is bounded by "
+        "document length. Rewritten text is md5-compared; segment keys "
+        "are md5 digests so both shuffles move narrow rows.",
+)
+def curation_segment_dedup_rewrite(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    segs = _doc_segments(spark, sf_dir).withColumn("seg", F.md5("seg_raw"))
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("seg")
+        .withColumn("__dup", F.lit(1))
+    )
+    joined = segs.join(dup, "seg", "left")
+    kept_struct = F.when(
+        F.col("__dup").isNull(), F.struct("pos", "seg_raw")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("__dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg_raw"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@query(
+    "curation_perplexity_buckets",
+    oracle=f"""
+    WITH lp AS ({UNIGRAM_LOGPROB_SQL}),
+    b AS (
+      SELECT lp.doc_id, d.lang, lp.n_tokens, lp.avg_logprob_bits,
+             CAST(NTILE(3) OVER (
+                 PARTITION BY d.lang
+                 ORDER BY lp.avg_logprob_bits DESC, lp.doc_id) AS INT)
+               AS tercile
+      FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, avg_logprob_bits, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM b
+    """,
+    tags=("curation", "lm", "sampling"),
+    doc="CCNet-style perplexity bucketing: documents rank within their "
+        "language by unigram-LM score (best logprob first) and split "
+        "into head/middle/tail terciles — the partition CCNet samples "
+        "from preferentially. The score reuses text_unigram_logprob's "
+        "exact decimal-lane pipeline, so the double it orders by is "
+        "bit-identical across engines; doc_id breaks ties so NTILE "
+        "boundaries are deterministic. The per-lang NTILE window is the "
+        "one sort in the plan (same accepted shape as "
+        "curation_token_pack_bins); at 100 TB with few huge languages "
+        "you would salt the window into per-shard terciles or bucket "
+        "against precomputed per-lang score cutoffs instead — the "
+        "tercile semantics tolerate either.",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lp = text_unigram_logprob(spark, sf_dir)
+    langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob_bits"), F.asc("doc_id")
+    )
+    return (
+        lp.join(langs, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w).cast("int"))
+        .select(
+            "doc_id", "lang", "n_tokens", "avg_logprob_bits", "tercile",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+# fastText-shape classifier: feature -> bucket via the leading 6 hex
+# chars of md5 (portable across engines), bucket -> weight via a
+# Knuth-multiplicative integer scramble. Weights are integers in
+# [-1000, 1000] ("milli-weights") so the document score is an exact
+# BIGINT sum until the final division.
+_N_BUCKETS = 1024
+_WEIGHT_SQL = "(CAST({b} AS BIGINT) * 2654435761) % 1000003 % 2001 - 1000"
+
+
+def _feature_bucket(feat: Column) -> Column:
+    return F.conv(F.substring(F.md5(feat), 1, 6), 16, 10).cast("bigint") \
+        % _N_BUCKETS
+
+
+@query(
+    "text_hashed_ngram_classifier",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(ws || list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS feat
+      FROM ws
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(feat), 1, 6) AS BIGINT)
+               % {_N_BUCKETS} AS bucket
+      FROM feats
+      WHERE feat <> '' AND feat NOT LIKE '% ' AND feat NOT LIKE ' %'
+        AND feat NOT LIKE '%  %'
+    ),
+    wt AS (
+      SELECT CAST(r AS BIGINT) AS bucket, {_WEIGHT_SQL.format(b='r')} AS w_milli
+      FROM range(0, {_N_BUCKETS}) t(r)
+    )
+    SELECT fb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(wt.w_milli) AS BIGINT) AS score_milli_sum,
+           CAST(SUM(wt.w_milli) AS DOUBLE)
+             / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS score,
+           (SUM(wt.w_milli) >= 0) AS keep
+    FROM fb JOIN wt USING (bucket)
+    GROUP BY fb.doc_id
+    """,
+    tags=("text", "classifier", "quality"),
+    doc="Hashed bag-of-n-grams linear classifier — the fastText shape "
+        "behind production quality filters (CCNet/LLaMA-style keep/drop "
+        "models): unigram + bigram features hash into 1024 buckets, a "
+        "broadcast weight table scores them, and the mean milli-weight "
+        "decides keep. The weight table here is a deterministic integer "
+        "scramble standing in for learned weights — the PLAN is the "
+        "product: narrow feature generator (no shuffle), broadcast hash "
+        "join against the weight table (learned weights would load from "
+        "a small parquet the same way), one map-side-combinable per-doc "
+        "aggregate. Exact integer score lanes; the only double is the "
+        "final division.",
+)
+def text_hashed_ngram_classifier(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            # sequence(1, 0) would DESCEND in Spark, so size-1 docs need
+            # an explicit empty bigram array (DuckDB range(1,1) is empty).
+            F.explode(
+                F.expr(
+                    "concat(ws, if(size(ws) >= 2,"
+                    " transform(sequence(1, size(ws) - 1),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i])),"
+                    " cast(array() as array<string>)))"
+                )
+            ).alias("feat"),
+        )
+        .filter(
+            (F.col("feat") != "")
+            & ~F.col("feat").like("% ")
+            & ~F.col("feat").like(" %")
+            & ~F.col("feat").like("%  %")
+        )
+    )
+    weights = spark.range(_N_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        F.expr(_WEIGHT_SQL.format(b="id")).alias("w_milli"),
+    )
+    return (
+        feats.select("doc_id", _feature_bucket(F.col("feat")).alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("w_milli").alias("score_milli_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "score_milli_sum",
+            (
+                F.col("score_milli_sum").cast("double")
+                / (F.lit(1000.0) * F.col("n_features").cast("double"))
+            ).alias("score"),
+            (F.col("score_milli_sum") >= 0).alias("keep"),
+        )
+    )

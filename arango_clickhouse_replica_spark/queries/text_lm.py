@@ -55,9 +55,8 @@ _DOC_WORDS_SQL = """
 _DOC_WORDS_SQL = f"SELECT * FROM ({_DOC_WORDS_SQL}) t WHERE w <> ''"
 
 
-@query(
-    "text_unigram_logprob",
-    oracle=f"""
+# Exported: curation_perplexity_buckets reuses this as a CTE.
+UNIGRAM_LOGPROB_SQL = f"""
     WITH dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw
       FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w
@@ -77,7 +76,12 @@ _DOC_WORDS_SQL = f"SELECT * FROM ({_DOC_WORDS_SQL}) t WHERE w <> ''"
              / CAST(SUM(dw.c_dw) AS DOUBLE) AS avg_logprob_bits
     FROM dw JOIN lp ON dw.w = lp.w
     GROUP BY dw.doc_id
-    """,
+    """
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=UNIGRAM_LOGPROB_SQL,
     tags=("text", "lm", "quality"),
     doc="Unigram LM document scoring (the KenLM-perplexity proxy used by "
         "CCNet-style quality filters): every document's mean per-token "

@@ -31,6 +31,8 @@ EDGE_QUERIES = [
     "curation_dataset_card",
     "curation_shard_export",
     "dedup_passage_segments",
+    "curation_segment_dedup_rewrite",
+    "text_hashed_ngram_classifier",
     "text_vocab_build",
     "mm_payload_stats",
     "mm_feature_extract",

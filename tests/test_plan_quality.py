@@ -30,6 +30,10 @@ BNLJ_ALLOWED = {
         "same 1-row corpus-total broadcast attach as "
         "text_unigram_logprob; source totals go through a broadcast hash "
         "equi-join on the source key",
+    "curation_perplexity_buckets":
+        "inherits text_unigram_logprob's 1-row corpus-total broadcast "
+        "attach (O(V*1)); the lang join and NTILE window add only hash "
+        "equi-joins",
     "ann_ivf_probed":
         "IVF cell assignment broadcasts the 16 centroids against every "
         "vector (O(N*16) narrow pass) — that broadcast loop IS the "

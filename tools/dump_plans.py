@@ -86,6 +86,16 @@ COMMENT = {
         "codegen; stage-1 scan loops the broadcast query codes over "
         "candidates (exact-integer scores); only Q*shortlist rows cross "
         "the exchange into the full-precision rescore window.",
+    "curation_segment_dedup_rewrite":
+        "Segment-dedup rewrite: segments key on md5 digests; the dup set "
+        "(df>=2) is tiny so the keep/drop decision join probes a small "
+        "build side; reassembly is one per-doc aggregate whose state is "
+        "bounded by document length.",
+    "text_hashed_ngram_classifier":
+        "Hashed-n-gram classifier: narrow unigram+bigram generator (no "
+        "shuffle), broadcast hash join against the 1024-bucket weight "
+        "table, one map-side-combinable per-doc aggregate — exact "
+        "integer score lanes end to end.",
 }
 
 

@@ -47,6 +47,9 @@ PROBES = [
     "text_source_kl_mixture",
     "text_bigram_heavy_hitters",
     "ann_topk_int8_rerank",
+    "curation_segment_dedup_rewrite",
+    "curation_perplexity_buckets",
+    "text_hashed_ngram_classifier",
 ]
 
 
