@@ -42,15 +42,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-        # outright (PARQUET_TYPE_ILLEGAL). Read nanos as long, then floor-divide
-        # to microseconds — exactly DuckDB's nanos->micros truncation, so oracle
-        # comparisons stay bit-identical.
+        # events.parquet has shipped with several physical types for ts across
+        # fixture generations: TIMESTAMP(NANOS) (Spark 4 refuses outright —
+        # PARQUET_TYPE_ILLEGAL — unless read nanos-as-long), TIMESTAMP(MICROS)
+        # isAdjustedToUTC=false (reads as TIMESTAMP_NTZ), and plain TIMESTAMP.
+        # Normalize all of them to session-tz TimestampType at microsecond
+        # precision — the same value DuckDB produces for each encoding — so
+        # oracle comparisons stay bit-identical regardless of fixture vintage.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long: floor-divide to micros (DuckDB's truncation).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (or anything else): naive wall-clock -> session-tz
+            # timestamp. Sessions here run UTC, so the instant is unchanged and
+            # pandas round-trips the identical naive value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
