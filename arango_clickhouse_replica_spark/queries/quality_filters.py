@@ -275,3 +275,51 @@ def text_hashed_ngram_classifier(spark: SparkSession, sf_dir: str
             (F.col("score_milli_sum") >= 0).alias("keep"),
         )
     )
+
+
+@query(
+    "curation_reservoir_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':reservoir'), doc_id
+             ) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rn AS INT) AS sample_rank, n_source
+    FROM ranked WHERE rn <= 50
+    """,
+    tags=("curation", "sampling"),
+    doc="Deterministic fixed-size per-source sample (the distributed "
+        "stand-in for reservoir sampling): rank every document inside its "
+        "source by the md5 of its salted id — a uniform, data-independent "
+        "permutation that replays identically on any engine and any "
+        "partitioning — and keep the first 50. Unlike rand()-seeded "
+        "sampling, re-runs and retried tasks select the SAME rows, which "
+        "is what makes the sample auditable. One window per source "
+        "partition; at 100 TB the skew ceiling is the largest source, "
+        "same profile as curation_stratified_sample's groupBy.",
+)
+def curation_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":reservoir"))),
+        F.asc("doc_id"),
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count("*").over(wc).alias("n_source"),
+        )
+        .filter(F.col("sample_rank") <= 50)
+        .select("doc_id", "source", "n_chars",
+                F.col("sample_rank").cast("int").alias("sample_rank"),
+                "n_source")
+    )

@@ -1,0 +1,378 @@
+"""Sparse-retrieval and corpus-statistics operators over ``documents``:
+BM25 top-k ranking, TF-IDF weighted cosine near-dup, and a Zipf-law
+slope fit. These extend SURVEY §2.12c (text analysis) with the classic
+inverted-index scoring a training-data pipeline uses for targeted corpus
+slicing (BM25), weighted near-dup detection (TF-IDF cosine — catches
+documents that share *rare* vocabulary where raw Jaccard over-weights
+stopwords), and corpus-health monitoring (Zipf slope: a healthy natural
+corpus sits near -1; template/spam floods flatten it).
+
+Cross-engine determinism (driver hash-compares vs DuckDB):
+
+- Logarithms go through the verified decimal lane (see text_lm.py):
+  ``CAST(round(log2(x), 6) AS DECIMAL(18,6))`` — raw log doubles differ
+  between the JVM and libm in ~28% of cells.
+- Every cross-row sum of non-integer terms is a sum of DECIMALs (exact,
+  order-independent); doubles appear only in single per-row expressions
+  (products/divisions of deterministic inputs) and final casts.
+- Rankings always carry a unique-id tiebreak.
+
+Scale (100 TB):
+
+- All three queries are explode -> hash-aggregate -> equi-join shapes
+  with map-side combine; no windows over unbounded partitions.
+- BM25's query-term relation is tiny (broadcast); the per-(doc, term)
+  tf table is the only wide shuffle and is the same relation an
+  inverted index materializes.
+- TF-IDF pair generation is term-blocked with the SAME hot-term
+  document-frequency cap as the Jaccard/MinHash blockers
+  (operators/blocking.py): a term in >cap docs carries no near-dup
+  signal but costs O(df^2) pairs, so it is dropped before the join —
+  the candidate join is never all-pairs.
+- The Zipf fit reduces the corpus to its top-100 word frequencies
+  (distributed TakeOrderedAndProject), then fits least-squares over
+  100 rows of exact decimals — a driver-sized final stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+from .text_lm import _DOC_WORDS_SQL, _LOG2_DEC, _LOG2_DEC_SQL, _doc_words
+
+# BM25 free parameters (Robertson-Sparck Jones defaults).
+_K1 = 1.2
+_B = 0.75
+
+# The query-term set is data-derived but DETERMINISTIC: corpus frequency
+# ranks 11-13 (count desc, word asc tiebreak). Mid-rank words are frequent
+# enough to hit many documents yet rare enough to have non-trivial idf —
+# and the choice replays exactly in both engines for any fixture vintage.
+_QTERM_LO, _QTERM_HI = 11, 13
+
+
+def _corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, df_w, c_w): document frequency + corpus frequency per word."""
+    words = _doc_words(spark, sf_dir)
+    return (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("w")
+        .agg(F.count("*").alias("df_w"), F.sum("tf").alias("c_w"))
+    )
+
+
+_CORPUS_COUNTS_SQL = f"""
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df_w, CAST(SUM(tf) AS BIGINT) AS c_w
+  FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w)
+  GROUP BY w
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w
+    ),
+    cw AS ({_CORPUS_COUNTS_SQL}),
+    qterms AS (
+      SELECT w, df_w FROM (
+        SELECT w, df_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk
+        FROM cw
+      ) WHERE rnk BETWEEN {_QTERM_LO} AND {_QTERM_HI}
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dw GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    idf AS (
+      SELECT w, {_LOG2_DEC_SQL.format(
+          x="(CAST(n_docs AS DOUBLE) - CAST(df_w AS DOUBLE) + 0.5)"
+            " / (CAST(df_w AS DOUBLE) + 0.5) + 1.0")} AS idf_w
+      FROM qterms, stats
+    ),
+    scores AS (
+      SELECT dw.doc_id,
+             CAST(round(
+               CAST(idf.idf_w AS DOUBLE) * CAST(dw.tf AS DOUBLE) * ({_K1} + 1.0)
+               / (CAST(dw.tf AS DOUBLE) + {_K1} * (1.0 - {_B}
+                  + {_B} * CAST(dl.dl AS DOUBLE) * CAST(stats.n_docs AS DOUBLE)
+                        / CAST(stats.total_len AS DOUBLE))),
+               6) AS DECIMAL(18,6)) AS term_score
+      FROM dw JOIN idf ON dw.w = idf.w
+      JOIN dl ON dw.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(term_score) AS DOUBLE) AS bm25
+    FROM scores
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25"),
+    doc="BM25 top-20 retrieval for a deterministic mid-frequency query-term "
+        "set (corpus ranks 11-13): the inverted-index scoring loop as two "
+        "hash aggregates plus a broadcast join of the (tiny) query-term "
+        "relation against the (doc, term) tf table. Per-term scores round "
+        "through the decimal lane so the cross-term sum is exact and "
+        "order-independent; idf uses the verified round+DECIMAL log2 lane.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _doc_words(spark, sf_dir)
+    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    cw = dw.groupBy("w").agg(
+        F.count("*").alias("df_w"), F.sum("tf").alias("c_w")
+    )
+    # Top-|hi| head via distributed TakeOrderedAndProject, THEN a window
+    # over those few rows — never a global single-partition sort of the
+    # whole vocabulary.
+    qterms = (
+        cw.orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(_QTERM_HI)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("c_w"), F.asc("w")))
+        )
+        .filter(F.col("rnk").between(_QTERM_LO, _QTERM_HI))
+        .select("w", "df_w")
+    )
+    dl = dw.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.expr(_LOG2_DEC.format(
+            x="(cast(n_docs as double) - cast(df_w as double) + 0.5)"
+              " / (cast(df_w as double) + 0.5) + 1.0")).alias("idf_w"),
+    )
+    # idf is <= |qterms| rows (tiny) and dl re-broadcasts per doc via an
+    # equi-join on doc_id — that join IS the wide shuffle, same key as the
+    # tf aggregate, so AQE coalesces them into one exchange.
+    scored = (
+        dw.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_w").cast("double") * F.col("tf").cast("double")
+                * F.lit(_K1 + 1.0)
+                / (F.col("tf").cast("double") + F.lit(_K1)
+                   * (F.lit(1.0 - _B) + F.lit(_B)
+                      * F.col("dl").cast("double") * F.col("n_docs").cast("double")
+                      / F.col("total_len").cast("double"))),
+                6,
+            ).cast("decimal(18,6)").alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("term_score").cast("double").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# TF-IDF near-dup: the whole measure is defined over the DISCRIMINATIVE
+# vocabulary (document frequency <= cap) — hot terms are dropped before
+# weighting, norming, AND pairing, so the Spark plan and the oracle agree
+# on the vector space itself, and the pair join cost is bounded per term.
+_TFIDF_DF_CAP = 64
+
+
+_TFIDF_WEIGHTS_SQL = f"""
+  SELECT dw.doc_id, dw.w,
+         CAST(round(CAST(dw.tf AS DOUBLE) * CAST(idf.idf_w AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS wt
+  FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w) dw
+  JOIN (
+    SELECT w, {_LOG2_DEC_SQL.format(
+        x="CAST(n_docs AS DOUBLE) / CAST(df_w AS DOUBLE)")} AS idf_w
+    FROM ({_CORPUS_COUNTS_SQL}) cw0,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) st
+    WHERE df_w <= {_TFIDF_DF_CAP}
+  ) idf ON dw.w = idf.w
+"""
+
+
+@query(
+    "dedup_tfidf_cosine_topk",
+    oracle=f"""
+    WITH wt AS ({_TFIDF_WEIGHTS_SQL}),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(CAST(wt AS DOUBLE) * CAST(wt AS DOUBLE), 6)
+                                AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+      FROM wt GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(round(CAST(a.wt AS DOUBLE) * CAST(b.wt AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM wt a JOIN wt b USING (w)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    tags=("dedup", "tfidf", "near-dup"),
+    doc="TF-IDF weighted cosine near-dup top-20: complements raw-shingle "
+        "Jaccard by up-weighting rare shared vocabulary. Defined entirely "
+        "over the discriminative vocabulary (df <= 64 — same blocking "
+        "rationale as the MinHash hot-shingle cap), so the shared-term "
+        "pair join is bounded at O(cap^2) per term, never all-pairs. "
+        "Dot products and norms sum 6-dp decimals (exact, order-free); "
+        "cosine is one double division per pair.",
+)
+def dedup_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _doc_words(spark, sf_dir)
+    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    cw = dw.groupBy("w").agg(F.count("*").alias("df_w"))
+    n_docs = load_table(spark, "documents", sf_dir).agg(
+        F.count("*").alias("n_docs")
+    )
+    idf = (
+        cw.filter(F.col("df_w") <= _TFIDF_DF_CAP)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w",
+            F.expr(_LOG2_DEC.format(
+                x="cast(n_docs as double) / cast(df_w as double)")).alias("idf_w"),
+        )
+    )
+    wt = dw.join(idf, "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("tf").cast("double") * F.col("idf_w").cast("double"), 6)
+        .cast("decimal(18,6)").alias("wt"),
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("wt").cast("double") * F.col("wt").cast("double"), 6)
+                .cast("decimal(18,6)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    a = wt.select(F.col("doc_id").alias("doc_a"), "w", F.col("wt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.round(F.col("wa").cast("double") * F.col("wb").cast("double"), 6)
+                .cast("decimal(18,6)")
+            ).cast("double").alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH cw AS ({_CORPUS_COUNTS_SQL}),
+    ranked AS (
+      SELECT c_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk
+      FROM cw
+    ),
+    pts AS (
+      SELECT {_LOG2_DEC_SQL.format(x="CAST(rnk AS DOUBLE)")} AS x,
+             {_LOG2_DEC_SQL.format(x="CAST(c_w AS DOUBLE)")} AS y
+      FROM ranked WHERE rnk <= 100
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+    FROM sums
+    """,
+    tags=("text", "stats", "zipf"),
+    doc="Zipf-law slope over the top-100 word frequencies: least-squares "
+        "fit of log2(freq) on log2(rank). A natural corpus fits near -1; "
+        "template floods and boilerplate flatten the head — a standard "
+        "corpus-health monitor. The corpus reduces to 100 (rank, freq) "
+        "points via distributed top-k; the fit itself sums exact decimals "
+        "(manual least squares — built-in regr_slope accumulates raw "
+        "doubles in partition order and is not replayable cross-engine).",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cw = _corpus_counts(spark, sf_dir)
+    # Distributed top-100 first; the rank window then runs over 100 rows.
+    ranked = (
+        cw.orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(100)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("c_w"), F.asc("w")))
+        )
+    )
+    pts = ranked.select(
+        F.expr(_LOG2_DEC.format(x="cast(rnk as double)")).alias("x"),
+        F.expr(_LOG2_DEC.format(x="cast(c_w as double)")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6)
+            .cast("decimal(18,6)")
+        ).cast("double").alias("sxy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6)
+            .cast("decimal(18,6)")
+        ).cast("double").alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )

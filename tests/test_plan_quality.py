@@ -39,6 +39,20 @@ BNLJ_ALLOWED = {
         "vector (O(N*16) narrow pass) — that broadcast loop IS the "
         "assignment step; the candidate scoring join itself is an "
         "equi-join on cell id",
+    "text_bm25_topk":
+        "the only BNLJs attach the 1-row (n_docs, total_len) corpus "
+        "stats to the tiny query-term relation and to per-doc rows — "
+        "O(N*1) literal attaches; the tf/idf joins are hash equi-joins "
+        "on the word and doc keys",
+    "dedup_tfidf_cosine_topk":
+        "the 1-row n_docs aggregate broadcast-attaches onto the "
+        "df-capped vocabulary (O(V*1)); weighting, norming, and the "
+        "shared-term pair join are all hash equi-joins",
+    "embed_kmeans_lloyd":
+        "both Lloyd assignment passes broadcast the 16 centroids "
+        "against every vector (O(N*16) narrow map passes — the same "
+        "shape ann_ivf_probed allowlists); the centroid update is a "
+        "hash aggregate on (cell, dim)",
 }
 
 ALL_NAMES = sorted(QUERIES)
