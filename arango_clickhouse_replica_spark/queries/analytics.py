@@ -479,3 +479,54 @@ def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("mom_delta"),
     )
+
+
+@query(
+    "q_click_purchase_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT c.user_id, c.click_id, p.purchase_id, p.value
+      FROM clicks c JOIN purchases p
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_attributed_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM pairs
+    GROUP BY user_id
+    """,
+    tags=("analytics", "interval-join", "streaming-twin"),
+    doc="Click->purchase attribution: every (click, purchase) pair by the "
+        "same user with the click inside the 30-minute lookback, "
+        "aggregated per user. The pair builder (streaming/joins.py "
+        "click_purchase_pairs) is THE stream-stream interval join run "
+        "verbatim on a batch frame — the oracle certifies it here, and "
+        "tests/test_streaming_joins.py proves the streaming execution "
+        "matches. The time bound on both event-times is what lets the "
+        "streaming state evict; per-user keying makes the batch join a "
+        "user-keyed shuffle, never event-x-event.",
+)
+def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import click_purchase_pairs
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    pairs = click_purchase_pairs(ev)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_attributed_purchases"),
+        F.sum(F.col("purchase_value").cast("decimal(18,2)"))
+        .cast("double").alias("attributed_value"),
+    )
