@@ -65,6 +65,13 @@ HEADLINE = [
     "curation_segment_dedup_rewrite",
     "curation_perplexity_buckets",
     "text_hashed_ngram_classifier",
+    "text_bm25_topk",
+    "dedup_tfidf_cosine_topk",
+    "text_zipf_slope",
+    "embed_kmeans_lloyd",
+    "embed_dim_stats",
+    "curation_reservoir_per_source",
+    "q_click_purchase_attribution",
 ]
 
 

@@ -96,6 +96,34 @@ COMMENT = {
         "shuffle), broadcast hash join against the 1024-bucket weight "
         "table, one map-side-combinable per-doc aggregate — exact "
         "integer score lanes end to end.",
+    "text_bm25_topk":
+        "BM25: two stacked map-side-combinable aggregates (doc-term tf, "
+        "term df); the query-term/idf relation is tiny and broadcasts; "
+        "the per-doc length join shares the doc_id key with the score "
+        "aggregate; top-20 is TakeOrderedAndProject.",
+    "dedup_tfidf_cosine_topk":
+        "TF-IDF cosine near-dup: the vector space is the df-capped "
+        "vocabulary, so the shared-term pair join is bounded per term; "
+        "weights/norms/dots all sum exact decimals in hash aggregates "
+        "with map-side partials.",
+    "embed_kmeans_lloyd":
+        "Lloyd round: both assignment passes broadcast 16 centroids "
+        "(narrow map, no exchange); the ONLY wide stages are the "
+        "(cell, dim)-keyed centroid update and the final per-cell "
+        "aggregate — K*dim and K result rows respectively.",
+    "embed_dim_stats":
+        "Dimension stats: one posexplode feeding a single hash "
+        "aggregate keyed by dim (64 result rows); decimal moment lanes "
+        "keep partial aggregation exact under any partitioning.",
+    "q_click_purchase_attribution":
+        "Interval join: user-keyed equi-join with a range condition on "
+        "both event-times (the streaming twin's state-eviction bound); "
+        "filters push to the scan, the per-user aggregate reuses the "
+        "join's partitioning.",
+    "curation_reservoir_per_source":
+        "Reservoir sample: ONE window per source partition ordered by a "
+        "salted md5 permutation — a single exchange on source, rank "
+        "filter drops everything past 50 before any further stage.",
 }
 
 
