@@ -244,3 +244,274 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("s2") / F.col("n") - mean * mean), 6)
         .alias("std"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 8 subspaces x 8 dims, 16 codes per subspace.
+# Seeds follow the IVF convention (first vector of each vec_id % 16 class);
+# embed_kmeans_lloyd is the refinement those codebooks would get.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8       # subspaces
+_PQ_DIM = 8     # dims per subspace
+_PQ_K = 16      # codes per subspace
+
+# Sequential-fold squared L2 distance between two equal-length arrays —
+# bit-identical on both engines (same accumulation sequence, see _dot).
+_L2SQ_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# (vec_id, m, sv): every vector split into its M subvectors.
+_PQ_SUBVECS_SQL = f"""
+  SELECT vec_id, CAST(u.m AS INT) AS m,
+         embedding[CAST({_PQ_DIM} * u.m + 1 AS INT)
+                   :CAST({_PQ_DIM} * u.m + {_PQ_DIM} AS INT)] AS sv
+  FROM embeddings, unnest(range(0, {_PQ_M})) AS u(m)
+"""
+
+# (m, k, cv): per-subspace codebooks from the 16 deterministic seed vectors.
+_PQ_CODEBOOK_SQL = f"""
+  SELECT CAST(u.m AS INT) AS m, s.k,
+         s.embedding[CAST({_PQ_DIM} * u.m + 1 AS INT)
+                     :CAST({_PQ_DIM} * u.m + {_PQ_DIM} AS INT)] AS cv
+  FROM (
+    SELECT CAST(vec_id % {_PQ_K} AS INT) AS k, embedding
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_PQ_K}
+                                       ORDER BY vec_id) AS rn
+          FROM embeddings)
+    WHERE rn = 1
+  ) s, unnest(range(0, {_PQ_M})) AS u(m)
+"""
+
+# (vec_id, m, code, qerr): nearest codebook entry per subvector.
+_PQ_CODES_SQL = f"""
+  SELECT vec_id, m, k AS code, d2 AS qerr FROM (
+    SELECT sv.vec_id, sv.m, cb.k,
+           {_L2SQ_SQL.format(a='sv.sv', b='cb.cv')} AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.vec_id, sv.m
+             ORDER BY {_L2SQ_SQL.format(a='sv.sv', b='cb.cv')} ASC, cb.k
+           ) AS rn
+    FROM ({_PQ_SUBVECS_SQL}) sv JOIN ({_PQ_CODEBOOK_SQL}) cb USING (m)
+  ) WHERE rn = 1
+"""
+
+
+def _pq_subvecs(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(embedding, {_PQ_DIM} * m + 1, {_PQ_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    seeds = _seed_centroids(emb).withColumnRenamed("cell", "k")
+    return seeds.select(
+        "k",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}),"
+                f" m -> slice(c_emb, {_PQ_DIM} * m + 1, {_PQ_DIM}))"
+            )
+        ).alias("m", "cv"),
+    )
+
+
+def _pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, qerr): PQ encoding via broadcast codebook argmin."""
+    sv = _pq_subvecs(emb)
+    cb = _pq_codebook(emb)
+    d = sv.join(F.broadcast(cb), "m").withColumn(
+        "d2", _l2sq(F.col("sv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("k"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"),
+                F.col("d2").alias("qerr"))
+    )
+
+
+@query(
+    "embed_pq_codebooks",
+    oracle=f"""
+    SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM({_DEC_SQL.format(x='qerr')}) AS DOUBLE) / COUNT(*)
+             AS mean_qerr
+    FROM ({_PQ_CODES_SQL})
+    GROUP BY m, code
+    ORDER BY m, code
+    """,
+    tags=("embedding", "pq", "quantization"),
+    doc="Product-quantization encoder diagnostics (FAISS-PQ shape): 64-dim "
+        "vectors split into 8x8-dim subspaces, each encoded against a "
+        "16-entry codebook (seeded like ann_ivf_probed's centroids) by "
+        "squared-L2 argmin; outputs the code-usage histogram + mean "
+        "quantization error per (subspace, code) — the codebook-balance "
+        "check run before committing a PQ index. Encoding is a narrow "
+        "broadcast pass (codebooks are 128 tiny rows); the histogram is "
+        "one map-side-combinable aggregate. 8x32 bits -> 8x4 bits = 16x "
+        "compression for a 100 TB embedding store.",
+)
+def embed_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes = _pq_codes(emb)
+    return (
+        codes.groupBy("m", "code")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (
+                F.sum(F.expr(_DEC.format(x="qerr"))).cast("double") / F.count("*")
+            ).alias("mean_qerr"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+@query(
+    "ann_pq_adc_rerank",
+    oracle=f"""
+    WITH codes AS ({_PQ_CODES_SQL}),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             {_NORM_SQL.format(a='embedding')} AS q_nrm
+      FROM embeddings WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 512
+    ),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.k,
+             {_DEC_SQL.format(x=_L2SQ_SQL.format(
+                 a="q.q_emb[CAST(" + str(_PQ_DIM) + " * cb.m + 1 AS INT)"
+                   ":CAST(" + str(_PQ_DIM) + " * cb.m + "
+                   + str(_PQ_DIM) + " AS INT)]",
+                 b='cb.cv'))} AS pdist
+      FROM queries q CROSS JOIN ({_PQ_CODEBOOK_SQL}) cb
+    ),
+    approx AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.pdist) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2 ASC, neighbor_id) AS rn
+        FROM approx WHERE neighbor_id <> query_id
+      ) WHERE rn <= 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+                   / (q.q_nrm * {_NORM_SQL.format(a='e.embedding')}), 4)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+                              / (q.q_nrm * {_NORM_SQL.format(a='e.embedding')}),
+                              4) DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN queries q ON q.query_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "pq"),
+    doc="PQ asymmetric-distance ANN (FAISS IndexPQ shape): candidates "
+        "live as 8x4-bit codes; each query precomputes a 128-entry "
+        "distance lookup table (query subvector x codebook entry), the "
+        "approximate distance is 8 LUT adds per candidate (exact decimal "
+        "sums), the 10-candidate shortlist is reranked at full precision "
+        "for the top-5. At scale the LUT relation (Q*128 rows) "
+        "broadcasts; the ADC scan is a narrow pass over the code table "
+        "(16x smaller than the float store — bandwidth, not compute, "
+        "bound); only Q*shortlist rows touch full-precision vectors.",
+)
+def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes = _pq_codes(emb)
+    # BOUNDED query set (orderBy+limit, no driver collect): Q stays a
+    # constant as the candidate table grows, so the ADC join is O(N*M)
+    # rows with a fixed Q factor — never a fraction-of-N blowup.
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(512)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cb = _pq_codebook(emb)
+    lut = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "m", "k",
+            F.expr(_DEC.format(
+                x=f"aggregate(zip_with(slice(q_emb, {_PQ_DIM} * m + 1, {_PQ_DIM}),"
+                  " cv, (x, y) -> (cast(x as double) - cast(y as double))"
+                  " * (cast(x as double) - cast(y as double))),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)"
+            )).alias("pdist"),
+        )
+    )
+    approx = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.k),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").cast("double").alias("adc_d2"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        approx.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        _norm(F.col("embedding")).alias("e_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm")), 4
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(queries, "query_id")
+        .join(cand, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rn").cast("int").alias("rank"))
+    )

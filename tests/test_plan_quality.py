@@ -48,6 +48,11 @@ BNLJ_ALLOWED = {
         "the 1-row n_docs aggregate broadcast-attaches onto the "
         "df-capped vocabulary (O(V*1)); weighting, norming, and the "
         "shared-term pair join are all hash equi-joins",
+    "ann_pq_adc_rerank":
+        "the LUT build crosses the bounded query set with the 128-row "
+        "broadcast codebook (O(Q*128) — the PQ lookup-table "
+        "precompute); the ADC scan itself joins codes to the broadcast "
+        "LUT by (m, code) hash equi-join",
     "embed_kmeans_lloyd":
         "both Lloyd assignment passes broadcast the 16 centroids "
         "against every vector (O(N*16) narrow map passes — the same "
