@@ -376,3 +376,102 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# Deterministic vocabulary head for OOV measurement: top-N words by
+# (count desc, word asc) — the tokenizer's "known" set.
+_OOV_VOCAB_N = 1000
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH cw AS ({_CORPUS_COUNTS_SQL}),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk FROM cw
+      ) WHERE rnk <= {_OOV_VOCAB_N}
+    ),
+    dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN dw.c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN dw.c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(dw.c) AS DOUBLE) AS oov_rate
+    FROM dw LEFT JOIN vocab v ON dw.w = v.w
+    GROUP BY dw.doc_id
+    """,
+    tags=("text", "tokenizer", "quality"),
+    doc="Tokenizer-coverage check: per-document out-of-vocabulary token "
+        "rate against the deterministic top-1000 vocabulary head "
+        "(count desc, word tiebreak) — the pre-training sanity pass that "
+        "catches corpora a fixed tokenizer cannot represent. The vocab "
+        "head is distributed top-k then BROADCAST into a left join "
+        "against per-doc word counts (corpus never reshuffles for the "
+        "lookup); the rate is exact-integer counts with one final "
+        "division.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _doc_words(spark, sf_dir)
+    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = (
+        dw.groupBy("w").agg(F.sum("c").alias("c_w"))
+        .orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(_OOV_VOCAB_N)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    return (
+        dw.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(oov_c).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "text_cross_source_dup_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT md5(text) AS fp, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("curation", "dedup", "contamination"),
+    doc="Cross-source duplication matrix: for every source pair, how many "
+        "exact content fingerprints they share — the leakage/overlap "
+        "diagnostic run before assigning mixture weights (a duplicate "
+        "inside one source is benign; the same document in two sources "
+        "double-counts its domain). Distinct (fingerprint, source) "
+        "first (one hash aggregate), then a self-equi-join on the "
+        "fingerprint key — each fingerprint contributes at most "
+        "C(n_sources, 2) pairs, so the join output is bounded by the "
+        "source count, never quadratic in documents.",
+)
+def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(F.md5("text").alias("fp"), "source").distinct()
+    a = fp.select("fp", F.col("source").alias("source_a"))
+    b = fp.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )

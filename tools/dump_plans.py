@@ -124,6 +124,23 @@ COMMENT = {
         "Reservoir sample: ONE window per source partition ordered by a "
         "salted md5 permutation — a single exchange on source, rank "
         "filter drops everything past 50 before any further stage.",
+    "embed_pq_codebooks":
+        "PQ encoder: 128-row codebook broadcasts; the subvector split is "
+        "a narrow 1:8 generator; the encode argmin is map-side; the "
+        "histogram is one map-side-combinable aggregate on (m, code).",
+    "ann_pq_adc_rerank":
+        "PQ ADC: the Q*128 LUT broadcasts; ADC is a hash join of the "
+        "code table against the LUT on (m, code) feeding a decimal-sum "
+        "aggregate; only Q*10 shortlist rows touch full-precision "
+        "vectors in the rerank.",
+    "text_oov_rate":
+        "OOV rate: vocab head is distributed top-k (TakeOrderedAndProject)"
+        " then broadcast into a LEFT join against per-doc counts — the "
+        "corpus-side relation never reshuffles for the lookup.",
+    "text_cross_source_dup_matrix":
+        "Leakage matrix: distinct (fingerprint, source) hash aggregate, "
+        "fingerprint-keyed self equi-join bounded at C(sources,2) rows "
+        "per fingerprint, final aggregate on the source pair.",
 }
 
 

@@ -57,6 +57,10 @@ PROBES = [
     "embed_dim_stats",
     "curation_reservoir_per_source",
     "q_click_purchase_attribution",
+    "embed_pq_codebooks",
+    "ann_pq_adc_rerank",
+    "text_oov_rate",
+    "text_cross_source_dup_matrix",
 ]
 
 
