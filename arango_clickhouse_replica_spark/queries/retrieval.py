@@ -475,3 +475,108 @@ def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_fingerprints"))
         .orderBy("source_a", "source_b")
     )
+
+
+# Prefix-filtering set-similarity join (AllPairs/PPJoin family): the
+# OTHER canonical blocking strategy besides the hot-term df cap. Tokens
+# are globally ordered rarest-first; two sets with Jaccard >= t MUST
+# share a token inside each other's (1-t)-fraction prefix, so blocking
+# on each document's rarest-P tokens finds every qualifying pair while
+# hot tokens never generate candidates at all (a rare token's doc list
+# is short BY DEFINITION — the selectivity the df cap enforces
+# externally, prefix filtering gets from the ordering itself).
+_PREFIX_P = 3
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w FROM ({_DOC_WORDS_SQL})
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df_w FROM tok GROUP BY w
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    prefix AS (
+      SELECT doc_id, w FROM (
+        SELECT t.doc_id, t.w,
+               ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                  ORDER BY d.df_w ASC, t.w ASC) AS rn
+        FROM tok t JOIN df d USING (w)
+      ) WHERE rn <= {_PREFIX_P}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b USING (w)
+      WHERE a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    tags=("dedup", "prefix-filter", "near-dup"),
+    doc="Set-similarity join via prefix filtering (AllPairs/PPJoin "
+        "family): global rarest-first token order, candidates only from "
+        "each document's 3 rarest tokens, exact token-set Jaccard "
+        "verification on candidates, top-20. Complements the df-cap "
+        "blockers: selectivity comes from the ordering itself — a rare "
+        "token's doc list is short by definition, so the candidate join "
+        "is bounded without dropping any vocabulary. All counts are "
+        "exact integers; jaccard is one final division.",
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_words(spark, sf_dir).distinct()
+    df_w = tok.groupBy("w").agg(F.count("*").alias("df_w"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_w"), F.asc("w"))
+    prefix = (
+        tok.join(df_w, "w")
+        .withColumn("rn", F.row_number().over(w_rare))
+        .filter(F.col("rn") <= _PREFIX_P)
+        .select("doc_id", "w")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "w")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"))
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
