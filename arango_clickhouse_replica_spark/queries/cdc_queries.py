@@ -110,3 +110,50 @@ def cdc_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winners.filter(F.col("_deleted") == 1).select(
         "event_id", F.col("_ver").cast("long").alias("_ver")
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    versions AS (
+      SELECT DISTINCT event_id, _ver, _deleted, event_type,
+             CAST(value AS DOUBLE) AS value
+      FROM changes
+    )
+    SELECT event_id, event_type, value,
+           _ver AS valid_from_ver,
+           LEAD(_ver) OVER (PARTITION BY event_id ORDER BY _ver)
+             AS valid_to_ver,
+           (LEAD(_ver) OVER (PARTITION BY event_id ORDER BY _ver) IS NULL
+            AND _deleted = 0) AS is_current
+    FROM versions
+    """,
+    tags=("cdc", "scd2", "history"),
+    doc="SCD Type-2 history materialization from the change stream: every "
+        "version of every key becomes an interval row (valid_from_ver, "
+        "valid_to_ver, is_current) via one LEAD window per key — the "
+        "history-preserving alternative to the reference's "
+        "ReplacingMergeTree latest-state collapse (replication applies "
+        "M1 and discards prior versions; auditing and time-travel reads "
+        "need them kept). ONE shuffle on the key, state bounded per key "
+        "by its version count; a tombstone closes its interval with "
+        "is_current = false.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"], initial_tick=0)
+    versions = rows.select(
+        "event_id", "_ver", "_deleted", "event_type",
+        F.col("value").cast("double").alias("value"),
+    ).dropDuplicates(["event_id", "_ver", "_deleted", "event_type", "value"])
+    w = Window.partitionBy("event_id").orderBy("_ver")
+    nxt = F.lead("_ver").over(w)
+    return versions.select(
+        "event_id", "event_type", "value",
+        F.col("_ver").alias("valid_from_ver"),
+        nxt.alias("valid_to_ver"),
+        (nxt.isNull() & (F.col("_deleted") == 0)).alias("is_current"),
+    )
