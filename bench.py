@@ -76,6 +76,8 @@ HEADLINE = [
     "ann_pq_adc_rerank",
     "text_oov_rate",
     "text_cross_source_dup_matrix",
+    "dedup_prefix_filter_pairs",
+    "cdc_scd2_history",
 ]
 
 

@@ -141,6 +141,15 @@ COMMENT = {
         "Leakage matrix: distinct (fingerprint, source) hash aggregate, "
         "fingerprint-keyed self equi-join bounded at C(sources,2) rows "
         "per fingerprint, final aggregate on the source pair.",
+    "dedup_prefix_filter_pairs":
+        "Prefix filtering: rarest-3 prefix per doc (one window keyed by "
+        "doc), candidate equi-join on prefix tokens (rare tokens = short "
+        "doc lists, bounded fan-out), exact-Jaccard verification joins "
+        "keyed on the candidate pair.",
+    "cdc_scd2_history":
+        "SCD2: envelope preprocess is narrow; ONE exchange on the key "
+        "feeds the LEAD window; interval rows project directly — no "
+        "self-join, state bounded per key.",
 }
 
 
