@@ -134,11 +134,12 @@ def cdc_deleted_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version of every key becomes an interval row (valid_from_ver, "
         "valid_to_ver, is_current) via one LEAD window per key — the "
         "history-preserving alternative to the reference's "
-        "ReplacingMergeTree latest-state collapse (replication applies "
-        "M1 and discards prior versions; auditing and time-travel reads "
-        "need them kept). ONE shuffle on the key, state bounded per key "
-        "by its version count; a tombstone closes its interval with "
-        "is_current = false.",
+        "ReplacingMergeTree latest-state collapse (M1: the target DDL's "
+        "ReplacingMergeTree(_ver), replication/schema/helper.py:40-95, "
+        "discards prior versions on merge; auditing and time-travel "
+        "reads need them kept). ONE shuffle on the key, state bounded "
+        "per key by its version count; a tombstone closes its interval "
+        "with is_current = false.",
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -180,3 +180,66 @@ def streaming_dataset_card(df: DataFrame) -> DataFrame:
     return projected.groupBy("source", "lang").applyInPandasWithState(
         card, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_user_stats_tws(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key lifetime (n, total, vmax) on the NEW Spark 4 stateful API
+    (``transformWithStateInPandas``): explicit typed state variables via
+    ``StatefulProcessorHandle`` instead of the single opaque tuple
+    ``applyInPandasWithState`` allows. Functionally parallel to
+    ``streaming_running_totals`` (kept above — the older API remains the
+    wider-deployed one); this variant is the forward path: per-variable
+    state (ValueState/ListState/MapState), native TTL, and timers all
+    hang off the same handle.
+
+    Scale: identical state-store profile to any keyed stateful op — one
+    shuffle on the key, O(1) state per key, Arrow-batched transfer.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` (the JVM<->Python state protocol) — absent from
+    this container, so the parity test is environment-gated
+    (tests/test_streaming_stateful.py); the operator itself is complete.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, vmax = (
+                tuple(self._stats.get()) if self._stats.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                batch_max = float(pdf[value_col].max())
+                vmax = batch_max if vmax is None else max(vmax, batch_max)
+            self._stats.update((n, total, vmax))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "total": [total], "vmax": [vmax]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        UserStats(), out_schema, "Update", "None"
+    )

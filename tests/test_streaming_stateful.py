@@ -124,3 +124,64 @@ def test_dataset_card_totals_match_batch(spark, sf_dir, stream_dirs):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_dir, stream_dirs):
+    """The Spark-4 stateful API twin: drained per-user stats equal the
+    batch aggregate, across multiple micro-batches.
+
+    transformWithState's state protocol speaks protobuf between the JVM
+    and the Python state server; this container ships no google.protobuf,
+    so the test (not the operator) is environment-gated — same policy as
+    the multimodal codec stubs."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_user_stats_tws,
+    )
+
+    in_dir = stream_dirs
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(in_dir)
+
+    q = (
+        streaming_user_stats_tws(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("t_tws_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode re-emits a key per batch: keep each key's LAST row
+    got = (
+        spark.table("t_tws_stats")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .join(spark.table("t_tws_stats"), ["user_id", "n"])
+        .dropDuplicates(["user_id"])
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("value").alias("vmax"),
+    )
+    j = got.alias("g").join(want.alias("w"), "user_id")
+    assert j.count() == want.count()
+    bad = j.filter(
+        (F.col("g.n") != F.col("w.n"))
+        | (F.abs(F.col("g.total") - F.col("w.total")) > 1e-6)
+        | (F.abs(F.col("g.vmax") - F.col("w.vmax")) > 1e-9)
+    )
+    assert bad.count() == 0
