@@ -323,3 +323,48 @@ def curation_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.col("sample_rank").cast("int").alias("sample_rank"),
                 "n_source")
     )
+
+
+@query(
+    "curation_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("curation", "split", "sampling"),
+    doc="Deterministic train/val/test split (~80/10/10): each document's "
+        "salted-md5 hex prefix lands it in a split band — reproducible "
+        "across runs, engines, and partitionings, and STABLE under "
+        "corpus growth (a document's split never changes when new data "
+        "arrives, unlike rand() or modulo-of-row-number schemes — the "
+        "property that keeps eval sets uncontaminated across dataset "
+        "versions). The assignment is a pure narrow projection; the "
+        "audit output is one hash aggregate on (source, split).",
+)
+def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    split = (
+        F.when(h < "cc", F.lit("train"))
+        .when(h < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )

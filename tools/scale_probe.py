@@ -63,6 +63,7 @@ PROBES = [
     "text_cross_source_dup_matrix",
     "dedup_prefix_filter_pairs",
     "cdc_scd2_history",
+    "curation_train_val_test_split",
 ]
 
 
