@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from .llm_ops import _DOC_SHINGLES_SQL
 from .registry import query
 from .text_lm import _DOC_WORDS_SQL, _LOG2_DEC, _LOG2_DEC_SQL, _doc_words
 
@@ -478,13 +479,20 @@ def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Prefix-filtering set-similarity join (AllPairs/PPJoin family): the
-# OTHER canonical blocking strategy besides the hot-term df cap. Tokens
-# are globally ordered rarest-first; two sets with Jaccard >= t MUST
-# share a token inside each other's (1-t)-fraction prefix, so blocking
-# on each document's rarest-P tokens finds every qualifying pair while
-# hot tokens never generate candidates at all (a rare token's doc list
-# is short BY DEFINITION — the selectivity the df cap enforces
-# externally, prefix filtering gets from the ordering itself).
+# OTHER canonical blocking strategy besides the hot-term df cap. Set
+# elements are globally ordered rarest-first; two sets with Jaccard >= t
+# MUST share an element inside each other's (1-t)-fraction prefix, so
+# blocking on each document's rarest-P elements finds every qualifying
+# pair while hot elements never generate candidates at all (a rare
+# element's doc list is short BY DEFINITION — the selectivity the df cap
+# enforces externally, prefix filtering gets from the ordering itself).
+#
+# The element space is word-TRIGRAM shingles, not words: prefix
+# filtering is only as selective as its rarest features, and a
+# vocabulary-starved corpus (this fixture: 31 distinct words, min word
+# df = 5% of the corpus) makes every word hot — measured 105 s at sf0.1
+# on words vs ~2 s on shingles, whose feature space grows with the
+# corpus (27k shingles at sf0.1, max df 25).
 _PREFIX_P = 3
 
 
@@ -492,32 +500,32 @@ _PREFIX_P = 3
     "dedup_prefix_filter_pairs",
     oracle=f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id, w FROM ({_DOC_WORDS_SQL})
+      SELECT DISTINCT doc_id, s FROM ({_DOC_SHINGLES_SQL})
     ),
     df AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS df_w FROM tok GROUP BY w
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df_s FROM tok GROUP BY s
     ),
     sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
     ),
     prefix AS (
-      SELECT doc_id, w FROM (
-        SELECT t.doc_id, t.w,
+      SELECT doc_id, s FROM (
+        SELECT t.doc_id, t.s,
                ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                                  ORDER BY d.df_w ASC, t.w ASC) AS rn
-        FROM tok t JOIN df d USING (w)
+                                  ORDER BY d.df_s ASC, t.s ASC) AS rn
+        FROM tok t JOIN df d USING (s)
       ) WHERE rn <= {_PREFIX_P}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM prefix a JOIN prefix b USING (w)
+      FROM prefix a JOIN prefix b USING (s)
       WHERE a.doc_id < b.doc_id
     ),
     common AS (
       SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
       FROM cand c
       JOIN tok ta ON ta.doc_id = c.doc_a
-      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_common,
@@ -531,39 +539,42 @@ _PREFIX_P = 3
     """,
     tags=("dedup", "prefix-filter", "near-dup"),
     doc="Set-similarity join via prefix filtering (AllPairs/PPJoin "
-        "family): global rarest-first token order, candidates only from "
-        "each document's 3 rarest tokens, exact token-set Jaccard "
-        "verification on candidates, top-20. Complements the df-cap "
-        "blockers: selectivity comes from the ordering itself — a rare "
-        "token's doc list is short by definition, so the candidate join "
-        "is bounded without dropping any vocabulary. All counts are "
-        "exact integers; jaccard is one final division.",
+        "family) over word-trigram shingle sets: global rarest-first "
+        "shingle order, candidates only from each document's 3 rarest "
+        "shingles, exact shingle-set Jaccard verification on candidates, "
+        "top-20. Complements the df-cap blockers: selectivity comes "
+        "from the ordering itself — a rare shingle's doc list is short "
+        "by definition, so the candidate join is bounded without "
+        "dropping any features. All counts are exact integers; jaccard "
+        "is one final division.",
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_words(spark, sf_dir).distinct()
-    df_w = tok.groupBy("w").agg(F.count("*").alias("df_w"))
+    from .llm_ops import _doc_shingles
+
+    tok = _doc_shingles(spark, sf_dir).distinct()
+    df_s = tok.groupBy("s").agg(F.count("*").alias("df_s"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_w"), F.asc("w"))
+    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
     prefix = (
-        tok.join(df_w, "w")
+        tok.join(df_s, "s")
         .withColumn("rn", F.row_number().over(w_rare))
         .filter(F.col("rn") <= _PREFIX_P)
-        .select("doc_id", "w")
+        .select("doc_id", "s")
     )
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "w")
+        .join(prefix.alias("b"), "s")
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
         cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "w"])
+        .join(tb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
