@@ -189,26 +189,44 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# TF-IDF near-dup: the whole measure is defined over the DISCRIMINATIVE
-# vocabulary (document frequency <= cap) — hot terms are dropped before
-# weighting, norming, AND pairing, so the Spark plan and the oracle agree
-# on the vector space itself, and the pair join cost is bounded per term.
-_TFIDF_DF_CAP = 64
+# TF-IDF near-dup: the feature space is word-TRIGRAM shingles WITH
+# multiplicity (no array_distinct — tf matters here), restricted to the
+# DISCRIMINATIVE shingles (document frequency <= the same dynamic
+# GREATEST(5, LEAST(64, n_docs/100)) cap the MinHash/Jaccard blockers
+# use) — hot shingles are dropped before weighting, norming, AND
+# pairing, so the Spark plan and the oracle agree on the vector space
+# itself, and the pair join cost is bounded per shingle. Word-level
+# features are a trap on vocabulary-starved corpora: this fixture has
+# 31 distinct words with min df = 5% of the corpus, so a word-space
+# tf-idf is either vacuous (capped) or quadratic (uncapped).
 
+# Raw (multiplicity-preserving) shingle stream, shared shape with
+# _SHINGLES in llm_ops minus the distinct.
+_RAW_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+           AS s
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+"""
+
+_TFIDF_CAP_SQL = ("GREATEST(5, LEAST(64, "
+                  "(SELECT COUNT(*) FROM documents) // 100))")
 
 _TFIDF_WEIGHTS_SQL = f"""
-  SELECT dw.doc_id, dw.w,
-         CAST(round(CAST(dw.tf AS DOUBLE) * CAST(idf.idf_w AS DOUBLE), 6)
+  SELECT dw.doc_id, dw.s,
+         CAST(round(CAST(dw.tf AS DOUBLE) * CAST(idf.idf_s AS DOUBLE), 6)
               AS DECIMAL(18,6)) AS wt
-  FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w) dw
+  FROM (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ({_RAW_SHINGLES_SQL}) GROUP BY doc_id, s) dw
   JOIN (
-    SELECT w, {_LOG2_DEC_SQL.format(
-        x="CAST(n_docs AS DOUBLE) / CAST(df_w AS DOUBLE)")} AS idf_w
-    FROM ({_CORPUS_COUNTS_SQL}) cw0,
+    SELECT s, {_LOG2_DEC_SQL.format(
+        x="CAST(n_docs AS DOUBLE) / CAST(df_s AS DOUBLE)")} AS idf_s
+    FROM (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_s
+          FROM ({_RAW_SHINGLES_SQL}) GROUP BY s) cw0,
          (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) st
-    WHERE df_w <= {_TFIDF_DF_CAP}
-  ) idf ON dw.w = idf.w
+    WHERE df_s <= {_TFIDF_CAP_SQL}
+  ) idf ON dw.s = idf.s
 """
 
 
@@ -227,7 +245,7 @@ _TFIDF_WEIGHTS_SQL = f"""
              CAST(SUM(CAST(round(CAST(a.wt AS DOUBLE) * CAST(b.wt AS DOUBLE), 6)
                            AS DECIMAL(18,6))) AS DOUBLE) AS dot,
              CAST(COUNT(*) AS BIGINT) AS n_shared
-      FROM wt a JOIN wt b USING (w)
+      FROM wt a JOIN wt b USING (s)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -240,34 +258,49 @@ _TFIDF_WEIGHTS_SQL = f"""
     LIMIT 20
     """,
     tags=("dedup", "tfidf", "near-dup"),
-    doc="TF-IDF weighted cosine near-dup top-20: complements raw-shingle "
-        "Jaccard by up-weighting rare shared vocabulary. Defined entirely "
-        "over the discriminative vocabulary (df <= 64 — same blocking "
-        "rationale as the MinHash hot-shingle cap), so the shared-term "
-        "pair join is bounded at O(cap^2) per term, never all-pairs. "
-        "Dot products and norms sum 6-dp decimals (exact, order-free); "
-        "cosine is one double division per pair.",
+    doc="TF-IDF weighted cosine near-dup top-20 over multiplicity-"
+        "preserving trigram shingles: complements unweighted shingle "
+        "Jaccard by up-weighting rare shared phrasing. Defined entirely "
+        "over the discriminative shingles (the same dynamic df cap as "
+        "the MinHash blockers), so the shared-shingle pair join is "
+        "bounded at O(cap^2) per shingle, never all-pairs. Dot products "
+        "and norms sum 6-dp decimals (exact, order-free); cosine is one "
+        "double division per pair.",
 )
 def dedup_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _doc_words(spark, sf_dir)
-    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    cw = dw.groupBy("w").agg(F.count("*").alias("df_w"))
-    n_docs = load_table(spark, "documents", sf_dir).agg(
-        F.count("*").alias("n_docs")
-    )
-    idf = (
-        cw.filter(F.col("df_w") <= _TFIDF_DF_CAP)
-        .crossJoin(F.broadcast(n_docs))
+    from .llm_ops import _hot_shingle_cap
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select(
-            "w",
-            F.expr(_LOG2_DEC.format(
-                x="cast(n_docs as double) / cast(df_w as double)")).alias("idf_w"),
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("s"),
         )
     )
-    wt = dw.join(idf, "w").select(
+    dw = raw.groupBy("doc_id", "s").agg(F.count("*").alias("tf"))
+    cw = dw.groupBy("s").agg(F.count("*").alias("df_s"))
+    cap = _hot_shingle_cap(docs.count())
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        cw.filter(F.col("df_s") <= cap)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "s",
+            F.expr(_LOG2_DEC.format(
+                x="cast(n_docs as double) / cast(df_s as double)")).alias("idf_s"),
+        )
+    )
+    wt = dw.join(idf, "s").select(
         "doc_id",
-        "w",
-        F.round(F.col("tf").cast("double") * F.col("idf_w").cast("double"), 6)
+        "s",
+        F.round(F.col("tf").cast("double") * F.col("idf_s").cast("double"), 6)
         .cast("decimal(18,6)").alias("wt"),
     )
     nrm = wt.groupBy("doc_id").agg(
@@ -278,10 +311,10 @@ def dedup_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("nrm")
     )
-    a = wt.select(F.col("doc_id").alias("doc_a"), "w", F.col("wt").alias("wa"))
-    b = wt.select(F.col("doc_id").alias("doc_b"), "w", F.col("wt").alias("wb"))
+    a = wt.select(F.col("doc_id").alias("doc_a"), "s", F.col("wt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("doc_b"), "s", F.col("wt").alias("wb"))
     dots = (
-        a.join(b, "w")
+        a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
