@@ -412,9 +412,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic vocabulary head for OOV measurement: top-N words by
-# (count desc, word asc) — the tokenizer's "known" set.
-_OOV_VOCAB_N = 1000
+# Deterministic vocabulary head for OOV measurement: the most frequent
+# CEIL(2/3 * |vocab|) words by (count desc, word asc) — a RELATIVE head,
+# not an absolute top-N, so the check is non-vacuous on any corpus (a
+# fixed top-1000 head swallows this fixture's entire 31-word vocabulary
+# and reports 0% OOV everywhere; a production run would pin the real
+# tokenizer's vocab here instead).
+_OOV_VOCAB_FRAC_NUM, _OOV_VOCAB_FRAC_DEN = 2, 3
 
 
 @query(
@@ -424,7 +428,9 @@ _OOV_VOCAB_N = 1000
     vocab AS (
       SELECT w FROM (
         SELECT w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk FROM cw
-      ) WHERE rnk <= {_OOV_VOCAB_N}
+      ) WHERE rnk <= CAST(ceil((SELECT COUNT(*) FROM cw)
+                               * {_OOV_VOCAB_FRAC_NUM}.0
+                               / {_OOV_VOCAB_FRAC_DEN}) AS BIGINT)
     ),
     dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
@@ -441,21 +447,30 @@ _OOV_VOCAB_N = 1000
     """,
     tags=("text", "tokenizer", "quality"),
     doc="Tokenizer-coverage check: per-document out-of-vocabulary token "
-        "rate against the deterministic top-1000 vocabulary head "
-        "(count desc, word tiebreak) — the pre-training sanity pass that "
-        "catches corpora a fixed tokenizer cannot represent. The vocab "
-        "head is distributed top-k then BROADCAST into a left join "
-        "against per-doc word counts (corpus never reshuffles for the "
-        "lookup); the rate is exact-integer counts with one final "
-        "division.",
+        "rate against the deterministic top-2/3 vocabulary head "
+        "(count desc, word tiebreak; relative so the check is "
+        "non-vacuous on any corpus — production pins the tokenizer's "
+        "actual vocab) — the pre-training sanity pass that catches "
+        "corpora a fixed tokenizer cannot represent. The vocab head is "
+        "distributed top-k then BROADCAST into a left join against "
+        "per-doc word counts (corpus never reshuffles for the lookup); "
+        "the rate is exact-integer counts with one final division.",
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     words = _doc_words(spark, sf_dir)
     dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    cw = dw.groupBy("w").agg(F.sum("c").alias("c_w"))
+    # |vocab| is the aggregated vocabulary cardinality (tiny vs corpus);
+    # the scalar head size keeps the top-k a distributed
+    # TakeOrderedAndProject.
+    head = math.ceil(
+        cw.count() * _OOV_VOCAB_FRAC_NUM / _OOV_VOCAB_FRAC_DEN
+    )
     vocab = (
-        dw.groupBy("w").agg(F.sum("c").alias("c_w"))
-        .orderBy(F.desc("c_w"), F.asc("w"))
-        .limit(_OOV_VOCAB_N)
+        cw.orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(head)
         .select("w", F.lit(True).alias("in_vocab"))
     )
     oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
