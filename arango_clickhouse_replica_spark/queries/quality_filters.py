@@ -368,3 +368,58 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+@query(
+    "curation_importance_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS keep_p,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':importance'), 1, 4) AS h,
+             lower(lpad(hex(CAST(floor(LEAST(1.0, CAST(n_chars AS DOUBLE)
+                                              / 1000.0) * 65535.0) AS BIGINT)),
+                        4, '0')) AS thresh
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE h < thresh) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE h < thresh) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_frac
+    FROM weighted
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "sampling", "importance"),
+    doc="Importance sampling with per-document keep probability (here "
+        "length-weighted: p = min(1, n_chars/1000) — in production the "
+        "weight is a quality/domain score): a document survives iff its "
+        "salted-md5 hex prefix falls under floor(p * 65535) rendered as "
+        "fixed-width lowercase hex, so the lexicographic compare IS the "
+        "numeric compare and the Bernoulli draw replays identically on "
+        "any engine and partitioning. The weighting and draw are one "
+        "narrow projection (pushes to the scan); the audit output is a "
+        "single hash aggregate per source.",
+)
+def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(1000.0))
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":importance"))), 1, 4
+    )
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(keep_p * F.lit(65535.0)).cast("long")), 4, "0")
+    )
+    kept = (h < thresh).cast("long")
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("kept").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count("*").cast("double"))
+            .alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,7 @@ PROBES = [
     "dedup_prefix_filter_pairs",
     "cdc_scd2_history",
     "curation_train_val_test_split",
+    "curation_importance_sample",
 ]
 
 
