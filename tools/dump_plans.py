@@ -102,10 +102,10 @@ COMMENT = {
         "the per-doc length join shares the doc_id key with the score "
         "aggregate; top-20 is TakeOrderedAndProject.",
     "dedup_tfidf_cosine_topk":
-        "TF-IDF cosine near-dup: the vector space is the df-capped "
-        "vocabulary, so the shared-term pair join is bounded per term; "
-        "weights/norms/dots all sum exact decimals in hash aggregates "
-        "with map-side partials.",
+        "TF-IDF cosine near-dup: the vector space is df-capped "
+        "multiplicity-preserving shingles, so the shared-shingle pair "
+        "join is bounded per shingle; weights/norms/dots all sum exact "
+        "decimals in hash aggregates with map-side partials.",
     "embed_kmeans_lloyd":
         "Lloyd round: both assignment passes broadcast 16 centroids "
         "(narrow map, no exchange); the ONLY wide stages are the "
@@ -142,10 +142,10 @@ COMMENT = {
         "fingerprint-keyed self equi-join bounded at C(sources,2) rows "
         "per fingerprint, final aggregate on the source pair.",
     "dedup_prefix_filter_pairs":
-        "Prefix filtering: rarest-3 prefix per doc (one window keyed by "
-        "doc), candidate equi-join on prefix tokens (rare tokens = short "
-        "doc lists, bounded fan-out), exact-Jaccard verification joins "
-        "keyed on the candidate pair.",
+        "Prefix filtering: rarest-3 shingle prefix per doc (one window "
+        "keyed by doc), candidate equi-join on prefix shingles (rare "
+        "shingles = short doc lists, bounded fan-out), exact-Jaccard "
+        "verification joins keyed on the candidate pair.",
     "cdc_scd2_history":
         "SCD2: envelope preprocess is narrow; ONE exchange on the key "
         "feeds the LEAD window; interval rows project directly — no "
