@@ -60,3 +60,53 @@ def test_watermark_dedup_batch_twin_is_exact_dedup(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
     doubled = ev.unionAll(ev)
     assert watermark_dedup(doubled, ["event_id"]).count() == ev.count()
+
+
+def test_stream_stream_join_checkpoint_restart_incremental(spark, sf_dir, tmp_path):
+    """Checkpointed restarts: a second run with no new input emits
+    nothing; appending new events emits ONLY the new pairs (exactly-once
+    across restarts, the CDC T2/T3 property on the interval join)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    # Split by TIME, not by key: the second delivery must be FUTURE data.
+    # A key-interleaved split would deliver events older than run 1's
+    # final watermark, which streaming correctly drops as late — the
+    # restart property under test is incremental progress, not late-data
+    # recovery.
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    first = ev.filter(F.col("ts") <= F.lit(cut))
+    second = ev.filter(F.col("ts") > F.lit(cut))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.repartition(2).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            click_purchase_pairs(
+                spark.readStream.schema(ev.schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = run_once()
+    assert n1 == click_purchase_pairs(first).count()
+
+    # restart with no new data: nothing new is emitted
+    assert run_once() == n1
+
+    # append the second half: only the incremental pairs appear
+    second.repartition(2).write.mode("append").parquet(src)
+    n3 = run_once()
+    assert n3 == click_purchase_pairs(ev).count()
+    assert n3 > n1
