@@ -129,3 +129,21 @@ def test_jaccard_pair_lists_are_capped(spark, sf_dir):
         .agg(F.max("df").alias("m")).first().m
     )
     assert max_df <= cap
+
+
+def test_sampling_scans_skip_text_column(spark, sf_dir):
+    """The sampling/split audits need only (doc_id, source, n_chars);
+    reading the wide text column would dominate scan cost at 100 TB."""
+    for name in ("curation_reservoir_per_source",
+                 "curation_train_val_test_split",
+                 "curation_importance_sample"):
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [seg for seg in plan.split("FileScan parquet")
+                 if "documents.parquet" in seg]
+        assert scans, f"{name}: no documents scan found"
+        for seg in scans:
+            read_schema = seg.split("ReadSchema:")[1].splitlines()[0]
+            assert "text" not in read_schema, (
+                f"{name}: text column read: {read_schema}"
+            )
