@@ -1,11 +1,15 @@
 """Sparse-retrieval and corpus-statistics operators over ``documents``:
-BM25 top-k ranking, TF-IDF weighted cosine near-dup, and a Zipf-law
-slope fit. These extend SURVEY §2.12c (text analysis) with the classic
-inverted-index scoring a training-data pipeline uses for targeted corpus
-slicing (BM25), weighted near-dup detection (TF-IDF cosine — catches
-documents that share *rare* vocabulary where raw Jaccard over-weights
-stopwords), and corpus-health monitoring (Zipf slope: a healthy natural
-corpus sits near -1; template/spam floods flatten it).
+BM25 top-k ranking, TF-IDF weighted cosine near-dup, a Zipf-law slope
+fit, tokenizer OOV coverage, a cross-source leakage matrix, and a
+prefix-filtering set-similarity join. These extend SURVEY §2.12c (text
+analysis) with the classic inverted-index scoring a training-data
+pipeline uses for targeted corpus slicing (BM25), weighted near-dup
+detection (TF-IDF cosine — catches documents that share *rare* phrasing
+where raw Jaccard over-weights stopwords), corpus-health monitoring
+(Zipf slope: a healthy natural corpus sits near -1; template/spam
+floods flatten it), tokenizer-coverage auditing (OOV), mixture-weight
+contamination auditing (leakage matrix), and the AllPairs/PPJoin
+blocking family (prefix filter).
 
 Cross-engine determinism (driver hash-compares vs DuckDB):
 
@@ -24,11 +28,11 @@ Scale (100 TB):
 - BM25's query-term relation is tiny (broadcast); the per-(doc, term)
   tf table is the only wide shuffle and is the same relation an
   inverted index materializes.
-- TF-IDF pair generation is term-blocked with the SAME hot-term
-  document-frequency cap as the Jaccard/MinHash blockers
-  (operators/blocking.py): a term in >cap docs carries no near-dup
-  signal but costs O(df^2) pairs, so it is dropped before the join —
-  the candidate join is never all-pairs.
+- TF-IDF pair generation is shingle-blocked with the SAME dynamic
+  hot-shingle document-frequency cap as the Jaccard/MinHash blockers
+  (llm_ops._hot_shingle_cap): a shingle in >cap docs carries no
+  near-dup signal but costs O(df^2) pairs, so it is dropped before the
+  join — the candidate join is never all-pairs.
 - The Zipf fit reduces the corpus to its top-100 word frequencies
   (distributed TakeOrderedAndProject), then fits least-squares over
   100 rows of exact decimals — a driver-sized final stage.
