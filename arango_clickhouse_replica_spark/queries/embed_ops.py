@@ -515,3 +515,87 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim",
                 F.col("rn").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: recall of the LSH scale path vs the exact baseline, as a
+# first-class oracle-checked query (not just a test assertion).
+# ---------------------------------------------------------------------------
+
+from .registry import QUERIES as _REG  # populated by earlier imports
+
+
+def _ann_recall_oracle() -> str:
+    brute = _REG["ann_cosine_topk_bruteforce"].oracle
+    lsh = _REG["ann_lsh_bucketed"].oracle
+    return f"""
+    WITH exact_topk AS ({brute}),
+    approx_topk AS ({lsh}),
+    hits AS (
+      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact_topk e
+      JOIN approx_topk a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ),
+    ex AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact_topk GROUP BY query_id
+    ),
+    ap AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+      FROM approx_topk GROUP BY query_id
+    )
+    SELECT ex.query_id, ex.n_exact,
+           COALESCE(ap.n_approx, 0) AS n_approx,
+           COALESCE(hits.n_hit, 0) AS n_hit,
+           CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
+             / CAST(ex.n_exact AS DOUBLE) AS recall
+    FROM ex
+    LEFT JOIN ap ON ap.query_id = ex.query_id
+    LEFT JOIN hits ON hits.query_id = ex.query_id
+    ORDER BY ex.query_id
+    """
+
+
+@query(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("similarity", "ann", "quality"),
+    doc="Recall@5 of the LSH-bucketed ANN against the exact brute-force "
+        "baseline, per query — approximation quality as a first-class "
+        "oracle-checked relation rather than a test-only assertion, the "
+        "report an index-tuning loop reads before raising the hyperplane "
+        "bit count. Composes the two existing pipelines and joins their "
+        "top-k sets on (query, neighbor); the extra cost over running "
+        "both pipelines is two Q-sized aggregates and a Q*k equi-join.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import ann_cosine_topk_bruteforce, ann_lsh_bucketed
+
+    ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ap = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ex.join(ap, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_ap = ap.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    return (
+        n_ex.join(n_ap, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

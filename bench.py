@@ -80,6 +80,7 @@ HEADLINE = [
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
+    "ann_recall_report",
 ]
 
 

@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
         "the 1-row n_docs aggregate broadcast-attaches onto the "
         "df-capped vocabulary (O(V*1)); weighting, norming, and the "
         "shared-term pair join are all hash equi-joins",
+    "ann_recall_report":
+        "inherits ann_cosine_topk_bruteforce's allowlisted broadcast "
+        "loop — the report exists to measure the LSH path against that "
+        "exact baseline, so it necessarily runs it",
     "ann_pq_adc_rerank":
         "the LUT build crosses the bounded query set with the 128-row "
         "broadcast codebook (O(Q*128) — the PQ lookup-table "

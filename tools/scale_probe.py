@@ -65,6 +65,7 @@ PROBES = [
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
+    "ann_recall_report",
 ]
 
 
