@@ -525,36 +525,52 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import QUERIES as _REG  # populated by earlier imports
 
 
+# The three approximate scale paths the report grades, by name.
+_RECALL_METHODS = ("lsh", "ivf", "pq")
+_RECALL_SOURCES = {
+    "lsh": "ann_lsh_bucketed",
+    "ivf": "ann_ivf_probed",
+    "pq": "ann_pq_adc_rerank",
+}
+
+
 def _ann_recall_oracle() -> str:
     brute = _REG["ann_cosine_topk_bruteforce"].oracle
-    lsh = _REG["ann_lsh_bucketed"].oracle
+    approx_union = "\n      UNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id"
+        f" FROM ({_REG[q].oracle})"
+        for m, q in _RECALL_SOURCES.items()
+    )
     return f"""
     WITH exact_topk AS ({brute}),
-    approx_topk AS ({lsh}),
+    approx_topk AS (
+      {approx_union}
+    ),
     hits AS (
-      SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      SELECT a.method, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
       FROM exact_topk e
       JOIN approx_topk a
         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY e.query_id
+      GROUP BY a.method, e.query_id
     ),
     ex AS (
       SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
       FROM exact_topk GROUP BY query_id
     ),
     ap AS (
-      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
-      FROM approx_topk GROUP BY query_id
-    )
-    SELECT ex.query_id, ex.n_exact,
+      SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+      FROM approx_topk GROUP BY method, query_id
+    ),
+    m AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method)
+    SELECT m.method, ex.query_id, ex.n_exact,
            COALESCE(ap.n_approx, 0) AS n_approx,
            COALESCE(hits.n_hit, 0) AS n_hit,
            CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
              / CAST(ex.n_exact AS DOUBLE) AS recall
-    FROM ex
-    LEFT JOIN ap ON ap.query_id = ex.query_id
-    LEFT JOIN hits ON hits.query_id = ex.query_id
-    ORDER BY ex.query_id
+    FROM ex CROSS JOIN m
+    LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.method = m.method
+    LEFT JOIN hits ON hits.query_id = ex.query_id AND hits.method = m.method
+    ORDER BY m.method, ex.query_id
     """
 
 
@@ -562,32 +578,49 @@ def _ann_recall_oracle() -> str:
     "ann_recall_report",
     oracle=_ann_recall_oracle(),
     tags=("similarity", "ann", "quality"),
-    doc="Recall@5 of the LSH-bucketed ANN against the exact brute-force "
-        "baseline, per query — approximation quality as a first-class "
-        "oracle-checked relation rather than a test-only assertion, the "
-        "report an index-tuning loop reads before raising the hyperplane "
-        "bit count. Composes the two existing pipelines and joins their "
-        "top-k sets on (query, neighbor); the extra cost over running "
-        "both pipelines is two Q-sized aggregates and a Q*k equi-join.",
+    doc="Recall@5 of all three approximate ANN scale paths (LSH "
+        "buckets, IVF probes, PQ ADC) against the exact brute-force "
+        "baseline, per (method, query) — approximation quality as a "
+        "first-class oracle-checked relation rather than a test-only "
+        "assertion: the report an index-tuning loop reads before "
+        "raising hyperplane bits / nprobe / codebook size. Composes "
+        "the existing pipelines and joins their top-k sets on (query, "
+        "neighbor); the extra cost over running the pipelines is "
+        "method-keyed Q-sized aggregates and a Q*k equi-join.",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops import ann_cosine_topk_bruteforce, ann_lsh_bucketed
+    from .llm_ops import ann_cosine_topk_bruteforce
 
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    ap = ann_lsh_bucketed(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for m in _RECALL_METHODS:
+        builder = _REG[_RECALL_SOURCES[m]].build
+        parts.append(
+            builder(spark, sf_dir).select(
+                F.lit(m).alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    ap = parts[0]
+    for p in parts[1:]:
+        ap = ap.unionByName(p)
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
+        .groupBy("method", "query_id")
         .agg(F.count("*").alias("n_hit"))
     )
     n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    n_ap = ap.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    n_ap = ap.groupBy("method", "query_id").agg(F.count("*").alias("n_approx"))
+    methods = spark.createDataFrame(
+        [(m,) for m in _RECALL_METHODS], "method string"
+    )
     return (
-        n_ex.join(n_ap, "query_id", "left")
-        .join(hits, "query_id", "left")
+        n_ex.crossJoin(F.broadcast(methods))
+        .join(n_ap, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
         .select(
+            "method",
             "query_id",
             "n_exact",
             F.coalesce(F.col("n_approx"), F.lit(0)).alias("n_approx"),
@@ -597,5 +630,5 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_exact").cast("double")
             ).alias("recall"),
         )
-        .orderBy("query_id")
+        .orderBy("method", "query_id")
     )
