@@ -620,3 +620,46 @@ def q_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_discount") > 0.05, F.col("l_orderkey"))
         ).cast("long").alias("n_discounted_orders"),
     )
+
+
+@query(
+    "q_mode_ship_priority",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY n DESC, o_orderpriority) AS rn
+          FROM counts)
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+    doc="Deterministic MODE per group (most frequent order priority per "
+        "status): value counts then a per-group argmax with a value "
+        "tiebreak. The built-in mode() aggregate picks an ARBITRARY "
+        "value on ties — unusable under a hash-compare oracle or a "
+        "retried task at scale; count+argmax costs one extra (tiny, "
+        "already-aggregated) window and is replay-stable.",
+)
+def q_mode_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )
