@@ -643,3 +643,71 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# Vocabulary head sizes measured by the coverage curve, as fractions of
+# the aggregated vocabulary (relative, like the OOV head — see above).
+_COVERAGE_FRACS = (25, 50, 75)
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH cw AS ({_CORPUS_COUNTS_SQL}),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS v FROM cw),
+    ranked AS (
+      SELECT c_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk FROM cw
+    ),
+    pts AS (
+      SELECT f.pct,
+             CAST(ceil(tot.v * f.pct / 100.0) AS BIGINT) AS head_size,
+             tot.n_total
+      FROM (SELECT unnest([{", ".join(str(p) for p in _COVERAGE_FRACS)}])
+                   AS pct) f, tot
+    )
+    SELECT CAST(pts.pct AS INT) AS vocab_pct, pts.head_size,
+           CAST(SUM(r.c_w) AS BIGINT) AS covered_tokens,
+           pts.n_total AS total_tokens,
+           CAST(SUM(r.c_w) AS DOUBLE) / CAST(pts.n_total AS DOUBLE)
+             AS coverage
+    FROM pts JOIN ranked r ON r.rnk <= pts.head_size
+    GROUP BY pts.pct, pts.head_size, pts.n_total
+    ORDER BY vocab_pct
+    """,
+    tags=("text", "tokenizer", "vocab"),
+    doc="Vocabulary coverage curve: what fraction of all corpus tokens "
+        "the top-25/50/75% vocabulary heads cover — the token-coverage "
+        "vs vocab-size trade a tokenizer-sizing decision reads (a steep "
+        "curve = small vocab suffices; flat = long tail matters). The "
+        "corpus reduces to the aggregated vocabulary once; each curve "
+        "point is a bounded-rank aggregate over that (small) relation, "
+        "attached to the 1-row total by broadcast.",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    cw = _corpus_counts(spark, sf_dir)
+    v, n_total = cw.agg(
+        F.count("*").alias("v"), F.sum("c_w").alias("t")
+    ).collect()[0]
+    ranked = cw.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c_w"), F.asc("w")))
+    )
+    parts = []
+    for pct in _COVERAGE_FRACS:
+        head = math.ceil(v * pct / 100.0)
+        parts.append(
+            ranked.filter(F.col("rnk") <= head).agg(
+                F.lit(pct).cast("int").alias("vocab_pct"),
+                F.lit(head).cast("long").alias("head_size"),
+                F.sum("c_w").alias("covered_tokens"),
+                F.lit(n_total).cast("long").alias("total_tokens"),
+                (F.sum("c_w").cast("double") / F.lit(float(n_total)))
+                .alias("coverage"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("vocab_pct")

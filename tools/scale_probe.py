@@ -66,6 +66,7 @@ PROBES = [
     "curation_train_val_test_split",
     "curation_importance_sample",
     "ann_recall_report",
+    "text_vocab_coverage_curve",
 ]
 
 
