@@ -423,3 +423,69 @@ def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_dedup_keep_list",
+    oracle=None,  # composed below from the clusters oracle at import time
+    tags=("curation", "dedup", "decision"),
+    doc="The corpus-wide dedup DECISION: every document is kept unless "
+        "it is a non-canonical member of a near-dup cluster "
+        "(dedup_near_dup_clusters: MinHash/LSH pairs -> connected "
+        "components, canonical = min doc_id). Documents in no cluster "
+        "keep trivially via a LEFT join against the (small) cluster "
+        "relation; the audit output is drop counts per source — the "
+        "number a curation run reports before materializing the kept "
+        "corpus. Cost beyond the cluster pipeline: one broadcast-able "
+        "left join keyed on doc_id and one hash aggregate.",
+)
+def curation_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import dedup_near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    clusters = dedup_near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    keep = F.coalesce(F.col("is_canonical"), F.lit(1)) == 1
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .select("source", keep.cast("long").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.sum("kept")).alias("n_dropped"),
+            (
+                (F.count("*") - F.sum("kept")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# Compose the keep-list oracle from the clusters oracle (both engines
+# must agree on the cluster relation itself, so reuse it verbatim).
+def _install_keep_list_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    clusters = _Q["dedup_near_dup_clusters"].oracle
+    oracle = f"""
+    WITH clusters AS ({clusters})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c.is_canonical = 0) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE c.is_canonical = 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    _Q["curation_dedup_keep_list"] = replace(
+        _Q["curation_dedup_keep_list"], oracle=oracle
+    )
+
+
+_install_keep_list_oracle()

@@ -82,6 +82,7 @@ HEADLINE = [
     "curation_importance_sample",
     "ann_recall_report",
     "text_vocab_coverage_curve",
+    "curation_dedup_keep_list",
 ]
 
 
