@@ -45,6 +45,12 @@ def connected_components(
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    # Materialize the edge list ONCE: every propagation round joins against
+    # ``und``, and without this the whole upstream pipeline that produced
+    # ``edges`` (e.g. shingle -> MinHash -> LSH banding) re-executes per
+    # round. At 100 TB the edge list is the small derived relation; the
+    # corpus scan it came from is the thing you must not repeat.
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))

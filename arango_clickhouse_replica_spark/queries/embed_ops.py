@@ -195,7 +195,7 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM({_DEC_SQL.format(
                x='CAST(e.embedding[t.i] AS DOUBLE)')}) AS DOUBLE)
              / COUNT(*), 6) AS mean,
-           round(sqrt(
+           round(sqrt(GREATEST(0,
              CAST(SUM({_DEC_SQL.format(
                  x='CAST(e.embedding[t.i] AS DOUBLE)'
                    ' * CAST(e.embedding[t.i] AS DOUBLE)')}) AS DOUBLE)
@@ -205,7 +205,7 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / COUNT(*))
                * (CAST(SUM({_DEC_SQL.format(
                  x='CAST(e.embedding[t.i] AS DOUBLE)')}) AS DOUBLE)
-                  / COUNT(*))), 6) AS std
+                  / COUNT(*)))), 6) AS std
     FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
     GROUP BY t.i
     ORDER BY dim
@@ -240,9 +240,15 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(mean, 6).alias("mean"),
         # mean*mean, not pow(mean, 2): libm pow is not guaranteed
-        # correctly rounded; multiplication is.
-        F.round(F.sqrt(F.col("s2") / F.col("n") - mean * mean), 6)
-        .alias("std"),
+        # correctly rounded; multiplication is. Variance is clamped at 0:
+        # the 6-dp-rounded moment terms can make E[x^2]-mean^2 a tiny
+        # negative for a near-constant dimension, which would be NaN here
+        # but an Out-of-Range ERROR in DuckDB's sqrt — clamping both sides
+        # keeps the engines in lockstep on any fixture.
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), F.col("s2") / F.col("n") - mean * mean)),
+            6,
+        ).alias("std"),
     ).orderBy("dim")
 
 

@@ -1458,15 +1458,48 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(the component minimum always passes the r.lab < e.b guard).",
 )
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clusters_relation(spark, sf_dir)
+
+
+# The cluster relation is the hub of the whole curation fan-out: keep-list,
+# segment rewrite, and the drop-rate audit all consume it. Computing it
+# involves the iterative connected-components loop (a full Spark job per
+# round), so a curation run must compute it ONCE and share — at 100 TB
+# nobody re-runs clustering to print drop rates. Within a session we cache
+# the localCheckpoint-ed relation per (application, sf_dir); across runs,
+# ``materialize_clusters`` writes it to parquet.
+_CLUSTERS_CACHE: dict = {}
+
+
+def clusters_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster relation ``(doc_id, cluster_id, is_canonical)``,
+    computed at most once per (SparkSession, sf_dir) and served from an
+    eager localCheckpoint thereafter."""
     from ..operators.components import connected_components
 
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    cached = _CLUSTERS_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = dedup_minhash_lsh_candidates(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    return comp.select(
+    out = comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
-    )
+    ).localCheckpoint(eager=True)
+    _CLUSTERS_CACHE[key] = out
+    return out
+
+
+def materialize_clusters(spark: SparkSession, sf_dir: str, out_path: str) -> DataFrame:
+    """Write the cluster relation to parquet at ``out_path`` (the durable
+    form of the within-session cache) and return the written relation.
+    Downstream curation stages in a separate job read the parquet instead
+    of re-running LSH + connected components."""
+    rel = clusters_relation(spark, sf_dir)
+    rel.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
 
 
 @query(

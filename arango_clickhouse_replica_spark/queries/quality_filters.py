@@ -376,10 +376,11 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH weighted AS (
       SELECT doc_id, source, n_chars,
              LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) AS keep_p,
-             substr(md5(CAST(doc_id AS VARCHAR) || ':importance'), 1, 4) AS h,
+             lpad(substr(md5(CAST(doc_id AS VARCHAR) || ':importance'), 1, 4),
+                  5, '0') AS h,
              lower(lpad(hex(CAST(floor(LEAST(1.0, CAST(n_chars AS DOUBLE)
-                                              / 1000.0) * 65535.0) AS BIGINT)),
-                        4, '0')) AS thresh
+                                              / 1000.0) * 65536.0) AS BIGINT)),
+                        5, '0')) AS thresh
       FROM documents
     )
     SELECT source,
@@ -395,21 +396,30 @@ def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
     doc="Importance sampling with per-document keep probability (here "
         "length-weighted: p = min(1, n_chars/1000) — in production the "
         "weight is a quality/domain score): a document survives iff its "
-        "salted-md5 hex prefix falls under floor(p * 65535) rendered as "
-        "fixed-width lowercase hex, so the lexicographic compare IS the "
-        "numeric compare and the Bernoulli draw replays identically on "
-        "any engine and partitioning. The weighting and draw are one "
-        "narrow projection (pushes to the scan); the audit output is a "
-        "single hash aggregate per source.",
+        "salted-md5 16-bit hex prefix falls under floor(p * 65536), both "
+        "rendered as FIVE lowercase hex chars so the lexicographic "
+        "compare IS the numeric compare and p = 1.0 maps to '10000', "
+        "strictly above every 16-bit draw — keep_p=1 keeps "
+        "unconditionally and each band's keep fraction is exactly "
+        "floor(p*65536)/65536. The draw replays identically on any "
+        "engine and partitioning. The weighting and draw are one narrow "
+        "projection (pushes to the scan); the audit output is a single "
+        "hash aggregate per source.",
 )
 def curation_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(1000.0))
-    h = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":importance"))), 1, 4
+    h = F.lpad(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":importance"))),
+            1,
+            4,
+        ),
+        5,
+        "0",
     )
     thresh = F.lower(
-        F.lpad(F.hex(F.floor(keep_p * F.lit(65535.0)).cast("long")), 4, "0")
+        F.lpad(F.hex(F.floor(keep_p * F.lit(65536.0)).cast("long")), 5, "0")
     )
     kept = (h < thresh).cast("long")
     return (

@@ -532,12 +532,18 @@ def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Prefix-filtering set-similarity join (AllPairs/PPJoin family): the
 # OTHER canonical blocking strategy besides the hot-term df cap. Set
-# elements are globally ordered rarest-first; two sets with Jaccard >= t
-# MUST share an element inside each other's (1-t)-fraction prefix, so
-# blocking on each document's rarest-P elements finds every qualifying
-# pair while hot elements never generate candidates at all (a rare
-# element's doc list is short BY DEFINITION — the selectivity the df cap
-# enforces externally, prefix filtering gets from the ordering itself).
+# elements are globally ordered rarest-first; the exact AllPairs bound
+# says two sets with Jaccard >= t MUST share an element inside each
+# other's first |s| - ceil(t*|s|) + 1 elements, so a THRESHOLD-derived
+# prefix is complete. This variant fixes the prefix at P elements
+# instead — a deliberately lossy HEURISTIC blocker: it is only complete
+# for pairs with Jaccard >= 1 - P/|s|, and for documents with many
+# shingles a genuinely high-Jaccard pair can hide outside the rarest-3
+# block. What the fixed prefix buys is a hard candidate bound that a
+# threshold-derived prefix (whose length grows with |s|) cannot give;
+# hot elements still never generate candidates at all (a rare element's
+# doc list is short BY DEFINITION — the selectivity the df cap enforces
+# externally, prefix filtering gets from the ordering itself).
 #
 # The element space is word-TRIGRAM shingles, not words: prefix
 # filtering is only as selective as its rarest features, and a
@@ -590,15 +596,17 @@ _PREFIX_P = 3
     LIMIT 20
     """,
     tags=("dedup", "prefix-filter", "near-dup"),
-    doc="Set-similarity join via prefix filtering (AllPairs/PPJoin "
-        "family) over word-trigram shingle sets: global rarest-first "
-        "shingle order, candidates only from each document's 3 rarest "
-        "shingles, exact shingle-set Jaccard verification on candidates, "
-        "top-20. Complements the df-cap blockers: selectivity comes "
-        "from the ordering itself — a rare shingle's doc list is short "
-        "by definition, so the candidate join is bounded without "
-        "dropping any features. All counts are exact integers; jaccard "
-        "is one final division.",
+    doc="Set-similarity join via FIXED-prefix filtering (a heuristic "
+        "member of the AllPairs/PPJoin family) over word-trigram shingle "
+        "sets: global rarest-first shingle order, candidates only from "
+        "each document's 3 rarest shingles, exact shingle-set Jaccard "
+        "verification on candidates, top-20. The fixed prefix is "
+        "complete only for pairs with Jaccard >= 1 - 3/|set| (a "
+        "threshold-derived prefix would be exact but grows with set "
+        "size); what it buys is a hard candidate bound — a rare "
+        "shingle's doc list is short by definition, so the candidate "
+        "join stays bounded without dropping any features. All counts "
+        "are exact integers; jaccard is one final division.",
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _doc_shingles
@@ -691,7 +699,14 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, n_total = cw.agg(
         F.count("*").alias("v"), F.sum("c_w").alias("t")
     ).collect()[0]
-    ranked = cw.withColumn(
+    # Never rank the full vocabulary through one unpartitioned window:
+    # the largest requested head bounds every curve point, so take the
+    # top-(max head) first — orderBy().limit() is a DISTRIBUTED top-k
+    # (per-partition heads, bounded merge) — and only then row_number
+    # over that bounded relation (same discipline as text_bm25_topk).
+    max_head = max(math.ceil(v * pct / 100.0) for pct in _COVERAGE_FRACS)
+    top = cw.orderBy(F.desc("c_w"), F.asc("w")).limit(max_head)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("c_w"), F.asc("w")))
     )
     parts = []

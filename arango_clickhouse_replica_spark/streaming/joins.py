@@ -85,11 +85,25 @@ def watermark_dedup(
 
     ``dropDuplicatesWithinWatermark``: state per key is DROPPED once the
     watermark passes its event time — bounded state on an unbounded
-    stream, which plain ``dropDuplicates`` cannot guarantee. On a batch
-    frame Spark falls back to exact ``dropDuplicates`` semantics.
+    stream, which plain ``dropDuplicates`` cannot guarantee. The batch
+    twin picks the SAME survivor the streaming path keeps — the first
+    delivery, i.e. the minimum (ts, event_id) per key — via a
+    row_number window rather than ``dropDuplicates`` (which keeps an
+    ARBITRARY row per key for non-key columns, so payload columns of
+    the twin would not be replay-stable).
     """
     keys = keys or ["event_id"]
     wm = events.withWatermark("ts", watermark)
     if wm.isStreaming:
         return wm.dropDuplicatesWithinWatermark(keys)
-    return wm.dropDuplicates(keys)
+    from pyspark.sql.window import Window
+
+    order = [F.asc("ts")] + (
+        [F.asc("event_id")] if "event_id" in events.columns else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        wm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -62,6 +62,19 @@ def test_watermark_dedup_batch_twin_is_exact_dedup(spark, sf_dir):
     assert watermark_dedup(doubled, ["event_id"]).count() == ev.count()
 
 
+def test_watermark_dedup_batch_twin_keeps_first_delivery_payload(spark, sf_dir):
+    """The batch twin must pick the SAME survivor as the streaming path
+    (first delivery = min ts per key), including payload columns — not an
+    arbitrary row per key."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    # second delivery of every key, one hour later, with a poisoned payload
+    redelivered = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")) \
+                    .withColumn("user_id", F.lit(-1).cast("long"))
+    got = watermark_dedup(ev.unionAll(redelivered), ["event_id"])
+    assert got.filter(F.col("user_id") == -1).count() == 0
+    assert sorted(got.collect()) == sorted(ev.collect())
+
+
 def test_stream_stream_join_checkpoint_restart_incremental(spark, sf_dir, tmp_path):
     """Checkpointed restarts: a second run with no new input emits
     nothing; appending new events emits ONLY the new pairs (exactly-once
