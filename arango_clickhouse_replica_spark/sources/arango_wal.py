@@ -1,0 +1,304 @@
+"""Environment-gated ArangoDB WAL tail connector.
+
+Reference parity: ``replication/producer/reader.py:37-70`` (the tail
+generator with ack/replay), ``replication/producer/publisher.py:30-72``
+(initial-tick bootstrap, op-type + collection filtering) and
+``arangodb/wal.py:14-36`` (the tail client). Where the reference wraps
+python-arango, this speaks the PUBLIC ArangoDB HTTP replication API
+directly with stdlib ``urllib`` only:
+
+    GET /_db/{db}/_api/wal/lastTick
+    GET /_db/{db}/_api/wal/tail?from={tick}&serverId={id}&chunkSize={n}
+
+The tail response body is NDJSON (one log entry per line); pagination
+state rides in the response headers
+``x-arango-replication-lastincluded`` / ``x-arango-replication-checkmore``.
+
+No live ArangoDB exists in this sandbox, so the HTTP transport is
+INJECTABLE: production uses :func:`urllib_transport`, tests replay
+recorded responses and exercise the ack/replay protocol exactly as the
+reference's ``test/test_producer.py:28-58`` does (read, nack, re-read the
+same batch, ack, drain).
+
+Spark-first role: the tail loop is a lightweight DRIVER-SIDE forwarder,
+never a Spark job. :func:`forward_to_jsonl` lands each acked batch as an
+envelope JSONL file that the existing Structured Streaming envelope
+source (``cdc_envelopes.stream_envelopes_jsonl``) consumes — Spark's
+micro-batch engine, checkpointing, and the bucketed CDC merge take over
+from there. At 100 TB/day the forwarder shards by collection onto Kafka
+topics instead (``sources/kafka.py``); the protocol below is identical.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional
+from urllib.parse import urlencode
+
+# Transaction markers are filtered out (the reference replicates document
+# ops only — publisher.py:57-60); upsert/remove match operators/cdc.py.
+START_TRANSACTION = 2200
+COMMIT_TRANSACTION = 2201
+ABORT_TRANSACTION = 2202
+UPSERT_DOCUMENT = 2300
+REMOVE_DOCUMENT = 2302
+
+# (status, lowercase headers, body bytes)
+Transport = Callable[[str, dict], tuple[int, dict, bytes]]
+
+
+@dataclass(frozen=True)
+class ArangoWalConfig:
+    host: str = "localhost"
+    port: int = 8529
+    username: str = "root"
+    password: str = ""
+    db: str = "_system"
+    server_id: int = 888  # reader.py:66 pins a stable serverId for tailing
+    chunk_size: int = 16384
+    timeout_s: float = 30.0
+
+    @property
+    def base_url(self) -> str:
+        return f"http://{self.host}:{self.port}/_db/{self.db}"
+
+
+def urllib_transport(url: str, headers: dict, timeout_s: float = 30.0):
+    """Default production transport (stdlib only; never used in tests)."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+        return (
+            resp.status,
+            {k.lower(): v for k, v in resp.headers.items()},
+            resp.read(),
+        )
+
+
+class ArangoWalClient:
+    """Minimal WAL client over the HTTP replication API.
+
+    ``transport`` is injectable so the protocol is testable against
+    recorded responses without a live server.
+    """
+
+    def __init__(
+        self,
+        config: ArangoWalConfig,
+        transport: Optional[Transport] = None,
+    ) -> None:
+        self.config = config
+        auth = base64.b64encode(
+            f"{config.username}:{config.password}".encode()
+        ).decode()
+        self._headers = {"Authorization": f"Basic {auth}"}
+        self._transport: Transport = transport or (
+            lambda url, headers: urllib_transport(url, headers, config.timeout_s)
+        )
+
+    def _get(self, path: str, params: Optional[dict] = None):
+        url = self.config.base_url + path
+        if params:
+            url += "?" + urlencode(params)
+        status, headers, body = self._transport(url, dict(self._headers))
+        if status >= 400:
+            raise ConnectionError(f"Arango WAL HTTP {status} for {url}")
+        return status, headers, body
+
+    def get_last_tick(self) -> dict:
+        """``wal.last_tick()`` analogue (arangodb/wal.py:26-27)."""
+        _, _, body = self._get("/_api/wal/lastTick")
+        return json.loads(body)
+
+    def tail(self, lower, chunk_size: Optional[int] = None) -> dict:
+        """One tail page from tick ``lower`` (exclusive), deserialized.
+
+        Returns the same shape the reference's generator consumes
+        (reader.py:62-70): ``content`` (list of log-entry dicts),
+        ``last_included`` (str tick), ``check_more`` (bool).
+        """
+        status, headers, body = self._get(
+            "/_api/wal/tail",
+            {
+                "from": str(lower),
+                "serverId": str(self.config.server_id),
+                "chunkSize": str(chunk_size or self.config.chunk_size),
+            },
+        )
+        content = [
+            json.loads(line)
+            for line in body.decode("utf-8", "replace").splitlines()
+            if line.strip()
+        ]
+        return {
+            "content": content,
+            "last_included": headers.get(
+                "x-arango-replication-lastincluded", "0"
+            ),
+            # 204 = no new data regardless of header
+            "check_more": status != 204
+            and headers.get("x-arango-replication-checkmore", "false")
+            == "true",
+        }
+
+
+def get_logs(client: ArangoWalClient, tick_start, chunk_size: Optional[int] = None):
+    """Send-based tail generator — the reference's ack/replay contract
+    (reader.py:62-70): the consumer sends True to advance the cursor to
+    ``last_included`` and fetch the next page, anything falsy to REPLAY
+    the same tick range (the server re-serves it; nothing buffers in
+    memory, so a crashed consumer re-reads after restart too).
+    """
+    load = True
+    while load:
+        batch = client.tail(tick_start, chunk_size)
+        is_processed = yield batch
+        if is_processed:
+            load = batch["check_more"]
+            tick_start = batch["last_included"]
+
+
+class LogGenerator:
+    """Iterator wrapper over :func:`get_logs` (reader.py:37-59): iteration
+    stops at the first empty page (``last_included == 0``) or when an
+    acked page reported no more data."""
+
+    def __init__(self, generator) -> None:
+        self.generator = generator
+        self.prev_processed = None
+        self.limit_reached = False
+
+    def __iter__(self) -> "LogGenerator":
+        return self
+
+    def __next__(self) -> dict:
+        if self.limit_reached:
+            raise StopIteration
+        data = self.generator.send(self.prev_processed)
+        if self.prev_processed and not data["check_more"]:
+            self.limit_reached = True
+        if int(data["last_included"]) == 0:  # ignore the last empty batch
+            raise StopIteration
+        return data
+
+    def is_processed(self, value: bool) -> None:
+        self.prev_processed = value
+
+
+def is_document_allowed(document: dict, collections_ids) -> bool:
+    """Replicate only document upserts/removes of watched collections
+    (publisher.py:55-60); transaction markers and system collections drop."""
+    cuid = document.get("cuid")
+    doc_type = document.get("type")
+    return (
+        doc_type in (UPSERT_DOCUMENT, REMOVE_DOCUMENT)
+        and cuid in collections_ids
+    )
+
+
+def collect_logs(client: ArangoWalClient, tick_min, batch_size, collections: dict):
+    """Filtered tail (publisher.py:63-72): ``collections`` maps
+    collection name -> globallyUniqueId; yields batches whose ``content``
+    is restricted to allowed documents, with the same ack/replay send
+    protocol as :func:`get_logs`."""
+    collections_id_set = set(collections.values())
+    log_generator = LogGenerator(get_logs(client, tick_min, batch_size))
+    for batch in log_generator:
+        batch["content"] = [
+            doc for doc in batch["content"]
+            if is_document_allowed(doc, collections_id_set)
+        ]
+        is_processed = yield batch
+        log_generator.is_processed(is_processed)
+
+
+class FileTickStore:
+    """Durable last-processed-tick checkpoint. The reference stores this
+    in Redis (publisher.py:25-41); a Spark deployment keeps it next to
+    the stream's checkpoint dir — same single-writer semantics, one fewer
+    service. Writes are atomic (tmp + rename)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def get(self) -> Optional[int]:
+        try:
+            with open(self.path, "r", encoding="utf-8") as f:
+                raw = f.read().strip().rstrip(";")
+                return int(raw) if raw else None
+        except FileNotFoundError:
+            return None
+
+    def set(self, tick) -> None:
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{tick}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
+def set_tick_if_not_set(client: ArangoWalClient, store: FileTickStore):
+    """First-start bootstrap (publisher.py:30-36): if no tick checkpoint
+    exists, start from the server's CURRENT last tick (snapshot-first
+    design: history before that tick comes from the snapshot scan)."""
+    if store.get() is not None:
+        return None
+    tick = client.get_last_tick()["tick"]
+    store.set(tick)
+    return tick
+
+
+def forward_to_jsonl(
+    client: ArangoWalClient,
+    store: FileTickStore,
+    collections: dict,
+    out_dir: str,
+    max_batches: int = 0,
+) -> list[str]:
+    """Drain available WAL batches into envelope JSONL files consumable
+    by ``cdc_envelopes.stream_envelopes_jsonl`` / ``read_envelopes_jsonl``.
+
+    Each acked page becomes ONE file named by its last-included tick
+    (idempotent across forwarder restarts: re-forwarding a page rewrites
+    the same file; the tick store only advances after the file is
+    durable, so the at-least-once window is exactly one page and the
+    downstream version-replacing merge absorbs it).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+    start = store.get()
+    if start is None:
+        raise RuntimeError("tick store empty - call set_tick_if_not_set first")
+    gen = collect_logs(client, start, None, collections)
+    n = 0
+    try:
+        batch = gen.send(None)
+        while True:
+            tick = batch["last_included"]
+            path = os.path.join(out_dir, f"wal-{tick}.jsonl")
+            tmp = f"{path}.tmp-{int(time.time() * 1000)}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                for doc in batch["content"]:
+                    f.write(json.dumps(doc, separators=(",", ":")) + "\n")
+            os.replace(tmp, path)
+            written.append(path)
+            store.set(tick)
+            n += 1
+            if max_batches and n >= max_batches:
+                break
+            batch = gen.send(True)
+    except StopIteration:
+        pass
+    return written
+
+
+def iter_documents(batches: Iterator[dict]) -> Iterator[dict]:
+    """Flatten tail batches to their documents (consumer convenience)."""
+    for batch in batches:
+        yield from batch["content"]
