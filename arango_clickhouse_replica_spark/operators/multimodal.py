@@ -117,6 +117,148 @@ def extract_features(media: DataFrame, *, decode: str = "fake") -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL decode paths (pure stdlib — see operators/media_codecs.py): WAV and
+# PNG payloads are genuinely parsed byte-for-byte; the 'fake' path above
+# remains for formats whose codecs the container lacks (JPEG/MP4 -> the
+# NotImplementedError plug points).
+# ---------------------------------------------------------------------------
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads from the documents fixture: doc_id
+    seeds the sample count, rate, and PCM16 samples
+    (``s_i = ((doc_id*31 + i*7) % 2001) - 1000``), encoded with the real
+    RIFF encoder — so a closed-form SQL oracle can recompute every
+    decoded feature without parsing bytes."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 32 + d % 17
+                rate = 8000 + 100 * (d % 5)
+                samples = [((d * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+                wav = encode_wav_pcm16(samples, sample_rate=rate)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads: doc_id seeds width/height and the
+    grayscale gradient ``p(x,y) = (doc_id*7 + 3x + 5y) % 256``, encoded
+    with the real PNG encoder (zlib IDAT, chunk CRCs)."""
+    from .media_codecs import encode_png_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 8 + d % 7
+                px = bytes(
+                    (d * 7 + 3 * x + 5 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                png = encode_png_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(png)
+                metas.append(
+                    {"mime": "image/png", "n_bytes": len(png), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode over binary payloads: every payload is parsed as a
+    RIFF/WAVE file (chunk walk, PCM16) and the features come from the
+    DECODED samples — exact integer moments, so derived doubles (RMS)
+    can be computed JVM-side with cross-engine-stable arithmetic."""
+    from .media_codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_channels", "sample_rate", "n_samples",
+                     "sum_abs", "sum_sq")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_wav(bytes(raw))
+                s = wav["samples"]
+                rows["media_id"].append(mid)
+                rows["n_channels"].append(wav["n_channels"])
+                rows["sample_rate"].append(wav["sample_rate"])
+                rows["n_samples"].append(wav["n_samples"])
+                rows["sum_abs"].append(sum(abs(x) for x in s))
+                rows["sum_sq"].append(sum(x * x for x in s))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_pixels", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL PNG decode over binary payloads: signature + chunk CRC
+    verification, IDAT inflate, scanline unfilter — features come from
+    the DECODED pixels (exact integer moments)."""
+    from .media_codecs import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_pixels",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -8,9 +8,13 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     documents_as_media,
+    extract_audio_features,
     extract_features,
+    extract_image_features,
     resize_media,
     sample_frames,
+    synth_png_media,
+    synth_wav_media,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -155,4 +159,102 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.hex("frame").alias("frame_hex"),
         "frame_bytes",
+    )
+
+
+@query(
+    "mm_wav_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n, 8000 + 100 * (doc_id % 5) AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, p.n, p.rate,
+             ((p.doc_id * 31 + u.i * 7) % 2001) - 1000 AS smp
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+           round(sqrt(CAST(SUM(smp * smp) AS DOUBLE) / n), 6) AS rms
+    FROM s GROUP BY doc_id, n, rate
+    """,
+    tags=("multimodal", "audio", "codec", "pandas-udf"),
+    doc="REAL audio decode end to end: deterministic PCM16 samples are "
+        "serialized into genuine RIFF/WAVE files (operators/media_codecs "
+        "encode_wav_pcm16), the payloads cross an Arrow batch boundary as "
+        "binary, and a second mapInPandas stage re-parses them with the "
+        "full chunk-walking WAV decoder — features (exact integer "
+        "moments of the DECODED samples) then hash-match a closed-form "
+        "oracle that never sees the bytes. Any header-offset or "
+        "endianness bug in either codec breaks the match. RMS derives "
+        "JVM-side from the exact sum of squares (one division + one "
+        "correctly-rounded sqrt on both engines).",
+)
+def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_audio_features(synth_wav_media(docs))
+    return feats.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "sum_abs",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    )
+
+
+@query(
+    "mm_png_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 7 + 3 * (u.k % p.w) + 5 * (u.k // p.w)) % 256 AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           round(CAST(SUM(v) AS DOUBLE) / (w * h), 6) AS mean_pixel,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL image decode end to end: deterministic grayscale gradients "
+        "are encoded as genuine PNG files (zlib-deflated IDAT, chunk "
+        "CRCs — operators/media_codecs encode_png_gray8), cross Arrow as "
+        "binary, and are re-parsed by the pure-Python PNG decoder "
+        "(signature, CRC verification, inflate, scanline unfilter). "
+        "Features are exact integer moments of the DECODED pixels, "
+        "hash-matched against a closed-form oracle that never sees the "
+        "bytes; the unfilter paths (Sub/Up/Average/Paeth) are covered "
+        "byte-level in tests/test_multimodal.py.",
+)
+def mm_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_image_features(synth_png_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        F.round(
+            F.col("sum_pixels").cast("double") / F.col("n_pixels").cast("double"),
+            6,
+        ).alias("mean_pixel"),
+        "px_min",
+        "px_max",
     )

@@ -102,6 +102,16 @@ class ReplicationManager:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self.runners: dict[str, TableRunner] = {}
+        self.listener = None
+
+    def attach_alerts(self, log_path: str, notifiers=None):
+        """C7 analogue: register the failure listener (streaming/alerts.py)
+        so every query termination with an exception lands as a structured
+        record in ``log_path`` and fans out to ``notifiers``."""
+        from .alerts import attach_alerts
+
+        self.listener = attach_alerts(self.spark, log_path, notifiers)
+        return self.listener
 
     def add(self, runner: TableRunner) -> None:
         self.runners[runner.name] = runner

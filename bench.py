@@ -83,6 +83,8 @@ HEADLINE = [
     "ann_recall_report",
     "text_vocab_coverage_curve",
     "curation_dedup_keep_list",
+    "mm_wav_decode_features",
+    "mm_png_decode_features",
 ]
 
 

@@ -100,3 +100,75 @@ def test_resync_rebuilds_and_restarts(spark, sf_dir, runner):
         assert after == before  # snapshot ∪ replay collapses to the same state
     finally:
         mgr.stop_all()
+
+
+# ---------------------------------------------------------------------------
+# C7 analogue: failure records on induced crash (streaming/alerts.py)
+# ---------------------------------------------------------------------------
+
+
+def test_listener_records_failure_on_induced_crash(spark, tmp_path):
+    from arango_clickhouse_replica_spark.streaming.alerts import FailureLog
+
+    mgr = ReplicationManager(spark)
+    log_path = str(tmp_path / "failures.jsonl")
+    notified = []
+    listener = mgr.attach_alerts(log_path, notifiers=[notified.append])
+    try:
+        src = str(tmp_path / "src")
+        spark.range(10).write.parquet(src)
+
+        def boom(it):
+            raise RuntimeError("induced crash for alert test")
+            yield  # pragma: no cover
+
+        q = (
+            spark.readStream.schema("id long").parquet(src)
+            .mapInPandas(boom, "id long")
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination()
+
+        deadline = time.monotonic() + 30
+        records = []
+        while time.monotonic() < deadline:
+            records = [r for r in FailureLog(log_path).records() if r["failed"]]
+            if records:
+                break
+            time.sleep(0.5)
+        assert records, "no failure record captured"
+        rec = records[0]
+        assert rec["event"] == "query_terminated"
+        assert rec["run_id"] == str(q.runId)
+        assert "induced crash" in (rec["exception"] or "")
+        assert notified and notified[0]["run_id"] == rec["run_id"]
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_smtp_notifier_gate_and_transport():
+    from arango_clickhouse_replica_spark.streaming.alerts import (
+        MailConfig,
+        smtp_notifier,
+    )
+
+    sent = []
+
+    def fake_transport(cfg, subject, body):
+        sent.append((cfg.host, subject, body))
+        return {}
+
+    record = {"event": "query_terminated", "query_id": "q1", "failed": True}
+    # disabled: returns False, transport never touched (mailer.py:26-27)
+    off = smtp_notifier(MailConfig(enabled=False), transport=fake_transport)
+    assert off(record) is False and sent == []
+    # enabled: transport called with the record serialized into the body
+    on = smtp_notifier(
+        MailConfig(host="mx", enabled=True, to=("ops@example.com",)),
+        transport=fake_transport,
+    )
+    assert on(record) == {}
+    assert sent[0][0] == "mx" and "q1" in sent[0][1] and "q1" in sent[0][2]

@@ -94,3 +94,154 @@ def test_sample_frames_one_to_many(spark, sf_dir):
         for r in got[mid]:
             assert r.frame_no % 2 == 0
             assert bytes(r.frame) == payload[r.frame_no * 64:(r.frame_no + 1) * 64]
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (operators/media_codecs.py): byte-level round trips
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_byte_level():
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1000, -999]
+    wav = encode_wav_pcm16(samples, sample_rate=22050)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    out = decode_wav(wav)
+    assert out["sample_rate"] == 22050
+    assert out["n_channels"] == 1
+    assert list(out["samples"]) == samples
+    # stdlib `wave` reads our files too (independent reference parser)
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnframes() == len(samples)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    """Real WAV files carry LIST/fact chunks between fmt and data — the
+    decoder must walk the chunk list, not assume fixed offsets."""
+    import struct
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    wav = bytearray(encode_wav_pcm16([5, -5, 7], sample_rate=8000))
+    fmt_at = wav.index(b"fmt ")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytes(wav[:fmt_at]) + extra + bytes(wav[fmt_at:])
+    patched = (
+        b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    )
+    out = decode_wav(patched)
+    assert list(out["samples"]) == [5, -5, 7]
+
+
+def test_wav_rejects_garbage():
+    from arango_clickhouse_replica_spark.operators.media_codecs import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all............")
+
+
+def test_png_roundtrip_byte_level():
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_png,
+        encode_png_gray8,
+    )
+
+    w, h = 5, 3
+    px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    png = encode_png_gray8(px, w, h)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png(png)
+    assert (out["width"], out["height"], out["channels"]) == (w, h, 1)
+    assert out["pixels"] == px
+
+
+def test_png_unfilter_all_filter_types():
+    """Decode must invert every scanline filter (Sub/Up/Average/Paeth):
+    build an image whose scanlines are filtered with types 1..4 by
+    applying the FORWARD filter here, then assert decode recovers the
+    original pixels."""
+    import struct
+    import zlib
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        _chunk,
+        _paeth,
+        decode_png,
+    )
+
+    w, h = 6, 4
+    px = [[(7 * x + 13 * y + x * y) % 256 for x in range(w)] for y in range(h)]
+    filters = [1, 2, 3, 4]
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for x in range(w):
+            a = px[y][x - 1] if x > 0 else 0
+            b = px[y - 1][x] if y > 0 else 0
+            c = px[y - 1][x - 1] if (x > 0 and y > 0) else 0
+            v = px[y][x]
+            if f == 1:
+                enc = v - a
+            elif f == 2:
+                enc = v - b
+            elif f == 3:
+                enc = v - ((a + b) >> 1)
+            else:
+                enc = v - _paeth(a, b, c)
+            raw.append(enc & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    flat = bytes(v for row in px for v in row)
+    assert out["pixels"] == flat
+
+
+def test_png_rejects_corrupt_crc():
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_png,
+        encode_png_gray8,
+    )
+
+    png = bytearray(encode_png_gray8(bytes(range(16)), 4, 4))
+    png[-5] ^= 0xFF  # flip a byte of the IEND CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_real_decode_features_in_spark(spark, sf_dir):
+    """The round-trip queries drive real encode->Arrow->decode in Spark;
+    spot-check one document's features against a direct computation."""
+    from arango_clickhouse_replica_spark.queries.multimodal_queries import (
+        mm_png_decode_features,
+        mm_wav_decode_features,
+    )
+
+    wav = {r.media_id: r for r in mm_wav_decode_features(spark, sf_dir).collect()}
+    png = {r.media_id: r for r in mm_png_decode_features(spark, sf_dir).collect()}
+    assert len(wav) == len(png) > 0
+    d = min(wav)
+    n = 32 + d % 17
+    samples = [((d * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+    assert wav[d].n_samples == n
+    assert wav[d].sum_abs == sum(abs(s) for s in samples)
+    w_, h_ = 8 + d % 9, 8 + d % 7
+    pxs = [(d * 7 + 3 * x + 5 * y) % 256 for y in range(h_) for x in range(w_)]
+    assert png[d].n_pixels == w_ * h_
+    assert png[d].sum_pixels == sum(pxs)
