@@ -1169,16 +1169,24 @@ def _ann_int8_oracle(shortlist: int = 10, k: int = 5,
         "the shortlist with the full-precision sequential-fold cosine. "
         "Queries are a BOUNDED set (Q_MAX constant, not a fraction of N "
         "— the 20x probe measured the %100 variant going quadratic) and "
-        "broadcast; candidate scan is narrow and embarrassingly "
-        "parallel; only Q*shortlist rows reach the rescore window.",
+        "broadcast as an int64 numpy matrix; stage 1 scores each Arrow "
+        "batch with ONE integer matmul (exact: |sum| <= 64*127^2 << "
+        "2^53) and keeps only the per-partition shortlist, so the only "
+        "exchange carries partitions*Q*(shortlist+1) rows — never N*Q "
+        "(the windowed-join variant measured 5.8x at 10x data; this "
+        "shape re-measured 0.5x — fixed overhead still dominates). Only "
+        "Q*shortlist rows reach the full-precision rescore join.",
 )
 def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.window import Window
 
     shortlist, k, q_max = 10, 5, 512
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
         F.array_max(F.transform("embedding", lambda x: F.abs(x)))
         .cast("double").alias("vabs"),
     )
@@ -1192,42 +1200,70 @@ def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
-    coded = emb.select("vec_id", "embedding", "nrm", code.alias("codes"))
-    q = (
+    coded = emb.select("vec_id", code.alias("codes"))
+    # BOUNDED query set (orderBy+limit, constant ceiling): collected once
+    # and broadcast as an int64 matrix, same policy as ann_topk_vectorized.
+    qrows = (
         coded.filter(F.col("vec_id") % 100 == 0)
         .orderBy("vec_id")
         .limit(q_max)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"), F.col("codes").alias("q_codes"),
-        )
+        .collect()
     )
-    c = coded.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"),
-        F.col("nrm").alias("e_nrm"), F.col("codes").alias("e_codes"),
-    )
-    # stage 1: exact-integer approximate score over the int8 codes
-    qdot = F.aggregate(
-        F.zip_with("q_codes", "e_codes",
-                   lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ).cast("long")
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_codes = np.array([r.codes for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_codes))
+
+    def approx_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bc.value
+        topn = shortlist + 1  # survive self-match removal downstream
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand = np.stack(pdf["codes"].map(np.asarray)).astype(np.int64)
+            scores = qm @ cand.T  # (Q, B) — exact integer dot products
+            cid = pdf["vec_id"].to_numpy()
+            n = min(topn, scores.shape[1])
+            # Same total order as the oracle: approx DESC, neighbor_id ASC
+            # — exact integers, so partition-stage selection can never
+            # disagree with the global re-rank at a boundary.
+            order = np.lexsort((np.broadcast_to(cid, scores.shape), -scores),
+                               axis=1)[:, :n]
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, n),
+                "neighbor_id": cid[order.ravel()],
+                "approx": np.take_along_axis(scores, order, axis=1).ravel(),
+            })
+
+    shards = coded
+    parallelism = spark.sparkContext.defaultParallelism
+    if shards.rdd.getNumPartitions() < parallelism:
+        shards = shards.repartition(parallelism)
+    partial = shards.mapInPandas(
+        approx_topk, "query_id long, neighbor_id long, approx long")
     w_approx = Window.partitionBy("query_id").orderBy(
         F.desc("approx"), F.asc("neighbor_id"))
     short = (
-        F.broadcast(q)
-        .join(c, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("approx", qdot)
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("arn", F.row_number().over(w_approx))
         .filter(F.col("arn") <= shortlist)
+        .select("query_id", "neighbor_id")
     )
-    # stage 2: full-precision rescore of the shortlist only
+    # stage 2: full-precision rescore of the Q*shortlist survivors only —
+    # the shortlist is tiny, so both vector fetches are broadcast joins.
+    full = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    qv = full.select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("q_emb"),
+                     F.col("nrm").alias("q_nrm"))
+    cv = full.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("embedding").alias("e_emb"),
+                     F.col("nrm").alias("e_nrm"))
     sim = _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm"))
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        short.select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
+        F.broadcast(short).join(qv, "query_id").join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(sim, 4).alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim",

@@ -613,7 +613,6 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tok = _doc_shingles(spark, sf_dir).distinct()
     df_s = tok.groupBy("s").agg(F.count("*").alias("df_s"))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
     prefix = (
         tok.join(df_s, "s")
@@ -630,18 +629,24 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "s")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    # Verification via per-document shingle SETS (sorted arrays) and one
+    # array_intersect per candidate pair: the explode-join variant
+    # re-expanded every pair by |doc shingles| and shuffled that blown-up
+    # relation into a count aggregate (measured 5.2x at 10x data, where
+    # verbatim-duplicate replicas multiply the candidate count); here a
+    # pair costs two hash-join lookups and one in-row intersection —
+    # cardinality never exceeds |cand|.
+    arrs = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("toks"))
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    n_common = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(aa, "doc_a").join(ab, "doc_b")
+        .select(
+            "doc_a", "doc_b", n_common.alias("n_common"),
+            F.size("toks_a").cast("long").alias("na"),
+            F.size("toks_b").cast("long").alias("nb"),
+        )
         .select(
             "doc_a", "doc_b", "n_common",
             (F.col("n_common").cast("double")
