@@ -175,7 +175,10 @@ def _check_regressions(timings: dict[str, float], sf) -> None:
     if expected_path.exists():
         try:
             for name, secs in json.loads(expected_path.read_text()).items():
-                old[name] = max(old.get(name, 0.0), float(secs))
+                # skip non-numeric entries (e.g. the "_comment" key) without
+                # aborting the rest of the expectations
+                if isinstance(secs, (int, float)):
+                    old[name] = max(old.get(name, 0.0), float(secs))
         except (json.JSONDecodeError, TypeError, ValueError):
             pass
     compared = [name for name in timings if name in old]
