@@ -33,6 +33,21 @@ def word_shingles(
     )
 
 
+def lane_mins(
+    shingles: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+    lanes: int = LANES,
+) -> DataFrame:
+    """(id, m0..m{lanes-1}) minhash lanes: N parallel MINs over fixed-width
+    hex substrings of ONE md5 per shingle, in a single groupBy."""
+    h = shingles.withColumn("__h", F.md5(shingle_col))
+    return h.groupBy(id_col).agg(
+        *[F.min(F.substring("__h", 1 + 4 * g, 4)).alias(f"m{g}") for g in range(lanes)]
+    )
+
+
 def band_signatures(
     shingles: DataFrame,
     *,
@@ -43,10 +58,7 @@ def band_signatures(
 ) -> DataFrame:
     """(id, band, sig) LSH bucket keys from a shingle stream."""
     per_band = lanes // bands
-    h = shingles.withColumn("__h", F.md5(shingle_col))
-    mins = h.groupBy(id_col).agg(
-        *[F.min(F.substring("__h", 1 + 4 * g, 4)).alias(f"m{g}") for g in range(lanes)]
-    )
+    mins = lane_mins(shingles, id_col=id_col, shingle_col=shingle_col, lanes=lanes)
     stack = ", ".join(
         f"{b}, concat({', '.join(f'm{b * per_band + j}' for j in range(per_band))})"
         for b in range(bands)

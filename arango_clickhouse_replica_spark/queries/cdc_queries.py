@@ -158,3 +158,101 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_ver"),
         (nxt.isNull() & (F.col("_deleted") == 0)).alias("is_current"),
     )
+
+
+# New-key inserts for the snapshot-diff query: a batch of documents the
+# snapshot has never seen, keyed far above any base event_id so the two
+# key spaces cannot collide (constant, replay-stable).
+_DIFF_INSERT_OFFSET = 1 << 40
+
+_SNAPSHOT_DIFF_SQL = f"""
+    WITH changes AS ({CHANGES_SQL}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY _ver DESC, _deleted DESC) AS rn
+      FROM changes
+    ),
+    latest AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM ranked WHERE rn = 1 AND _deleted = 0
+      UNION ALL
+      SELECT event_id + {_DIFF_INSERT_OFFSET}, user_id, event_type,
+             CAST(value AS DOUBLE)
+      FROM events WHERE event_id % 25 = 9
+    ),
+    snap AS (
+      SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      FROM events
+    )
+    SELECT COALESCE(l.event_id, s.event_id) AS event_id,
+           CASE
+             WHEN s.event_id IS NULL THEN 'added'
+             WHEN l.event_id IS NULL THEN 'removed'
+             WHEN l.user_id = s.user_id AND l.event_type = s.event_type
+                  AND l.value = s.value THEN 'unchanged'
+             ELSE 'changed'
+           END AS status,
+           CASE WHEN s.event_id IS NULL OR l.event_id IS NULL THEN ''
+                ELSE concat_ws(',',
+                  CASE WHEN l.user_id <> s.user_id THEN 'user_id' END,
+                  CASE WHEN l.event_type <> s.event_type THEN 'event_type' END,
+                  CASE WHEN l.value <> s.value THEN 'value' END)
+           END AS changed_cols
+    FROM latest l FULL OUTER JOIN snap s ON l.event_id = s.event_id
+"""
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_SQL,
+    tags=("cdc", "snapshot", "validation"),
+    doc="Snapshot-vs-replica diff — the replication VALIDATOR a reference "
+        "user runs after a resync (does the ClickHouse side equal the "
+        "Arango side?): full outer join of the tick-0 snapshot against "
+        "the CDC-reconstructed latest state, classifying every key as "
+        "added / removed / changed / unchanged, with the exact changed "
+        "column list per key. The synthetic stream exercises all four "
+        "statuses (updates %10, deletes %20==7, plus an insert batch of "
+        "never-snapshotted keys). At scale both sides are keyed "
+        "relations; with the CDC target bucketed by key "
+        "(plans/layout.py) the join is co-located — no wide shuffle — "
+        "and the diff streams; the rollup anyone reads first is one "
+        "map-side-combinable aggregate away.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    proj = ["event_id", "user_id", "event_type"]
+    latest = _apply_pipeline(spark, sf_dir).unionByName(
+        ev.filter(F.col("event_id") % 25 == 9).select(
+            (F.col("event_id") + _DIFF_INSERT_OFFSET).alias("event_id"),
+            "user_id", "event_type", F.col("value").cast("double").alias("value"),
+        )
+    )
+    snap = ev.select(*proj, F.col("value").cast("double").alias("value"))
+    l = latest.alias("l")
+    s = snap.alias("s")
+    lid, sid = F.col("l.event_id"), F.col("s.event_id")
+    eq = (
+        (F.col("l.user_id") == F.col("s.user_id"))
+        & (F.col("l.event_type") == F.col("s.event_type"))
+        & (F.col("l.value") == F.col("s.value"))
+    )
+    status = (
+        F.when(sid.isNull(), "added")
+        .when(lid.isNull(), "removed")
+        .when(eq, "unchanged")
+        .otherwise("changed")
+    )
+    changed_cols = F.when(sid.isNull() | lid.isNull(), F.lit("")).otherwise(
+        F.concat_ws(
+            ",",
+            F.when(F.col("l.user_id") != F.col("s.user_id"), "user_id"),
+            F.when(F.col("l.event_type") != F.col("s.event_type"), "event_type"),
+            F.when(F.col("l.value") != F.col("s.value"), "value"),
+        )
+    )
+    return l.join(s, lid == sid, "full_outer").select(
+        F.coalesce(lid, sid).alias("event_id"),
+        status.alias("status"),
+        changed_cols.alias("changed_cols"),
+    )

@@ -2056,3 +2056,236 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_docs").cast("double")).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: simhash hamming-band pair search, fuzzy (minhash)
+# decontamination, and BPE merge-pair statistics.
+# ---------------------------------------------------------------------------
+
+# 32-bit simhash for the PAIR SEARCH (one sign bit per md5 hex position;
+# the 16-bit dedup_simhash_fingerprints signature is the compact
+# fingerprint demo — banding needs more bits for bucket selectivity).
+_SIMHASH32_BALANCES_SQL = ",\n           ".join(
+    f"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(s), {g}, 1)) - 1 >= 8"
+    f" THEN 1 ELSE -1 END) AS b{g}"
+    for g in range(1, 33)
+)
+_SIMHASH32_COMBINE_SQL = "\n              + ".join(
+    f"(CASE WHEN b{g} >= 0 THEN CAST({1 << (g - 1)} AS BIGINT) ELSE 0 END)"
+    for g in range(1, 33)
+)
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_N_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands shares >= 1
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    bits AS (
+      SELECT doc_id,
+           {_SIMHASH32_BALANCES_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST({_SIMHASH32_COMBINE_SQL} AS BIGINT) AS simhash
+      FROM bits
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (8 * b.band)) & 255 AS key
+      FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "lsh", "near-dup"),
+    doc="SimHash near-dup pair search via Hamming banding (the classic "
+        "Charikar/Google web-dedup pipeline, the third LSH family beside "
+        "MinHash bands and prefix filtering): 32-bit majority-vote "
+        "signatures, split into 4 x 8-bit bands; by pigeonhole any pair "
+        "within Hamming distance 3 agrees exactly on at least one band, "
+        "so candidates come only from band-bucket equi-joins (never all "
+        "pairs), then one xor+bit_count per candidate verifies the "
+        "distance. All JVM bit arithmetic in codegen. At 100 TB the "
+        "signature relation is 8 bytes/doc — the bucket join shuffles "
+        "keys, not text; band width widens with corpus size (64-bit/"
+        "16-bit bands in production) to hold bucket occupancy constant.",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("s"))
+    nibble = lambda g: F.instr(F.lit("0123456789abcdef"), F.substring("h", g, 1)) - 1  # noqa: E731
+    bits = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(nibble(g) >= 8, 1).otherwise(-1)).alias(f"b{g}")
+            for g in range(1, 33)
+        ]
+    )
+    simhash = None
+    for g in range(1, 33):
+        term = F.when(F.col(f"b{g}") >= 0, F.lit(1 << (g - 1)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    hashes = bits.select("doc_id", simhash.cast("long").alias("simhash"))
+    bands = hashes.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_N_BANDS)])).alias("band"),
+    ).withColumn("key", F.expr("shiftright(simhash, 8 * band) & 255"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+                     "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+                     "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sim_a", "doc_b", "sim_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        cand.filter(hamming <= _SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+@query(
+    "decontam_minhash_fuzzy",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_CAPPED_SQL}),
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+      FROM bands t JOIN bands e USING (band, sig)
+      WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+    )
+    SELECT c.train_doc, c.eval_doc,
+           CAST({" + ".join(f"(CASE WHEN mt.m{g} = me.m{g} THEN 1 ELSE 0 END)"
+                            for g in range(8))} AS INT) AS lanes_eq,
+           {" + ".join(f"(CASE WHEN mt.m{g} = me.m{g} THEN 1 ELSE 0 END)"
+                       for g in range(8))} >= 4 AS contaminated
+    FROM cand c
+    JOIN mins mt ON mt.doc_id = c.train_doc
+    JOIN mins me ON me.doc_id = c.eval_doc
+    """,
+    tags=("text", "decontamination", "minhash", "llm-pipeline"),
+    doc="FUZZY benchmark decontamination (the near-dup complement to "
+        "decontam_ngram_overlap's exact-shingle probe, the Llama/GPT-3 "
+        "style eval-leak sweep): train docs and the held-out eval set "
+        "(doc_id % 97 == 0) get the SAME MinHash band signatures as the "
+        "dedup pipeline (operators/minhash.py); candidates come from "
+        "cross-set band-bucket hits, then the 8-lane signature agreement "
+        "estimates Jaccard (>= 4/8 lanes ~ J >= 0.5 flags contamination) "
+        "— catching paraphrased/partially-edited eval leakage that exact "
+        "n-gram matching misses. At 100 TB the eval signature relation "
+        "is tiny and BROADCASTS; the corpus is never reshuffled, and "
+        "candidate verification touches signatures (32 bytes/doc), not "
+        "text.",
+)
+def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.minhash import band_signatures, lane_mins
+
+    mins = lane_mins(_doc_shingles_capped(spark, sf_dir))
+    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
+    is_eval = F.col("doc_id") % 97 == 0
+    t = bands.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "band", "sig")
+    e = bands.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "band", "sig")
+    cand = (
+        t.join(F.broadcast(e), ["band", "sig"])
+        .select("train_doc", "eval_doc")
+        .distinct()
+    )
+    mt = mins.select(F.col("doc_id").alias("train_doc"),
+                     *[F.col(f"m{g}").alias(f"t{g}") for g in range(8)])
+    me = mins.select(F.col("doc_id").alias("eval_doc"),
+                     *[F.col(f"m{g}").alias(f"e{g}") for g in range(8)])
+    lanes_eq = None
+    for g in range(8):
+        term = F.when(F.col(f"t{g}") == F.col(f"e{g}"), 1).otherwise(0)
+        lanes_eq = term if lanes_eq is None else lanes_eq + term
+    return (
+        cand.join(mt, "train_doc")
+        .join(F.broadcast(me), "eval_doc")
+        .select(
+            "train_doc", "eval_doc",
+            lanes_eq.cast("int").alias("lanes_eq"),
+            (lanes_eq >= 4).alias("contaminated"),
+        )
+    )
+
+
+_BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_bpe_merge_pairs",
+    oracle=rf"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PIECE_RE}')) AS w
+      FROM documents
+    ),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM pieces GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair, c_w
+      FROM cw WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(c_w) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+    tags=("text", "tokens", "bpe", "tokenizer"),
+    doc="BPE merge-pair statistics — the first iteration of "
+        "byte-pair-encoding TRAINING (Sennrich et al.): corpus-weighted "
+        "counts of adjacent symbol pairs inside pre-tokenized pieces "
+        "(same GPT-style pre-split as text_bpe_regex_tokens); the argmax "
+        "pair is the first merge a tokenizer trained on this corpus "
+        "would learn, and the top-50 table is the merge-priority head. "
+        "The corpus collapses to the piece vocabulary FIRST (one hash "
+        "aggregate), so pair explosion runs over the tiny weighted vocab "
+        "— at 100 TB the pair stage costs O(vocab * piece_len), not "
+        "O(corpus); top-50 is a distributed orderBy+limit top-k.",
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_PIECE_RE}', 0)")
+        ).alias("w")
+    )
+    cw = pieces.groupBy("w").agg(F.count("*").alias("c_w"))
+    pairs = (
+        cw.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1),"
+                       " i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "c_w",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c_w").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )

@@ -85,6 +85,10 @@ HEADLINE = [
     "curation_dedup_keep_list",
     "mm_wav_decode_features",
     "mm_png_decode_features",
+    "dedup_simhash_hamming_pairs",
+    "decontam_minhash_fuzzy",
+    "text_bpe_merge_pairs",
+    "cdc_snapshot_diff",
 ]
 
 

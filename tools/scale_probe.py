@@ -68,6 +68,14 @@ PROBES = [
     "ann_recall_report",
     "text_vocab_coverage_curve",
     "curation_dedup_keep_list",
+    "dedup_simhash_hamming_pairs",
+    "decontam_minhash_fuzzy",
+    "text_bpe_merge_pairs",
+    "cdc_snapshot_diff",
+    "mm_wav_decode_features",
+    "mm_png_decode_features",
+    "dedup_exact_union_self",
+    "dedup_simhash_fingerprints",
 ]
 
 
