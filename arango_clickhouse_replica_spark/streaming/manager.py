@@ -99,10 +99,14 @@ class TableRunner:
 class ReplicationManager:
     """All per-table runners + resync orchestration (C2/C3)."""
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession, *, topic_admin=None) -> None:
         self.spark = spark
         self.runners: dict[str, TableRunner] = {}
         self.listener = None
+        #: optional sources/kafka_admin.KafkaTopicAdmin — when set, resync
+        #: recreates the table's topic (C4, sync.py:119-130) so compacted
+        #: history from the previous epoch cannot replay into the target.
+        self.topic_admin = topic_admin
 
     def attach_alerts(self, log_path: str, notifiers=None):
         """C7 analogue: register the failure listener (streaming/alerts.py)
@@ -137,6 +141,12 @@ class ReplicationManager:
 
         r = self.runners[name]
         r.stop()
+        if self.topic_admin is not None:
+            # C4: the reference drops + recreates the table's topic between
+            # stop and backfill (sync.py:119-130); a failed recreation
+            # aborts the resync rather than replaying stale history.
+            if not self.topic_admin.recreate([name]):
+                raise RuntimeError(f"topic recreation failed for {name!r}")
         for d in (r.pipeline.checkpoint_dir, r.pipeline.target_dir):
             shutil.rmtree(d, ignore_errors=True)
         snapshot_df.write.mode("overwrite").parquet(r.pipeline.target_dir)

@@ -180,7 +180,16 @@ def main() -> None:
     for name in PROBES:
         r = big_t[name] / base_t[name] if base_t[name] > 0 else float("nan")
         lines.append(f"| {name} | {base_t[name]} | {big_t[name]} | {r:.1f}x |")
-    Path("docs/SCALING.md").write_text("\n".join(lines) + "\n")
+    # Preserve any prose sections (## ...) appended after the table —
+    # exonerations and per-round notes survive a re-probe.
+    out = Path("docs/SCALING.md")
+    notes = ""
+    if out.exists():
+        txt = out.read_text()
+        idx = txt.find("\n## ")
+        if idx != -1:
+            notes = txt[idx:]
+    out.write_text("\n".join(lines) + "\n" + notes)
     print(json.dumps({"K": K, "base": base_t, "big": big_t}))
 
 
