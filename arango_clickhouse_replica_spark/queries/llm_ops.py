@@ -2289,3 +2289,49 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(50)
     )
+
+
+def _lang_confusion_oracle() -> str:
+    from .registry import QUERIES as _Q
+
+    ng = _Q["text_lang_char_ngram"].oracle
+    sw = _Q["text_lang_stopword_id"].oracle
+    return f"""
+    SELECT 'char_ngram' AS classifier, lang AS true_lang,
+           predicted_profile AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({ng}) GROUP BY lang, predicted_profile
+    UNION ALL
+    SELECT 'stopword', lang, predicted_class, CAST(COUNT(*) AS BIGINT)
+    FROM ({sw}) GROUP BY lang, predicted_class
+    """
+
+
+@query(
+    "text_lang_confusion_matrix",
+    oracle=_lang_confusion_oracle(),
+    tags=("text", "lang-id", "evaluation"),
+    doc="Classifier evaluation for BOTH language-ID heuristics at once: "
+        "per (true label from the lang column, predicted class) document "
+        "counts for the char-trigram profile classifier and the stopword "
+        "ratio classifier — the confusion matrix a corpus team reads "
+        "before trusting a filter to route 100 TB by language. Composes "
+        "the two registered per-doc classifiers (same plans, same "
+        "oracles) and collapses each with one map-side-combinable "
+        "aggregate; the union is two narrow scans, no join, no state.",
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ng = (
+        text_lang_char_ngram(spark, sf_dir)
+        .groupBy(F.col("lang").alias("true_lang"),
+                 F.col("predicted_profile").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("classifier", F.lit("char_ngram"))
+    )
+    sw = (
+        text_lang_stopword_id(spark, sf_dir)
+        .groupBy(F.col("lang").alias("true_lang"),
+                 F.col("predicted_class").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("classifier", F.lit("stopword"))
+    )
+    return ng.unionByName(sw).select("classifier", "true_lang", "predicted", "n_docs")

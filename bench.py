@@ -89,6 +89,7 @@ HEADLINE = [
     "decontam_minhash_fuzzy",
     "text_bpe_merge_pairs",
     "cdc_snapshot_diff",
+    "text_lang_confusion_matrix",
 ]
 
 

@@ -76,6 +76,7 @@ PROBES = [
     "mm_png_decode_features",
     "dedup_exact_union_self",
     "dedup_simhash_fingerprints",
+    "text_lang_confusion_matrix",
 ]
 
 
