@@ -98,3 +98,63 @@ def test_snapshot_diff_statuses_match_stream_construction(spark, sf_dir):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     n_inserts = len(by_status["added"])
     assert len(rows) == n_events + n_inserts
+
+
+def test_simhash_banding_is_complete_within_hamming_3(spark, tmp_path):
+    """Pigeonhole completeness: on a corpus of random-ish docs, the banded
+    candidate search returns EXACTLY the pairs a brute-force all-pairs
+    Hamming scan finds within distance 3 (banding may only cut candidates
+    beyond the ball, never inside it)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    # deterministic pseudo-random corpus: md5-derived word soup, with a
+    # couple of engineered near-identical pairs to populate the <=3 ball
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(30):
+        toks = [words[(d * 7 + j * 11) % 40] for j in range(25)]
+        rows.append((d, " ".join(toks)))
+    rows.append((100, rows[0][1]))            # identical twin of doc 0
+    rows.append((101, rows[1][1] + " extra")) # near twin of doc 1
+    out = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["dedup_simhash_hamming_pairs"].build(spark, out).collect()
+    }
+
+    # brute force over the same 32-bit signatures (reuse the query's own
+    # signature relation by recomputing it via the fingerprints pipeline
+    # semantics: group the pair query's bands back is circular, so rebuild
+    # from first principles on the driver)
+    from arango_clickhouse_replica_spark.queries.llm_ops import _doc_shingles
+    import hashlib
+
+    sh = (
+        _doc_shingles(spark, out)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+        .collect()
+    )
+    def simhash32(shingles):
+        bal = [0] * 32
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            for g in range(32):
+                bal[g] += 1 if int(h[g], 16) >= 8 else -1
+        return sum((1 << g) for g in range(32) if bal[g] >= 0)
+
+    sig = {r.doc_id: simhash32(r.ss) for r in sh}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        d = bin(sig[a] ^ sig[b]).count("1")
+        if d <= 3:
+            expected[(a, b)] = d
+    assert got == expected
+    assert (0, 100) in got and got[(0, 100)] == 0  # the engineered twin
