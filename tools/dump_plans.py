@@ -82,10 +82,13 @@ COMMENT = {
         "TakeOrderedAndProject (per-partition local top-k, driver merge) "
         "— never a single-partition sort of the full bigram table.",
     "ann_topk_int8_rerank":
-        "Two-stage quantized ANN: int8 code projection is narrow "
-        "codegen; stage-1 scan loops the broadcast query codes over "
-        "candidates (exact-integer scores); only Q*shortlist rows cross "
-        "the exchange into the full-precision rescore window.",
+        "Two-stage quantized ANN (round-4 shape): int8 code projection "
+        "is narrow codegen; stage 1 is a mapInPandas scan scoring each "
+        "Arrow batch against the broadcast query-code matrix with one "
+        "exact-int64 matmul and emitting per-partition shortlists, so "
+        "the exchange carries partitions*Q*(k+1) rows regardless of N; "
+        "the full-precision rescore joins the tiny shortlist back to "
+        "the vector table by broadcast.",
     "curation_segment_dedup_rewrite":
         "Segment-dedup rewrite: segments key on md5 digests; the dup set "
         "(df>=2) is tiny so the keep/drop decision join probes a small "
@@ -129,10 +132,12 @@ COMMENT = {
         "a narrow 1:8 generator; the encode argmin is map-side; the "
         "histogram is one map-side-combinable aggregate on (m, code).",
     "ann_pq_adc_rerank":
-        "PQ ADC: the Q*128 LUT broadcasts; ADC is a hash join of the "
-        "code table against the LUT on (m, code) feeding a decimal-sum "
-        "aggregate; only Q*10 shortlist rows touch full-precision "
-        "vectors in the rerank.",
+        "PQ ADC (round-4 shape): encoding argmin is a map-side "
+        "min(struct) hash aggregate; the scale-6-decimal LUT is scaled "
+        "to exact int64 and broadcast as one numpy tensor; the ADC scan "
+        "is a mapInPandas pass over the 8-codes-per-vector table "
+        "emitting per-partition shortlists only; Q*10 rows touch "
+        "full-precision vectors in the rerank.",
     "text_oov_rate":
         "OOV rate: vocab head is distributed top-k (TakeOrderedAndProject)"
         " then broadcast into a LEFT join against per-doc counts — the "
