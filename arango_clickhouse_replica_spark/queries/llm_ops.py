@@ -2335,3 +2335,74 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("classifier", F.lit("stopword"))
     )
     return ng.unionByName(sw).select("classifier", "true_lang", "predicted", "n_docs")
+
+
+def _method_agreement_oracle() -> str:
+    from .registry import QUERIES as _Q
+
+    mh = _Q["dedup_minhash_lsh_candidates"].oracle
+    sh = _Q["dedup_simhash_hamming_pairs"].oracle
+    return f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({mh})),
+    sh AS (SELECT doc_a, doc_b FROM ({sh})),
+    u AS (
+      SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+             COALESCE(mh.doc_b, sh.doc_b) AS doc_b,
+             mh.doc_a IS NOT NULL AS in_minhash,
+             sh.doc_a IS NOT NULL AS in_simhash
+      FROM mh FULL OUTER JOIN sh
+        ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+    )
+    SELECT CASE WHEN in_minhash AND in_simhash THEN 'both'
+                WHEN in_minhash THEN 'minhash_only'
+                ELSE 'simhash_only' END AS agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(doc_a) AS BIGINT) AS sample_doc_a,
+           CAST(MIN(doc_b) AS BIGINT) AS sample_doc_b
+    FROM u
+    GROUP BY 1
+    """
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    tags=("dedup", "evaluation", "minhash", "simhash"),
+    doc="Blocking-method agreement audit: the MinHash-LSH candidate set "
+        "vs the SimHash Hamming-band candidate set as a both/only-one "
+        "breakdown (with a deterministic sample pair per bucket) — the "
+        "calibration a corpus team reads before committing 100 TB to one "
+        "LSH family (high minhash_only = simhash bands too coarse; high "
+        "simhash_only = shingle df cap biting; both families agree on "
+        "the true near-dup core). Composes the two registered pipelines "
+        "unchanged; the comparison itself is one pair-keyed full outer "
+        "join of two small candidate relations plus a 3-group aggregate.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup_simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    m = mh.withColumn("in_minhash", F.lit(True)).alias("m")
+    s = sh.withColumn("in_simhash", F.lit(True)).alias("s")
+    u = m.join(
+        s,
+        (F.col("m.doc_a") == F.col("s.doc_a")) & (F.col("m.doc_b") == F.col("s.doc_b")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("m.doc_a"), F.col("s.doc_a")).alias("doc_a"),
+        F.coalesce(F.col("m.doc_b"), F.col("s.doc_b")).alias("doc_b"),
+        F.coalesce(F.col("in_minhash"), F.lit(False)).alias("in_minhash"),
+        F.coalesce(F.col("in_simhash"), F.lit(False)).alias("in_simhash"),
+    )
+    agreement = (
+        F.when(F.col("in_minhash") & F.col("in_simhash"), "both")
+        .when(F.col("in_minhash"), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return (
+        u.groupBy(agreement.alias("agreement"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("doc_a").cast("long").alias("sample_doc_a"),
+            F.min("doc_b").cast("long").alias("sample_doc_b"),
+        )
+    )

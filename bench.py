@@ -90,6 +90,7 @@ HEADLINE = [
     "text_bpe_merge_pairs",
     "cdc_snapshot_diff",
     "text_lang_confusion_matrix",
+    "dedup_method_agreement",
 ]
 
 

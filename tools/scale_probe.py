@@ -77,6 +77,7 @@ PROBES = [
     "dedup_exact_union_self",
     "dedup_simhash_fingerprints",
     "text_lang_confusion_matrix",
+    "dedup_method_agreement",
 ]
 
 
