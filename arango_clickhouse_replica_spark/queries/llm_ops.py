@@ -2202,8 +2202,12 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.minhash import band_signatures, lane_mins
 
-    mins = lane_mins(_doc_shingles_capped(spark, sf_dir))
-    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
+    # ONE capped-shingle relation feeds both signature passes (the cap
+    # helper runs a corpus count to size the df ceiling — don't pay it,
+    # or the shingle scan, twice).
+    sh = _doc_shingles_capped(spark, sf_dir)
+    mins = lane_mins(sh)
+    bands = band_signatures(sh)
     is_eval = F.col("doc_id") % 97 == 0
     t = bands.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "band", "sig")
     e = bands.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "band", "sig")
