@@ -142,15 +142,17 @@ def test_simhash_banding_is_complete_within_hamming_3(spark, tmp_path):
         .agg(F.collect_set("s").alias("ss"))
         .collect()
     )
-    def simhash32(shingles):
-        bal = [0] * 32
+    def simhash64(shingles):
+        bal = [0] * 64
         for s in shingles:
             h = hashlib.md5(s.encode()).hexdigest()
             for g in range(32):
-                bal[g] += 1 if int(h[g], 16) >= 8 else -1
-        return sum((1 << g) for g in range(32) if bal[g] >= 0)
+                n = int(h[g], 16)
+                bal[g] += 1 if (n & 8) else -1       # nibble bit 3 -> low half
+                bal[32 + g] += 1 if (n & 4) else -1  # nibble bit 2 -> high half
+        return sum((1 << g) for g in range(64) if bal[g] >= 0)
 
-    sig = {r.doc_id: simhash32(r.ss) for r in sh}
+    sig = {r.doc_id: simhash64(r.ss) for r in sh}
     expected = {}
     for a, b in itertools.combinations(sorted(sig), 2):
         d = bin(sig[a] ^ sig[b]).count("1")
