@@ -499,3 +499,149 @@ def _install_keep_list_oracle() -> None:
 
 
 _install_keep_list_oracle()
+
+
+@query(
+    "curation_funnel_report",
+    oracle=None,  # composed below from the clusters oracle at import time
+    tags=("curation", "report", "composition"),
+    doc="The curation FUNNEL — the chart every corpus run reports: "
+        "document and token counts surviving each pipeline stage in "
+        "order (raw -> exact fingerprint dedup -> near-dup cluster "
+        "dedup -> quality gate >= 2), with per-stage retention relative "
+        "to raw. Per-document survival flags are computed once (one "
+        "fingerprint window, one broadcast-able left join against the "
+        "small cluster relation, narrow quality scoring) and the four "
+        "stage rows are filtered aggregates over that single flagged "
+        "relation — the funnel costs one pass beyond the cluster "
+        "pipeline it audits.",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .llm_ops import dedup_near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (F.length("text")
+               - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))).cast("long")
+    q = (
+        F.when(n_tokens.between(20, 2000), 1).otherwise(0)
+        + F.when(n_punct * 10 < n_chars, 1).otherwise(0)
+        + F.when(n_distinct * 4 > n_tokens, 1).otherwise(0)
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    scored = docs.select(
+        "doc_id", fp.alias("fp"), n_tokens.alias("n_tokens"), q.alias("q")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    clusters = dedup_near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    flagged = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("rn") == 1).alias("s_exact"),
+            ((F.col("rn") == 1)
+             & (F.coalesce(F.col("is_canonical"), F.lit(1)) == 1)).alias("s_near"),
+            ((F.col("rn") == 1)
+             & (F.coalesce(F.col("is_canonical"), F.lit(1)) == 1)
+             & (F.col("q") >= 2)).alias("s_quality"),
+        )
+    )
+    stages = [
+        (1, "raw", F.lit(True)),
+        (2, "exact_dedup", F.col("s_exact")),
+        (3, "near_dedup", F.col("s_near")),
+        (4, "quality_gate", F.col("s_quality")),
+    ]
+    agg = flagged.agg(
+        F.count("*").alias("raw_docs"),
+        *[F.sum(F.when(cond, 1).otherwise(0)).alias(f"d{i}") for i, _, cond in stages],
+        *[F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
+          for i, _, cond in stages],
+    )
+    rows = []
+    for i, name, _ in stages:
+        rows.append(
+            agg.select(
+                F.lit(i).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"d{i}").cast("long").alias("n_docs"),
+                F.col(f"t{i}").cast("long").alias("total_tokens"),
+                (F.col(f"d{i}").cast("double")
+                 / F.col("raw_docs").cast("double")).alias("doc_retention"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_no")
+
+
+def _install_funnel_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    clusters = _Q["dedup_near_dup_clusters"].oracle
+    oracle = f"""
+    WITH clusters AS ({clusters}),
+    scored AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 2000
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (length(text) - length(regexp_replace(text,
+                         '[.,!?;:]', '', 'g'))) * 10 < length(text)
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN len(list_distinct(string_split(text, ' '))) * 4
+                        > len(string_split(text, ' '))
+                   THEN 1 ELSE 0 END) AS q
+      FROM documents
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1
+               AS s_exact,
+             (ROW_NUMBER() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1)
+               AND COALESCE(c.is_canonical, 1) = 1 AS s_near,
+             (ROW_NUMBER() OVER (PARTITION BY s.fp ORDER BY s.doc_id) = 1)
+               AND COALESCE(c.is_canonical, 1) = 1 AND s.q >= 2 AS s_quality
+      FROM scored s LEFT JOIN clusters c ON c.doc_id = s.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS raw_docs,
+             CAST(COUNT(*) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN s_exact THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN s_near THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(SUM(CASE WHEN s_quality THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(SUM(n_tokens) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN s_exact THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN s_near THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+             CAST(SUM(CASE WHEN s_quality THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+      FROM flagged
+    )
+    SELECT stage_no, stage, n_docs, total_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) AS doc_retention
+    FROM (
+      SELECT 1 AS stage_no, 'raw' AS stage, d1 AS n_docs, t1 AS total_tokens,
+             raw_docs FROM agg
+      UNION ALL SELECT 2, 'exact_dedup', d2, t2, raw_docs FROM agg
+      UNION ALL SELECT 3, 'near_dedup', d3, t3, raw_docs FROM agg
+      UNION ALL SELECT 4, 'quality_gate', d4, t4, raw_docs FROM agg
+    )
+    ORDER BY stage_no
+    """
+    _Q["curation_funnel_report"] = replace(
+        _Q["curation_funnel_report"], oracle=oracle
+    )
+
+
+_install_funnel_oracle()

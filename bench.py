@@ -91,6 +91,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "text_lang_confusion_matrix",
     "dedup_method_agreement",
+    "curation_funnel_report",
 ]
 
 

@@ -78,6 +78,7 @@ PROBES = [
     "dedup_simhash_fingerprints",
     "text_lang_confusion_matrix",
     "dedup_method_agreement",
+    "curation_funnel_report",
 ]
 
 
