@@ -179,6 +179,44 @@ class CdcPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def start_wal(
+        self,
+        *,
+        data_schema: T.DataType,
+        wal_options: dict | None = None,
+        collections: Sequence[str] | None = None,
+        processing_time: str = "1 second",
+    ) -> StreamingQuery:
+        """The Kafka-free production source: the native ``arango_wal``
+        streaming DataSource (sources/wal_datasource.py) feeding the same
+        foreachBatch apply. WAL ticks are the checkpoint offsets, so this
+        collapses the reference's producer + broker + consumer into ONE
+        streaming query; the ``data`` JSON string parses into the typed
+        document struct here (from_json + data_schema), after which the
+        path is identical to the file/Kafka sources."""
+        from pyspark.sql import functions as F
+
+        from ..sources.wal_datasource import register
+
+        register(self.spark)
+        reader = self.spark.readStream.format("arango_wal")
+        for k, v in (wal_options or {}).items():
+            reader = reader.option(k, str(v))
+        if collections:
+            reader = reader.option("collections", ",".join(collections))
+        stream = reader.load().select(
+            F.col("tick").cast("long").alias("tick"),
+            "type",
+            "cuid",
+            F.from_json("data", data_schema).alias("data"),
+        )
+        return (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
     # -- read path (merge-on-read, M1/M2) -----------------------------------
 
     def raw(self) -> DataFrame:

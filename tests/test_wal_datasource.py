@@ -176,3 +176,61 @@ def test_bridge_into_cdc_latest_state(spark, tmp_path):
         .select("key", "v")
     )
     assert {(r.key, r.v) for r in latest.collect()} == {("a", 2)}
+
+
+def test_cdc_pipeline_runs_on_native_wal_source(spark, tmp_path):
+    """CdcPipeline.start_wal: the full replication engine fed directly by
+    the native WAL source — typed parse, preprocess, append, merge-on-read
+    latest-alive view — with no Kafka or file hop."""
+    from pyspark.sql import types as T
+
+    from arango_clickhouse_replica_spark.streaming.pipeline import CdcPipeline
+
+    entries = [
+        _entry(10, cuid="c_events", k="a", v=1),
+        _entry(20, cuid="c_events", k="a", v=2),
+        _entry(30, cuid="c_events", k="b", v=9),
+        _entry(40, typ=REMOVE_DOCUMENT, cuid="c_events", k="b"),
+        _entry(50, cuid="c_other", k="x", v=7),  # unwatched collection
+    ]
+    for e, key in zip(entries, ("a", "a", "b", "b", "x")):
+        e["data"]["_key"] = key
+    wal = str(tmp_path / "wal.json")
+    wal_fake.write_wal(wal, entries, page_size=2)
+
+    data_schema = T.StructType([
+        T.StructField("_key", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    pipe = CdcPipeline(
+        spark,
+        target_dir=str(tmp_path / "target"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keys=["_key"],
+        tracked_cuids=["c_events"],
+        initial_tick=0,
+    )
+    q = pipe.start_wal(
+        data_schema=data_schema,
+        wal_options={
+            "transportFactory": "tests.wal_fake:make_transport",
+            "walFile": wal,
+            "host": "scripted",
+        },
+        collections=["c_events", "c_other"],
+        processing_time="200 milliseconds",
+    )
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        try:
+            if pipe.raw().count() >= 4:
+                break
+        except Exception:
+            pass
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    # tracked_cuids drops c_other INSIDE the pipeline's preprocess;
+    # latest-alive collapses versions and the delete
+    alive = {(r._key, r.v) for r in pipe.latest_alive().select("_key", "v").collect()}
+    assert alive == {("a", 2)}
