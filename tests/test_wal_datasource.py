@@ -234,3 +234,47 @@ def test_cdc_pipeline_runs_on_native_wal_source(spark, tmp_path):
     # latest-alive collapses versions and the delete
     alive = {(r._key, r.v) for r in pipe.latest_alive().select("_key", "v").collect()}
     assert alive == {("a", 2)}
+
+
+def test_replicate_cli_wal_mode(spark, tmp_path, monkeypatch):
+    """tools/replicate.py --wal-url end to end against the scripted
+    server: argv parsing, url -> config, pipeline construction, bounded
+    run, and the resulting latest-state target."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import tools.replicate as replicate
+
+    entries = [
+        _entry(10, cuid="events", k="a", v=1),
+        _entry(20, cuid="events", k="a", v=2),
+        _entry(30, typ=REMOVE_DOCUMENT, cuid="events", k="c"),
+    ]
+    for e, key in zip(entries, ("a", "a", "c")):
+        e["data"]["_key"] = key
+    wal = str(tmp_path / "wal.json")
+    wal_fake.write_wal(wal, entries, page_size=2)
+
+    monkeypatch.setenv("ARANGO_WAL_TRANSPORT_FACTORY",
+                       "tests.wal_fake:make_transport")
+    monkeypatch.setenv("ARANGO_WAL_FILE", wal)
+    monkeypatch.setenv("ARANGO_WAL_MAX_RUNTIME_S", "6")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["replicate.py", "--tables", "events",
+         "--state-root", str(tmp_path / "state"),
+         "--wal-url", "http://scripted:8529/_system",
+         "--data-schema", "_key string, v long"],
+    )
+    replicate.main()
+
+    target = spark.read.parquet(str(tmp_path / "state" / "events" / "target"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_key").orderBy(F.desc("_ver"))
+    alive = (
+        target.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND _deleted = 0")
+        .select("_key", "v")
+    )
+    assert {(r._key, r.v) for r in alive.collect()} == {("a", 2)}

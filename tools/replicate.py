@@ -30,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tables", required=True,
                     help="comma-separated table names (envelope dirs under envelope-root)")
-    ap.add_argument("--envelope-root", required=True)
+    ap.add_argument("--envelope-root", default=None,
+                    help="envelope-dir source root (required unless --wal-url)")
     ap.add_argument("--state-root", required=True,
                     help="per-table target/checkpoint/dead-letter dirs live here")
     ap.add_argument("--mappings", default=None,
@@ -48,6 +49,15 @@ def main() -> None:
     ap.add_argument("--merge-on-write", action="store_true",
                     help="use the bucketed merge-on-write sink instead of the "
                          "append-only + merge-on-read target")
+    ap.add_argument("--wal-url", default=None,
+                    help="tail a live ArangoDB WAL instead of envelope dirs: "
+                         "http://host:port/db (native arango_wal streaming "
+                         "source; the checkpoint stores the tick). Requires "
+                         "--data-schema; --tables entries are collection "
+                         "cuids in this mode")
+    ap.add_argument("--data-schema", default=None,
+                    help="Spark DDL string for the document payload when "
+                         "--wal-url is used, e.g. '_key string, v long'")
     args = ap.parse_args()
 
     from arango_clickhouse_replica_spark.schema.dsl import TableMapping
@@ -75,6 +85,12 @@ def main() -> None:
     spark = get_spark("replicate")
     mgr = ReplicationManager(spark)
     keys = args.keys.split(",")
+
+    if args.wal_url:
+        _run_wal_mode(spark, args, keys)
+        return
+    if not args.envelope_root:
+        raise SystemExit("--envelope-root is required unless --wal-url is given")
 
     for name in args.tables.split(","):
         env_dir = os.path.join(args.envelope_root, name)
@@ -129,6 +145,74 @@ def main() -> None:
                 r.query.awaitTermination()
         except KeyboardInterrupt:
             mgr.stop_all()
+
+
+def _run_wal_mode(spark, args, keys) -> None:
+    """One CdcPipeline per watched collection, fed by the native
+    ``arango_wal`` streaming source (no envelope dirs, no broker); the
+    checkpoint carries the WAL tick. ``--tables`` entries name the
+    collection cuids to watch."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from arango_clickhouse_replica_spark.streaming import CdcPipeline
+
+    if not args.data_schema:
+        raise SystemExit("--wal-url requires --data-schema")
+    u = urlparse(args.wal_url)
+    db = (u.path or "/_system").strip("/") or "_system"
+    data_schema = _parse_datatype_string(args.data_schema)
+    queries = []
+    for name in args.tables.split(","):
+        state = os.path.join(args.state_root, name)
+        pipe = CdcPipeline(
+            spark,
+            target_dir=os.path.join(state, "target"),
+            checkpoint_dir=os.path.join(state, "ckpt"),
+            keys=keys,
+            dead_letter_dir=os.path.join(state, "dead"),
+            tracked_cuids=[name],
+        )
+        if args.resync:
+            import shutil
+
+            for d in (pipe.checkpoint_dir, pipe.target_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        queries.append(
+            pipe.start_wal(
+                data_schema=data_schema,
+                wal_options={
+                    "host": u.hostname or "localhost",
+                    "port": u.port or 8529,
+                    "db": db,
+                    "username": os.environ.get("ARANGO_USER", "root"),
+                    "password": os.environ.get("ARANGO_PASSWORD", ""),
+                    # test hook: scripted transport + its state file (the
+                    # same env-gating as the connector itself)
+                    **({"transportFactory": os.environ["ARANGO_WAL_TRANSPORT_FACTORY"]}
+                       if "ARANGO_WAL_TRANSPORT_FACTORY" in os.environ else {}),
+                    **({"walFile": os.environ["ARANGO_WAL_FILE"]}
+                       if "ARANGO_WAL_FILE" in os.environ else {}),
+                },
+                collections=[name],
+            )
+        )
+    print(f"tailing WAL {args.wal_url} for {args.tables}")
+    # test hook: bounded run instead of tail-forever
+    max_s = os.environ.get("ARANGO_WAL_MAX_RUNTIME_S")
+    try:
+        if max_s:
+            import time
+
+            time.sleep(float(max_s))
+            for q in queries:
+                q.stop()
+        for q in queries:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        for q in queries:
+            q.stop()
 
 
 if __name__ == "__main__":
