@@ -155,6 +155,32 @@ COMMENT = {
         "SCD2: envelope preprocess is narrow; ONE exchange on the key "
         "feeds the LEAD window; interval rows project directly — no "
         "self-join, state bounded per key.",
+    "dedup_simhash_hamming_pairs":
+        "SimHash banding (64-bit/16-bit bands): conv() turns each md5 "
+        "into four int chunks, so all 64 bit-balance SUMs are shift/mask "
+        "lanes in ONE map-side-combinable hash aggregate; the band "
+        "self-join shuffles 8-byte signature keys only; xor+bit_count "
+        "verification is codegen.",
+    "decontam_minhash_fuzzy":
+        "Fuzzy decontamination: ONE capped-shingle scan feeds both lane "
+        "and band aggregates; the eval side BROADCASTS into the band "
+        "probe and the lane-agreement join — the corpus relation is "
+        "never reshuffled.",
+    "cdc_snapshot_diff":
+        "Snapshot diff: both sides reduce to keyed relations before one "
+        "full outer join on the key; status/changed-cols are per-row "
+        "projections — with a bucketed CDC target the join co-locates "
+        "and the diff streams.",
+    "curation_funnel_report":
+        "Curation funnel: survival flags computed once (fingerprint "
+        "window + broadcast-able left join against the small cluster "
+        "relation); all four stage rows come from ONE aggregate over the "
+        "flagged relation (filtered sums), then a 4-row union.",
+    "text_bpe_merge_pairs":
+        "BPE merge pairs: the corpus collapses to the weighted piece "
+        "vocabulary FIRST (one hash aggregate); pair explosion runs over "
+        "the tiny vocab; top-50 is TakeOrderedAndProject (distributed "
+        "top-k, no global sort).",
 }
 
 
