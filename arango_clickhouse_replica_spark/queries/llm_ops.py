@@ -2415,8 +2415,8 @@ def _method_agreement_oracle() -> str:
                 WHEN in_minhash THEN 'minhash_only'
                 ELSE 'simhash_only' END AS agreement,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(MIN(doc_a) AS BIGINT) AS sample_doc_a,
-           CAST(MIN(doc_b) AS BIGINT) AS sample_doc_b
+           CAST((min({{'a': doc_a, 'b': doc_b}})).a AS BIGINT) AS sample_doc_a,
+           CAST((min({{'a': doc_a, 'b': doc_b}})).b AS BIGINT) AS sample_doc_b
     FROM u
     GROUP BY 1
     """
@@ -2456,11 +2456,17 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("in_minhash"), "minhash_only")
         .otherwise("simhash_only")
     )
+    # the sample is a REAL pair: lexicographic min over (doc_a, doc_b),
+    # not independent per-column minima (which need not co-occur)
     return (
         u.groupBy(agreement.alias("agreement"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.min("doc_a").cast("long").alias("sample_doc_a"),
-            F.min("doc_b").cast("long").alias("sample_doc_b"),
+            F.min(F.struct("doc_a", "doc_b")).alias("mn"),
+        )
+        .select(
+            "agreement", "n_pairs",
+            F.col("mn.doc_a").cast("long").alias("sample_doc_a"),
+            F.col("mn.doc_b").cast("long").alias("sample_doc_b"),
         )
     )
