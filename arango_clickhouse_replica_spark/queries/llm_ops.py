@@ -1190,7 +1190,13 @@ def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("embedding", lambda x: F.abs(x)))
         .cast("double").alias("vabs"),
     )
-    code = F.when(F.col("vabs") == 0, F.transform("embedding", lambda x: F.lit(0).cast("long"))).otherwise(
+    # vabs is NULL for a null/empty embedding (array_max of nothing) and 0
+    # for an all-zero one — both must take the zero-codes branch, or the
+    # division yields null codes and np.stack raises in the executor.
+    code = F.when(
+        F.col("vabs").isNull() | (F.col("vabs") == 0),
+        F.transform("embedding", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
         F.transform(
             "embedding",
             lambda x: F.greatest(
@@ -1217,6 +1223,10 @@ def ann_topk_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids, qm = bc.value
         topn = shortlist + 1  # survive self-match removal downstream
         for pdf in batches:
+            # rows whose codes are null (defensive: a null embedding yields
+            # a null codes array) cannot enter the matmul — drop them here
+            # rather than letting np.stack fail the whole query
+            pdf = pdf[pdf["codes"].notna()]
             if pdf.empty:
                 continue
             cand = np.stack(pdf["codes"].map(np.asarray)).astype(np.int64)

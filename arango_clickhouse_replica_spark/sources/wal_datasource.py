@@ -139,7 +139,10 @@ class ArangoWalSimpleStreamReader(SimpleDataSourceStreamReader):
         while cursor < hi:
             batch = self._ensure().tail(cursor)
             last = int(batch["last_included"])
-            if last == 0:
+            if last <= cursor:
+                # no forward progress (empty page, or a stuck/misbehaving
+                # server re-serving the same tick with check_more=true):
+                # stop rather than spin the driver forever
                 break
             out.extend(_rows(batch["content"], self._cuids, cursor, hi))
             if not batch["check_more"] or last >= hi:

@@ -52,6 +52,12 @@ class TableRunner:
     envelope_dir: str
     envelope_schema: object
     policy: RestartPolicy = field(default_factory=RestartPolicy)
+    #: Kafka topic shape for this table, reapplied on resync-recreate
+    #: (the reference re-creates with the table's topic_config —
+    #: sync.py:64-70; partitions>1 is this engine's extension, safe
+    #: because the version merge M1 is order-insensitive).
+    topic_partitions: int = 1
+    topic_configs: dict | None = None
     restarts: int = 0
     started_at: float = 0.0
     query: object = None
@@ -145,7 +151,17 @@ class ReplicationManager:
             # C4: the reference drops + recreates the table's topic between
             # stop and backfill (sync.py:119-130); a failed recreation
             # aborts the resync rather than replaying stale history.
-            if not self.topic_admin.recreate([name]):
+            # reapply the table's declared topic shape (partitions +
+            # configs) rather than broker defaults — the reference passes
+            # the table's topic_config on recreate (sync.py:64-70)
+            partitions = getattr(r, "topic_partitions", 1)
+            configs = getattr(r, "topic_configs", None)
+            ok = self.topic_admin.recreate(
+                [name],
+                partitions=partitions,
+                topic_configs={name: configs} if configs else None,
+            )
+            if not ok:
                 raise RuntimeError(f"topic recreation failed for {name!r}")
         for d in (r.pipeline.checkpoint_dir, r.pipeline.target_dir):
             shutil.rmtree(d, ignore_errors=True)

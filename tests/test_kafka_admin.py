@@ -69,6 +69,27 @@ def test_recreate_drops_then_creates_with_configs():
     assert "events" in client.topics()
 
 
+def test_cli_kafka_admin_flag_is_cleanly_env_gated():
+    """tools/replicate.py --kafka-admin constructs the kafka-python-backed
+    client; in this environment (no kafka-python) that must fail fast with
+    the documented ImportError, not a deep stack later."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    import tools.replicate as replicate
+
+    old = sys.argv
+    sys.argv = ["replicate.py", "--tables", "events", "--state-root", "/tmp/x",
+                "--kafka-admin", "broker:9092"]
+    try:
+        with pytest.raises(ImportError, match="kafka-python is required"):
+            replicate.main()
+    finally:
+        sys.argv = old
+
+
 def test_resync_recreates_topic_and_aborts_on_failure(spark, sf_dir, tmp_path):
     """ReplicationManager.resync invokes the C4 hook between stop and
     backfill, and refuses to backfill if recreation fails."""
@@ -85,6 +106,10 @@ def test_resync_recreates_topic_and_aborts_on_failure(spark, sf_dir, tmp_path):
         name = "events"
         pipeline = _Pipeline()
         restarts = 3
+        # declared topic shape must survive the recreate (ADVICE r4:
+        # resync previously recreated with broker defaults)
+        topic_partitions = 4
+        topic_configs = {"cleanup.policy": "delete"}
 
         def stop(self):
             self.stopped = True
@@ -100,6 +125,7 @@ def test_resync_recreates_topic_and_aborts_on_failure(spark, sf_dir, tmp_path):
     mgr.add(runner)
     mgr.resync("events", snapshot)
     assert client.created and runner.started and runner.restarts == 0
+    assert client.created == [("events", 4, 1, {"cleanup.policy": "delete"})]
     assert spark.read.parquet(_Pipeline.target_dir).count() == 10
 
     stuck = FakeAdminClient(topics=["events"], lag=10**9)

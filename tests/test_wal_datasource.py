@@ -236,6 +236,23 @@ def test_cdc_pipeline_runs_on_native_wal_source(spark, tmp_path):
     assert alive == {("a", 2)}
 
 
+def test_replay_terminates_against_stuck_server():
+    """readBetweenOffsets must not spin when a misbehaving server keeps
+    answering check_more=true with last_included == cursor (ADVICE r4:
+    forward-progress guard). No Spark needed — the reader is plain
+    Python driver-side."""
+    from arango_clickhouse_replica_spark.sources.wal_datasource import (
+        ArangoWalSimpleStreamReader,
+    )
+
+    reader = ArangoWalSimpleStreamReader({
+        "transportfactory": "tests.wal_fake:make_stuck_transport",
+        "host": "scripted",
+    })
+    rows = list(reader.readBetweenOffsets({"tick": "0"}, {"tick": "100"}))
+    assert rows == []  # terminated, served nothing — did not hang
+
+
 def test_replicate_cli_wal_mode(spark, tmp_path, monkeypatch):
     """tools/replicate.py --wal-url end to end against the scripted
     server: argv parsing, url -> config, pipeline construction, bounded
@@ -264,9 +281,14 @@ def test_replicate_cli_wal_mode(spark, tmp_path, monkeypatch):
         ["replicate.py", "--tables", "events",
          "--state-root", str(tmp_path / "state"),
          "--wal-url", "http://scripted:8529/_system",
-         "--data-schema", "_key string, v long"],
+         "--data-schema", "_key string, v long",
+         "--failure-log", str(tmp_path / "alerts" / "failures.jsonl")],
     )
     replicate.main()
+
+    # --failure-log wired the C7 listener (it eagerly creates the log dir;
+    # nothing failed in this run, so the log itself stays empty/absent)
+    assert (tmp_path / "alerts").is_dir()
 
     target = spark.read.parquet(str(tmp_path / "state" / "events" / "target"))
     from pyspark.sql.window import Window

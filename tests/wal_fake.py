@@ -24,6 +24,25 @@ def append_entries(path: str, entries) -> None:
         json.dump(state, f)
 
 
+def make_stuck_transport(options):
+    """A misbehaving server: every tail page claims check_more=true but
+    re-serves the SAME last_included as the requested cursor (no forward
+    progress) — replay must terminate, not spin (ADVICE r4)."""
+
+    def transport(url, headers):
+        if "/_api/wal/lastTick" in url:
+            return 200, {}, json.dumps(
+                {"tick": "100", "server": {"serverId": "1"}}).encode()
+        q = parse_qs(urlparse(url).query)
+        lower = q["from"][0]
+        return 200, {
+            "x-arango-replication-lastincluded": lower,
+            "x-arango-replication-checkmore": "true",
+        }, b""
+
+    return transport
+
+
 def make_transport(options):
     path = options["walfile"]
 

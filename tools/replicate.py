@@ -58,6 +58,14 @@ def main() -> None:
     ap.add_argument("--data-schema", default=None,
                     help="Spark DDL string for the document payload when "
                          "--wal-url is used, e.g. '_key string, v long'")
+    ap.add_argument("--failure-log", default=None,
+                    help="JSONL file for structured query-failure records "
+                         "(C7 alerting; streaming/alerts.py) — every stream "
+                         "termination with an exception is appended here")
+    ap.add_argument("--kafka-admin", default=None, metavar="BOOTSTRAP",
+                    help="Kafka bootstrap servers for topic administration "
+                         "during --resync (C4): the table's topic is "
+                         "deleted, awaited, and recreated before backfill")
     args = ap.parse_args()
 
     from arango_clickhouse_replica_spark.schema.dsl import TableMapping
@@ -83,7 +91,19 @@ def main() -> None:
         return
 
     spark = get_spark("replicate")
-    mgr = ReplicationManager(spark)
+    topic_admin = None
+    if args.kafka_admin:
+        from arango_clickhouse_replica_spark.sources.kafka_admin import (
+            KafkaPythonAdminClient,
+            KafkaTopicAdmin,
+        )
+
+        topic_admin = KafkaTopicAdmin(KafkaPythonAdminClient(args.kafka_admin))
+    mgr = ReplicationManager(spark, topic_admin=topic_admin)
+    if args.failure_log:
+        # C7 default-on alerting, matching the reference's always-wired
+        # mailer hook (loader.py:172-187): failures land in the JSONL log.
+        mgr.attach_alerts(args.failure_log)
     keys = args.keys.split(",")
 
     if args.wal_url:
@@ -156,7 +176,10 @@ def _run_wal_mode(spark, args, keys) -> None:
 
     from pyspark.sql.types import _parse_datatype_string
 
+    from arango_clickhouse_replica_spark.schema.dsl import TableMapping
     from arango_clickhouse_replica_spark.streaming import CdcPipeline
+    from arango_clickhouse_replica_spark.streaming.merge_sink import BucketedMergeSink
+    from arango_clickhouse_replica_spark.streaming.monitor import TickGapMonitor
 
     if not args.data_schema:
         raise SystemExit("--wal-url requires --data-schema")
@@ -166,12 +189,35 @@ def _run_wal_mode(spark, args, keys) -> None:
     queries = []
     for name in args.tables.split(","):
         state = os.path.join(args.state_root, name)
+        target_dir = os.path.join(state, "target")
+        # --mappings / --merge-on-write apply in WAL mode exactly as in
+        # envelope mode (previously they were silently ignored here)
+        mapping = None
+        if args.mappings:
+            yml = os.path.join(args.mappings, f"{name}.yaml")
+            if os.path.exists(yml):
+                mapping = TableMapping.from_yaml_file(yml)
+        sink = (
+            BucketedMergeSink(spark, target_dir, keys)
+            if args.merge_on_write
+            else None
+        )
+        monitor = TickGapMonitor(
+            on_gap=lambda g, t=name: print(
+                f"{t}: TICKS LOST asked for {g.expected_from} "
+                f"but got {g.observed_from} ({g.missing} missing)",
+                file=sys.stderr,
+            )
+        )
         pipe = CdcPipeline(
             spark,
-            target_dir=os.path.join(state, "target"),
+            target_dir=target_dir,
             checkpoint_dir=os.path.join(state, "ckpt"),
             keys=keys,
+            mapping=mapping,
             dead_letter_dir=os.path.join(state, "dead"),
+            tick_monitor=monitor,
+            merge_sink=sink,
             tracked_cuids=[name],
         )
         if args.resync:
