@@ -182,37 +182,22 @@ def streaming_dataset_card(df: DataFrame) -> DataFrame:
     )
 
 
-def streaming_user_stats_tws(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
-    """Per-key lifetime (n, total, vmax) on the NEW Spark 4 stateful API
-    (``transformWithStateInPandas``): explicit typed state variables via
-    ``StatefulProcessorHandle`` instead of the single opaque tuple
-    ``applyInPandasWithState`` allows. Functionally parallel to
-    ``streaming_running_totals`` (kept above — the older API remains the
-    wider-deployed one); this variant is the forward path: per-variable
-    state (ValueState/ListState/MapState), native TTL, and timers all
-    hang off the same handle.
+def make_user_stats_processor(key_col: str, value_col: str):
+    """Build the ``StatefulProcessor`` behind ``streaming_user_stats_tws``.
 
-    Scale: identical state-store profile to any keyed stateful op — one
-    shuffle on the key, O(1) state per key, Arrow-batched transfer.
-
-    Runtime requirements: the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass``) and
-    ``google.protobuf`` (the JVM<->Python state protocol) — absent from
-    this container, so the parity test is environment-gated
-    (tests/test_streaming_stateful.py); the operator itself is complete.
+    Module-level (not a closure inside the operator) so the processor's
+    state-transition logic is testable against the ``StatefulProcessor``
+    contract directly — ``init(handle)`` / ``handleInputRows`` /
+    ``close()`` driven with a fake handle — in environments where the
+    JVM<->Python state protocol (google.protobuf) is unavailable. The
+    streaming wrapper below passes an instance straight to
+    ``transformWithStateInPandas``; Spark itself calls exactly the same
+    three methods, so the fake-handle drive exercises the identical code
+    path minus the wire protocol.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField(key_col, df.schema[key_col].dataType),
-            T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
-            T.StructField("vmax", T.DoubleType()),
-        ]
     )
 
     class UserStats(StatefulProcessor):
@@ -240,6 +225,38 @@ def streaming_user_stats_tws(df: DataFrame, key_col: str, value_col: str) -> Dat
         def close(self) -> None:
             pass
 
+    return UserStats()
+
+
+def streaming_user_stats_tws(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key lifetime (n, total, vmax) on the NEW Spark 4 stateful API
+    (``transformWithStateInPandas``): explicit typed state variables via
+    ``StatefulProcessorHandle`` instead of the single opaque tuple
+    ``applyInPandasWithState`` allows. Functionally parallel to
+    ``streaming_running_totals`` (kept above — the older API remains the
+    wider-deployed one); this variant is the forward path: per-variable
+    state (ValueState/ListState/MapState), native TTL, and timers all
+    hang off the same handle.
+
+    Scale: identical state-store profile to any keyed stateful op — one
+    shuffle on the key, O(1) state per key, Arrow-batched transfer.
+
+    Runtime requirements for the full streaming path: the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` (the JVM<->Python state protocol). Where protobuf
+    is absent the processor's state logic is still covered end to end by
+    the fake-handle contract drive in tests/test_streaming_stateful.py
+    (see :func:`make_user_stats_processor`).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
     return df.groupBy(key_col).transformWithStateInPandas(
-        UserStats(), out_schema, "Update", "None"
+        make_user_stats_processor(key_col, value_col),
+        out_schema, "Update", "None",
     )
