@@ -119,6 +119,32 @@ def encode_png_gray8(pixels, width: int, height: int) -> bytes:
     )
 
 
+def box_downsample_gray8(px: bytes, width: int, height: int,
+                         denom: int) -> tuple[bytes, int, int]:
+    """Integer box-filter downsample of 8-bit grayscale pixels by
+    ``denom`` per axis: output dims are ``ceil(dim/denom)`` and every
+    output pixel is ``floor(mean(block))`` over its (edge-clipped)
+    input block — exact integer arithmetic (SUM // COUNT), so a SQL
+    oracle can recompute each output pixel without touching bytes."""
+    if denom < 1:
+        raise ValueError("denom must be >= 1")
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    ow = (width + denom - 1) // denom
+    oh = (height + denom - 1) // denom
+    out = bytearray(ow * oh)
+    for oy in range(oh):
+        y0, y1 = oy * denom, min((oy + 1) * denom, height)
+        for ox in range(ow):
+            x0, x1 = ox * denom, min((ox + 1) * denom, width)
+            s = 0
+            for y in range(y0, y1):
+                row = y * width
+                s += sum(px[row + x0: row + x1])
+            out[oy * ow + ox] = s // ((y1 - y0) * (x1 - x0))
+    return bytes(out), ow, oh
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

@@ -273,26 +273,47 @@ def resize_media(media: DataFrame, *, scale_denom: int = 4,
                  decode: str = "fake") -> DataFrame:
     """Resize/downsample plumbing (1:1 mapInPandas, payload -> payload).
 
+    ``decode='png'``: REAL resample for 8-bit grayscale PNGs — full
+    decode (signature/CRC/inflate/unfilter), exact-integer box filter
+    (floor-mean per ``scale_denom``-square block, edge-clipped), and
+    re-encode to a genuine PNG (operators/media_codecs). Pure stdlib,
+    runs on stock executors.
+
     ``decode='fake'``: deterministic byte-decimation (every
-    ``scale_denom``-th byte) stands in for pixel resampling; the batch
-    shape, schema, and narrow-stage contract are exactly what a real
-    ``PIL.Image.resize`` implementation drops into.
+    ``scale_denom``-th byte) stands in for pixel resampling on formats
+    with no stdlib codec; the batch shape, schema, and narrow-stage
+    contract are exactly what a real ``PIL.Image.resize`` drops into.
     """
     if decode == "image" and not _HAVE_PIL:
         raise NotImplementedError(
             "image resize requires PIL/pillow, not present in this environment"
         )
-    if decode not in ("fake", "image"):
+    if decode not in ("fake", "image", "png"):
         raise ValueError(f"unknown decode mode {decode!r}")
     if scale_denom < 1:
         raise ValueError("scale_denom must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import (
+            box_downsample_gray8,
+            decode_png,
+            encode_png_gray8,
+        )
+
         for pdf in it:
             out_payload, out_n = [], []
             for raw in pdf["payload"]:
                 b = bytes(raw) if raw is not None else b""
-                small = b[::scale_denom]
+                if decode == "png":
+                    img = decode_png(b)
+                    if img["channels"] != 1:
+                        raise ValueError("png resize supports gray8 only")
+                    small_px, ow, oh = box_downsample_gray8(
+                        img["pixels"], img["width"], img["height"], scale_denom
+                    )
+                    small = encode_png_gray8(small_px, ow, oh)
+                else:
+                    small = b[::scale_denom]
                 out_payload.append(small)
                 out_n.append(len(small))
             yield pd.DataFrame(

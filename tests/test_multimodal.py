@@ -245,3 +245,46 @@ def test_real_decode_features_in_spark(spark, sf_dir):
     pxs = [(d * 7 + 3 * x + 5 * y) % 256 for y in range(h_) for x in range(w_)]
     assert png[d].n_pixels == w_ * h_
     assert png[d].sum_pixels == sum(pxs)
+
+
+def test_box_downsample_floor_mean_and_edge_clip():
+    """Exact integer box filter: floor(mean) per block, edge blocks
+    clipped to the image — a 5x3 image at denom=2 yields 3x2 with
+    hand-computable block means."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        box_downsample_gray8,
+    )
+
+    # row-major 5x3: values 0..14
+    px = bytes(range(15))
+    out, ow, oh = box_downsample_gray8(px, 5, 3, 2)
+    assert (ow, oh) == (3, 2)
+    # blocks: rows {0,1} x cols {0,1}|{2,3}|{4}; row {2} x same cols
+    want = [
+        (0 + 1 + 5 + 6) // 4, (2 + 3 + 7 + 8) // 4, (4 + 9) // 2,
+        (10 + 11) // 2, (12 + 13) // 2, 14 // 1,
+    ]
+    assert list(out) == want
+    # denom=1 is the identity
+    ident, w1, h1 = box_downsample_gray8(px, 5, 3, 1)
+    assert (ident, w1, h1) == (px, 5, 3)
+
+
+def test_png_resize_roundtrip_byte_level():
+    """decode -> box filter -> re-encode -> decode returns exactly the
+    box-filtered pixels, and the resized payload is a genuine PNG."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        box_downsample_gray8,
+        decode_png,
+        encode_png_gray8,
+    )
+
+    w, h = 9, 7
+    px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    png = encode_png_gray8(px, w, h)
+    img = decode_png(png)
+    small, ow, oh = box_downsample_gray8(img["pixels"], w, h, 2)
+    small_png = encode_png_gray8(small, ow, oh)
+    back = decode_png(small_png)
+    assert (back["width"], back["height"]) == (ow, oh) == (5, 4)
+    assert back["pixels"] == small
