@@ -2099,6 +2099,83 @@ _SIMHASH_HAMMING_MAX = 3
 _SIMHASH_N_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands shares >= 1
 
 
+def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo, hi): 64-bit simhash signatures as two 32-bit halves.
+
+    Fast bit lanes: ONE md5 per shingle becomes four 32-bit integer
+    chunks (conv once per 8 hex chars), and each nibble contributes TWO
+    independent uniform bits — its bit 3 feeds the low signature half,
+    its bit 2 the high half — so the 64 balance aggregates are integer
+    shift/mask SUMs with no second hash and no per-character string
+    ops. Same VALUES as the oracle's strpos formulas; the majority
+    sign b_g = SUM(+-1) >= 0 is equivalently 2*SUM(bit_g) >= COUNT(*).
+    """
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("s"), 1 + 8 * c, 8), 16, 10)
+            .cast("long").alias(f"w{c}")
+            for c in range(4)
+        ],
+    )
+
+    def bit(col: str, pos_in_chunk: int, b: int):  # hex char 1 = high nibble
+        return F.shiftright(F.col(col), 4 * (7 - pos_in_chunk) + b).bitwiseAND(
+            F.lit(1)
+        )
+
+    bits = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(bit(f"w{(g - 1) // 8}", (g - 1) % 8, 3)).alias(f"s{g}")
+            for g in range(1, 33)
+        ],
+        *[
+            F.sum(bit(f"w{(g - 1) // 8}", (g - 1) % 8, 2)).alias(f"t{g}")
+            for g in range(1, 33)
+        ],
+    )
+
+    def combine(prefix: str):
+        out = None
+        for g in range(1, 33):
+            term = F.when(
+                2 * F.col(f"{prefix}{g}") >= F.col("n"),
+                F.lit(1 << (g - 1)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            out = term if out is None else out + term
+        return out
+
+    return bits.select(
+        "doc_id", combine("s").alias("lo"), combine("t").alias("hi")
+    )
+
+
+def simhash_band_candidates(hashes: DataFrame) -> DataFrame:
+    """Distinct band-bucket candidate pairs (with both signatures
+    attached) from a 64-bit signature relation — the blocking stage of
+    ``dedup_simhash_hamming_pairs``, exposed for the scale probes'
+    candidate counting."""
+    bands = hashes.select(
+        "doc_id", "lo", "hi",
+        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_N_BANDS)])).alias("band"),
+    ).withColumn(
+        "key",
+        F.expr("CASE WHEN band < 2 THEN shiftright(lo, 16 * band) & 65535"
+               " ELSE shiftright(hi, 16 * (band - 2)) & 65535 END"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
+                     F.col("hi").alias("hi_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
+                     F.col("hi").alias("hi_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "lo_a", "hi_a", "doc_b", "lo_b", "hi_b")
+        .distinct()
+    )
+
+
 @query(
     "dedup_simhash_hamming_pairs",
     oracle=f"""
@@ -2152,70 +2229,7 @@ _SIMHASH_N_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands shares >= 1
         "its quadratic trend) are exactly what this width eliminates.",
 )
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Fast bit lanes: ONE md5 per shingle becomes four 32-bit integer
-    # chunks (conv once per 8 hex chars), and each nibble contributes TWO
-    # independent uniform bits — its bit 3 feeds the low signature half,
-    # its bit 2 the high half — so the 64 balance aggregates are integer
-    # shift/mask SUMs with no second hash and no per-character string
-    # ops. Same VALUES as the oracle's strpos formulas; the majority
-    # sign b_g = SUM(+-1) >= 0 is equivalently 2*SUM(bit_g) >= COUNT(*).
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id",
-        *[
-            F.conv(F.substring(F.md5("s"), 1 + 8 * c, 8), 16, 10)
-            .cast("long").alias(f"w{c}")
-            for c in range(4)
-        ],
-    )
-
-    def bit(col: str, pos_in_chunk: int, b: int):  # hex char 1 = high nibble
-        return F.shiftright(F.col(col), 4 * (7 - pos_in_chunk) + b).bitwiseAND(
-            F.lit(1)
-        )
-
-    bits = sh.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(bit(f"w{(g - 1) // 8}", (g - 1) % 8, 3)).alias(f"s{g}")
-            for g in range(1, 33)
-        ],
-        *[
-            F.sum(bit(f"w{(g - 1) // 8}", (g - 1) % 8, 2)).alias(f"t{g}")
-            for g in range(1, 33)
-        ],
-    )
-
-    def combine(prefix: str):
-        out = None
-        for g in range(1, 33):
-            term = F.when(
-                2 * F.col(f"{prefix}{g}") >= F.col("n"),
-                F.lit(1 << (g - 1)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            out = term if out is None else out + term
-        return out
-
-    hashes = bits.select(
-        "doc_id", combine("s").alias("lo"), combine("t").alias("hi")
-    )
-    bands = hashes.select(
-        "doc_id", "lo", "hi",
-        F.explode(F.array(*[F.lit(b) for b in range(_SIMHASH_N_BANDS)])).alias("band"),
-    ).withColumn(
-        "key",
-        F.expr("CASE WHEN band < 2 THEN shiftright(lo, 16 * band) & 65535"
-               " ELSE shiftright(hi, 16 * (band - 2)) & 65535 END"),
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
-                     F.col("hi").alias("hi_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
-                     F.col("hi").alias("hi_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "lo_a", "hi_a", "doc_b", "lo_b", "hi_b")
-        .distinct()
-    )
+    cand = simhash_band_candidates(_simhash64(spark, sf_dir))
     hamming = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     return (
         cand.filter(hamming <= _SIMHASH_HAMMING_MAX)

@@ -563,6 +563,42 @@ def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_T_NUM, _PREFIX_T_DEN = 4, 5  # stated Jaccard threshold t = 0.8
 
 
+def prefix_filter_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking stage of ``dedup_prefix_filter_pairs`` — distinct
+    candidate pairs from the threshold-derived rarest-first prefixes —
+    exposed for the scale probes' candidate counting."""
+    from .llm_ops import _doc_shingles
+
+    tok = _doc_shingles(spark, sf_dir).distinct()
+    df_s = tok.groupBy("s").agg(F.count("*").alias("df_s"))
+    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
+    w_doc = Window.partitionBy("doc_id")
+    # prefix_len = n_tok - ceil(t*n_tok) + 1, exact integers; the size
+    # count rides the same doc_id exchange as the rank window
+    plen = (
+        F.col("n_tok")
+        - F.expr(f"({_PREFIX_T_NUM} * n_tok + {_PREFIX_T_DEN} - 1) "
+                 f"div {_PREFIX_T_DEN}")
+        + F.lit(1)
+    )
+    prefix = (
+        tok.join(df_s, "s")
+        .withColumn("rn", F.row_number().over(w_rare))
+        .withColumn("n_tok", F.count("*").over(w_doc))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "s")
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "dedup_prefix_filter_pairs",
     oracle=f"""
@@ -626,33 +662,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _doc_shingles
 
     tok = _doc_shingles(spark, sf_dir).distinct()
-    df_s = tok.groupBy("s").agg(F.count("*").alias("df_s"))
-    w_rare = Window.partitionBy("doc_id").orderBy(F.asc("df_s"), F.asc("s"))
-    w_doc = Window.partitionBy("doc_id")
-    # prefix_len = n_tok - ceil(t*n_tok) + 1, exact integers; the size
-    # count rides the same doc_id exchange as the rank window
-    plen = (
-        F.col("n_tok")
-        - F.expr(f"({_PREFIX_T_NUM} * n_tok + {_PREFIX_T_DEN} - 1) "
-                 f"div {_PREFIX_T_DEN}")
-        + F.lit(1)
-    )
-    prefix = (
-        tok.join(df_s, "s")
-        .withColumn("rn", F.row_number().over(w_rare))
-        .withColumn("n_tok", F.count("*").over(w_doc))
-        .filter(F.col("rn") <= plen)
-        .select("doc_id", "s")
-    )
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "s")
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
+    cand = prefix_filter_candidates(spark, sf_dir)
     # Verification via per-document shingle SETS (sorted arrays) and one
     # array_intersect per candidate pair: the explode-join variant
     # re-expanded every pair by |doc shingles| and shuffled that blown-up

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Pair-join stress probe: synthesize K x sf0.1 documents (default 50x)
+and measure the five pair-join operators' wall time AND blocking-stage
+candidate counts, appending a section to docs/SCALING.md.
+
+Candidate counts are the point (r4 verdict item #6): the per-replica
+salting makes every document a true near-dup of its K-1 siblings, so any
+COMPLETE pair finder must verify O(K^2) pairs per original document —
+super-linear wall-time growth is then density-driven, not a plan defect.
+Reporting candidates alongside time turns that from an assertion into a
+measurement: time per candidate should stay flat (or fall) as K grows.
+
+Counting uses the queries' OWN blocking stages (imported helpers, not
+reimplementations), so the counts are exactly what the plans verify:
+- minhash:  operators/minhash candidate_pairs(band_signatures(...))
+- simhash:  queries/llm_ops simhash_band_candidates(_simhash64(...))
+- prefix:   queries/retrieval prefix_filter_candidates(...)
+- jaccard/tfidf: distinct pairs sharing a df-capped shingle (their
+  common blocker, queries/llm_ops _doc_shingles_capped)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE = "/root/testdata/sf0.1"
+K = int(os.environ.get("PAIR_PROBE_K", "50"))
+
+PAIR_QUERIES = [
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_hamming_pairs",
+    "dedup_ngram_jaccard_topk",
+    "dedup_tfidf_cosine_topk",
+    "dedup_prefix_filter_pairs",
+]
+
+
+def synthesize_documents(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{BASE}/documents.parquet")
+    span = df.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(K):
+        d = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * span).cast("long"))
+        if i > 0:
+            d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" r{i}")))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def candidate_counts(spark, sf_dir: str) -> dict[str, int]:
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.operators.minhash import (
+        band_signatures,
+        candidate_pairs,
+    )
+    from arango_clickhouse_replica_spark.queries.llm_ops import (
+        _doc_shingles_capped,
+        _simhash64,
+        simhash_band_candidates,
+    )
+    from arango_clickhouse_replica_spark.queries.retrieval import (
+        prefix_filter_candidates,
+    )
+
+    out = {}
+    out["dedup_minhash_lsh_candidates"] = candidate_pairs(
+        band_signatures(_doc_shingles_capped(spark, sf_dir))
+    ).count()
+    out["dedup_simhash_hamming_pairs"] = simhash_band_candidates(
+        _simhash64(spark, sf_dir)
+    ).count()
+    # jaccard and tfidf share the df-capped shingle blocker: candidates
+    # are the distinct doc pairs co-occurring under any surviving shingle
+    sh = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    shingle_pairs = (
+        a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct().count()
+    )
+    out["dedup_ngram_jaccard_topk"] = shingle_pairs
+    out["dedup_tfidf_cosine_topk"] = shingle_pairs
+    out["dedup_prefix_filter_pairs"] = prefix_filter_candidates(
+        spark, sf_dir).count()
+    return out
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    out = {}
+    for name in PAIR_QUERIES:
+        QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+    return out
+
+
+def main() -> None:
+    from arango_clickhouse_replica_spark.session import get_spark
+
+    spark = get_spark("pair-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big_dir = tempfile.mkdtemp(prefix="pair_probe_")
+    try:
+        print(f"synthesizing {K}x sf0.1 documents into {big_dir} ...",
+              file=sys.stderr)
+        synthesize_documents(spark, big_dir)
+        base_t = time_queries(spark, BASE)
+        base_c = candidate_counts(spark, BASE)
+        big_t = time_queries(spark, big_dir)
+        big_c = candidate_counts(spark, big_dir)
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
+    lines = [
+        "",
+        f"## {K}x stress probe — pair-join family, with candidate counts",
+        "",
+        f"{K}x sf0.1 documents (~{5000 * K // 1000}k docs, per-replica "
+        f"salting: every doc has {K - 1} true near-dup siblings; "
+        "min-of-3 warm runs). cand = blocking-stage candidate pairs "
+        "(the queries' own blockers, counted directly); us/cand = "
+        "microseconds of wall time per candidate verified.",
+        "",
+        "| query | sf0.1 s | cand | "
+        f"{K}x s | cand | time ratio | cand ratio | us/cand ({K}x) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name in PAIR_QUERIES:
+        tr = big_t[name] / base_t[name] if base_t[name] else float("nan")
+        cr = big_c[name] / base_c[name] if base_c[name] else float("nan")
+        us = 1e6 * big_t[name] / big_c[name] if big_c[name] else float("nan")
+        lines.append(
+            f"| {name} | {base_t[name]} | {base_c[name]:,} | {big_t[name]} "
+            f"| {big_c[name]:,} | {tr:.1f}x | {cr:.1f}x | {us:.1f} |"
+        )
+    with open("docs/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"K": K, "base_t": base_t, "base_c": base_c,
+                      "big_t": big_t, "big_c": big_c}))
+
+
+if __name__ == "__main__":
+    main()
