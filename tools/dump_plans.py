@@ -66,11 +66,14 @@ COMMENT = {
         "scan (no exchange anywhere); the whole kernel is JVM-side "
         "codegen (transform/aggregate HOFs), no Python.",
     "text_unigram_logprob":
-        "Unigram LM scoring: two stacked map-side-combinable aggregates "
-        "(doc-word, word), the corpus total attached as a 1-row "
-        "broadcast, then ONE shuffle equi-join on the word key feeding "
-        "the per-doc aggregate; log terms are rounded-DECIMAL lanes so "
-        "the sums stay exact.",
+        "Unigram LM scoring (round-5 shape): one map-side-combinable "
+        "vocab aggregate, corpus total attached as a 1-row broadcast, "
+        "then the vocab relation BROADCASTS to the occurrence stream "
+        "(bounded vocab — production unigram filters OOV-cap it) and "
+        "ONE map-side-combinable groupBy(doc_id) carries n_docs-bounded "
+        "partials; the old word-keyed shuffle-join shape measured 3.8x "
+        "at 10x data, this one 1.3x. Log terms are rounded-DECIMAL "
+        "lanes so the sums stay exact.",
     "text_source_kl_mixture":
         "Source-KL mixture stat: word-keyed hash joins, source totals "
         "broadcast (few strata), corpus total a 1-row broadcast; the KL "
@@ -147,10 +150,13 @@ COMMENT = {
         "fingerprint-keyed self equi-join bounded at C(sources,2) rows "
         "per fingerprint, final aggregate on the source pair.",
     "dedup_prefix_filter_pairs":
-        "Prefix filtering: rarest-3 shingle prefix per doc (one window "
-        "keyed by doc), candidate equi-join on prefix shingles (rare "
-        "shingles = short doc lists, bounded fan-out), exact-Jaccard "
-        "verification joins keyed on the candidate pair.",
+        "Prefix filtering (round-5 shape — exact AllPairs bound): "
+        "threshold-derived prefix |s| - ceil(t*|s|) + 1 per doc (rank "
+        "and size windows share one doc_id exchange), candidate "
+        "equi-join on prefix shingles (rare shingles = short doc lists),"
+        " exact-Jaccard verification keyed on the candidate pair, "
+        "exact-integer J >= t filter; complete for t = 0.8 by the "
+        "AllPairs lemma, property-tested vs brute force.",
     "cdc_scd2_history":
         "SCD2: envelope preprocess is narrow; ONE exchange on the key "
         "feeds the LEAD window; interval rows project directly — no "
@@ -181,6 +187,12 @@ COMMENT = {
         "vocabulary FIRST (one hash aggregate); pair explosion runs over "
         "the tiny vocab; top-50 is TakeOrderedAndProject (distributed "
         "top-k, no global sort).",
+    "mm_png_resize_features":
+        "Real PNG resize (round 5): three chained 1:1 mapInPandas "
+        "stages (encode, decode+box-filter+re-encode, decode+features) "
+        "— zero exchanges anywhere; per-payload work is microseconds of "
+        "zlib + integer filter math, so the pipeline is scan/IO-bound "
+        "and trivially partition-parallel at 100 TB.",
 }
 
 

@@ -74,6 +74,7 @@ PROBES = [
     "cdc_snapshot_diff",
     "mm_wav_decode_features",
     "mm_png_decode_features",
+    "mm_png_resize_features",
     "dedup_exact_union_self",
     "dedup_simhash_fingerprints",
     "text_lang_confusion_matrix",
