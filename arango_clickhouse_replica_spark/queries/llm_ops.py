@@ -2494,3 +2494,240 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mn.doc_b").cast("long").alias("sample_doc_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: exact substring-span dedup + semantic (SemDeDup) dedup
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 12  # window width in tokens (Lee et al. 2021 use 50 BPE tokens)
+
+
+def _substring_spans_oracle(k: int = _SUBSTR_K) -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {k} AS INT)],
+                                 ' ')) AS h
+      FROM w, unnest(range(0, len(toks) - {k} + 1)) AS u(i)
+      WHERE len(toks) >= {k}
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    d AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+    g AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {k} THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {k} - 1 AS INT) AS span_end,
+           CAST(MAX(pos) + {k} - MIN(pos) AS INT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_substring_spans_oracle(),
+    tags=("dedup", "substring"),
+    doc="Exact substring deduplication, the suffix-array result of Lee et "
+        "al. 2021 ('Deduplicating Training Data Makes Language Models "
+        "Better') re-expressed as three linear Spark passes with NO suffix "
+        "array and NO pair join: (1) every doc emits one rolling "
+        f"{_SUBSTR_K}-token window hash per token position (md5 over the "
+        "joined slice — one row per corpus token, the linear-work bound); "
+        "(2) a map-side-combinable hash aggregate finds window hashes "
+        "occurring >= 2 times anywhere in the corpus (across docs OR "
+        "repeated within one doc, as in the paper); (3) duplicated "
+        "window positions flow back via a semi join on the hash key and "
+        "merge into MAXIMAL duplicated spans per doc with a "
+        "gaps-and-islands window (new island when the next duplicated "
+        "window starts more than k tokens later). Distinct from "
+        "dedup_passage_segments (non-overlapping 8-word segments, "
+        "alignment-sensitive): sliding windows catch duplicated runs at "
+        "ANY offset, the property that makes suffix-array dedup the "
+        "strong form. At 100 TB: the window stream shuffles once on the "
+        "16-byte hash (same shuffle serves the count and the semi join), "
+        "the span merge shuffles only DUPLICATED positions on doc_id, "
+        "and per-doc state is one sorted position run — nothing is "
+        "quadratic and no suffix array need ever be materialized.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    k = _SUBSTR_K
+    docs = load_table(spark, "documents", sf_dir)
+    wins = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, size(toks) - {k}),
+                          i -> struct(i AS pos,
+                                      md5(concat_ws(' ', slice(toks, i + 1, {k})))
+                                          AS h))"""
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    # Window hashes occurring >= 2 times anywhere in the corpus. Not
+    # broadcast: on a duplicate-heavy corpus this relation is O(dup
+    # windows), so it flows back through the SAME hash-partitioned
+    # shuffle the aggregate already paid for (AQE exchange reuse), as a
+    # semi join that keeps only duplicated positions.
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+    )
+    return spans.select(
+        "doc_id",
+        F.col("mn").cast("int").alias("span_start"),
+        (F.col("mx") + k - 1).cast("int").alias("span_end"),
+        (F.col("mx") + k - F.col("mn")).cast("int").alias("span_tokens"),
+    )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle(n_cells: int = 16, tau: float = _SEMDEDUP_TAU) -> str:
+    norm = _NORM_SQL.format(a="embedding")
+    c_sim = (f"({_DOT_SQL.format(a='embedding', b='c_emb')}"
+             f" / (nrm * {_NORM_SQL.format(a='c_emb')}))")
+    pair_sim = (f"({_DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+                f" / (a.nrm * b.nrm))")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    centroids AS (
+      SELECT CAST(vec_id % {n_cells} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {n_cells}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {c_sim} DESC, cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    members AS (SELECT vec_id, embedding, nrm, cell
+                FROM assign WHERE c_rank = 1),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.cell AS cell, a.vec_id AS a_id,
+             {pair_sim} AS sim
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {pair_sim} >= {tau}
+    )
+    SELECT vec_id, cell,
+           CAST(MIN(a_id) AS BIGINT) AS kept_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           round(MAX(sim), 6) AS max_sim
+    FROM pairs GROUP BY vec_id, cell
+    """
+
+
+@query(
+    "dedup_semdedup_dropped",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "embedding", "semantic"),
+    doc="SemDeDup (Abbas et al. 2023) semantic deduplication: k-means "
+        "cells bound the pair search, then cosine pairs WITHIN a cell "
+        "above tau=0.4 mark the higher vec_id as a semantic duplicate of "
+        "the lower (greedy keep-lowest-id — deterministic, "
+        "order-independent). Output is the DROP side of the keep-list: "
+        "each dropped vector with its cell, the smallest dooming "
+        "partner, how many near-dups doomed it, and the strongest "
+        "similarity. Cells reuse ann_ivf_probed's deterministic seeding "
+        "(first vector per vec_id % 16 class) so the oracle replays "
+        "assignment exactly; composition with embed_kmeans_lloyd's "
+        "refined centroids is a drop-in swap of the centroid relation. "
+        "At 100 TB the centroid set is a broadcast argmin pass (C rows; "
+        "SemDeDup used 50k cells for LAION — C grows with N to hold "
+        "occupancy flat) and the pair join is cell-local equi-join, "
+        "never global; oversized cells additionally split into "
+        "random-hyperplane sub-blocks (operators/blocking.py "
+        "with_sub_block, inactive below 10k members so fixture "
+        "semantics stay exact).",
+)
+def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.blocking import with_sub_block
+
+    n_cells, tau = 16, _SEMDEDUP_TAU
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    w_seed = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select((F.col("vec_id") % n_cells).cast("int").alias("cell"),
+                F.col("embedding").alias("c_emb"))
+    )
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
+                                                    F.asc("cell"))
+    members = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", c_sim)
+        .withColumn("c_rank", F.row_number().over(w_assign))
+        .filter(F.col("c_rank") == 1)
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    # oversized-cell guard: sub-blocks activate only past 10k members
+    members = with_sub_block(members, label_col="cell", label_cap=10_000)
+    a, b = members.alias("a"), members.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= tau)
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("a_id"),
+            "sim",
+        )
+    )
+    return pairs.groupBy("vec_id", "cell").agg(
+        F.min("a_id").cast("long").alias("kept_id"),
+        F.count("*").alias("n_dups"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )

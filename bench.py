@@ -92,6 +92,8 @@ HEADLINE = [
     "text_lang_confusion_matrix",
     "dedup_method_agreement",
     "curation_funnel_report",
+    "dedup_substring_spans",
+    "dedup_semdedup_dropped",
 ]
 
 

@@ -62,6 +62,12 @@ BNLJ_ALLOWED = {
         "against every vector (O(N*16) narrow map passes — the same "
         "shape ann_ivf_probed allowlists); the centroid update is a "
         "hash aggregate on (cell, dim)",
+    "dedup_semdedup_dropped":
+        "the SemDeDup cell assignment broadcasts the C centroids "
+        "against every vector (O(N*C) narrow pass — identical to "
+        "ann_ivf_probed's allowlisted assignment); the within-cell "
+        "pair search is a hash equi-join on (cell, sub) with the "
+        "with_sub_block occupancy guard, never a global pair join",
 }
 
 ALL_NAMES = sorted(QUERIES)

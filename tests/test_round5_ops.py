@@ -60,3 +60,146 @@ def test_prefix_filter_blocker_is_complete_at_threshold(spark, tmp_path):
     # completeness: nothing above the threshold is missed, and the
     # J >= t output filter means nothing below it appears either
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: substring-span dedup + SemDeDup
+# ---------------------------------------------------------------------------
+
+K = 12  # must match llm_ops._SUBSTR_K
+
+
+def _write_docs(spark, out, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def test_substring_spans_golden(spark, tmp_path):
+    """Designed corpus: a 20-token run copied between docs 0/1 at the
+    SAME offset, an internal 12-token repeat in doc 2 whose two window
+    positions sit exactly k apart (must merge into ONE span), and a
+    fully unique doc 3 (no spans)."""
+    a = [f"a{i}" for i in range(40)]
+    doc0 = " ".join(a)
+    doc1 = " ".join([f"b{i}" for i in range(10)] + a[10:30]
+                    + [f"c{i}" for i in range(10)])
+    d = [f"d{i}" for i in range(12)]
+    doc2 = " ".join(d + d + [f"e{i}" for i in range(6)])
+    doc3 = " ".join(f"u{i}" for i in range(30))
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, doc0), (1, doc1), (2, doc2), (3, doc3)])
+
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in QUERIES["dedup_substring_spans"].build(spark, out).collect()
+    )
+    # run a10..a29: duplicated windows p=10..18 in both docs -> one
+    # maximal span [10, 29] of 20 tokens each; doc 2's windows at 0 and
+    # 12 (gap == k) merge to [0, 23]
+    assert got == [(0, 10, 29, 20), (1, 10, 29, 20), (2, 0, 23, 24)]
+
+
+def _brute_spans(texts: dict) -> set:
+    """Independent driver-side reimplementation: rolling windows, count
+    across the corpus, merge duplicated positions with gap > K breaking."""
+    from collections import Counter
+
+    wins = {}
+    counts = Counter()
+    for doc, text in texts.items():
+        toks = text.split(" ")
+        ps = list(range(len(toks) - K + 1))
+        wins[doc] = [(p, " ".join(toks[p:p + K])) for p in ps]
+        counts.update(w for _, w in wins[doc])
+    spans = set()
+    for doc in texts:
+        dup = [p for p, w in wins[doc] if counts[w] >= 2]
+        run = []
+        for p in dup:
+            if run and p - run[-1] > K:
+                spans.add((doc, run[0], run[-1] + K - 1, run[-1] + K - run[0]))
+                run = []
+            run.append(p)
+        if run:
+            spans.add((doc, run[0], run[-1] + K - 1, run[-1] + K - run[0]))
+    return spans
+
+
+def test_substring_spans_match_brute_force(spark, tmp_path):
+    """Pseudo-random corpus with planted copies at varying offsets and
+    lengths; the query must equal the brute-force span set exactly."""
+    import random
+
+    rng = random.Random(7)
+    texts = {}
+    for doc in range(12):
+        texts[doc] = " ".join(f"w{rng.randrange(500)}" for _ in range(60))
+    # plant: doc 100 copies doc0[5:45] at offset 3; doc 101 copies
+    # doc1[0:20] twice back-to-back; doc 102 copies doc2[10:22] (== K,
+    # minimal duplicated run)
+    t0 = texts[0].split(" ")
+    texts[100] = " ".join(["x0", "x1", "x2"] + t0[5:45] + ["x3"])
+    t1 = texts[1].split(" ")
+    texts[101] = " ".join(t1[0:20] + t1[0:20])
+    t2 = texts[2].split(" ")
+    texts[102] = " ".join(["y%d" % i for i in range(7)] + t2[10:22])
+    out = str(tmp_path)
+    _write_docs(spark, out, sorted(texts.items()))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in QUERIES["dedup_substring_spans"].build(spark, out).collect()
+    }
+    assert got == _brute_spans(texts)
+    # sanity: the planted structures actually produced spans
+    assert any(d == 102 for d, *_ in got)
+
+
+def _write_vecs(spark, out, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def _basis(i, dim=64, scale=1.0, extra=()):
+    v = [0.0] * dim
+    v[i] = scale
+    for j, s in extra:
+        v[j] = s
+    return v
+
+
+def test_semdedup_drops_within_cell_keeps_lowest_id(spark, tmp_path):
+    """16 orthogonal seed vectors own one cell each; vecs 16-19 are
+    near-copies of vec 0, land in its cell, and must be dropped with
+    kept_id=0 and n_dups counting every lower-id near-dup in the cell.
+    vec 20 is assigned to cell 0 (weak 0.3 alignment beats the other
+    15 zero-cos centroids) but every pair similarity is below tau=0.4,
+    so it survives."""
+    rows = [(i, _basis(i), 0) for i in range(16)]
+    for j in range(4):
+        rows.append((16 + j, _basis(0, extra=[(1 + j, 0.01)]), 0))
+    rows.append((20, _basis(0, scale=0.3, extra=[(40, 0.95)]), 0))
+    out = str(tmp_path)
+    _write_vecs(spark, out, rows)
+
+    got = {
+        r.vec_id: (r.cell, r.kept_id, r.n_dups, r.max_sim)
+        for r in QUERIES["dedup_semdedup_dropped"].build(spark, out).collect()
+    }
+    assert set(got) == {16, 17, 18, 19}  # vec 0 kept, vec 20 survives
+    for j in range(4):
+        cell, kept, n_dups, max_sim = got[16 + j]
+        assert (cell, kept) == (0, 0)
+        assert n_dups == 1 + j  # 16: {0}; 17: {0,16}; 18: +17; 19: +18
+        assert max_sim > 0.99
+
+
+def test_semdedup_orthogonal_corpus_drops_nothing(spark, tmp_path):
+    rows = [(i, _basis(i % 64, scale=1.0 + i // 64), 0) for i in range(32)]
+    out = str(tmp_path)
+    _write_vecs(spark, out, rows)
+    # vecs 0-31 are pairwise orthogonal -> no pair reaches tau anywhere
+    assert QUERIES["dedup_semdedup_dropped"].build(spark, out).count() == 0

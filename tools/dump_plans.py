@@ -193,6 +193,20 @@ COMMENT = {
         "— zero exchanges anywhere; per-payload work is microseconds of "
         "zlib + integer filter math, so the pipeline is scan/IO-bound "
         "and trivially partition-parallel at 100 TB.",
+    "dedup_substring_spans":
+        "Substring-span dedup (round 5 — the Lee et al. suffix-array "
+        "result without the suffix array): one row per corpus token "
+        "(rolling 12-token window hash), ONE shuffle on the 16-byte "
+        "hash serves both the >=2 count and the semi join back, then "
+        "only DUPLICATED positions shuffle on doc_id for the "
+        "gaps-and-islands span merge — linear end to end, no pair "
+        "join.",
+    "dedup_semdedup_dropped":
+        "SemDeDup (round 5): broadcast-centroid argmin assignment "
+        "(O(N*C) narrow pass, the allowlisted IVF shape), then a "
+        "cell-local hash equi-join pair search with the sub-block "
+        "occupancy guard; the drop aggregate is keyed on the dropped "
+        "vec — global pair space is never touched.",
 }
 
 

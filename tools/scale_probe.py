@@ -80,6 +80,8 @@ PROBES = [
     "text_lang_confusion_matrix",
     "dedup_method_agreement",
     "curation_funnel_report",
+    "dedup_substring_spans",
+    "dedup_semdedup_dropped",
 ]
 
 
