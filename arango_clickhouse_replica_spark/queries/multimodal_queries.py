@@ -320,3 +320,63 @@ def mm_png_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_min",
         "px_max",
     )
+
+
+@query(
+    "mm_jpeg_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    blocks AS (
+      SELECT p.doc_id, p.wb, p.hb,
+             (p.doc_id * 37 + 41 * (u.k % p.wb) + 59 * (u.k // p.wb)) % 256 AS v
+      FROM params p, unnest(range(0, CAST(p.wb * p.hb AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(64 * wb * hb AS BIGINT) AS n_pixels,
+           CAST(64 * SUM(v) AS BIGINT) AS sum_pixels,
+           round(CAST(64 * SUM(v) AS DOUBLE) / (64 * wb * hb), 6) AS mean_pixel,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM blocks GROUP BY doc_id, wb, hb
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL JPEG decode end to end (closes the last PIL-gated image "
+        "gap): deterministic piecewise-constant gray8 images are encoded "
+        "as genuine baseline JPEGs (8x8 DCT, flat quantization table, "
+        "Annex-K Huffman entropy coding, byte stuffing, JFIF markers — "
+        "operators/media_codecs encode_jpeg_gray8), cross Arrow as "
+        "binary, and are re-parsed by the pure-numpy decoder (marker "
+        "walk, canonical Huffman decode, differential DC, EOB/ZRL runs, "
+        "dezigzag, IDCT). Constant 8x8 blocks make the lossy transform "
+        "bit-exact (DC-only blocks, integral DC = 8*(v-128)), so integer "
+        "moments of the DECODED pixels hash-match a closed-form oracle "
+        "that never sees the bytes; honest lossy behavior on arbitrary "
+        "content is bounded-error tested in tests/test_multimodal.py. "
+        "Scale shape: two chained 1:1 mapInPandas stages, zero "
+        "exchanges; per-payload work is microseconds of numpy DCT math, "
+        "so the pipeline is scan/IO-bound and partition-parallel at "
+        "100 TB.",
+)
+def mm_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_jpeg_features, synth_jpeg_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_jpeg_features(synth_jpeg_media(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "sum_pixels",
+        F.round(
+            F.col("sum_pixels").cast("double") / F.col("n_pixels").cast("double"),
+            6,
+        ).alias("mean_pixel"),
+        "px_min",
+        "px_max",
+    )

@@ -94,6 +94,8 @@ HEADLINE = [
     "curation_funnel_report",
     "dedup_substring_spans",
     "dedup_semdedup_dropped",
+    "decontam_substring_spans",
+    "mm_jpeg_decode_features",
 ]
 
 

@@ -288,3 +288,79 @@ def test_png_resize_roundtrip_byte_level():
     back = decode_png(small_png)
     assert (back["width"], back["height"]) == (ow, oh) == (5, 4)
     assert back["pixels"] == small
+
+
+# --------------------------- JPEG codec (round 5) ---------------------------
+
+
+def test_jpeg_roundtrip_exact_on_constant_blocks():
+    """Piecewise-constant 8x8 blocks survive the full lossy pipeline
+    bit-exactly (DC-only blocks, flat quant table) — the property the
+    mm_jpeg_decode_features oracle depends on."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    w, h = 24, 16
+    px = bytes(
+        (37 + 41 * (x // 8) + 59 * (y // 8)) % 256
+        for y in range(h) for x in range(w)
+    )
+    jpg = encode_jpeg_gray8(px, w, h)
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    dec = decode_jpeg_gray8(jpg)
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert dec["pixels"] == px
+
+
+def test_jpeg_lossy_error_is_bounded():
+    """Arbitrary content (noise — worst case for the DCT) must come back
+    within 1 grey level under the flat quantization table, and odd
+    dimensions exercise the edge-replication padding path."""
+    import random
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    rng = random.Random(11)
+    w, h = 21, 13  # not multiples of 8
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    dec = decode_jpeg_gray8(encode_jpeg_gray8(px, w, h))
+    assert (dec["width"], dec["height"]) == (w, h)
+    assert max(abs(a - b) for a, b in zip(dec["pixels"], px)) <= 1
+
+
+def test_jpeg_huffman_exercises_zrl_and_eob():
+    """A single bright pixel at the end of a dark block forces a long
+    zero run (ZRL path) before the final AC coefficient."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    px = bytearray(8 * 8)
+    px[63] = 255
+    dec = decode_jpeg_gray8(encode_jpeg_gray8(bytes(px), 8, 8))
+    assert max(abs(a - b) for a, b in zip(dec["pixels"], bytes(px))) <= 1
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        encode_jpeg_gray8,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(b"not a jpeg")
+    jpg = bytearray(encode_jpeg_gray8(bytes(64), 8, 8))
+    sof = jpg.find(b"\xff\xc0")
+    jpg[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(bytes(jpg))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray8(encode_jpeg_gray8(bytes(64), 8, 8)[:-10])

@@ -203,3 +203,30 @@ def test_semdedup_orthogonal_corpus_drops_nothing(spark, tmp_path):
     _write_vecs(spark, out, rows)
     # vecs 0-31 are pairwise orthogonal -> no pair reaches tau anywhere
     assert QUERIES["dedup_semdedup_dropped"].build(spark, out).count() == 0
+
+
+def test_decontam_substring_flags_designed_leak(spark, tmp_path):
+    """doc 0 (eval: 0 % 97 == 0) shares a 15-token run with train doc 5
+    at a different offset; train doc 6 is clean. Only doc 5's leaked
+    interval may appear — localized to the exact tokens."""
+    leak = [f"L{i}" for i in range(15)]
+    doc0 = " ".join([f"p{i}" for i in range(4)] + leak)
+    doc5 = " ".join([f"q{i}" for i in range(7)] + leak + ["q99"])
+    doc6 = " ".join(f"z{i}" for i in range(25))
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, doc0), (5, doc5), (6, doc6)])
+
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in QUERIES["decontam_substring_spans"].build(spark, out).collect()
+    ]
+    # leak occupies positions 7..21 in doc 5; its 12-windows start at
+    # p=7..10 -> span [7, 21], 15 tokens. Eval doc 0 itself is excluded.
+    assert got == [(5, 7, 21, 15)]
+
+
+def test_decontam_substring_fires_at_bench_scale(spark):
+    # sf0.01 is legitimately empty (no 12-token run crosses the %97
+    # split); the operator must actually fire at bench scale
+    df = QUERIES["decontam_substring_spans"].build(spark, "/root/testdata/sf0.1")
+    assert df.count() > 0

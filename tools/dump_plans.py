@@ -207,6 +207,17 @@ COMMENT = {
         "cell-local hash equi-join pair search with the sub-block "
         "occupancy guard; the drop aggregate is keyed on the dropped "
         "vec — global pair space is never touched.",
+    "decontam_substring_spans":
+        "Substring decontamination (round 5): eval window hashes "
+        "broadcast into a semi join on the training window stream (no "
+        "corpus shuffle); only colliding positions shuffle on doc_id "
+        "for the span merge — leak localization priced at one narrow "
+        "pass over the corpus.",
+    "mm_jpeg_decode_features":
+        "Real JPEG decode (round 5): two chained 1:1 mapInPandas stages "
+        "(encode, decode+features) — zero exchanges; per-payload work "
+        "is microseconds of numpy DCT + Huffman bit math, scan/IO-bound "
+        "and partition-parallel at 100 TB.",
 }
 
 

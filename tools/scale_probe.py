@@ -23,6 +23,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASE = "/root/testdata/sf0.1"
 K = int(os.environ.get("SCALE_PROBE_K", "10"))
+# Selective re-probe: SCALE_PROBE_ONLY=a,b,c restricts to those queries
+# and PATCHES their rows in the existing table instead of rewriting it.
+ONLY = [s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s]
 
 PROBES = [
     "q1_pricing_summary",
@@ -82,6 +85,8 @@ PROBES = [
     "curation_funnel_report",
     "dedup_substring_spans",
     "dedup_semdedup_dropped",
+    "decontam_substring_spans",
+    "mm_jpeg_decode_features",
 ]
 
 
@@ -143,7 +148,7 @@ def time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
     # noisy neighbor inflates a single timing by 2-10x (observed); the
     # MIN over a few runs estimates the uncontended cost.
     out = {}
-    for name in PROBES:
+    for name in (ONLY or PROBES):
         queries[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite").save()  # warm
         best = float("inf")
@@ -171,6 +176,30 @@ def main() -> None:
         big_t = time_queries(spark, QUERIES, big_dir)
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)
+
+    if ONLY:
+        # patch mode: replace (or append) just the probed rows in place
+        out = Path("docs/SCALING.md")
+        txt_lines = out.read_text().splitlines()
+        for name in ONLY:
+            r = big_t[name] / base_t[name] if base_t[name] > 0 else float("nan")
+            row = f"| {name} | {base_t[name]} | {big_t[name]} | {r:.1f}x |"
+            for i, ln in enumerate(txt_lines):
+                if ln.startswith(f"| {name} |"):
+                    txt_lines[i] = row
+                    break
+            else:
+                # append into the MAIN table only (before the first "## "
+                # prose heading — later sections have their own tables)
+                first_heading = next(
+                    (i for i, ln in enumerate(txt_lines)
+                     if ln.startswith("## ")), len(txt_lines))
+                last = max(i for i, ln in enumerate(txt_lines[:first_heading])
+                           if ln.startswith("| "))
+                txt_lines.insert(last + 1, row)
+        out.write_text("\n".join(txt_lines) + "\n")
+        print(json.dumps({"K": K, "base": base_t, "big": big_t}))
+        return
 
     lines = [
         "# SCALING — measured time ratios at Kx data",
