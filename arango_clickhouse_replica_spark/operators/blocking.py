@@ -60,10 +60,17 @@ def drop_hot_shingles(
 ) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``df_cap``.
 
-    The hot list (df > cap) is small by construction, so it is broadcast
-    and removed with an anti-join — no extra wide shuffle on the shingle
-    stream beyond the df aggregation itself (which is map-side
-    combinable).
+    The hot list (df > cap) is usually tiny — but NOT by construction:
+    the cap callers pass has an ABSOLUTE ceiling (e.g. 64 docs), so on a
+    duplicate-heavy corpus the number of shingles crossing it grows with
+    corpus size. A forced ``F.broadcast`` here OOM'd the driver on the
+    50x salted probe (every base shingle with df >= 2 went hot).
+    The join therefore carries NO broadcast hint: AQE sees the hot
+    list's TRUE size at runtime and converts to a broadcast-hash
+    anti-join when it's small (the common, organic-corpus case — the
+    local shuffle reader keeps the probe side un-exchanged), or keeps a
+    partitioned anti-join when it isn't. Never trust a pre-aggregation
+    cardinality guess enough to force a driver-side build.
     """
     hot = (
         shingles.groupBy(shingle_col)
@@ -71,7 +78,7 @@ def drop_hot_shingles(
         .filter(F.col("__df") > df_cap)
         .select(shingle_col)
     )
-    return shingles.join(F.broadcast(hot), shingle_col, "left_anti")
+    return shingles.join(hot, shingle_col, "left_anti")
 
 
 def with_sub_block(

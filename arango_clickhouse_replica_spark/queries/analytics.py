@@ -58,18 +58,22 @@ from .registry import query
     doc="Ordered funnel view -> click -> purchase: each stage counts users "
         "whose stage event strictly follows their previous-stage time. "
         "Aggregates to per-user minima before joining, so stage joins are "
-        "user-cardinality, never event-cardinality.",
+        "user-cardinality, never event-cardinality. The stage joins carry "
+        "NO broadcast hint: |users| grows with the corpus, so AQE picks "
+        "broadcast only when the true runtime size allows; otherwise the "
+        "user_id hash partitioning of the per-stage aggregates is reused "
+        "by the join (no second exchange, no driver-side build).",
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
     v = (ev.filter(F.col("event_type") == "view")
            .groupBy("user_id").agg(F.min("ts").alias("vt")))
     c = (ev.filter(F.col("event_type") == "click")
-           .join(F.broadcast(v), "user_id")
+           .join(v, "user_id")
            .filter(F.col("ts") > F.col("vt"))
            .groupBy("user_id").agg(F.min("ts").alias("ct")))
     p = (ev.filter(F.col("event_type") == "purchase")
-           .join(F.broadcast(c), "user_id")
+           .join(c, "user_id")
            .filter(F.col("ts") > F.col("ct"))
            .groupBy("user_id").agg(F.min("ts").alias("pt")))
     stages = (
@@ -105,7 +109,10 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "cohort"),
     doc="Weekly cohort retention: users bucketed by first-seen week, "
         "activity counted per (cohort, week offset). Two hash "
-        "aggregations; the first-seen dim (|users|) broadcasts.",
+        "aggregations; the first-seen relation is |users|-sized — it "
+        "GROWS with the corpus, so no broadcast hint: AQE broadcasts it "
+        "only when the runtime size allows, else the join reuses the "
+        "aggregate's user_id partitioning.",
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
@@ -113,7 +120,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_wk")
     )
     return (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
             (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
@@ -432,7 +439,7 @@ def q_pct_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
     rev = (
-        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("nation_rev"))

@@ -699,3 +699,147 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "query_id")
     )
+
+
+_OUTLIER_STATS_SQL = f"""
+      SELECT cell, COUNT(*) AS n_members,
+             CAST(SUM({_DEC_SQL.format(x='c_sim')}) AS DOUBLE) / COUNT(*)
+               AS mean_raw,
+             sqrt(GREATEST(0,
+               CAST(SUM({_DEC_SQL.format(x='c_sim * c_sim')}) AS DOUBLE)
+                 / COUNT(*)
+               - (CAST(SUM({_DEC_SQL.format(x='c_sim')}) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM({_DEC_SQL.format(x='c_sim')}) AS DOUBLE)
+                    / COUNT(*)))) AS sd_raw
+      FROM assign0 GROUP BY cell
+"""
+
+
+@query(
+    "embed_centroid_outliers",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign0 AS (
+      SELECT vec_id, cell, c_sim FROM (
+        SELECT b.vec_id, s.cell,
+               ({_DOT_SQL.format(a='b.embedding', b='s.c_emb')}
+                / (b.nrm * {_NORM_SQL.format(a='s.c_emb')})) AS c_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_DOT_SQL.format(a='b.embedding', b='s.c_emb')}
+                           / (b.nrm * {_NORM_SQL.format(a='s.c_emb')})) DESC,
+                          s.cell) AS c_rank
+        FROM base b CROSS JOIN seeds s
+      ) WHERE c_rank = 1
+    ),
+    stats AS ({_OUTLIER_STATS_SQL}),
+    worst AS (
+      SELECT cell, vec_id, c_sim FROM (
+        SELECT cell, vec_id, c_sim,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY c_sim, vec_id) AS rn
+        FROM assign0
+      ) WHERE rn = 1
+    )
+    SELECT s.cell,
+           CAST(s.n_members AS BIGINT) AS n_members,
+           round(s.mean_raw, 6) AS mean_sim,
+           round(s.sd_raw, 6) AS sd_sim,
+           CAST(SUM(CASE WHEN s.sd_raw > 0
+                          AND a.c_sim < s.mean_raw - 2 * s.sd_raw
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(w.vec_id) AS BIGINT) AS worst_vec_id,
+           round(MAX(w.c_sim), 6) AS worst_sim
+    FROM assign0 a
+    JOIN stats s USING (cell)
+    JOIN worst w USING (cell)
+    GROUP BY s.cell, s.n_members, s.mean_raw, s.sd_raw
+    ORDER BY s.cell
+    """,
+    tags=("embedding", "outlier", "quality", "llm-pipeline"),
+    doc="Embedding-space outlier detection for corpus cleaning (the "
+        "centroid-distance complement of SemDeDup's near-dup pruning): "
+        "every vector is assigned to its nearest seed centroid (the IVF "
+        "seeding, broadcast cosine argmax), then each CELL reports its "
+        "cohesion distribution (mean/sd of member-to-centroid cosine) "
+        "and how many members sit more than 2 sigma BELOW the cell mean "
+        "— mislabeled, corrupted, or off-distribution documents whose "
+        "embedding lands far from every cluster core. worst_vec_id "
+        "pinpoints the most alien member per cell (min c_sim, vec_id "
+        "tiebreak). Determinism: c_sim is a sequential fold "
+        "(bit-identical to DuckDB list_reduce), cell moments accumulate "
+        "as exact 6-dp decimals, and the 2-sigma threshold compares "
+        "unrounded doubles derived from those exact sums — identical on "
+        "both engines. Scale: K centroids broadcast (K*dim doubles); "
+        "assignment is map-side; the only exchange is the 16-key "
+        "map-side-combinable cell aggregate plus a broadcast of the "
+        "16-row stats back onto the assignment for the outlier count — "
+        "the corpus never reshuffles.",
+)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    seeds = _seed_centroids(emb)
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    a = _assign(emb.select("vec_id", "embedding", "nrm"), seeds, sim).select(
+        "vec_id", "cell", "c_sim"
+    )
+    stats = (
+        a.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.expr(_DEC.format(x="c_sim"))).cast("double").alias("s1"),
+            F.sum(F.round(F.col("c_sim") * F.col("c_sim"), 6)
+                  .cast("decimal(18,6)")).cast("double").alias("s2"),
+        )
+    )
+    mean = F.col("s1") / F.col("n_members")
+    stats = stats.select(
+        "cell",
+        "n_members",
+        mean.alias("mean_raw"),
+        # mean*mean + clamp-at-0, not pow: see embed_dim_stats
+        F.sqrt(
+            F.greatest(F.lit(0.0), F.col("s2") / F.col("n_members") - mean * mean)
+        ).alias("sd_raw"),
+    )
+    j = a.join(F.broadcast(stats), "cell")
+    is_outlier = (F.col("sd_raw") > 0) & (
+        F.col("c_sim") < F.col("mean_raw") - 2 * F.col("sd_raw")
+    )
+    return (
+        j.groupBy("cell")
+        .agg(
+            F.max("n_members").cast("long").alias("n_members"),
+            F.round(F.max("mean_raw"), 6).alias("mean_sim"),
+            F.round(F.max("sd_raw"), 6).alias("sd_sim"),
+            F.sum(F.when(is_outlier, 1).otherwise(0)).cast("long")
+            .alias("n_outliers"),
+            F.min(F.struct(F.col("c_sim").alias("s"),
+                           F.col("vec_id").alias("v"))).alias("w"),
+        )
+        .select(
+            "cell",
+            "n_members",
+            "mean_sim",
+            "sd_sim",
+            "n_outliers",
+            F.col("w.v").cast("long").alias("worst_vec_id"),
+            F.round(F.col("w.s"), 6).alias("worst_sim"),
+        )
+        .orderBy("cell")
+    )

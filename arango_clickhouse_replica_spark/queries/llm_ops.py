@@ -2818,3 +2818,152 @@ def decontam_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos")
     )
     return _maximal_spans(hits)
+
+
+_CONTAM_METHODS = ("ngram_overlap", "minhash_fuzzy", "substring_spans",
+                   "any_method")
+
+
+def _contam_report_oracle(k: int = _SUBSTR_K) -> str:
+    return f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train_sh AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    ng AS (
+      SELECT t.doc_id
+      FROM (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh
+            GROUP BY doc_id) t
+      LEFT JOIN (SELECT t2.doc_id, COUNT(*) AS n_overlap FROM train_sh t2
+                 JOIN eval_sh e USING (s) GROUP BY t2.doc_id) o
+        ON t.doc_id = o.doc_id
+      WHERE 2 * COALESCE(o.n_overlap, 0) >= t.n_shingles
+    ),
+    shc AS ({_DOC_SHINGLES_CAPPED_SQL}),
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM shc GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS_SQL}
+    ),
+    fz AS (
+      SELECT DISTINCT c.train_doc AS doc_id
+      FROM (SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+            FROM bands t JOIN bands e USING (band, sig)
+            WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0) c
+      JOIN mins mt ON mt.doc_id = c.train_doc
+      JOIN mins me ON me.doc_id = c.eval_doc
+      WHERE {" + ".join(f"(CASE WHEN mt.m{g} = me.m{g} THEN 1 ELSE 0 END)"
+                        for g in range(8))} >= 4
+    ),
+    wtk AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {k} AS INT)],
+                                 ' ')) AS h
+      FROM wtk, unnest(range(0, len(toks) - {k} + 1)) AS u(i)
+      WHERE len(toks) >= {k}
+    ),
+    ss AS (
+      SELECT DISTINCT doc_id FROM wins
+      WHERE doc_id % 97 <> 0
+        AND h IN (SELECT h FROM wins WHERE doc_id % 97 = 0)
+    ),
+    flags AS (
+      SELECT 'ngram_overlap' AS method, doc_id FROM ng
+      UNION ALL SELECT 'minhash_fuzzy', doc_id FROM fz
+      UNION ALL SELECT 'substring_spans', doc_id FROM ss
+    ),
+    allf AS (
+      SELECT method, doc_id FROM flags
+      UNION ALL
+      SELECT 'any_method', doc_id FROM (SELECT DISTINCT doc_id FROM flags)
+    ),
+    train_n AS (
+      SELECT COUNT(*) AS n_train FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT m.method,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS docs_flagged,
+           round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_train, 6)
+             AS pct_flagged
+    FROM (VALUES ('ngram_overlap'), ('minhash_fuzzy'),
+                 ('substring_spans'), ('any_method')) m(method)
+    LEFT JOIN (SELECT method, COUNT(DISTINCT doc_id) AS n FROM allf
+               GROUP BY method) c ON m.method = c.method
+    CROSS JOIN train_n t
+    ORDER BY m.method
+    """
+
+
+@query(
+    "curation_contamination_report",
+    oracle=_contam_report_oracle(),
+    tags=("decontamination", "composition", "report", "llm-pipeline"),
+    doc="Contamination audit composing ALL THREE decontamination "
+        "operators over the same corpus/eval split (doc_id % 97): how "
+        "many training docs each method flags — exact trigram overlap "
+        "(decontam_ngram_overlap, >= 50% shingles), fuzzy MinHash "
+        "(decontam_minhash_fuzzy, >= 4/8 lanes ~ J >= 0.5), and "
+        "substring-precise 12-token runs (decontam_substring_spans) — "
+        "plus the union ('any_method'), each as a fraction of the "
+        "training corpus. This is the release-gate report a 100 TB "
+        "pipeline publishes before training: method disagreement is the "
+        "signal (exact-only hits = formatting shared with eval; "
+        "fuzzy-only = paraphrased leakage). Built by COMPOSING the "
+        "registered query builders — each keeps its own scale shape "
+        "(broadcast eval probes, banded buckets; the corpus never "
+        "reshuffles); the roll-up adds one 4-key aggregate and a "
+        "broadcast 1-row train-count attach. Always 4 rows, so the "
+        "driver row is non-vacuous even when every method reports 0.",
+)
+def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ng = (
+        decontam_ngram_overlap(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    fz = (
+        decontam_minhash_fuzzy(spark, sf_dir)
+        .filter("contaminated")
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    ss = decontam_substring_spans(spark, sf_dir).select("doc_id").distinct()
+    flags = (
+        ng.withColumn("method", F.lit("ngram_overlap"))
+        .unionByName(fz.withColumn("method", F.lit("minhash_fuzzy")))
+        .unionByName(ss.withColumn("method", F.lit("substring_spans")))
+    )
+    any_m = (
+        flags.select("doc_id")
+        .distinct()
+        .withColumn("method", F.lit("any_method"))
+    )
+    counts = (
+        flags.unionByName(any_m)
+        .groupBy("method")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    methods = spark.createDataFrame(
+        [(m,) for m in _CONTAM_METHODS], "method string"
+    )
+    train_n = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .agg(F.count("*").alias("n_train"))
+    )
+    return (
+        methods.join(counts, "method", "left")
+        .crossJoin(F.broadcast(train_n))
+        .select(
+            "method",
+            F.coalesce("n", F.lit(0)).cast("long").alias("docs_flagged"),
+            F.round(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("n_train"), 6
+            ).alias("pct_flagged"),
+        )
+        .orderBy("method")
+    )

@@ -11,6 +11,7 @@ from ..operators.multimodal import (
     extract_audio_features,
     extract_features,
     extract_image_features,
+    resample_wav_media,
     resize_media,
     sample_frames,
     synth_png_media,
@@ -379,4 +380,62 @@ def mm_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_pixel"),
         "px_min",
         "px_max",
+    )
+
+
+@query(
+    "mm_wav_resample_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n, 8000 + 100 * (doc_id % 5) AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, p.n, p.rate, u.i,
+             ((p.doc_id * 31 + u.i * 7) % 2001) - 1000 AS smp
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(i)
+    ),
+    o AS (
+      SELECT doc_id, n, rate, smp AS v FROM s
+      UNION ALL
+      SELECT a.doc_id, a.n, a.rate,
+             CAST(floor((a.smp + b.smp) / 2.0) AS BIGINT) AS v
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(2 * rate AS INT) AS sample_rate,
+           CAST(2 * n - 1 AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / (2 * n - 1)), 6) AS rms
+    FROM o GROUP BY doc_id, n, rate
+    """,
+    tags=("multimodal", "audio", "codec", "pandas-udf"),
+    doc="REAL audio resample end to end (the audio twin of "
+        "mm_png_resize_features): deterministic PCM16 signals encode to "
+        "genuine RIFF/WAVE files, a second mapInPandas stage DECODES "
+        "each payload, 2x linear-interpolation upsamples it with exact "
+        "floor integer arithmetic (floor((a+b)/2) midpoints — floor, "
+        "not truncation: DuckDB's // truncates on negative samples and "
+        "would diverge), and RE-ENCODES a genuine WAV at double the "
+        "rate; a third stage decodes THAT payload and emits integer "
+        "moments of the resampled samples. The closed-form oracle "
+        "recomputes every output sample without seeing bytes — any "
+        "header, endianness, or interpolation defect breaks the value "
+        "hash. Three narrow 1:1 stages, no shuffle; work per payload is "
+        "numpy integer math, scan/IO-bound at 100 TB.",
+)
+def mm_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    up = resample_wav_media(synth_wav_media(docs), factor=2)
+    feats = extract_audio_features(up)
+    return feats.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "sum_abs",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
     )

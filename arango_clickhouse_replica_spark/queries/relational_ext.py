@@ -663,3 +663,91 @@ def q_mode_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "q_recursive_order_chains",
+    oracle="""
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS nk,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nd
+      FROM orders
+    ),
+    edges AS (
+      SELECT o_custkey, o_orderkey, nk FROM nxt
+      WHERE nk IS NOT NULL
+        AND date_diff('day', CAST(o_orderdate AS DATE), CAST(nd AS DATE)) <= 30
+    ),
+    firsts AS (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    chain(custkey, okey, depth) AS (
+      SELECT o_custkey, o_orderkey, 1 FROM firsts
+      UNION ALL
+      SELECT c.custkey, e.nk, c.depth + 1
+      FROM chain c JOIN edges e
+        ON e.o_custkey = c.custkey AND e.o_orderkey = c.okey
+    )
+    SELECT custkey AS o_custkey, CAST(MAX(depth) AS INT) AS chain_len
+    FROM chain GROUP BY custkey
+    """,
+    tags=("relational", "recursive-cte", "spark4"),
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4): per customer, "
+        "walk the successor chain of orders placed within 30 days of "
+        "the previous one, starting from the customer's FIRST order, "
+        "and report the chain length — linear recursion over a "
+        "FUNCTIONAL successor edge (each order has at most one "
+        "next-within-30d), so every step strictly advances the order "
+        "date and the recursion terminates at the business-bounded "
+        "chain depth, far under Spark's recursion-level limit; no "
+        "combinatorial path blowup is possible. Each recursive step is "
+        "one hash equi-join of the frontier (<= |customers| rows) "
+        "against the edge relation — the same bounded-frontier shape "
+        "as the iterative connected-components operator "
+        "(operators/components.py), here expressed declaratively so "
+        "Catalyst plans the per-round joins.",
+)
+def q_recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    orders.createOrReplaceTempView("__rc_orders")
+    return spark.sql("""
+        WITH RECURSIVE nxt AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS nk,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS nd
+          FROM __rc_orders
+        ),
+        edges AS (
+          SELECT o_custkey, o_orderkey, nk FROM nxt
+          WHERE nk IS NOT NULL AND datediff(nd, o_orderdate) <= 30
+        ),
+        firsts AS (
+          SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM __rc_orders
+          ) WHERE rn = 1
+        ),
+        chain(custkey, okey, depth) AS (
+          SELECT o_custkey, o_orderkey, 1 FROM firsts
+          UNION ALL
+          SELECT c.custkey, e.nk, c.depth + 1
+          FROM chain c JOIN edges e
+            ON e.o_custkey = c.custkey AND e.o_orderkey = c.okey
+        )
+        SELECT custkey AS o_custkey, CAST(MAX(depth) AS INT) AS chain_len
+        FROM chain GROUP BY custkey
+    """)

@@ -456,9 +456,14 @@ _OOV_VOCAB_FRAC_NUM, _OOV_VOCAB_FRAC_DEN = 2, 3
         "non-vacuous on any corpus — production pins the tokenizer's "
         "actual vocab) — the pre-training sanity pass that catches "
         "corpora a fixed tokenizer cannot represent. The vocab head is "
-        "distributed top-k then BROADCAST into a left join against "
-        "per-doc word counts (corpus never reshuffles for the lookup); "
-        "the rate is exact-integer counts with one final division.",
+        "distributed top-k, then joined (left) against per-doc word "
+        "counts with NO broadcast hint: the head is a RELATIVE vocab "
+        "fraction, so it grows with the corpus (Heaps' law) — AQE "
+        "broadcasts it while node-resident (the corpus then never "
+        "reshuffles for the lookup) and falls back to a partitioned "
+        "join beyond; a production run pinning a fixed tokenizer vocab "
+        "re-guarantees the broadcast at any scale. The rate is "
+        "exact-integer counts with one final division.",
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -479,7 +484,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
     return (
-        dw.join(F.broadcast(vocab), "w", "left")
+        dw.join(vocab, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),

@@ -86,15 +86,21 @@ UNIGRAM_LOGPROB_SQL = f"""
     doc="Unigram LM document scoring (the KenLM-perplexity proxy used by "
         "CCNet-style quality filters): every document's mean per-token "
         "log2-probability under the corpus unigram distribution. One hash "
-        "aggregate builds the (word -> corpus count) vocab relation, "
-        "which BROADCASTS to the occurrence stream (an LM vocab is "
-        "bounded — production unigram filters cap it with an OOV bucket "
-        "precisely so it stays node-resident; r4 scale probe: the "
-        "shuffle-join shape re-shuffled the doc-word relation twice and "
-        "measured 3.8x at 10x data, this shape 1.5x and 3x faster "
-        "absolute), then ONE map-side-combinable groupBy(doc_id) whose "
-        "exchange carries n_docs-bounded partials. Sum-of-decimal lp_w "
-        "per occurrence == sum(c_dw * lp_w) exactly (integer-repeated "
+        "aggregate builds the (word -> logprob) vocab relation; the join "
+        "back onto the occurrence stream carries NO broadcast hint — "
+        "a raw web-scale vocab grows without bound (Heaps' law), so "
+        "forcing a driver-side build is the same trap the 50x probe "
+        "caught in drop_hot_shingles. AQE sees the TRUE vocab size at "
+        "runtime and broadcasts when it is node-resident (every probe "
+        "scale measured so far: r4's forced-broadcast reshape took the "
+        "word-keyed double shuffle from 3.8x to 1.5x at 10x data, and "
+        "AQE's runtime conversion keeps that single-shuffle shape); "
+        "beyond that a partitioned equi-join is the only correct plan. "
+        "A production deployment that caps the vocab with an OOV bucket "
+        "(as CCNet does) would re-guarantee the broadcast at any scale. "
+        "Then ONE map-side-combinable groupBy(doc_id) whose exchange "
+        "carries n_docs-bounded partials. Sum-of-decimal lp_w per "
+        "occurrence == sum(c_dw * lp_w) exactly (integer-repeated "
         "decimal addition), so cross-engine parity is unchanged.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +113,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             x="cast(c_w as double) / cast(n_total as double)")).alias("lp_w"),
     )
     return (
-        words.join(F.broadcast(lp), "w")
+        words.join(lp, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -364,3 +364,58 @@ def test_jpeg_rejects_progressive_and_garbage():
         decode_jpeg_gray8(bytes(jpg))
     with pytest.raises(ValueError):
         decode_jpeg_gray8(encode_jpeg_gray8(bytes(64), 8, 8)[:-10])
+
+
+# ------------------------ WAV resample (round 5) ------------------------
+
+
+def test_wav_resample_interpolation_floor_semantics(spark):
+    """2x linear upsample uses FLOOR midpoints — the negative-sample
+    cases are exactly where DuckDB's truncating // would diverge."""
+    import pandas as pd
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        resample_wav_media,
+    )
+
+    src = [-3, 2, 5, -999]
+    wav = encode_wav_pcm16(src, sample_rate=8000)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [wav],
+                      "meta": [{"mime": "audio/wav", "n_bytes": len(wav),
+                                "source": None}]})
+    )
+    out = resample_wav_media(media, factor=2).collect()[0]
+    dec = decode_wav(bytes(out.payload))
+    assert dec["sample_rate"] == 16000
+    # floor((-3+2)/2) = -1, floor((2+5)/2) = 3, floor((5-999)/2) = -497
+    assert dec["samples"] == [-3, -1, 2, 3, 5, -497, -999]
+
+
+def test_wav_resample_factor3_and_identity(spark):
+    import pandas as pd
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        resample_wav_media,
+    )
+
+    wav = encode_wav_pcm16([0, 3], sample_rate=1000)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [wav],
+                      "meta": [{"mime": "audio/wav", "n_bytes": len(wav),
+                                "source": None}]})
+    )
+    r3 = decode_wav(bytes(
+        resample_wav_media(media, factor=3).collect()[0].payload))
+    assert r3["samples"] == [0, 1, 2, 3] and r3["sample_rate"] == 3000
+    r1 = decode_wav(bytes(
+        resample_wav_media(media, factor=1).collect()[0].payload))
+    assert r1["samples"] == [0, 3] and r1["sample_rate"] == 1000

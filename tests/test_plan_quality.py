@@ -34,6 +34,15 @@ BNLJ_ALLOWED = {
         "inherits text_unigram_logprob's 1-row corpus-total broadcast "
         "attach (O(V*1)); the lang join and NTILE window add only hash "
         "equi-joins",
+    "embed_centroid_outliers":
+        "the 16-centroid broadcast assignment loop (O(N*16) narrow "
+        "pass, same as ann_ivf_probed); the stats join back onto the "
+        "assignment is a broadcast hash equi-join on cell",
+    "curation_contamination_report":
+        "the only BNLJ is the 1-row train-count aggregate cross-joined "
+        "(broadcast) onto the 4-row method report — an O(4*1) literal "
+        "attach; every contamination probe underneath is a broadcast/"
+        "banded hash equi-join",
     "ann_ivf_probed":
         "IVF cell assignment broadcasts the 16 centroids against every "
         "vector (O(N*16) narrow pass) — that broadcast loop IS the "

@@ -230,3 +230,65 @@ def test_decontam_substring_fires_at_bench_scale(spark):
     # split); the operator must actually fire at bench scale
     df = QUERIES["decontam_substring_spans"].build(spark, "/root/testdata/sf0.1")
     assert df.count() > 0
+
+
+def test_centroid_outliers_flags_planted_outlier(spark, tmp_path):
+    """16 orthogonal seeds own one cell each; cell 0 gets 6 extra
+    members exactly along its axis (cosine 1) plus ONE planted vector at
+    45 degrees (cosine ~0.7071, assigned to cell 0 by the tie-break).
+    mean-2sd for cell 0 lands at ~0.7697, so exactly the planted vector
+    flags; every single-member cell has sd 0 and must flag nothing."""
+    rows = [(i, _basis(i), 0) for i in range(16)]
+    rows += [(17 + j, _basis(0, scale=float(j + 2)), 0) for j in range(6)]
+    rows.append((16, _basis(0, extra=[(1, 1.0)]), 0))  # planted outlier
+    out = str(tmp_path)
+    _write_vecs(spark, out, rows)
+
+    got = {r.cell: r for r in
+           QUERIES["embed_centroid_outliers"].build(spark, out).collect()}
+    c0 = got[0]
+    assert c0.n_members == 8
+    assert c0.n_outliers == 1
+    assert c0.worst_vec_id == 16
+    assert abs(c0.worst_sim - 0.707107) < 1e-6
+    for cell, r in got.items():
+        if cell != 0:
+            assert r.n_outliers == 0 and r.sd_sim == 0.0
+
+
+def test_contamination_report_is_consistent_with_components(spark, tmp_path):
+    """The report must be EXACTLY the roll-up of the three registered
+    decontamination queries on the same corpus: a designed corpus fires
+    substring (15-token leak at a shifted offset) and the whole-doc
+    methods (doc 7 is a near-copy of eval doc 0)."""
+    leak = [f"L{i}" for i in range(15)]
+    doc0 = " ".join([f"p{i}" for i in range(4)] + leak)      # eval (0 % 97)
+    doc5 = " ".join([f"q{i}" for i in range(7)] + leak + ["q99"])
+    doc6 = " ".join(f"z{i}" for i in range(25))              # clean
+    doc7 = " ".join([f"p{i}" for i in range(4)] + leak[:-1] + ["tail"])
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, doc0), (5, doc5), (6, doc6), (7, doc7)])
+
+    rep = {r.method: r.docs_flagged for r in
+           QUERIES["curation_contamination_report"].build(spark, out).collect()}
+    assert set(rep) == {"ngram_overlap", "minhash_fuzzy",
+                        "substring_spans", "any_method"}
+
+    ng = {r.doc_id for r in
+          QUERIES["decontam_ngram_overlap"].build(spark, out)
+          .filter("contaminated").collect()}
+    fz = {r.train_doc for r in
+          QUERIES["decontam_minhash_fuzzy"].build(spark, out)
+          .filter("contaminated").collect()}
+    ss = {r.doc_id for r in
+          QUERIES["decontam_substring_spans"].build(spark, out).collect()}
+    assert rep["ngram_overlap"] == len(ng)
+    assert rep["minhash_fuzzy"] == len(fz)
+    assert rep["substring_spans"] == len(ss)
+    assert rep["any_method"] == len(ng | fz | ss)
+    # the designed corpus fires at least the substring and one
+    # whole-doc method, so the test is non-vacuous
+    assert ss and (ng or fz)
+    assert rep["any_method"] >= max(rep["ngram_overlap"],
+                                    rep["minhash_fuzzy"],
+                                    rep["substring_spans"])

@@ -218,6 +218,20 @@ COMMENT = {
         "(encode, decode+features) — zero exchanges; per-payload work "
         "is microseconds of numpy DCT + Huffman bit math, scan/IO-bound "
         "and partition-parallel at 100 TB.",
+    "mm_wav_resample_features":
+        "Real WAV 2x resample (round 5): three chained 1:1 mapInPandas "
+        "stages (encode, decode+interpolate+re-encode, decode+features) "
+        "— zero exchanges; numpy integer math per payload, scan-bound.",
+    "embed_centroid_outliers":
+        "Centroid-distance outlier detection (round 5): 16-centroid "
+        "broadcast argmax assignment (map-side), one 16-key "
+        "map-side-combinable cell aggregate, 16-row stats broadcast "
+        "back for the 2-sigma count — the corpus never reshuffles.",
+    "curation_contamination_report":
+        "Three-method decontamination roll-up (round 5): composes the "
+        "registered ngram/fuzzy/substring probes (each keeps its "
+        "broadcast-eval scale shape), then one 4-key aggregate and a "
+        "broadcast 1-row train-count attach.",
 }
 
 

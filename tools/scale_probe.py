@@ -87,6 +87,9 @@ PROBES = [
     "dedup_semdedup_dropped",
     "decontam_substring_spans",
     "mm_jpeg_decode_features",
+    "mm_wav_resample_features",
+    "embed_centroid_outliers",
+    "curation_contamination_report",
 ]
 
 
