@@ -2967,3 +2967,115 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("method")
     )
+
+
+@query(
+    "curation_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DOC_SHINGLES_CAPPED_SQL}),
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS lab FROM edges
+      UNION
+      SELECT e.b AS node, r.lab
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lab < e.b
+    ),
+    members AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+                                                       'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    qs AS (
+      SELECT doc_id, n_tokens,
+             CAST((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_punct * 10 < n_chars THEN 1 ELSE 0 END)
+                + (CASE WHEN n_distinct * 4 > n_tokens THEN 1 ELSE 0 END)
+               AS INTEGER) AS quality_score
+      FROM q
+    ),
+    r AS (
+      SELECT m.cluster_id, m.doc_id, s.quality_score, s.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                ORDER BY s.quality_score DESC,
+                                         s.n_tokens DESC, m.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+      FROM members m JOIN qs s ON s.doc_id = m.doc_id
+    )
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS rep_doc_id,
+           CAST(quality_score AS INT) AS rep_quality,
+           CAST(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END AS INT)
+             AS replaced_min_id
+    FROM r WHERE rn = 1
+    """,
+    tags=("curation", "dedup", "quality", "composition", "llm-pipeline"),
+    doc="Quality-aware canonicalization of near-dup clusters: production "
+        "pipelines keep the BEST member of each fuzzy-duplicate group "
+        "(highest quality score, then longest, then smallest doc_id), "
+        "not the arbitrary minimum id — boilerplate-stripped or "
+        "truncated variants should lose to the full document they "
+        "duplicate. Composes the materialized cluster hub "
+        "(clusters_relation: LSH candidates -> connected components, "
+        "computed once per session and served from a localCheckpoint) "
+        "with the registered quality scorer; replaced_min_id counts how "
+        "often quality-aware choice disagrees with naive min-id "
+        "canonicalization. Scale: the cluster relation is "
+        "near-dup-sized (only docs in candidate pairs), the quality "
+        "join is a hash equi-join on doc_id, and the representative "
+        "pick is a map-side-combinable min(struct) hash aggregate "
+        "keyed by cluster — no windows over unbounded partitions, no "
+        "re-clustering.",
+)
+def curation_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = clusters_relation(spark, sf_dir).select("doc_id", "cluster_id")
+    q = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    j = cl.join(q, "doc_id")
+    agg = j.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.col("quality_score")).alias("nq"),
+                (-F.col("n_tokens")).alias("nt"),
+                F.col("doc_id").alias("d"),
+                F.col("quality_score").alias("q"),
+            )
+        ).alias("w"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        F.col("w.d").alias("rep_doc_id"),
+        F.col("w.q").cast("int").alias("rep_quality"),
+        (F.col("w.d") != F.col("cluster_id")).cast("int")
+        .alias("replaced_min_id"),
+    )

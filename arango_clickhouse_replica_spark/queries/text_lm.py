@@ -19,9 +19,11 @@ Cross-engine determinism (the driver hash-compares raw doubles):
   DOUBLE only for the final single division.
 
 Scale (100 TB): every query here is explode -> hash-aggregate with
-map-side combine; the (word -> corpus count) join is a shuffle equi-join
-on the word key (vocabulary at web scale exceeds broadcast size); the
-1-row corpus-total joins are literal broadcasts. No windows over
+map-side combine. The unigram LM caps its vocabulary (top-65536 +
+<unk>, the CCNet shape), so its vocab relation broadcasts at any
+corpus size; uncapped word-keyed joins (KL mixture) stay shuffle
+equi-joins on the word key, and 1-row corpus totals are literal
+broadcasts. No windows over
 unbounded partitions: the heavy-hitter top-k uses Spark's distributed
 TakeOrderedAndProject (orderBy + limit), never a single-partition sort.
 """
@@ -56,6 +58,8 @@ _DOC_WORDS_SQL = f"SELECT * FROM ({_DOC_WORDS_SQL}) t WHERE w <> ''"
 
 
 # Exported: curation_perplexity_buckets reuses this as a CTE.
+_VOCAB_CAP = 65536  # CCNet-style LM vocab bound: top-K words + <unk>
+
 UNIGRAM_LOGPROB_SQL = f"""
     WITH dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c_dw
@@ -65,16 +69,25 @@ UNIGRAM_LOGPROB_SQL = f"""
       SELECT w, CAST(SUM(c_dw) AS BIGINT) AS c_w FROM dw GROUP BY w
     ),
     tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM cw),
+    head AS (SELECT w, c_w FROM cw ORDER BY c_w DESC, w LIMIT {_VOCAB_CAP}),
+    ht AS (SELECT CAST(COALESCE(SUM(c_w), 0) AS BIGINT) AS n_head FROM head),
     lp AS (
       SELECT w, {_LOG2_DEC_SQL.format(
           x='CAST(c_w AS DOUBLE) / CAST(n_total AS DOUBLE)')} AS lp_w
-      FROM cw, tot
+      FROM head, tot
+    ),
+    unk AS (
+      SELECT CASE WHEN t.n_total > h.n_head THEN {_LOG2_DEC_SQL.format(
+          x='CAST(t.n_total - h.n_head AS DOUBLE)'
+            ' / CAST(t.n_total AS DOUBLE)')}
+             END AS lp_unk
+      FROM tot t, ht h
     )
     SELECT dw.doc_id,
            CAST(SUM(dw.c_dw) AS BIGINT) AS n_tokens,
-           CAST(SUM(dw.c_dw * lp.lp_w) AS DOUBLE)
+           CAST(SUM(dw.c_dw * COALESCE(lp.lp_w, u.lp_unk)) AS DOUBLE)
              / CAST(SUM(dw.c_dw) AS DOUBLE) AS avg_logprob_bits
-    FROM dw JOIN lp ON dw.w = lp.w
+    FROM dw LEFT JOIN lp ON dw.w = lp.w CROSS JOIN unk u
     GROUP BY dw.doc_id
     """
 
@@ -85,39 +98,61 @@ UNIGRAM_LOGPROB_SQL = f"""
     tags=("text", "lm", "quality"),
     doc="Unigram LM document scoring (the KenLM-perplexity proxy used by "
         "CCNet-style quality filters): every document's mean per-token "
-        "log2-probability under the corpus unigram distribution. One hash "
-        "aggregate builds the (word -> logprob) vocab relation; the join "
-        "back onto the occurrence stream carries NO broadcast hint — "
-        "a raw web-scale vocab grows without bound (Heaps' law), so "
-        "forcing a driver-side build is the same trap the 50x probe "
-        "caught in drop_hot_shingles. AQE sees the TRUE vocab size at "
-        "runtime and broadcasts when it is node-resident (every probe "
-        "scale measured so far: r4's forced-broadcast reshape took the "
-        "word-keyed double shuffle from 3.8x to 1.5x at 10x data, and "
-        "AQE's runtime conversion keeps that single-shuffle shape); "
-        "beyond that a partitioned equi-join is the only correct plan. "
-        "A production deployment that caps the vocab with an OOV bucket "
-        "(as CCNet does) would re-guarantee the broadcast at any scale. "
-        "Then ONE map-side-combinable groupBy(doc_id) whose exchange "
-        "carries n_docs-bounded partials. Sum-of-decimal lp_w per "
-        "occurrence == sum(c_dw * lp_w) exactly (integer-repeated "
-        "decimal addition), so cross-engine parity is unchanged.",
+        "log2-probability under the corpus unigram LM with a BOUNDED "
+        "vocabulary — the top-65536 words by corpus frequency (count "
+        "desc, word tiebreak) plus an <unk> bucket carrying the whole "
+        "OOV probability mass, exactly as production unigram filters "
+        "cap their models. The bound is what makes the plan scale-safe: "
+        "the (word -> logprob) relation is <= 65537 rows BY "
+        "CONSTRUCTION, so its F.broadcast is justified at ANY corpus "
+        "size — unlike an uncapped Heaps-law vocab, and unlike leaving "
+        "the side choice to static estimates (measured failure: the "
+        "unhinted join let Catalyst broadcast the EXPLODED CORPUS "
+        "side at 10x data, because the compressed file-scan estimate "
+        "sat under the threshold while the aggregate-derived vocab "
+        "estimate looked big — 0.7 s -> 3.5 s). Plan: one "
+        "map-side-combinable vocab count, a distributed "
+        "TakeOrderedAndProject top-K (65536 rows to the driver, "
+        "bounded), broadcast left join onto the occurrence stream with "
+        "COALESCE to the broadcast 1-row <unk> logprob, then ONE "
+        "groupBy(doc_id) whose exchange carries n_docs-bounded "
+        "partials — the corpus never shuffles on the word key. "
+        "Fixture vocabularies sit far under the cap, so the oracle is "
+        "value-identical to the uncapped model there; the <unk> path "
+        "itself is golden-tested with a tiny patched cap "
+        "(tests/test_round5_ops.py).",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _doc_words(spark, sf_dir)
     cw = words.groupBy("w").agg(F.count("*").alias("c_w"))
-    tot = cw.agg(F.sum("c_w").alias("n_total"))
-    lp = cw.crossJoin(F.broadcast(tot)).select(
+    tot = cw.agg(F.sum("c_w").cast("long").alias("n_total"))
+    # Bounded vocab head: distributed top-K, deterministic tiebreak.
+    head = cw.orderBy(F.desc("c_w"), F.asc("w")).limit(_VOCAB_CAP)
+    n_head = head.agg(
+        F.coalesce(F.sum("c_w"), F.lit(0)).cast("long").alias("n_head")
+    )
+    lp = head.crossJoin(F.broadcast(tot)).select(
         "w",
         F.expr(_LOG2_DEC.format(
             x="cast(c_w as double) / cast(n_total as double)")).alias("lp_w"),
     )
+    # 1-row <unk> logprob: the OOV mass, NULL when the cap never binds
+    # (then no occurrence can miss the head and COALESCE never reads it).
+    unk = tot.crossJoin(F.broadcast(n_head)).select(
+        F.when(
+            F.col("n_total") > F.col("n_head"),
+            F.expr(_LOG2_DEC.format(
+                x="cast(n_total - n_head as double)"
+                  " / cast(n_total as double)")),
+        ).alias("lp_unk")
+    )
     return (
-        words.join(lp, "w")
+        words.join(F.broadcast(lp), "w", "left")
+        .crossJoin(F.broadcast(unk))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.sum("lp_w").alias("slp"),
+            F.sum(F.coalesce("lp_w", "lp_unk")).alias("slp"),
         )
         .select(
             "doc_id",

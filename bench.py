@@ -99,6 +99,7 @@ HEADLINE = [
     "mm_wav_resample_features",
     "embed_centroid_outliers",
     "curation_contamination_report",
+    "curation_cluster_representatives",
 ]
 
 

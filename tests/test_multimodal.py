@@ -393,7 +393,7 @@ def test_wav_resample_interpolation_floor_semantics(spark):
     dec = decode_wav(bytes(out.payload))
     assert dec["sample_rate"] == 16000
     # floor((-3+2)/2) = -1, floor((2+5)/2) = 3, floor((5-999)/2) = -497
-    assert dec["samples"] == [-3, -1, 2, 3, 5, -497, -999]
+    assert list(dec["samples"]) == [-3, -1, 2, 3, 5, -497, -999]
 
 
 def test_wav_resample_factor3_and_identity(spark):
@@ -415,7 +415,7 @@ def test_wav_resample_factor3_and_identity(spark):
     )
     r3 = decode_wav(bytes(
         resample_wav_media(media, factor=3).collect()[0].payload))
-    assert r3["samples"] == [0, 1, 2, 3] and r3["sample_rate"] == 3000
+    assert list(r3["samples"]) == [0, 1, 2, 3] and r3["sample_rate"] == 3000
     r1 = decode_wav(bytes(
         resample_wav_media(media, factor=1).collect()[0].payload))
-    assert r1["samples"] == [0, 3] and r1["sample_rate"] == 1000
+    assert list(r1["samples"]) == [0, 3] and r1["sample_rate"] == 1000

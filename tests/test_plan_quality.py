@@ -23,9 +23,10 @@ BNLJ_ALLOWED = {
         "bandwidth than float32, embarrassingly parallel); only "
         "Q*shortlist rows continue to the full-precision rescore",
     "text_unigram_logprob":
-        "the only BNLJ is the 1-row corpus-total aggregate cross-joined "
-        "(broadcast) onto the vocabulary — an O(V*1) literal attach, not "
-        "a pair join; the word-keyed joins are hash equi-joins",
+        "the BNLJs are 1-row literal attaches (corpus total onto the "
+        "capped vocab head; the <unk> logprob onto the occurrence "
+        "stream) — O(V*1)/O(N*1), not pair joins; the vocab lookup is "
+        "a broadcast hash equi-join on the structurally bounded head",
     "text_source_kl_mixture":
         "same 1-row corpus-total broadcast attach as "
         "text_unigram_logprob; source totals go through a broadcast hash "

@@ -292,3 +292,65 @@ def test_contamination_report_is_consistent_with_components(spark, tmp_path):
     assert rep["any_method"] >= max(rep["ngram_overlap"],
                                     rep["minhash_fuzzy"],
                                     rep["substring_spans"])
+
+
+def test_cluster_representatives_prefer_quality_over_min_id(spark, tmp_path):
+    """Docs 0/1/2 are near-identical (one LSH cluster, min id 0), but doc
+    2 carries the full 25-token body while docs 0/1 are truncated below
+    the 20-token quality window — the representative must be doc 2
+    (higher quality score), flagged as replacing the min id."""
+    base = [f"w{i}" for i in range(25)]
+    doc2 = " ".join(base)
+    doc0 = " ".join(base[:12])           # truncated: fails length window
+    doc1 = " ".join(base[:12] + ["x1"])  # truncated variant
+    solo = " ".join(f"s{i}" for i in range(30))
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, doc0), (1, doc1), (2, doc2), (9, solo)])
+
+    rows = {r.cluster_id: r for r in
+            QUERIES["curation_cluster_representatives"].build(spark, out)
+            .collect()}
+    assert 0 in rows, "docs 0/1/2 must form one cluster labeled 0"
+    rep = rows[0]
+    assert rep.rep_doc_id == 2
+    assert rep.replaced_min_id == 1
+    assert rep.rep_quality > 0
+    # the unrelated solo doc shares no shingles -> never clustered
+    assert all(r.rep_doc_id != 9 for r in rows.values())
+
+
+def test_unigram_logprob_unk_bucket_with_tiny_cap(spark, tmp_path, monkeypatch):
+    """Patch the vocab cap to 2 so the <unk> bucket binds: corpus counts
+    a=4 b=3 c=3 -> head = {a, b} (count desc, word tiebreak), c's mass
+    (3/10) flows through <unk>. Checked against hand-computed logprobs."""
+    import math
+
+    from arango_clickhouse_replica_spark.queries import text_lm
+
+    monkeypatch.setattr(text_lm, "_VOCAB_CAP", 2)
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, "a a a b b c"), (1, "a b c c")])
+
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob_bits) for r in
+           text_lm.text_unigram_logprob(spark, out).collect()}
+    lp = {w: round(math.log2(c / 10), 6) for w, c in
+          [("a", 4), ("b", 3), ("unk", 3)]}
+    exp0 = (3 * lp["a"] + 2 * lp["b"] + 1 * lp["unk"]) / 6
+    exp1 = (1 * lp["a"] + 1 * lp["b"] + 2 * lp["unk"]) / 4
+    assert got[0][0] == 6 and abs(got[0][1] - exp0) < 1e-9
+    assert got[1][0] == 4 and abs(got[1][1] - exp1) < 1e-9
+
+
+def test_unigram_logprob_no_unk_when_cap_unbound(spark, tmp_path):
+    """With the production cap, fixture vocab never overflows — results
+    must equal the uncapped model (every word in head, <unk> unread)."""
+    import math
+
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, "x x y"), (1, "y z")])
+    got = {r.doc_id: r.avg_logprob_bits for r in
+           QUERIES["text_unigram_logprob"].build(spark, out).collect()}
+    lp = {w: round(math.log2(c / 5), 6) for w, c in
+          [("x", 2), ("y", 2), ("z", 1)]}
+    assert abs(got[0] - (2 * lp["x"] + lp["y"]) / 3) < 1e-9
+    assert abs(got[1] - (lp["y"] + lp["z"]) / 2) < 1e-9

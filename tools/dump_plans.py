@@ -66,14 +66,17 @@ COMMENT = {
         "scan (no exchange anywhere); the whole kernel is JVM-side "
         "codegen (transform/aggregate HOFs), no Python.",
     "text_unigram_logprob":
-        "Unigram LM scoring (round-5 shape): one map-side-combinable "
-        "vocab aggregate, corpus total attached as a 1-row broadcast, "
-        "then the vocab relation BROADCASTS to the occurrence stream "
-        "(bounded vocab — production unigram filters OOV-cap it) and "
-        "ONE map-side-combinable groupBy(doc_id) carries n_docs-bounded "
-        "partials; the old word-keyed shuffle-join shape measured 3.8x "
-        "at 10x data, this one 1.3x. Log terms are rounded-DECIMAL "
-        "lanes so the sums stay exact.",
+        "Unigram LM scoring (round-5 final shape): vocab CAPPED at "
+        "top-65536 + <unk> (the CCNet bound), so the logprob relation "
+        "is <= 65537 rows BY CONSTRUCTION and its broadcast onto the "
+        "occurrence stream is justified at any corpus size; head "
+        "selection is a distributed TakeOrderedAndProject, <unk> and "
+        "corpus totals are 1-row broadcasts, and ONE "
+        "map-side-combinable groupBy(doc_id) carries n_docs-bounded "
+        "partials. Measured 1.2x at 10x data (was 3.8x as a word-keyed "
+        "shuffle join; an unhinted join let the planner broadcast the "
+        "CORPUS side — 5x). Log terms are rounded-DECIMAL lanes so the "
+        "sums stay exact.",
     "text_source_kl_mixture":
         "Source-KL mixture stat: word-keyed hash joins, source totals "
         "broadcast (few strata), corpus total a 1-row broadcast; the KL "
@@ -232,6 +235,16 @@ COMMENT = {
         "registered ngram/fuzzy/substring probes (each keeps its "
         "broadcast-eval scale shape), then one 4-key aggregate and a "
         "broadcast 1-row train-count attach.",
+    "curation_cluster_representatives":
+        "Quality-aware canonicalization (round 5): reuses the "
+        "materialized cluster hub, hash equi-join with the quality "
+        "scorer, map-side-combinable min(struct) representative pick "
+        "keyed by cluster.",
+    "q_recursive_order_chains":
+        "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
+        "frontier (<= |customers| rows) hash-joined per round against "
+        "the 30-day successor edges; functional edge -> linear "
+        "recursion, no path blowup.",
 }
 
 

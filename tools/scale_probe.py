@@ -90,6 +90,10 @@ PROBES = [
     "mm_wav_resample_features",
     "embed_centroid_outliers",
     "curation_contamination_report",
+    "curation_cluster_representatives",
+    "q_recursive_order_chains",
+    "q_funnel_conversion",
+    "q_cohort_retention",
 ]
 
 
