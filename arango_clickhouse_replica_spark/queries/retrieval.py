@@ -234,6 +234,48 @@ _TFIDF_WEIGHTS_SQL = f"""
 """
 
 
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped tf-idf vector space ``(doc_id, s, wt)`` shared by the
+    cosine near-dup join and keyphrase extraction — weights are 6-dp
+    decimals (exact cross-engine), shingles past the df cap carry no
+    weight (stopword-like AND pair-cost-quadratic, see llm_ops)."""
+    from .llm_ops import _hot_shingle_cap
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("s"),
+        )
+    )
+    dw = raw.groupBy("doc_id", "s").agg(F.count("*").alias("tf"))
+    cw = dw.groupBy("s").agg(F.count("*").alias("df_s"))
+    cap = _hot_shingle_cap(docs.count())
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        cw.filter(F.col("df_s") <= cap)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "s",
+            F.expr(_LOG2_DEC.format(
+                x="cast(n_docs as double) / cast(df_s as double)")).alias("idf_s"),
+        )
+    )
+    return dw.join(idf, "s").select(
+        "doc_id",
+        "s",
+        F.round(F.col("tf").cast("double") * F.col("idf_s").cast("double"), 6)
+        .cast("decimal(18,6)").alias("wt"),
+    )
+
+
 @query(
     "dedup_tfidf_cosine_topk",
     oracle=f"""
@@ -272,41 +314,7 @@ _TFIDF_WEIGHTS_SQL = f"""
         "double division per pair.",
 )
 def dedup_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm_ops import _hot_shingle_cap
-
-    docs = load_table(spark, "documents", sf_dir)
-    raw = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2),"
-                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-                )
-            ).alias("s"),
-        )
-    )
-    dw = raw.groupBy("doc_id", "s").agg(F.count("*").alias("tf"))
-    cw = dw.groupBy("s").agg(F.count("*").alias("df_s"))
-    cap = _hot_shingle_cap(docs.count())
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    idf = (
-        cw.filter(F.col("df_s") <= cap)
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "s",
-            F.expr(_LOG2_DEC.format(
-                x="cast(n_docs as double) / cast(df_s as double)")).alias("idf_s"),
-        )
-    )
-    wt = dw.join(idf, "s").select(
-        "doc_id",
-        "s",
-        F.round(F.col("tf").cast("double") * F.col("idf_s").cast("double"), 6)
-        .cast("decimal(18,6)").alias("wt"),
-    )
+    wt = _tfidf_weights(spark, sf_dir)
     nrm = wt.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(
@@ -774,3 +782,47 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("vocab_pct")
+
+
+@query(
+    "text_keyphrase_tfidf_topk",
+    oracle=f"""
+    WITH wt AS ({_TFIDF_WEIGHTS_SQL}),
+    r AS (
+      SELECT doc_id, s, wt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY wt DESC, s) AS rn
+      FROM wt
+    )
+    SELECT doc_id, CAST(rn AS INT) AS rank, s AS phrase,
+           CAST(wt AS DOUBLE) AS tfidf
+    FROM r WHERE rn <= 3
+    """,
+    tags=("text", "retrieval", "keywords", "llm-pipeline"),
+    doc="Keyphrase extraction: each document's top-3 trigram phrases by "
+        "tf-idf weight in the SAME df-capped decimal vector space the "
+        "cosine near-dup join uses (_tfidf_weights — compute the space "
+        "once, serve retrieval AND dedup AND labeling from it). This is "
+        "the cheap auto-labeling pass a curation pipeline runs to build "
+        "topic facets or weak supervision tags. Determinism: weights "
+        "are exact 6-dp decimals, rank ties break on the phrase string. "
+        "Scale: tf/df are map-side-combinable hash aggregates; the "
+        "top-3 window partitions BY DOCUMENT, so partition size is "
+        "bounded by a single document's distinct shingles — never an "
+        "unbounded key.",
+)
+def text_keyphrase_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    wt = _tfidf_weights(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("wt"), F.asc("s"))
+    return (
+        wt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("s").alias("phrase"),
+            F.col("wt").cast("double").alias("tfidf"),
+        )
+    )

@@ -100,6 +100,7 @@ HEADLINE = [
     "embed_centroid_outliers",
     "curation_contamination_report",
     "curation_cluster_representatives",
+    "text_keyphrase_tfidf_topk",
 ]
 
 

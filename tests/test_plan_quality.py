@@ -35,6 +35,11 @@ BNLJ_ALLOWED = {
         "inherits text_unigram_logprob's 1-row corpus-total broadcast "
         "attach (O(V*1)); the lang join and NTILE window add only hash "
         "equi-joins",
+    "text_keyphrase_tfidf_topk":
+        "inherits _tfidf_weights' 1-row n_docs broadcast attach onto "
+        "the idf relation (O(V*1) literal attach); the weight join is "
+        "a hash equi-join on the shingle and the top-3 window is "
+        "doc-partitioned",
     "embed_centroid_outliers":
         "the 16-centroid broadcast assignment loop (O(N*16) narrow "
         "pass, same as ann_ivf_probed); the stats join back onto the "

@@ -240,6 +240,11 @@ COMMENT = {
         "materialized cluster hub, hash equi-join with the quality "
         "scorer, map-side-combinable min(struct) representative pick "
         "keyed by cluster.",
+    "text_keyphrase_tfidf_topk":
+        "Keyphrase extraction (round 5): reuses the df-capped tf-idf "
+        "decimal vector space (one compute, three consumers); the "
+        "top-3 window partitions by DOCUMENT so partition size is "
+        "bounded by one doc's distinct shingles.",
     "q_recursive_order_chains":
         "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
         "frontier (<= |customers| rows) hash-joined per round against "

@@ -91,6 +91,7 @@ PROBES = [
     "embed_centroid_outliers",
     "curation_contamination_report",
     "curation_cluster_representatives",
+    "text_keyphrase_tfidf_topk",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
