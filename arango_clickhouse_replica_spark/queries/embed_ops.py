@@ -843,3 +843,135 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+_PCA_V0 = 0.125  # deterministic start vector: all-ones / sqrt(64)
+
+
+@query(
+    "embed_pca_power_iteration",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, embedding,
+             0.125 * list_reduce(list_transform(embedding,
+                 c -> CAST(c AS DOUBLE)), (p, q) -> p + q) AS dot1
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT x.vec_id, t.i AS dim,
+             CAST(x.embedding[t.i] AS DOUBLE) AS comp, x.dot1
+      FROM x, unnest(range(1, len(x.embedding) + 1)) AS t(i)
+    ),
+    y1 AS (
+      SELECT dim,
+             CAST(SUM({_DEC_SQL.format(x='comp * dot1')}) AS DOUBLE) AS y
+      FROM comps GROUP BY dim
+    ),
+    n1 AS (
+      SELECT sqrt(CAST(SUM({_DEC_SQL.format(x='y * y')}) AS DOUBLE)) AS nrm
+      FROM y1
+    ),
+    v1 AS (SELECT dim, y / nrm AS v FROM y1, n1),
+    dot2 AS (
+      SELECT c.vec_id,
+             CAST(SUM({_DEC_SQL.format(x='c.comp * v1.v')}) AS DOUBLE) AS d2
+      FROM comps c JOIN v1 ON c.dim = v1.dim
+      GROUP BY c.vec_id
+    ),
+    y2 AS (
+      SELECT c.dim,
+             CAST(SUM({_DEC_SQL.format(x='c.comp * dot2.d2')}) AS DOUBLE) AS y
+      FROM comps c JOIN dot2 ON c.vec_id = dot2.vec_id
+      GROUP BY c.dim
+    ),
+    n2 AS (
+      SELECT sqrt(CAST(SUM({_DEC_SQL.format(x='y * y')}) AS DOUBLE)) AS nrm
+      FROM y2
+    ),
+    lam AS (
+      SELECT CAST(SUM({_DEC_SQL.format(x='v1.v * y2.y')}) AS DOUBLE) AS lam
+      FROM v1 JOIN y2 ON v1.dim = y2.dim
+    )
+    SELECT CAST(y2.dim - 1 AS INT) AS dim,
+           round(y2.y / n2.nrm, 6) AS loading,
+           round(lam.lam, 4) AS eigenvalue_est
+    FROM y2, n2, lam
+    ORDER BY dim
+    """,
+    tags=("embedding", "pca", "iterative", "llm-pipeline"),
+    doc="Top principal direction of the (uncentered) embedding matrix by "
+        "TWO unrolled power-iteration rounds — the whitening/PCA "
+        "preprocessing pass an embedding pipeline runs before "
+        "quantization or decorrelation, expressed declaratively so "
+        "Catalyst plans each round (the kmeans/components pattern: "
+        "iterative algorithm, DataFrame body). Round k is "
+        "matvec-matvec: per-vector dot with the current direction "
+        "(round 1's start vector is the literal all-ones/8, so the dot "
+        "is a bit-identical sequential fold; round 2's is a 64-term "
+        "decimal-lane sum), then the new direction accumulates "
+        "SUM(decimal(comp * dot)) per dimension — every cross-row sum "
+        "is exact 6-dp decimals, so partition order never moves a bit "
+        "and DuckDB replays the doubles identically. eigenvalue_est is "
+        "the Rayleigh quotient v1'(X'X)v1 (v1 unit). Scale: each round "
+        "is one posexplode -> 64-key map-side-combinable hash "
+        "aggregate plus a per-vector aggregate keyed by vec_id; the "
+        "direction relations are 64 rows (broadcast); the matrix "
+        "streams, never collects.",
+)
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dot1 = (
+        F.lit(_PCA_V0)
+        * F.aggregate(
+            F.transform("embedding", lambda c: c.cast("double")),
+            F.lit(0.0),
+            lambda acc, c: acc + c,
+        )
+    ).alias("dot1")
+    x = emb.select("vec_id", "embedding", dot1)
+    comps = x.select(
+        "vec_id",
+        "dot1",
+        F.posexplode("embedding").alias("dim0", "comp0"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("comp0").cast("double").alias("comp"),
+        "dot1",
+    )
+    y1 = comps.groupBy("dim").agg(
+        F.sum(F.expr(_DEC.format(x="comp * dot1"))).cast("double").alias("y")
+    )
+    n1 = y1.agg(
+        F.sqrt(F.sum(F.expr(_DEC.format(x="y * y"))).cast("double")).alias("nrm")
+    )
+    v1 = y1.crossJoin(F.broadcast(n1)).select(
+        "dim", (F.col("y") / F.col("nrm")).alias("v")
+    )
+    dot2 = (
+        comps.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr(_DEC.format(x="comp * v"))).cast("double").alias("d2"))
+    )
+    y2 = (
+        comps.join(dot2, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.expr(_DEC.format(x="comp * d2"))).cast("double").alias("y"))
+    )
+    n2 = y2.agg(
+        F.sqrt(F.sum(F.expr(_DEC.format(x="y * y"))).cast("double")).alias("nrm")
+    )
+    lam = (
+        v1.join(y2, "dim")
+        .agg(F.sum(F.expr(_DEC.format(x="v * y"))).cast("double").alias("lam"))
+    )
+    return (
+        y2.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            (F.col("dim") - 1).cast("int").alias("dim"),
+            F.round(F.col("y") / F.col("nrm"), 6).alias("loading"),
+            F.round("lam", 4).alias("eigenvalue_est"),
+        )
+        .orderBy("dim")
+    )

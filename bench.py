@@ -101,6 +101,7 @@ HEADLINE = [
     "curation_contamination_report",
     "curation_cluster_representatives",
     "text_keyphrase_tfidf_topk",
+    "embed_pca_power_iteration",
 ]
 
 

@@ -35,6 +35,11 @@ BNLJ_ALLOWED = {
         "inherits text_unigram_logprob's 1-row corpus-total broadcast "
         "attach (O(V*1)); the lang join and NTILE window add only hash "
         "equi-joins",
+    "embed_pca_power_iteration":
+        "the BNLJs are 64-row/1-row literal attaches (norm and "
+        "Rayleigh-eigenvalue scalars onto the 64-row direction "
+        "relation; the direction broadcast onto the component stream "
+        "is a hash equi-join on dim) — never a pair join",
     "text_keyphrase_tfidf_topk":
         "inherits _tfidf_weights' 1-row n_docs broadcast attach onto "
         "the idf relation (O(V*1) literal attach); the weight join is "

@@ -354,3 +354,22 @@ def test_unigram_logprob_no_unk_when_cap_unbound(spark, tmp_path):
           [("x", 2), ("y", 2), ("z", 1)]}
     assert abs(got[0] - (2 * lp["x"] + lp["y"]) / 3) < 1e-9
     assert abs(got[1] - (lp["y"] + lp["z"]) / 2) < 1e-9
+
+
+def test_pca_power_iteration_finds_planted_axis(spark, tmp_path):
+    """40 vectors hug axis 0 (length 10, tiny per-vector tilt onto a
+    second axis), so the top principal direction must be ~e0: loading
+    of dim 0 near 1, every other |loading| small, eigenvalue ~ sum of
+    squared projections (~40 * 100)."""
+    rows = [(i, _basis(0, scale=10.0, extra=[(1 + i % 4, 0.1)]), 0)
+            for i in range(40)]
+    out = str(tmp_path)
+    _write_vecs(spark, out, rows)
+
+    got = {r.dim: r for r in
+           QUERIES["embed_pca_power_iteration"].build(spark, out).collect()}
+    assert len(got) == 64
+    assert abs(got[0].loading) > 0.999
+    assert all(abs(r.loading) < 0.02 for d, r in got.items() if d != 0)
+    lam = got[0].eigenvalue_est
+    assert 3900 < lam < 4100

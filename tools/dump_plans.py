@@ -245,6 +245,11 @@ COMMENT = {
         "decimal vector space (one compute, three consumers); the "
         "top-3 window partitions by DOCUMENT so partition size is "
         "bounded by one doc's distinct shingles.",
+    "embed_pca_power_iteration":
+        "Distributed PCA power iteration (round 5): two unrolled "
+        "matvec rounds, each a posexplode -> 64-key map-side hash "
+        "aggregate + a vec_id-keyed per-vector dot; direction "
+        "relations are 64-row broadcasts; the matrix streams.",
     "q_recursive_order_chains":
         "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
         "frontier (<= |customers| rows) hash-joined per round against "

@@ -92,6 +92,7 @@ PROBES = [
     "curation_contamination_report",
     "curation_cluster_representatives",
     "text_keyphrase_tfidf_topk",
+    "embed_pca_power_iteration",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
