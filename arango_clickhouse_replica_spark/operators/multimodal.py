@@ -499,3 +499,132 @@ def resample_wav_media(media: DataFrame, *, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=RESAMPLED_AUDIO_SCHEMA)
+
+
+def synth_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video payloads: doc_id seeds ``2 + d % 3``
+    frames, each a genuine 16x8 baseline JPEG of constant 8x8 blocks
+    whose value is ``(d*37 + 41*bx + 17*f) % 256`` (frame index ``f``
+    shifts the content, so sampled frames are distinguishable), muxed
+    into the MJPG container (media_codecs). Constant blocks keep the
+    lossy transform bit-exact, so a closed-form oracle replays features
+    of the DECODED sampled frames without parsing a byte."""
+    from .media_codecs import encode_jpeg_gray8, encode_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = []
+                for f in range(2 + d % 3):
+                    px = bytes(
+                        (d * 37 + 41 * (x // 8) + 17 * f) % 256
+                        for _y in range(8) for x in range(16)
+                    )
+                    frames.append(encode_jpeg_gray8(px, 16, 8))
+                mj = encode_mjpeg(frames)
+                ids.append(d)
+                payloads.append(mj)
+                metas.append(
+                    {"mime": "video/x-motion-jpeg", "n_bytes": len(mj),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_pixels", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_mjpeg_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL video keyframe sampling (1:N mapInPandas, payload -> frame
+    rows): demux the MJPG container (bounds-checked index walk), keep
+    every ``every_n``-th frame, fully DECODE each kept frame with the
+    baseline-JPEG decoder, and emit integer moments of the decoded
+    pixels. The generator stage is narrow; downstream per-frame
+    pipelines parallelize over the exploded rows — the shape a real
+    demuxer (ffmpeg keyframe extraction) drops into, with the demux and
+    decode steps actually performed."""
+    from .media_codecs import decode_jpeg_gray8, decode_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "frame_no", "width", "height",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                for fno, frame in enumerate(decode_mjpeg(bytes(raw))):
+                    if fno % every_n:
+                        continue
+                    img = decode_jpeg_gray8(frame)
+                    px = img["pixels"]
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["width"].append(img["width"])
+                    rows["height"].append(img["height"])
+                    rows["sum_pixels"].append(sum(px))
+                    rows["px_min"].append(min(px))
+                    rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_frames(media: DataFrame, *, frame_len: int = 16) -> DataFrame:
+    """REAL framed audio features (1:N mapInPandas, payload -> frame
+    rows): decode the RIFF/PCM16 payload, split into fixed-length
+    frames (last frame may be partial), and emit per-frame energy and
+    zero-crossing count — the VAD/silence-detection primitives, kept in
+    exact integer arithmetic so a closed-form oracle hash-matches. A
+    crossing is a sign change between CONSECUTIVE samples of the same
+    frame (zero counts as non-negative)."""
+    from .media_codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "frame_no", "n_samples", "energy",
+                     "zero_crossings")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                s = np.asarray(decode_wav(bytes(raw))["samples"],
+                               dtype=np.int64)
+                for j in range(0, (len(s) + frame_len - 1) // frame_len):
+                    fr = s[j * frame_len:(j + 1) * frame_len]
+                    nonneg = fr >= 0
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(j)
+                    rows["n_samples"].append(len(fr))
+                    rows["energy"].append(int(np.sum(fr * fr)))
+                    rows["zero_crossings"].append(
+                        int(np.sum(nonneg[:-1] != nonneg[1:]))
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)

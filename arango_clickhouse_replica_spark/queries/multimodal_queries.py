@@ -439,3 +439,105 @@ def mm_wav_resample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")), 6
         ).alias("rms"),
     )
+
+
+@query(
+    "mm_mjpeg_frame_sample",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+    ),
+    fr AS (
+      SELECT p.doc_id, CAST(u.f AS INT) AS frame_no
+      FROM params p, unnest(range(0, CAST(p.n AS INT), 2)) AS u(f)
+    ),
+    vals AS (
+      SELECT doc_id, frame_no,
+             (doc_id * 37 + 17 * frame_no) % 256 AS v0,
+             (doc_id * 37 + 41 + 17 * frame_no) % 256 AS v1
+      FROM fr
+    )
+    SELECT doc_id AS media_id, frame_no,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(64 * (v0 + v1) AS BIGINT) AS sum_pixels,
+           CAST(LEAST(v0, v1) AS INT) AS px_min,
+           CAST(GREATEST(v0, v1) AS INT) AS px_max
+    FROM vals
+    """,
+    tags=("multimodal", "video", "codec", "pandas-udf"),
+    doc="REAL video keyframe sampling end to end (upgrades the fake "
+        "byte-split mm_frame_sample): deterministic multi-frame clips "
+        "mux genuine baseline JPEGs into the MJPG container "
+        "(magic + u32 frame index + payloads — operators/media_codecs), "
+        "cross Arrow as binary, and a second mapInPandas stage DEMUXES "
+        "the container (bounds-checked index walk), keeps every 2nd "
+        "frame, fully DECODES each kept frame (Huffman, dezigzag, "
+        "IDCT), and emits integer moments of the decoded pixels. "
+        "Constant 8x8 blocks keep the lossy transform bit-exact, so the "
+        "closed-form oracle replays every sampled frame's features "
+        "without parsing bytes — a defect in the muxer, the index walk, "
+        "the sampling stride, or the JPEG decode breaks the hash. "
+        "Scale: two narrow stages (1:1 synth, 1:N demux-decode); "
+        "per-frame work is numpy DCT math, scan/IO-bound, and the "
+        "exploded frame rows parallelize downstream per-frame pipelines.",
+)
+def mm_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_mjpeg_frames, synth_mjpeg_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_mjpeg_frames(synth_mjpeg_media(docs), every_n=2).select(
+        "media_id",
+        "frame_no",
+        "width",
+        "height",
+        "sum_pixels",
+        "px_min",
+        "px_max",
+    )
+
+
+@query(
+    "mm_wav_frame_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, u.i,
+             ((p.doc_id * 31 + u.i * 7) % 2001) - 1000 AS smp
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(i)
+    ),
+    x AS (
+      SELECT doc_id, i, smp,
+             CAST(i // 16 AS INT) AS frame_no,
+             LEAD(smp) OVER (PARTITION BY doc_id ORDER BY i) AS nxt,
+             CAST((i + 1) // 16 AS INT) AS nxt_frame
+      FROM s
+    )
+    SELECT doc_id AS media_id, frame_no,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(smp * smp) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL AND nxt_frame = frame_no
+                          AND ((smp >= 0) <> (nxt >= 0))
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM x GROUP BY doc_id, frame_no
+    """,
+    tags=("multimodal", "audio", "codec", "pandas-udf"),
+    doc="REAL framed audio analysis (the VAD/silence-detection "
+        "primitives): genuine WAV payloads decode, split into 16-sample "
+        "frames (last partial), and each frame reports energy (exact "
+        "sum of squares) and zero-crossing count (sign change between "
+        "consecutive in-frame samples; zero is non-negative) — all "
+        "integer arithmetic, so the closed-form oracle hash-matches "
+        "bit-for-bit. Two narrow stages (1:1 synth, 1:N decode+frame); "
+        "the exploded frame rows are the unit downstream audio "
+        "pipelines parallelize over at 100 TB.",
+)
+def mm_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_audio_frames(synth_wav_media(docs), frame_len=16).select(
+        "media_id", "frame_no", "n_samples", "energy", "zero_crossings"
+    )

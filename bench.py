@@ -102,6 +102,8 @@ HEADLINE = [
     "curation_cluster_representatives",
     "text_keyphrase_tfidf_topk",
     "embed_pca_power_iteration",
+    "mm_mjpeg_frame_sample",
+    "mm_wav_frame_features",
 ]
 
 

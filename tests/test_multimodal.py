@@ -419,3 +419,52 @@ def test_wav_resample_factor3_and_identity(spark):
     r1 = decode_wav(bytes(
         resample_wav_media(media, factor=1).collect()[0].payload))
     assert list(r1["samples"]) == [0, 3] and r1["sample_rate"] == 1000
+
+
+# --------------------- MJPG container (round 5) ---------------------
+
+
+def test_mjpeg_container_roundtrip_and_bounds():
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_mjpeg,
+        encode_jpeg_gray8,
+        encode_mjpeg,
+    )
+
+    frames = [encode_jpeg_gray8(bytes([v] * 64), 8, 8) for v in (0, 128, 255)]
+    mj = encode_mjpeg(frames)
+    assert decode_mjpeg(mj) == frames
+    assert decode_mjpeg(encode_mjpeg([])) == []
+    with pytest.raises(ValueError):
+        decode_mjpeg(b"RIFF" + mj[4:])          # wrong magic
+    with pytest.raises(ValueError):
+        decode_mjpeg(mj[:-3])                   # truncated payload
+    with pytest.raises(ValueError):
+        decode_mjpeg(mj + b"\x00")              # trailing garbage
+    with pytest.raises(ValueError):
+        decode_mjpeg(mj[:10])                   # truncated index
+
+
+def test_mjpeg_sampler_decodes_only_kept_frames(spark):
+    import pandas as pd
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        encode_jpeg_gray8,
+        encode_mjpeg,
+    )
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        sample_mjpeg_frames,
+    )
+
+    frames = [encode_jpeg_gray8(bytes([10 * f] * 64), 8, 8) for f in range(5)]
+    mj = encode_mjpeg(frames)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [mj],
+                      "meta": [{"mime": "video/x-motion-jpeg",
+                                "n_bytes": len(mj), "source": None}]})
+    )
+    got = {(r.frame_no, r.sum_pixels) for r in
+           sample_mjpeg_frames(media, every_n=2).collect()}
+    assert got == {(0, 0), (2, 64 * 20), (4, 64 * 40)}

@@ -250,6 +250,10 @@ COMMENT = {
         "matvec rounds, each a posexplode -> 64-key map-side hash "
         "aggregate + a vec_id-keyed per-vector dot; direction "
         "relations are 64-row broadcasts; the matrix streams.",
+    "mm_mjpeg_frame_sample":
+        "Real video keyframe sampling (round 5): 1:1 synth + 1:N "
+        "demux-decode mapInPandas stages, zero exchanges; real MJPG "
+        "container walk + baseline-JPEG decode per kept frame.",
     "q_recursive_order_chains":
         "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
         "frontier (<= |customers| rows) hash-joined per round against "

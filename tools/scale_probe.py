@@ -93,6 +93,8 @@ PROBES = [
     "curation_cluster_representatives",
     "text_keyphrase_tfidf_topk",
     "embed_pca_power_iteration",
+    "mm_mjpeg_frame_sample",
+    "mm_wav_frame_features",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
