@@ -2314,6 +2314,13 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Spark SQL string literals EAT unknown backslash escapes ('\s' -> 's'),
+# so embedding the raw pattern in F.expr silently turned the char class
+# into [^a-z0-9s] — which matches SPACE (caught by the BPE trainer's
+# token-total oracle; the pair-level oracle couldn't see 1-char pieces).
+# DuckDB standard strings keep the backslash, hence the doubled variant
+# is Spark-side only.
+_BPE_PIECE_RE_SPARK_SQL = _BPE_PIECE_RE.replace("\\", "\\\\")
 
 
 @query(
@@ -2351,7 +2358,7 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pieces = docs.select(
         F.explode(
-            F.expr(f"regexp_extract_all(lower(text), '{_BPE_PIECE_RE}', 0)")
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_PIECE_RE_SPARK_SQL}', 0)")
         ).alias("w")
     )
     cw = pieces.groupBy("w").agg(F.count("*").alias("c_w"))
@@ -3078,4 +3085,150 @@ def curation_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("w.q").cast("int").alias("rep_quality"),
         (F.col("w.d") != F.col("cluster_id")).cast("int")
         .alias("replaced_min_id"),
+    )
+
+
+_BPE_APPLY_SQL = """
+      list_filter(list_transform(range(1, len({t}) + 1), i ->
+        CASE WHEN i < len({t}) AND {t}[i] = {m}.x AND {t}[i + 1] = {m}.y
+               THEN {m}.x || {m}.y
+             WHEN i > 1 AND {t}[i - 1] = {m}.x AND {t}[i] = {m}.y
+               THEN NULL
+             ELSE {t}[i] END), v -> v IS NOT NULL)
+"""
+
+_BPE_PAIRS_SQL = """
+      SELECT {t}[u.i] AS x, {t}[u.i + 1] AS y,
+             CAST(SUM(c_w) AS BIGINT) AS cnt
+      FROM {r}, unnest(range(1, len({t}))) AS u(i)
+      WHERE {t}[u.i] <> {t}[u.i + 1]
+      GROUP BY 1, 2
+"""
+
+
+@query(
+    "text_bpe_train_steps",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{_BPE_PIECE_RE}')) AS w
+      FROM documents
+    ),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM pieces GROUP BY w),
+    r0 AS (SELECT w, c_w, regexp_extract_all(w, '.') AS t FROM cw),
+    p1 AS ({_BPE_PAIRS_SQL.format(t='t', r='r0')}),
+    m1 AS (SELECT x, y, cnt FROM p1 ORDER BY cnt DESC, x, y LIMIT 1),
+    r1 AS (
+      SELECT w, c_w, {_BPE_APPLY_SQL.format(t='t', m='m1')} AS t
+      FROM r0, m1
+    ),
+    p2 AS ({_BPE_PAIRS_SQL.format(t='t', r='r1')}),
+    m2 AS (SELECT x, y, cnt FROM p2 ORDER BY cnt DESC, x, y LIMIT 1),
+    r2 AS (
+      SELECT w, c_w, {_BPE_APPLY_SQL.format(t='t', m='m2')} AS t
+      FROM r1, m2
+    )
+    SELECT 1 AS merge_rank, m1.x AS pair_x, m1.y AS pair_y,
+           m1.cnt AS pair_count,
+           (SELECT CAST(SUM(c_w * len(t)) AS BIGINT) FROM r1)
+             AS corpus_tokens_after
+    FROM m1
+    UNION ALL
+    SELECT 2, m2.x, m2.y, m2.cnt,
+           (SELECT CAST(SUM(c_w * len(t)) AS BIGINT) FROM r2)
+    FROM m2
+    ORDER BY merge_rank
+    """,
+    tags=("text", "bpe", "tokenizer", "iterative", "llm-pipeline"),
+    doc="BPE TRAINING, two rounds unrolled — the trainer whose "
+        "per-round statistic text_bpe_merge_pairs computes, now actually "
+        "LEARNING and APPLYING merges (the kmeans/PCA pattern: iterative "
+        "algorithm, declarative body; the full tokenizer is this round "
+        "iterated to vocab size). Round k: weighted adjacent-pair counts "
+        "over the current vocab representation -> argmax pair (count "
+        "desc, pair tiebreak; self-pairs x==y are excluded from the "
+        "search space so every match is provably DISJOINT and the merge "
+        "applies as one index-mapped transform, no sequential scan) -> "
+        "the merge rewrites the vocab representation and the next round "
+        "recounts on the REWRITTEN tokens (true BPE, not top-k of round "
+        "one). Output per round: the learned pair, its weighted count, "
+        "and the corpus token count after applying it — all exact "
+        "integers. Scale: pair stats are vocab-sized (O(vocab * word "
+        "length), never corpus-sized — c_w carries the corpus weight), "
+        "the argmax is a distributed TakeOrdered of 1 row broadcast "
+        "back, and the apply is a narrow per-word array transform.",
+)
+def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_PIECE_RE_SPARK_SQL}', 0)")
+        ).alias("w")
+    )
+    cw = pieces.groupBy("w").agg(F.count("*").cast("long").alias("c_w"))
+    r0 = cw.select(
+        "w", "c_w", F.expr("regexp_extract_all(w, '.', 0)").alias("t")
+    )
+
+    def pair_stats(r: DataFrame) -> DataFrame:
+        t = F.col("t")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.try_element_at(t, i).alias("x"),
+                F.try_element_at(t, i + 1).alias("y"),
+            ),
+        )
+        return (
+            r.filter(F.size(t) >= 2)
+            .select("c_w", F.explode(pairs).alias("p"))
+            .filter(F.col("p.x") != F.col("p.y"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("c_w").cast("long").alias("cnt"))
+        )
+
+    def apply_merge(r: DataFrame, m: DataFrame) -> DataFrame:
+        t, x, y = F.col("t"), F.col("x"), F.col("y")
+        n = F.size(t)
+        mapped = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                (i < n)
+                & (F.try_element_at(t, i) == x)
+                & (F.try_element_at(t, i + 1) == y),
+                F.concat(x, y),
+            )
+            .when(
+                (i > 1)
+                & (F.try_element_at(t, i - 1) == x)
+                & (F.try_element_at(t, i) == y),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(F.try_element_at(t, i)),
+        )
+        return r.crossJoin(F.broadcast(m)).select(
+            "w", "c_w", F.filter(mapped, lambda v: v.isNotNull()).alias("t")
+        )
+
+    def top1(stats: DataFrame) -> DataFrame:
+        return stats.orderBy(F.desc("cnt"), "x", "y").limit(1)
+
+    m1 = top1(pair_stats(r0))
+    r1 = apply_merge(r0, m1)
+    m2 = top1(pair_stats(r1))
+    r2 = apply_merge(r1, m2)
+
+    def summary(rank: int, m: DataFrame, r: DataFrame) -> DataFrame:
+        toks = r.agg(
+            F.sum(F.col("c_w") * F.size("t")).cast("long").alias("nt")
+        )
+        return m.crossJoin(F.broadcast(toks)).select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("x").alias("pair_x"),
+            F.col("y").alias("pair_y"),
+            F.col("cnt").alias("pair_count"),
+            F.col("nt").alias("corpus_tokens_after"),
+        )
+
+    return summary(1, m1, r1).unionByName(summary(2, m2, r2)).orderBy(
+        "merge_rank"
     )

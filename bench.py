@@ -104,6 +104,7 @@ HEADLINE = [
     "embed_pca_power_iteration",
     "mm_mjpeg_frame_sample",
     "mm_wav_frame_features",
+    "text_bpe_train_steps",
 ]
 
 

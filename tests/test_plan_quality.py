@@ -35,6 +35,11 @@ BNLJ_ALLOWED = {
         "inherits text_unigram_logprob's 1-row corpus-total broadcast "
         "attach (O(V*1)); the lang join and NTILE window add only hash "
         "equi-joins",
+    "text_bpe_train_steps":
+        "the BNLJs are 1-row literal attaches: each round's argmax "
+        "merge pair (TakeOrdered LIMIT 1) and token-total aggregate "
+        "broadcast onto the vocab relation — O(vocab*1) attaches, "
+        "never pair joins",
     "embed_pca_power_iteration":
         "the BNLJs are 64-row/1-row literal attaches (norm and "
         "Rayleigh-eigenvalue scalars onto the 64-row direction "

@@ -373,3 +373,21 @@ def test_pca_power_iteration_finds_planted_axis(spark, tmp_path):
     assert all(abs(r.loading) < 0.02 for d, r in got.items() if d != 0)
     lam = got[0].eigenvalue_est
     assert 3900 < lam < 4100
+
+
+def test_bpe_train_steps_golden(spark, tmp_path):
+    """'low lower lowest': round-1 pair stats are lo:3 ow:3 we:2 er/es/st:1
+    -> argmax with (count desc, pair asc) tiebreak picks ('l','o'); after
+    merging, round 2 must pick ('lo','w') on the REWRITTEN tokens —
+    proving the trainer recounts rather than taking round-1's top-2.
+    Token totals: 3+5+6=14 chars -> 11 after merge 1 -> 8 after merge 2."""
+    out = str(tmp_path)
+    _write_docs(spark, out, [(1, "low lower lowest")])
+
+    rows = {r.merge_rank: r for r in
+            QUERIES["text_bpe_train_steps"].build(spark, out).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.pair_x, r1.pair_y, r1.pair_count) == ("l", "o", 3)
+    assert r1.corpus_tokens_after == 11
+    assert (r2.pair_x, r2.pair_y, r2.pair_count) == ("lo", "w", 3)
+    assert r2.corpus_tokens_after == 8

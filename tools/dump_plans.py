@@ -254,6 +254,11 @@ COMMENT = {
         "Real video keyframe sampling (round 5): 1:1 synth + 1:N "
         "demux-decode mapInPandas stages, zero exchanges; real MJPG "
         "container walk + baseline-JPEG decode per kept frame.",
+    "text_bpe_train_steps":
+        "BPE trainer, two rounds unrolled (round 5): vocab-sized pair "
+        "stats (corpus weight carried by c_w), 1-row argmax broadcast "
+        "back, narrow per-word array-transform apply — the full "
+        "tokenizer is this round iterated.",
     "q_recursive_order_chains":
         "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
         "frontier (<= |customers| rows) hash-joined per round against "

@@ -95,6 +95,7 @@ PROBES = [
     "embed_pca_power_iteration",
     "mm_mjpeg_frame_sample",
     "mm_wav_frame_features",
+    "text_bpe_train_steps",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
