@@ -271,11 +271,30 @@ def _zigzag_order() -> list:
 
 
 _ZIGZAG = _zigzag_order()
+_Q_CACHE: dict = {}
+
+
+def _q_rowmajor(zz_q):
+    """Zigzag-ordered 64-entry quant table -> row-major 8x8 float array,
+    cached per table (per-call argsort/reshape showed up in profiles)."""
+    key = tuple(zz_q)
+    if key not in _Q_CACHE:
+        import numpy as np
+
+        inv = np.array(_ZIGZAG).argsort()
+        _Q_CACHE[key] = np.array(key, dtype=np.float64)[inv].reshape(8, 8)
+    return _Q_CACHE[key]
+
+
+_HUFF_CODE_CACHE: dict = {}
 
 
 def _huff_codes(bits, vals):
     """Canonical Huffman assignment (ITU T.81 C.2): ascending code length,
-    within a length in HUFFVAL order."""
+    within a length in HUFFVAL order. Cached per (bits, vals)."""
+    key = (tuple(bits), tuple(vals))
+    if key in _HUFF_CODE_CACHE:
+        return _HUFF_CODE_CACHE[key]
     codes, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -284,41 +303,57 @@ def _huff_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    _HUFF_CODE_CACHE[key] = codes
     return codes
 
 
-def _dct_matrix():
-    import numpy as np
+_DCT_M = None
 
-    m = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
-        for x in range(8):
-            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
-    return m
+
+def _dct_matrix():
+    """8x8 DCT-II basis, built once per process (cached: profiling showed
+    per-call rebuilds of this matrix + the Huffman code tables dominated
+    small-image encode/decode cost)."""
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+        _DCT_M = m
+    return _DCT_M
 
 
 class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing. Appends whole
+    bytes from an integer accumulator (no per-bit loop — the encoder's
+    hot path after the DCT was batched)."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.n = 0
 
     def put(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self.acc, self.n = 0, 0
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
-            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
                 self.out.append(0x00)
             self.acc, self.n = 0, 0
         return bytes(self.out)
@@ -346,39 +381,49 @@ def encode_jpeg_gray8(pixels, width: int, height: int) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     q = np.array(_JPEG_Q_UNIT, dtype=np.float64)[np.array(_ZIGZAG).argsort()].reshape(8, 8)
 
+    # One batched DCT over every block (raster order matches the scan
+    # order below) instead of thousands of tiny per-block matmuls.
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs_all = m @ blocks @ m.T
+    zz_all = (
+        np.rint(coeffs_all / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+    )
+
     w = _BitWriter()
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
-            coeffs = m @ block @ m.T
-            zz = np.rint(coeffs / q).astype(np.int64).reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _category(diff)
-            code, length = dc_codes[s]
+    for zz in zz_all:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        s = _category(diff)
+        code, length = dc_codes[s]
+        w.put(code, length)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                w.put(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
             w.put(code, length)
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.put(code, length)
-                    run -= 16
-                s = _category(v)
-                code, length = ac_codes[(run << 4) | s]
-                w.put(code, length)
-                w.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.put(code, length)
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.put(code, length)
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -426,12 +471,19 @@ class _BitReader:
         return v
 
 
+_HUFF_DEC_CACHE: dict = {}
+
+
 def _huff_decoder(bits, vals):
-    """(code, length) -> symbol lookup as a dict keyed on (length, code)."""
-    table = {}
-    for sym, (code, length) in _huff_codes(bits, vals).items():
-        table[(length, code)] = sym
-    return table
+    """(code, length) -> symbol lookup as a dict keyed on (length, code),
+    cached per table (rebuilt per payload otherwise)."""
+    key = (tuple(bits), tuple(vals))
+    if key not in _HUFF_DEC_CACHE:
+        table = {}
+        for sym, (code, length) in _huff_codes(bits, vals).items():
+            table[(length, code)] = sym
+        _HUFF_DEC_CACHE[key] = table
+    return _HUFF_DEC_CACHE[key]
 
 
 def _read_symbol(r: _BitReader, table) -> int:
@@ -511,39 +563,47 @@ def decode_jpeg_gray8(payload: bytes) -> dict:
     if dc_table is None or ac_table is None or qsel not in qtables:
         raise ValueError("missing Huffman or quantization tables")
 
-    q = np.array(qtables[qsel], dtype=np.float64)[np.array(_ZIGZAG).argsort()].reshape(8, 8)
     # qtables store zigzag order; map back to row-major like the encoder
+    q = _q_rowmajor(tuple(qtables[qsel]))
     m = _dct_matrix()
     ph = (height + 7) // 8 * 8
     pw = (width + 7) // 8 * 8
-    out = np.zeros((ph, pw), dtype=np.float64)
+    nby, nbx = ph // 8, pw // 8
+    # Entropy-decode every block's coefficients first, then invert the
+    # DCT for ALL blocks in one batched einsum (the bit walk is cheap;
+    # thousands of tiny per-block matmuls were the decode hot spot).
+    zz_all = np.zeros((nby * nbx, 64), dtype=np.int64)
     r = _BitReader(scan_data)
     prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(r, dc_table)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_symbol(r, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise ValueError("AC run overruns block")
-                zz[i] = _extend(r.bits(size), size)
-                i += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = zz
-            coeffs = block.reshape(8, 8) * q
-            out[by:by + 8, bx:bx + 8] = m.T @ coeffs @ m
+    for bi in range(nby * nbx):
+        zz = zz_all[bi]
+        s = _read_symbol(r, dc_table)
+        diff = _extend(r.bits(s), s) if s else 0
+        prev_dc += diff
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _read_symbol(r, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i >= 64:
+                raise ValueError("AC run overruns block")
+            zz[i] = _extend(r.bits(size), size)
+            i += 1
+    blocks = np.zeros((nby * nbx, 64), dtype=np.float64)
+    blocks[:, _ZIGZAG] = zz_all
+    coeffs = blocks.reshape(-1, 8, 8) * q
+    spatial = m.T @ coeffs @ m
+    out = (
+        spatial.reshape(nby, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
     px = np.clip(np.rint(out[:height, :width] + 128.0), 0, 255).astype(np.uint8)
     return {"pixels": px.tobytes(), "width": width, "height": height}
 
