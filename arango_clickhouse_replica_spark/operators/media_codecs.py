@@ -192,6 +192,22 @@ def decode_png(payload: bytes) -> dict:
         line = raw[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
         off = y * stride
         prev_off = off - stride
+        # Fast paths for the two filters with no within-row dependency:
+        # None is a straight copy, Up adds the previous row bytewise.
+        # (Sub/Average/Paeth stay in the general sequential loop below —
+        # each output byte depends on the byte bpp to its left.)
+        if ftype == 0:
+            out[off:off + stride] = line
+            continue
+        if ftype == 2:
+            if y == 0:
+                out[off:off + stride] = line
+            else:
+                prev = out[prev_off:prev_off + stride]
+                out[off:off + stride] = bytes(
+                    (v + b) & 0xFF for v, b in zip(line, prev)
+                )
+            continue
         for x in range(stride):
             a = out[off + x - bpp] if x >= bpp else 0
             b = out[prev_off + x] if y > 0 else 0
