@@ -391,3 +391,40 @@ def test_bpe_train_steps_golden(spark, tmp_path):
     assert r1.corpus_tokens_after == 11
     assert (r2.pair_x, r2.pair_y, r2.pair_count) == ("lo", "w", 3)
     assert r2.corpus_tokens_after == 8
+
+
+def test_bpe_merge_transform_matches_reference_on_random_words(spark, tmp_path):
+    """The disjoint-match array transform must equal reference greedy
+    leftmost BPE for a single (x, y) merge with x != y — stressed on
+    random words over a 2-letter alphabet (maximal run/overlap density).
+    One corpus engineered so the learned first merge is ('a','b')."""
+    import random
+
+    rng = random.Random(7)
+    words = ["ab"] * 50  # dominate pair stats -> merge1 = (a, b)
+    words += ["".join(rng.choice("ab") for _ in range(rng.randrange(1, 12)))
+              for _ in range(120)]
+    out = str(tmp_path)
+    _write_docs(spark, out, [(1, " ".join(words))])
+
+    rows = QUERIES["text_bpe_train_steps"].build(spark, out).collect()
+    m1 = next(r for r in rows if r.merge_rank == 1)
+    assert (m1.pair_x, m1.pair_y) == ("a", "b")
+
+    def ref_merge(w, x, y):
+        toks, i = [], 0
+        cs = list(w)
+        while i < len(cs):
+            if i + 1 < len(cs) and cs[i] == x and cs[i + 1] == y:
+                toks.append(x + y)
+                i += 2
+            else:
+                toks.append(cs[i])
+                i += 1
+        return toks
+
+    # corpus_tokens_after is the aggregate witness of every word's merge
+    from collections import Counter
+    cw = Counter(words)
+    expect = sum(c * len(ref_merge(w, "a", "b")) for w, c in cw.items())
+    assert m1.corpus_tokens_after == expect
