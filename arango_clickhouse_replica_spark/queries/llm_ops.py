@@ -3232,3 +3232,135 @@ def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary(1, m1, r1).unionByName(summary(2, m2, r2)).orderBy(
         "merge_rank"
     )
+
+
+def _lsh_precision_oracle() -> str:
+    from .registry import QUERIES as _Q
+
+    mh = _Q["dedup_minhash_lsh_candidates"].oracle
+    sh = _Q["dedup_simhash_hamming_pairs"].oracle
+    return f"""
+    WITH cand0 AS (
+      SELECT 'minhash_lsh' AS method, doc_a, doc_b FROM ({mh})
+      UNION ALL
+      SELECT 'simhash_band', doc_a, doc_b FROM ({sh})
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id, s FROM ({_DOC_SHINGLES_CAPPED_SQL}) x0
+    ),
+    cs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh0
+           GROUP BY doc_id),
+    inter AS (
+      SELECT c.method, c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM cand0 c
+      JOIN sh0 a ON a.doc_id = c.doc_a
+      JOIN sh0 b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT c.method,
+             COALESCE(i.ni, 0) AS ni,
+             ca.n + cb.n - COALESCE(i.ni, 0) AS nu
+      FROM cand0 c
+      LEFT JOIN inter i
+        ON i.method = c.method AND i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN cs ca ON ca.doc_id = c.doc_a
+      JOIN cs cb ON cb.doc_id = c.doc_b
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN 2 * ni >= nu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_j50,
+           CAST(SUM(CASE WHEN 10 * ni >= 7 * nu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_j70,
+           CAST(SUM(CASE WHEN 10 * ni >= 9 * nu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_j90,
+           round(CAST(SUM(CASE WHEN 2 * ni >= nu THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS precision_at_50
+    FROM j GROUP BY method ORDER BY method
+    """
+
+
+@query(
+    "dedup_lsh_precision_report",
+    oracle=None,  # composed from the two candidate oracles at import time
+    tags=("dedup", "evaluation", "lsh", "report", "llm-pipeline"),
+    doc="Blocking PRECISION measured, not assumed — the dedup twin of "
+        "ann_recall_report: every candidate pair each LSH family emits "
+        "(MinHash bands, SimHash Hamming bands) is verified with EXACT "
+        "set Jaccard over the same df-capped distinct shingle space the "
+        "signatures are computed from, and the report counts candidates "
+        "clearing J >= 0.5/0.7/0.9 (integer cross-multiplication — no "
+        "float thresholds). Low precision means wasted verification "
+        "compute at 100 TB; this row is what justifies band-width "
+        "choices. Composes the two registered candidate pipelines "
+        "unchanged; verification is candidate-bounded (never all-pairs) "
+        "and the intersection join rides the df-capped shingle lists.",
+)
+def dedup_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = dedup_minhash_lsh_candidates(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b"
+    )
+    sh = dedup_simhash_hamming_pairs(spark, sf_dir).select(
+        F.lit("simhash_band").alias("method"), "doc_a", "doc_b"
+    )
+    cand = mh.unionByName(sh)
+    sh0 = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    cs = sh0.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh0.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh0.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("method", "doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    j = (
+        cand.join(inter, ["method", "doc_a", "doc_b"], "left")
+        .join(cs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("na")), "doc_a")
+        .join(cs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb")), "doc_b")
+        .select(
+            "method",
+            F.coalesce("ni", F.lit(0)).alias("ni"),
+            (F.col("na") + F.col("nb") - F.coalesce("ni", F.lit(0)))
+            .alias("nu"),
+        )
+    )
+    hit = lambda num, den: F.sum(  # noqa: E731
+        F.when(num * F.col("ni") >= den * F.col("nu"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        j.groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            hit(F.lit(2), F.lit(1)).alias("n_j50"),
+            hit(F.lit(10), F.lit(7)).alias("n_j70"),
+            hit(F.lit(10), F.lit(9)).alias("n_j90"),
+        )
+        .select(
+            "method",
+            "n_candidates",
+            "n_j50",
+            "n_j70",
+            "n_j90",
+            F.round(
+                F.col("n_j50").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision_at_50"),
+        )
+        .orderBy("method")
+    )
+
+
+def _install_lsh_precision_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    _Q["dedup_lsh_precision_report"] = replace(
+        _Q["dedup_lsh_precision_report"], oracle=_lsh_precision_oracle()
+    )
+
+
+_install_lsh_precision_oracle()

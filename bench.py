@@ -105,6 +105,7 @@ HEADLINE = [
     "mm_mjpeg_frame_sample",
     "mm_wav_frame_features",
     "text_bpe_train_steps",
+    "dedup_lsh_precision_report",
 ]
 
 

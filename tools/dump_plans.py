@@ -259,6 +259,11 @@ COMMENT = {
         "stats (corpus weight carried by c_w), 1-row argmax broadcast "
         "back, narrow per-word array-transform apply — the full "
         "tokenizer is this round iterated.",
+    "dedup_lsh_precision_report":
+        "Blocking precision measured (round 5): both LSH candidate "
+        "pipelines composed unchanged, exact-Jaccard verification is "
+        "candidate-bounded over df-capped shingle lists — never "
+        "all-pairs.",
     "q_recursive_order_chains":
         "Recursive CTE (round 5, Spark 4 WITH RECURSIVE): bounded "
         "frontier (<= |customers| rows) hash-joined per round against "

@@ -96,6 +96,7 @@ PROBES = [
     "mm_mjpeg_frame_sample",
     "mm_wav_frame_features",
     "text_bpe_train_steps",
+    "dedup_lsh_precision_report",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
