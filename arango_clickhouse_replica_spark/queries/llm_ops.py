@@ -3364,3 +3364,55 @@ def _install_lsh_precision_oracle() -> None:
 
 
 _install_lsh_precision_oracle()
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (SELECT DISTINCT doc_id, s FROM ({_DOC_SHINGLES_SQL}) x0),
+    first_seen AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS novelty
+    FROM sh JOIN first_seen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "diversity", "curation", "llm-pipeline"),
+    doc="N-gram novelty per document — the corpus-diversity saturation "
+        "signal a curation run tracks while ingesting (novelty decaying "
+        "toward zero means new data is re-covering old shingle space and "
+        "the marginal document stops adding information): the fraction "
+        "of a document's distinct trigrams whose FIRST corpus occurrence "
+        "(min doc_id as the ingestion order) is this document. Exact "
+        "integers plus one final division. Scale: one distinct "
+        "(doc, shingle) aggregate, one map-side-combinable min per "
+        "shingle, and a hash join back on the shingle key — the same "
+        "partitioning both aggregates already use, so AQE reuses the "
+        "exchange; no windows, no pairs.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", "s").distinct()
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

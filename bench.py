@@ -106,6 +106,7 @@ HEADLINE = [
     "mm_wav_frame_features",
     "text_bpe_train_steps",
     "dedup_lsh_precision_report",
+    "text_ngram_novelty",
 ]
 
 

@@ -97,6 +97,7 @@ PROBES = [
     "mm_wav_frame_features",
     "text_bpe_train_steps",
     "dedup_lsh_precision_report",
+    "text_ngram_novelty",
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
