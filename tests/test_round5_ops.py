@@ -428,3 +428,44 @@ def test_bpe_merge_transform_matches_reference_on_random_words(spark, tmp_path):
     cw = Counter(words)
     expect = sum(c * len(ref_merge(w, "a", "b")) for w, c in cw.items())
     assert m1.corpus_tokens_after == expect
+
+
+def test_lsh_precision_report_on_engineered_corpus(spark, tmp_path):
+    """One true near-dup pair (J=1 twins) among unrelated docs: whatever
+    each blocker emits, every emitted twin pair must clear J >= 0.9, and
+    the minhash row must contain the twins (identical shingles collide
+    in every band)."""
+    twin = " ".join(f"t{i}" for i in range(30))
+    docs = [(0, twin), (1, twin)]
+    docs += [(10 + i, " ".join(f"u{i}_{j}" for j in range(25)))
+             for i in range(6)]
+    out = str(tmp_path)
+    _write_docs(spark, out, docs)
+
+    rows = {r.method: r for r in
+            QUERIES["dedup_lsh_precision_report"].build(spark, out).collect()}
+    mh = rows["minhash_lsh"]
+    assert mh.n_candidates >= 1
+    assert mh.n_j90 >= 1
+    # unrelated docs share no shingles -> no spurious candidates, so
+    # precision at 0.5 is exactly 1.0 for every reported method
+    for r in rows.values():
+        assert r.n_j50 == r.n_candidates
+        assert r.precision_at_50 == 1.0
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark, tmp_path):
+    """doc 0 introduces everything (novelty 1); doc 1 repeats doc 0
+    exactly (novelty 0); doc 2 is half doc-0 trigrams, half new."""
+    a = [f"a{i}" for i in range(12)]
+    doc2 = " ".join(a[:6] + [f"z{i}" for i in range(6)])
+    out = str(tmp_path)
+    _write_docs(spark, out, [(0, " ".join(a)), (1, " ".join(a)), (2, doc2)])
+
+    got = {r.doc_id: r for r in
+           QUERIES["text_ngram_novelty"].build(spark, out).collect()}
+    assert got[0].novelty == 1.0
+    assert got[1].novelty == 0.0
+    # doc 2: 10 trigrams, the first 4 (within a[:6]) already seen
+    assert got[2].n_shingles == 10 and got[2].n_novel == 6
+    assert abs(got[2].novelty - 0.6) < 1e-9
