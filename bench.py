@@ -107,6 +107,7 @@ HEADLINE = [
     "text_bpe_train_steps",
     "dedup_lsh_precision_report",
     "text_ngram_novelty",
+    "dedup_prefix_filter_clustered",
 ]
 
 

@@ -160,6 +160,15 @@ COMMENT = {
         " exact-Jaccard verification keyed on the candidate pair, "
         "exact-integer J >= t filter; complete for t = 0.8 by the "
         "AllPairs lemma, property-tested vs brute force.",
+    "dedup_prefix_filter_clustered":
+        "Dup-dense-safe complete dedup composition: anti-join the "
+        "shingle relation against the cached LSH cluster relation's "
+        "non-canonical members, then the SAME complete AllPairs "
+        "prefix pipeline over the survivor shingles; output is the "
+        "5-row stage funnel (each row a 1-row count aggregate). "
+        "Candidate volume is bounded by DISTINCT content, not replica "
+        "count — the 50x salted probe measures the contrast with "
+        "dedup_prefix_filter_pairs.",
     "cdc_scd2_history":
         "SCD2: envelope preprocess is narrow; ONE exchange on the key "
         "feeds the LEAD window; interval rows project directly — no "

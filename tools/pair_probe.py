@@ -40,6 +40,10 @@ PAIR_QUERIES = [
     "dedup_ngram_jaccard_topk",
     "dedup_tfidf_cosine_topk",
     "dedup_prefix_filter_pairs",
+    # the dup-dense-safe composition: LSH-collapse first, complete
+    # prefix-verify within survivors — its candidate count is bounded by
+    # DISTINCT content, not replica count (contrast with the row above)
+    "dedup_prefix_filter_clustered",
 ]
 
 
@@ -74,6 +78,7 @@ def candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     )
     from arango_clickhouse_replica_spark.queries.retrieval import (
         prefix_filter_candidates,
+        prefix_filter_clustered_candidates,
     )
 
     out = {}
@@ -95,6 +100,8 @@ def candidate_counts(spark, sf_dir: str) -> dict[str, int]:
     out["dedup_ngram_jaccard_topk"] = shingle_pairs
     out["dedup_tfidf_cosine_topk"] = shingle_pairs
     out["dedup_prefix_filter_pairs"] = prefix_filter_candidates(
+        spark, sf_dir).count()
+    out["dedup_prefix_filter_clustered"] = prefix_filter_clustered_candidates(
         spark, sf_dir).count()
     return out
 

@@ -65,6 +65,7 @@ PROBES = [
     "text_oov_rate",
     "text_cross_source_dup_matrix",
     "dedup_prefix_filter_pairs",
+    "dedup_prefix_filter_clustered",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
