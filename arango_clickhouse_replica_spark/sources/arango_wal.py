@@ -147,47 +147,59 @@ class ArangoWalClient:
         }
 
 
-def get_logs(client: ArangoWalClient, tick_start, chunk_size: Optional[int] = None):
-    """Send-based tail generator — the reference's ack/replay contract
-    (reader.py:62-70): the consumer sends True to advance the cursor to
-    ``last_included`` and fetch the next page, anything falsy to REPLAY
-    the same tick range (the server re-serves it; nothing buffers in
-    memory, so a crashed consumer re-reads after restart too).
+class WalTailCursor:
+    """Ack/replay tail iterator in the engine's own idiom: an explicit
+    cursor over :meth:`ArangoWalClient.tail` that owns the tick position
+    and drain state directly (no coroutine plumbing).
+
+    The PROTOCOL is the reference's contract (the behavior
+    ``reference/replication/producer/reader.py`` implements and
+    ``test/test_producer.py:28-58`` pins; our fixtures:
+    ``tests/test_arango_wal.py``):
+
+    - each ``next()`` fetches the page starting after the current tick;
+    - ``ack(True)`` advances the cursor to the page's ``last_included``
+      — and if that page reported ``check_more == false``, iteration
+      ends WITHOUT a further round-trip;
+    - ``ack(False)`` (or no ack at all) leaves the cursor in place, so
+      the next fetch REPLAYS the same tick range — the server re-serves
+      it and nothing buffers in memory, which is also why a crashed
+      consumer re-reads the un-acked range after restart;
+    - a trailing empty page (``last_included == 0``) ends iteration.
     """
-    load = True
-    while load:
-        batch = client.tail(tick_start, chunk_size)
-        is_processed = yield batch
-        if is_processed:
-            load = batch["check_more"]
-            tick_start = batch["last_included"]
 
+    def __init__(
+        self,
+        client: ArangoWalClient,
+        tick_start,
+        chunk_size: Optional[int] = None,
+    ) -> None:
+        self._client = client
+        self._tick = tick_start
+        self._chunk = chunk_size
+        self._drained = False
+        # what an ack of the most recent page would commit
+        self._acked_tick = tick_start
+        self._acked_more = True
 
-class LogGenerator:
-    """Iterator wrapper over :func:`get_logs` (reader.py:37-59): iteration
-    stops at the first empty page (``last_included == 0``) or when an
-    acked page reported no more data."""
-
-    def __init__(self, generator) -> None:
-        self.generator = generator
-        self.prev_processed = None
-        self.limit_reached = False
-
-    def __iter__(self) -> "LogGenerator":
+    def __iter__(self) -> "WalTailCursor":
         return self
 
     def __next__(self) -> dict:
-        if self.limit_reached:
+        if self._drained:
             raise StopIteration
-        data = self.generator.send(self.prev_processed)
-        if self.prev_processed and not data["check_more"]:
-            self.limit_reached = True
-        if int(data["last_included"]) == 0:  # ignore the last empty batch
+        page = self._client.tail(self._tick, self._chunk)
+        if int(page["last_included"]) == 0:
             raise StopIteration
-        return data
+        self._acked_tick = page["last_included"]
+        self._acked_more = page["check_more"]
+        return page
 
-    def is_processed(self, value: bool) -> None:
-        self.prev_processed = value
+    def ack(self, processed: bool) -> None:
+        """Commit (``True``) or refuse (falsy) the page last returned."""
+        if processed:
+            self._tick = self._acked_tick
+            self._drained = not self._acked_more
 
 
 def is_document_allowed(document: dict, collections_ids) -> bool:
@@ -202,19 +214,19 @@ def is_document_allowed(document: dict, collections_ids) -> bool:
 
 
 def collect_logs(client: ArangoWalClient, tick_min, batch_size, collections: dict):
-    """Filtered tail (publisher.py:63-72): ``collections`` maps
-    collection name -> globallyUniqueId; yields batches whose ``content``
-    is restricted to allowed documents, with the same ack/replay send
-    protocol as :func:`get_logs`."""
+    """Filtered tail (same surface as the reference's publisher.py:63-72):
+    ``collections`` maps collection name -> globallyUniqueId; yields
+    batches whose ``content`` is restricted to allowed documents. The
+    consumer sends True to ack (advance) or anything falsy to replay —
+    forwarded straight to the cursor's ack/replay contract."""
     collections_id_set = set(collections.values())
-    log_generator = LogGenerator(get_logs(client, tick_min, batch_size))
-    for batch in log_generator:
+    cursor = WalTailCursor(client, tick_min, batch_size)
+    for batch in cursor:
         batch["content"] = [
             doc for doc in batch["content"]
             if is_document_allowed(doc, collections_id_set)
         ]
-        is_processed = yield batch
-        log_generator.is_processed(is_processed)
+        cursor.ack(bool((yield batch)))
 
 
 class FileTickStore:

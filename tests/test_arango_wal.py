@@ -14,13 +14,12 @@ from arango_clickhouse_replica_spark.sources.arango_wal import (
     ArangoWalConfig,
     COMMIT_TRANSACTION,
     FileTickStore,
-    LogGenerator,
     REMOVE_DOCUMENT,
     START_TRANSACTION,
     UPSERT_DOCUMENT,
     collect_logs,
+    WalTailCursor,
     forward_to_jsonl,
-    get_logs,
     set_tick_if_not_set,
 )
 
@@ -102,14 +101,14 @@ def test_log_generator_replay_protocol(wal_client):
     client, server = wal_client(
         [_entry(1), _entry(2), _entry(3)], page_size=2
     )
-    gen = LogGenerator(get_logs(client, 0))
+    gen = WalTailCursor(client, 0)
 
     t1 = next(gen)["content"]
-    gen.is_processed(False)  # nack: replay
+    gen.ack(False)  # nack: replay
     t2 = next(gen)["content"]
-    gen.is_processed(True)  # ack: advance
+    gen.ack(True)  # ack: advance
     t3 = next(gen)["content"]
-    gen.is_processed(True)
+    gen.ack(True)
 
     assert t1 == t2  # replay served the identical batch
     assert [e["tick"] for e in t1] == ["1", "2"]
