@@ -10,7 +10,21 @@ rounds, ``queries()`` rotates: names without a prior driver verification
 (no ``hash_match: true`` row, and no rows-only check for oracle-less
 entries, in any ``CORRECTNESS_r*.json`` the driver has written back into
 the repo) are emitted FIRST; already-verified names follow as regression
-coverage in registry order.
+coverage, least-recently-verified first.
+
+ROTATION BUDGET (round-5 verdict item #7): ``queries()`` emits at most
+150 names — 3 driver rounds at the 50-slot window — so a regression in
+any emitted query is re-verified within 3 rounds, and the cycle length
+stays bounded as the registry grows. (Never-verified names are always
+emitted, so the cap binds only once names have driver history — the
+steady state.) Early relational variants whose
+semantics are fully subsumed by other emitted queries are
+rotation-EXEMPT (``ROTATION_EXEMPT`` below): each has 5 consecutive
+green driver rounds (r1-r5), stays registered in ``QUERIES`` (so the
+per-query plan-quality guard in tests/test_plan_quality.py still covers
+it), and remains available to users — it just no longer consumes
+rotation slots. Exempt names re-enter automatically if the emitted set
+falls below the budget.
 """
 
 from __future__ import annotations
@@ -30,6 +44,32 @@ from arango_clickhouse_replica_spark.queries import QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q3_revenue_by_nation"
+
+# Emit at most this many names: 3 driver rounds x 50-slot window.
+ROTATION_BUDGET = 150
+
+# Early relational variants subsumed by other emitted queries (each with
+# 5 green driver rounds r1-r5; still registered, plan-quality-checked,
+# and user-visible — see module docstring). Chosen as the nearest
+# duplicate of a sibling that stays emitted, named in the comment.
+ROTATION_EXEMPT = frozenset({
+    "q_customers_with_open_orders",   # semi-join: q_exists_high_value_order
+    "q_customers_without_orders",     # anti-join: q_null_semantics NOT IN
+    "q_window_rank_vs_dense",         # rank family: q_window_distribution
+    "q_window_first_last_nth",        # window nav: q_forward_fill_purchase
+    "q_window_lag_lead_gap",          # LAG deltas: q_event_transitions
+    "q_distinct_customers_per_status",  # count distinct: q_approx_distinct_*
+    "q_histogram_order_totals",       # width buckets: curation_perplexity_buckets
+    "q_string_functions",             # scalar smoke: every text_* query
+    "q_date_functions",               # scalar smoke: q_gap_fill_daily_revenue
+    "q_conditional_buckets",          # CASE buckets: q_percentiles_by_segment
+    "q_array_functions",              # array HOFs: every embed_*/ann_* kernel
+    "q_set_ops_all_multiset",         # set ops: q_set_ops_nation_segments
+    "q_unpivot_order_metrics",        # stack(): mm_ahash_near_dup bands
+    "q_pct_of_total_by_nation",       # share-of-total: q_mom_revenue_growth
+    "q_weighted_avg_discount",        # weighted agg: q1_pricing_summary
+    "q_sliding_hourly_30m",           # sliding window: q_tumbling_hourly
+})
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,13 +110,23 @@ def _previously_verified() -> dict[str, int]:
 def _ordered_names() -> list[str]:
     """Never-verified queries first (registry order); verified ones after,
     least-recently-verified first, so the bounded per-round window both
-    covers new work immediately and cycles regression checks over old."""
+    covers new work immediately and cycles regression checks over old.
+    Capped at ROTATION_BUDGET names: rotation-exempt entries are dropped
+    first (never-verified names are always kept), and re-enter if the
+    emitted set has room."""
     seen = _previously_verified()
     names = list(QUERIES)
     idx = {n: i for i, n in enumerate(names)}
     unseen = [n for n in names if n not in seen]
     green = sorted((n for n in names if n in seen), key=lambda n: (seen[n], idx[n]))
-    return unseen + green
+    ordered = unseen + green
+    if len(ordered) > ROTATION_BUDGET:
+        excess = len(ordered) - ROTATION_BUDGET
+        droppable = [n for n in ordered
+                     if n in ROTATION_EXEMPT and n not in unseen]
+        drop = set(droppable[:excess])
+        ordered = [n for n in ordered if n not in drop]
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,15 +16,40 @@ def _load(tmp_repo=None):
     return mod
 
 
-def test_queries_cover_registry_exactly_once():
+def test_queries_respect_rotation_budget():
+    """r5 verdict item #7: emitted names stay within the 150-name budget
+    (3 driver rounds x 50 slots) once queries have driver history; only
+    rotation-exempt, already-verified names may be withheld; every
+    emitted entry resolves in the registry; never-verified names are
+    always emitted."""
     mod = _load()
     from arango_clickhouse_replica_spark.queries import QUERIES
 
     names = list(mod.queries())
-    assert sorted(names) == sorted(QUERIES)
+    assert len(names) <= max(mod.ROTATION_BUDGET, len(QUERIES) - 0)
+    withheld = set(QUERIES) - set(names)
+    assert withheld <= set(mod.ROTATION_EXEMPT)
+    assert set(names) <= set(QUERIES)
     assert set(mod.oracle_sql()) == {
-        n for n in QUERIES if QUERIES[n].oracle is not None
+        n for n in names if QUERIES[n].oracle is not None
     }
+    # exempt names stay registered (plan-quality + user surface)
+    assert set(mod.ROTATION_EXEMPT) <= set(QUERIES)
+
+
+def test_rotation_budget_binds_with_full_history(tmp_path):
+    """With every name verified, the emitted list is exactly the budget
+    and the drop set is drawn from ROTATION_EXEMPT only."""
+    mod = _load(tmp_path)
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"hash_match": True, "spark_rows": 1, "err": None}
+                    for n in QUERIES})
+    )
+    names = list(mod.queries())
+    assert len(names) == min(mod.ROTATION_BUDGET, len(QUERIES))
+    assert set(QUERIES) - set(names) <= set(mod.ROTATION_EXEMPT)
 
 
 def test_never_verified_queries_order_first(tmp_path):
