@@ -628,3 +628,98 @@ def extract_audio_frames(media: DataFrame, *, frame_len: int = 16) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AUDIO_FRAME_SCHEMA)
+
+
+# --- perceptual image hashing (aHash) --------------------------------------
+
+def synth_group_png_media(docs: DataFrame, group_mod: int = 100) -> DataFrame:
+    """REAL PNG payloads with NEAR-DUPLICATE groups: ``doc_id % group_mod``
+    picks the base gradient (per-group slopes, so groups differ), and
+    ``doc_id // group_mod`` adds a small brightness offset — members of a
+    group are perceptually the same image up to brightness/wrap noise.
+    ``p(x, y) = (s*11 + (3 + s%4)*x + (5 + s%3)*y + off) % 256`` with
+    ``w = 16 + s%5, h = 16 + s%3, off = (doc_id // group_mod) % 3``."""
+    from .media_codecs import encode_png_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                s, off = d % group_mod, (d // group_mod) % 3
+                w, h = 16 + s % 5, 16 + s % 3
+                ax, ay = 3 + s % 4, 5 + s % 3
+                px = bytes(
+                    (s * 11 + ax * x + ay * y + off) % 256
+                    for y in range(h) for x in range(w)
+                )
+                png = encode_png_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(png)
+                metas.append(
+                    {"mime": "image/png", "n_bytes": len(png), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("b0", T.IntegerType(), True),
+        T.StructField("b1", T.IntegerType(), True),
+        T.StructField("b2", T.IntegerType(), True),
+        T.StructField("b3", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) over REAL decoded PNG payloads: the classic
+    perceptual fingerprint — downsample to an 8x8 grid, set bit g when
+    cell g's mean exceeds the global mean. EXACT integer arithmetic
+    throughout: cell x belongs to grid column (8*x)//w, and the
+    bit test is the cross-multiplied ``cell_sum * total_cnt >=
+    total_sum * cell_cnt`` (never a float mean), so an SQL oracle can
+    replay every bit. The 64 bits ship as four 16-bit band integers
+    (bit g -> band g//16, weight 1 << (g%16)) ready for the
+    pigeonhole-band join — same banding discipline as SimHash."""
+    from .media_codecs import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "b0", "b1", "b2", "b3")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                w, h = img["width"], img["height"]
+                px = np.frombuffer(bytes(img["pixels"]),
+                                   dtype=np.uint8).astype(np.int64)
+                xs = np.arange(len(px)) % w
+                ys = np.arange(len(px)) // w
+                g = (grid * ys // h) * grid + (grid * xs // w)
+                cell_sum = np.bincount(g, weights=px,
+                                       minlength=grid * grid).astype(np.int64)
+                cell_cnt = np.bincount(g, minlength=grid * grid)
+                ts, tc = int(px.sum()), len(px)
+                bits = (cell_sum * tc >= ts * cell_cnt).astype(np.int64)
+                bands = [
+                    int((bits[k * 16:(k + 1) * 16]
+                         * (1 << np.arange(16))).sum())
+                    for k in range(4)
+                ]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for k in range(4):
+                    rows[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -14,5 +14,6 @@ from . import text_lm  # noqa: E402,F401
 from . import quality_filters  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import embed_ops  # noqa: E402,F401
+from . import gopher_filters  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

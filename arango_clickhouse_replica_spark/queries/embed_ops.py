@@ -62,13 +62,36 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
 
 
 def _assign(emb: DataFrame, centroids: DataFrame, sim_expr) -> DataFrame:
-    """Nearest-centroid assignment via broadcast argmax (cell tiebreak)."""
+    """Nearest-centroid assignment via broadcast argmax (cell tiebreak).
+
+    ``emb`` must carry ``(vec_id, embedding, nrm)``. One map-side-
+    combinable max-struct aggregate instead of a row_number window over
+    the N x K crossed relation (round-5 verdict item #3): the window
+    shape shuffle-SORTS all N*K rows keyed by vec_id, while the
+    aggregate partial-combines to one row per vec_id before the
+    exchange — the shuffle carries N rows, not N*K. Ordering
+    (c_sim DESC, cell ASC) == MAX of struct(c_sim, -cell); the payload
+    fields ride behind and are never compared because cell is unique
+    within a vec_id group. Ties on c_sim resolve identically to the
+    window (lowest cell), and c_sim doubles are bit-identical (same
+    expression), so the oracles' row_number SQL stays exact."""
     d = emb.crossJoin(F.broadcast(centroids)).withColumn("c_sim", sim_expr)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
-    return (
-        d.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "cell", "c_sim")
+    best = d.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("c_sim").alias("s"),
+                (-F.col("cell")).alias("neg_cell"),
+                F.col("embedding").alias("e"),
+                F.col("nrm").alias("n"),
+            )
+        ).alias("mx")
+    )
+    return best.select(
+        "vec_id",
+        F.col("mx.e").alias("embedding"),
+        (-F.col("mx.neg_cell")).cast("int").alias("cell"),
+        F.col("mx.s").alias("c_sim"),
+        F.col("mx.n").alias("nrm"),
     )
 
 
@@ -974,4 +997,85 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lam", 4).alias("eigenvalue_est"),
         )
         .orderBy("dim")
+    )
+
+
+@query(
+    "embed_pair_sim_histogram",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY ({_DOT_SQL.format(a='embedding', b='c_emb')}
+                         / (nrm * {_NORM_SQL.format(a='c_emb')})) DESC,
+                        cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    members AS (SELECT vec_id, embedding, nrm, cell
+                FROM assign WHERE c_rank = 1),
+    pair_sims AS (
+      SELECT ({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm)) AS sim
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(sim * 10) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MIN(sim), 6) AS min_sim,
+           round(MAX(sim), 6) AS max_sim
+    FROM pair_sims
+    GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("embedding", "dedup", "calibration", "report"),
+    doc="Cell-local pairwise-cosine histogram (0.1-wide buckets): the "
+        "calibration curve read BEFORE choosing SemDeDup's tau — where "
+        "the within-cell similarity mass sits tells you whether a "
+        "threshold prunes near-dups or decimates the corpus. Reuses "
+        "dedup_semdedup_dropped's exact cell blocking (deterministic "
+        "16-cell seeding + the shared map-side max-struct assignment), "
+        "so the histogram describes precisely the pair population that "
+        "query thresholds. Bucket edges are floor(sim*10) on "
+        "bit-identical doubles (sequential-fold dot product) — same "
+        "bucket on both engines. Pair volume is the cell-bounded "
+        "candidate set, never all-pairs; the histogram is one hash "
+        "aggregate over it.",
+)
+def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"),
+        _seed_centroids(emb),
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (F.col("nrm") * _norm(F.col("c_emb"))),
+    ).select("vec_id", "embedding", "nrm", "cell")
+    a, b = members.alias("a"), members.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(sim.alias("sim"))
+        .groupBy(F.floor(F.col("sim") * 10).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("sim"), 6).alias("min_sim"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+        .orderBy("bucket")
     )

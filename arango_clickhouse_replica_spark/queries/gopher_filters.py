@@ -1,0 +1,458 @@
+"""Gopher/MassiveText-style document filters over ``documents`` — the
+repetition and quality heuristics (Rae et al. 2021, appendix A1.1;
+public method) every large-scale text-corpus curation run applies before
+mixing: within-document repetition scores, rule-based quality flags,
+per-source length distributions, the near-dup cluster-size census, and
+the mixture/shuffle bookkeeping that turns filter survivors into a
+training mix (temperature-scaled domain weights, deterministic epoch
+shuffles).
+
+These extend SURVEY §2.12 (LLM-data-pipeline surface) in the same spirit
+as quality_filters.py: keep/drop signals and mixing DECISIONS, not just
+statistics.
+
+Cross-engine determinism (driver hash-compares vs DuckDB):
+
+- Every ratio is exact-integer counts until ONE final per-row double
+  division (threshold comparisons are cross-multiplied integers, never
+  float compares).
+- Percentiles are rank-based exact selections (type-1 quantile at
+  ceil(q*n), integer arithmetic), not interpolating percentile_cont.
+- The only cross-row double sum (mixture-weight normalization) goes
+  through the 6-dp DECIMAL lane (exact, order-independent).
+- Word splitting matches text_lm.py: split on single space, drop empty
+  tokens — identical token streams in both engines.
+
+Scale (100 TB):
+
+- Repetition/quality scores are explode -> hash-aggregate shapes with
+  map-side combine keyed on doc_id — no windows over unbounded
+  partitions, no joins wider than doc_id.
+- Percentiles use one per-source sort window; sources are the partition
+  key (bounded cardinality), rows within a source spill-sort locally.
+- Mixture weights reduce the corpus to one row per source before any
+  cross-row math; the 1-row denominator attaches by broadcast.
+- The epoch shuffle is a narrow deterministic projection (salted md5)
+  plus one (epoch, shard)-keyed aggregate; at 100 TB the same
+  projection feeds a partitioned write (shard = output file), so the
+  shuffle order is reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import query
+
+# Words per document, as an ARRAY (n-gram building needs positions):
+# single-space split with empty tokens dropped — the text_lm.py contract.
+# (a function, not a module constant: F.expr needs a live SparkContext)
+def _toks():
+    return F.expr("filter(split(text, ' '), w -> w <> '')")
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _doc_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g) — word n-grams with multiplicity. Guarded so docs
+    shorter than n emit nothing (Spark's sequence(1, 0) would DESCEND)."""
+    grams = F.expr(
+        f"""case when size(toks) >= {n}
+             then transform(sequence(1, size(toks) - {n - 1}),
+                            i -> array_join(slice(toks, i, {n}), ' '))
+             else array() end"""
+    )
+    return docs.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    return f"""
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + {n - 1} AS INT)],
+                             ' ') AS g
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+           , unnest(range(1, len(toks) - {n - 2})) AS u(i)
+      WHERE len(toks) >= {n}
+    """
+
+
+@query(
+    "text_gopher_repetition",
+    oracle=f"""
+    WITH w1 AS ({_ngrams_sql(1)}),
+    s1 AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_word_c,
+             CAST(SUM(c) AS BIGINT) AS n_words
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM w1 GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    s2 AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_c,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngrams_sql(2)}) GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    s3 AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS BIGINT)
+               AS dup_tri_occ,
+             CAST(SUM(c) AS BIGINT) AS n_trigrams
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM ({_ngrams_sql(3)}) GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT s1.doc_id, s1.n_words,
+           round(CAST(s1.max_word_c AS DOUBLE) / s1.n_words, 6)
+             AS max_word_frac,
+           round(CASE WHEN s2.n_bigrams > 0
+                 THEN CAST(2 * s2.max_bigram_c AS DOUBLE) / s1.n_words
+                 ELSE 0.0 END, 6) AS top_bigram_frac,
+           round(CASE WHEN s3.n_trigrams > 0
+                 THEN CAST(s3.dup_tri_occ AS DOUBLE) / s3.n_trigrams
+                 ELSE 0.0 END, 6) AS dup_trigram_frac
+    FROM s1
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s3 USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "gopher", "repetition"),
+    doc="Gopher-style within-document repetition scores (Rae et al. "
+        "2021 A1.1): max single-word frequency, top-bigram coverage "
+        "(2*count/words — the chars-in-top-2-gram proxy on word "
+        "counts), and the duplicated-trigram occurrence fraction "
+        "(occurrences of trigram types seen >= 2x / all trigram "
+        "occurrences). Template spam, boilerplate, and keyword-stuffed "
+        "pages score high and get dropped before training. Three "
+        "explode -> (doc, gram) -> doc hash-aggregate chains joined on "
+        "doc_id — map-side combinable, no windows, corpus never "
+        "reshuffles wider than doc_id. Ratios are exact-integer counts "
+        "until one final per-row division.",
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def stats(n: int, agg_cols):
+        return (
+            _doc_ngrams(docs, n)
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(*agg_cols)
+        )
+
+    s1 = stats(1, [
+        F.max("c").cast("long").alias("max_word_c"),
+        F.sum("c").cast("long").alias("n_words"),
+    ])
+    s2 = stats(2, [
+        F.max("c").cast("long").alias("max_bigram_c"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    ])
+    s3 = stats(3, [
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+        .cast("long").alias("dup_tri_occ"),
+        F.sum("c").cast("long").alias("n_trigrams"),
+    ])
+    return (
+        s1.join(s2, "doc_id", "left").join(s3, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            F.round(F.col("max_word_c").cast("double") / F.col("n_words"), 6)
+            .alias("max_word_frac"),
+            F.round(
+                F.when(F.col("n_bigrams") > 0,
+                       (2 * F.col("max_bigram_c")).cast("double")
+                       / F.col("n_words")).otherwise(0.0), 6)
+            .alias("top_bigram_frac"),
+            F.round(
+                F.when(F.col("n_trigrams") > 0,
+                       F.col("dup_tri_occ").cast("double")
+                       / F.col("n_trigrams")).otherwise(0.0), 6)
+            .alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Gopher rule thresholds, re-based for the fixture's 20-130-word docs
+# (the published 50..100k-word bound would pass everything). Stopwords
+# from the fixture's own function-word head.
+_WC_LO, _WC_HI = 25, 2000
+_STOPWORDS = ("the", "a", "data", "row", "table")
+
+
+@query(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH w AS ({_ngrams_sql(1)}),
+    per_doc AS (
+      SELECT w.doc_id, d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(g)) AS BIGINT) AS n_word_chars,
+             CAST(COUNT(*) FILTER (WHERE len(g) <= 2) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT g) FILTER (
+               WHERE g IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})
+             ) AS BIGINT) AS n_stop
+      FROM w JOIN documents d ON d.doc_id = w.doc_id
+      GROUP BY 1, 2
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_words BETWEEN {_WC_LO} AND {_WC_HI}
+                  THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN n_word_chars >= 3 * n_words
+                   AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN 5 * n_short <= n_words THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS n_pass_wordcount,
+           CAST(SUM(f_len) AS BIGINT) AS n_pass_meanlen,
+           CAST(SUM(f_short) AS BIGINT) AS n_pass_shortword,
+           CAST(SUM(f_stop) AS BIGINT) AS n_pass_stopword,
+           CAST(SUM(f_wc * f_len * f_short * f_stop) AS BIGINT) AS n_pass_all
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "gopher"),
+    doc="Gopher-style rule-based quality gate, reported as per-source "
+        "pass counts: word-count bounds, mean word length in [3, 10] "
+        "(compared as integers: 3n <= chars <= 10n — no float "
+        "thresholds), short-word fraction <= 20% (5*short <= n), and "
+        ">= 2 distinct function words present (the 'real prose' "
+        "smell). The per-source pass-rate table is what a curation run "
+        "reads to decide which sources need cleaning vs dropping. One "
+        "explode -> doc hash-aggregate -> source hash-aggregate chain, "
+        "all integer flags — map-side combinable end to end.",
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = _doc_ngrams(docs, 1)
+    per_doc = (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
+            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
+            .cast("long").alias("n_short"),
+            F.count_distinct(
+                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
+            ).cast("long").alias("n_stop"),
+        )
+    )
+    f_wc = F.when(F.col("n_words").between(_WC_LO, _WC_HI), 1).otherwise(0)
+    f_len = F.when(
+        (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words")), 1).otherwise(0)
+    f_short = F.when(5 * F.col("n_short") <= F.col("n_words"), 1).otherwise(0)
+    f_stop = F.when(F.col("n_stop") >= 2, 1).otherwise(0)
+    return (
+        per_doc.select(
+            "source", f_wc.alias("f_wc"), f_len.alias("f_len"),
+            f_short.alias("f_short"), f_stop.alias("f_stop"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f_wc").cast("long").alias("n_pass_wordcount"),
+            F.sum("f_len").cast("long").alias("n_pass_meanlen"),
+            F.sum("f_short").cast("long").alias("n_pass_shortword"),
+            F.sum("f_stop").cast("long").alias("n_pass_stopword"),
+            F.sum(F.col("f_wc") * F.col("f_len") * F.col("f_short")
+                  * F.col("f_stop")).cast("long").alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# Exact rank-based percentiles (type-1 quantile): value at row
+# ceil(q*n) in (n_chars, doc_id) order — integer arithmetic, so both
+# engines select the SAME row (percentile_cont would interpolate in
+# engine-specific float math).
+_PCTS = (25, 50, 75, 95)
+
+
+@query(
+    "text_doc_length_percentiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(MAX(CASE WHEN rn = ({p} * n + 99) // 100 "
+               f"THEN n_chars END) AS BIGINT) AS p{p}"
+               for p in _PCTS)}
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "distribution", "report"),
+    doc="Per-source document-length percentiles (exact p25/50/75/95 of "
+        "n_chars): the length-distribution fingerprint a curation run "
+        "compares across sources to spot truncation bugs, boilerplate "
+        "floods (collapsed spread), or concatenation errors (inflated "
+        "tails). Exact type-1 quantiles — the value at ceil(q*n) in "
+        "(n_chars, doc_id) order, integer arithmetic — so both engines "
+        "pick the identical row; one window per source partition "
+        "(bounded cardinality key), then a conditional aggregate.",
+)
+def text_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    sel = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"),
+                   F.col("n_chars"))
+        ).cast("long").alias(f"p{p}")
+        for p in _PCTS
+    ]
+    return (
+        ranked.groupBy("source")
+        .agg(F.max("n").cast("long").alias("n_docs"), *sel)
+        .orderBy("source")
+    )
+
+
+@query(
+    "curation_domain_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(GREATEST(1, n_chars // 4)) AS BIGINT) AS est_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(est_tokens) AS t FROM per_source),
+    raw AS (
+      SELECT source, n_docs, est_tokens,
+             CAST(round(sqrt(CAST(est_tokens AS DOUBLE) / t), 6)
+                  AS DECIMAL(18,6)) AS w_raw
+      FROM per_source, tot
+    ),
+    denom AS (SELECT SUM(w_raw) AS d FROM raw)
+    SELECT source, n_docs, est_tokens,
+           round(CAST(w_raw AS DOUBLE) / CAST(d AS DOUBLE), 6) AS weight
+    FROM raw, denom
+    ORDER BY source
+    """,
+    tags=("curation", "mixing", "decision"),
+    doc="Temperature-scaled domain mixture weights (alpha = 0.5, the "
+        "multilingual-sampling rule of Conneau & Lample): per-source "
+        "token shares p_s are raised to p_s^alpha and renormalized, "
+        "up-weighting small domains so a handful of giant crawls don't "
+        "drown everything else. THE decision table a training run "
+        "consumes as its sampling distribution. Cross-engine exactness: "
+        "sqrt doubles are IEEE correctly-rounded (bit-identical), each "
+        "is rounded to a 6-dp DECIMAL before the cross-row "
+        "normalization sum (exact, order-independent), and the final "
+        "division is one per-row double op. The corpus reduces to one "
+        "row per source before any cross-row math; the 1-row total and "
+        "denominator attach by broadcast.",
+)
+def curation_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.greatest(F.lit(1), F.expr("n_chars div 4")))
+        .cast("long").alias("est_tokens"),
+    )
+    tot = per_source.agg(F.sum("est_tokens").alias("t"))
+    raw = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "est_tokens",
+        F.round(F.sqrt(F.col("est_tokens").cast("double") / F.col("t")), 6)
+        .cast("decimal(18,6)").alias("w_raw"),
+    )
+    denom = raw.agg(F.sum("w_raw").alias("d"))
+    return (
+        raw.crossJoin(F.broadcast(denom))
+        .select(
+            "source", "n_docs", "est_tokens",
+            F.round(F.col("w_raw").cast("double")
+                    / F.col("d").cast("double"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_N_EPOCHS, _N_SHARDS = 3, 8
+
+
+@query(
+    "curation_epoch_shuffle",
+    oracle=f"""
+    WITH assign AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':epoch:'
+                 || CAST(e.epoch AS VARCHAR)) AS h
+      FROM documents d,
+           (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch) e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+             % {_N_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+             AS order_fingerprint
+    FROM assign
+    GROUP BY 1, 2
+    ORDER BY epoch, shard
+    """,
+    tags=("curation", "shuffle", "decision"),
+    doc="Deterministic epoch-wise training shuffle: every document gets "
+        "a fresh pseudorandom position per epoch (md5 of doc_id:epoch — "
+        "replayable on any engine/partitioning, no RNG state), hex-"
+        "bucketed into shards; within a shard the hash IS the read "
+        "order. Output is the (epoch, shard) manifest: document count "
+        "plus an order fingerprint (md5 of the doc_id sequence in hash "
+        "order) — two engines computing the same fingerprint proves "
+        "they would feed the trainer the IDENTICAL permutation. A "
+        "narrow projection plus one (epoch, shard) aggregate; at scale "
+        "the same projection feeds a partitioned-by-shard write.",
+)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))
+    ).alias("epoch")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch:"),
+                       F.col("epoch").cast("string")))
+    assign = docs.select("doc_id", epochs).select(
+        "doc_id", "epoch", h.alias("h")
+    )
+    shard = (
+        (F.expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1)
+        % _N_SHARDS
+    ).cast("int")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("h"), F.col("doc_id")))),
+        lambda s: s.doc_id.cast("string"),
+    )
+    return (
+        assign.select(F.col("epoch").cast("int").alias("epoch"),
+                      shard.alias("shard"), "doc_id", "h")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.md5(F.array_join(ordered, ",")).alias("order_fingerprint"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -276,10 +276,16 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BROADCASTS and the overlap join is a narrow broadcast-hash "
         "probe on every shingle partition — no shuffle of the corpus.",
 )
-def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontam_ngram_overlap(
+    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
+) -> DataFrame:
+    # eval_mod parameterizes the fixture's eval-marking rule so the
+    # eval-set-scale probe (tools/decontam_probe.py) can drive this SAME
+    # pipeline with a 10x-denser eval side; the registered query (and
+    # its oracle) stay pinned at 97.
     sh = _doc_shingles(spark, sf_dir)
-    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    train = sh.filter(F.col("doc_id") % 97 != 0)
+    eval_sh = sh.filter(F.col("doc_id") % eval_mod == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % eval_mod != 0)
     sz = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ov = (
         train.join(F.broadcast(eval_sh), "s")
@@ -2277,7 +2283,9 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate verification touches signatures (32 bytes/doc), not "
         "text.",
 )
-def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontam_minhash_fuzzy(
+    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
+) -> DataFrame:
     from ..operators.minhash import band_signatures, lane_mins
 
     # ONE capped-shingle relation feeds both signature passes (the cap
@@ -2286,7 +2294,7 @@ def decontam_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles_capped(spark, sf_dir)
     mins = lane_mins(sh)
     bands = band_signatures(sh)
-    is_eval = F.col("doc_id") % 97 == 0
+    is_eval = F.col("doc_id") % eval_mod == 0
     t = bands.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "band", "sig")
     e = bands.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "band", "sig")
     cand = (
@@ -2697,33 +2705,25 @@ def _semdedup_oracle(n_cells: int = 16, tau: float = _SEMDEDUP_TAU) -> str:
         "exact).",
 )
 def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from ..operators.blocking import with_sub_block
+    from .embed_ops import _assign, _seed_centroids
 
-    n_cells, tau = 16, _SEMDEDUP_TAU
+    tau = _SEMDEDUP_TAU
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    w_seed = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
-    centroids = (
-        emb.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") == 1)
-        .select((F.col("vec_id") % n_cells).cast("int").alias("cell"),
-                F.col("embedding").alias("c_emb"))
-    )
+    # Seeding and assignment are the SAME shapes as the embed_ops family
+    # (16 seed cells, broadcast argmax): assignment is the shared
+    # map-side-combinable max-struct aggregate — one exchange of N rows —
+    # instead of the row_number window this query originally sorted the
+    # N x 16 crossed relation through (round-5 verdict item #3).
+    centroids = _seed_centroids(emb)
     c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
         F.col("nrm") * _norm(F.col("c_emb"))
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"),
-                                                    F.asc("cell"))
-    members = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", c_sim)
-        .withColumn("c_rank", F.row_number().over(w_assign))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "nrm", "cell")
-    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
+    ).select("vec_id", "embedding", "nrm", "cell")
     # Occupancy guard: pair cost inside a cell is O(n^2), so the cap
     # that matters is the one that bounds n. 500 members/cell keeps the
     # per-cell pair join under ~125k pairs; beyond it, random-hyperplane
@@ -2816,11 +2816,13 @@ def _decontam_substring_oracle(k: int = _SUBSTR_K) -> str:
         "the split — non-vacuity is proven by a designed-leak golden "
         "test and a bench-scale count (tests/test_round5_ops.py).",
 )
-def decontam_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontam_substring_spans(
+    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
+) -> DataFrame:
     wins = _rolling_windows(spark, sf_dir)
-    eval_h = wins.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    eval_h = wins.filter(F.col("doc_id") % eval_mod == 0).select("h").distinct()
     hits = (
-        wins.filter(F.col("doc_id") % 97 != 0)
+        wins.filter(F.col("doc_id") % eval_mod != 0)
         .join(F.broadcast(eval_h), "h", "left_semi")
         .select("doc_id", "pos")
     )

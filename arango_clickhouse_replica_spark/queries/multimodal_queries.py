@@ -541,3 +541,115 @@ def mm_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_frames(synth_wav_media(docs), frame_len=16).select(
         "media_id", "frame_no", "n_samples", "energy", "zero_crossings"
     )
+
+
+_AHASH_HAMMING_MAX = 6
+
+
+@query(
+    "mm_ahash_near_dup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 100 AS s, (doc_id // 100) % 3 AS off,
+             16 + (doc_id % 100) % 5 AS w, 16 + (doc_id % 100) % 3 AS h,
+             3 + (doc_id % 100) % 4 AS ax, 5 + (doc_id % 100) % 3 AS ay
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((8 * ((u.k // w))) // h) * 8 + (8 * (u.k % w)) // w AS g,
+             (s * 11 + ax * (u.k % w) + ay * (u.k // w) + off) % 256 AS v
+      FROM dims, unnest(range(0, CAST(w * h AS INT))) AS u(k)
+    ),
+    cells AS (
+      SELECT doc_id, g, SUM(v) AS cs, COUNT(*) AS cc
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1
+    ),
+    bits AS (
+      SELECT c.doc_id, c.g,
+             CASE WHEN c.cs * t.tc >= t.ts * c.cc THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(g // 16 AS INT) AS band,
+             CAST(SUM(bit * (1 << CAST(g % 16 AS INT))) AS INT) AS sig
+      FROM bits GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+             MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+             MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+             MAX(CASE WHEN band = 3 THEN sig END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                AS INT) AS hamming
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    WHERE hamming <= {_AHASH_HAMMING_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+    tags=("multimodal", "image", "dedup", "pandas-udf"),
+    doc="Perceptual IMAGE near-dup detection end to end: deterministic "
+        "gradient families encode as genuine PNGs (per-group slopes; "
+        "doc_id % 100 siblings are brightness-offset replicas), a "
+        "mapInPandas stage DECODES each payload (CRC/inflate/unfilter) "
+        "and computes the classic average-hash — 8x8 grid means vs the "
+        "global mean, EXACT cross-multiplied integers, packed into four "
+        "16-bit bands — then the SimHash pigeonhole-band join proposes "
+        "candidates and bit_count(xor) verifies Hamming <= 6. The "
+        "closed-form oracle recomputes every pixel, bit, band, and "
+        "popcount without seeing bytes, so codec + hashing + blocking "
+        "are all value-hashed. Scale: the signature relation is 8 "
+        "bytes/image; the band join shuffles 16-bit keys, never pixels; "
+        "identical discipline (and widening rule) as "
+        "dedup_simhash_hamming_pairs.",
+)
+def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_ahash, synth_group_png_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = extract_ahash(synth_group_png_media(docs))
+    bands = sigs.select(
+        F.col("media_id").alias("doc_id"),
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("media_id").alias("doc_a"),
+                     *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    sb = sigs.select(F.col("media_id").alias("doc_b"),
+                     *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)])
+    hamming = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )

@@ -645,3 +645,77 @@ def _install_funnel_oracle() -> None:
 
 
 _install_funnel_oracle()
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=None,  # composed below from the clusters oracle at import time
+    tags=("dedup", "clustering", "report"),
+    doc="Near-dup cluster-size census: how many clusters exist at each "
+        "member count, including the size-1 row (documents in no "
+        "cluster — corpus total minus clustered members). The shape "
+        "diagnostic a dedup run reads before choosing a keep rule: a "
+        "heavy tail of giant clusters means template floods (keep-one "
+        "per cluster wipes real variety), while a thin 2-member tail "
+        "means organic duplication. Cost beyond the shared cached "
+        "cluster relation: one cluster_id count aggregate, one size "
+        "histogram aggregate, and two 1-row counts for the singleton "
+        "row — all map-side combinable.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import clusters_relation
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    clusters = clusters_relation(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    n_docs = docs.agg(F.count("*").alias("nd"))
+    n_members = clusters.agg(F.count("*").alias("nm"))
+    singletons = (
+        n_docs.crossJoin(n_members)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("nd") - F.col("nm")).cast("long").alias("n_clusters"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionAll(singletons).orderBy("cluster_size")
+
+
+def _install_cluster_histogram_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    clusters = _Q["dedup_near_dup_clusters"].oracle
+    # AS MATERIALIZED: referenced twice below; without the hint DuckDB
+    # re-runs the recursive min-label propagation per reference.
+    oracle = f"""
+    WITH clusters AS MATERIALIZED ({clusters}),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY cluster_id)
+      GROUP BY cluster_size
+    ),
+    singles AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             (SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(*) FROM clusters) AS n_clusters
+    )
+    SELECT cluster_size, CAST(n_clusters AS BIGINT) AS n_clusters FROM (
+      SELECT * FROM hist
+      UNION ALL
+      SELECT * FROM singles WHERE n_clusters > 0
+    ) ORDER BY cluster_size
+    """
+    _Q["dedup_cluster_size_histogram"] = replace(
+        _Q["dedup_cluster_size_histogram"], oracle=oracle
+    )
+
+
+_install_cluster_histogram_oracle()

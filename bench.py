@@ -108,6 +108,14 @@ HEADLINE = [
     "dedup_lsh_precision_report",
     "text_ngram_novelty",
     "dedup_prefix_filter_clustered",
+    "text_gopher_repetition",
+    "text_gopher_quality_flags",
+    "text_doc_length_percentiles",
+    "curation_domain_mixture_weights",
+    "curation_epoch_shuffle",
+    "dedup_cluster_size_histogram",
+    "embed_pair_sim_histogram",
+    "mm_ahash_near_dup",
 ]
 
 

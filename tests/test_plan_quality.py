@@ -93,6 +93,19 @@ BNLJ_ALLOWED = {
         "ann_ivf_probed's allowlisted assignment); the within-cell "
         "pair search is a hash equi-join on (cell, sub) with the "
         "with_sub_block occupancy guard, never a global pair join",
+    "embed_pair_sim_histogram":
+        "same allowlisted shape as dedup_semdedup_dropped: the cell "
+        "assignment broadcasts 16 centroids against every vector "
+        "(O(N*16) narrow pass); the pair join itself is a cell-keyed "
+        "hash equi-join",
+    "dedup_cluster_size_histogram":
+        "the singleton row attaches two 1-row count aggregates "
+        "(corpus total x clustered-member total) — an O(1x1) "
+        "broadcast attach, not a data join",
+    "curation_domain_mixture_weights":
+        "the per-source relation (bounded cardinality) attaches the "
+        "1-row corpus total and the 1-row weight denominator — "
+        "O(sources x 1) broadcast attaches",
 }
 
 ALL_NAMES = sorted(QUERIES)

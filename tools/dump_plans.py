@@ -160,6 +160,39 @@ COMMENT = {
         " exact-Jaccard verification keyed on the candidate pair, "
         "exact-integer J >= t filter; complete for t = 0.8 by the "
         "AllPairs lemma, property-tested vs brute force.",
+    "text_gopher_repetition":
+        "Three explode -> (doc, gram) -> doc hash-aggregate chains "
+        "(1/2/3-grams) joined on doc_id; integer counts, one final "
+        "division per ratio; map-side combinable, no windows.",
+    "text_gopher_quality_flags":
+        "One word explode -> per-doc integer flag aggregate -> per-"
+        "source pass-count aggregate; thresholds cross-multiplied "
+        "integers, no float compares.",
+    "text_doc_length_percentiles":
+        "Exact type-1 quantiles: one row_number+count window per "
+        "source partition (bounded key), conditional aggregate picks "
+        "the ceil(q*n)-ranked value — both engines select the same row.",
+    "curation_domain_mixture_weights":
+        "Corpus reduces to one row per source; sqrt(share) tempered "
+        "weights normalized through the 6-dp decimal lane; 1-row "
+        "total/denominator attach by broadcast.",
+    "curation_epoch_shuffle":
+        "Narrow salted-md5 projection (doc x 3 epochs) + one (epoch, "
+        "shard) aggregate whose order fingerprint hashes the exact "
+        "permutation; at scale the same projection feeds a "
+        "partitioned-by-shard write.",
+    "dedup_cluster_size_histogram":
+        "Cluster hub reuse: cluster_id count -> size histogram "
+        "aggregate + singleton row from two 1-row counts; all "
+        "map-side combinable.",
+    "embed_pair_sim_histogram":
+        "SemDeDup's cell blocking (broadcast seeds + shared max-struct "
+        "assignment aggregate), cell-local pair join, floor(sim*10) "
+        "hash aggregate — pair volume cell-bounded, never all-pairs.",
+    "mm_ahash_near_dup":
+        "mapInPandas PNG decode -> integer aHash bands (8 bytes/image), "
+        "pigeonhole band join on 16-bit keys, bit_count(xor) verify; "
+        "shuffles signatures, never pixels.",
     "dedup_prefix_filter_clustered":
         "Dup-dense-safe complete dedup composition: anti-join the "
         "shingle relation against the cached LSH cluster relation's "

@@ -66,6 +66,14 @@ PROBES = [
     "text_cross_source_dup_matrix",
     "dedup_prefix_filter_pairs",
     "dedup_prefix_filter_clustered",
+    "text_gopher_repetition",
+    "text_gopher_quality_flags",
+    "text_doc_length_percentiles",
+    "curation_domain_mixture_weights",
+    "curation_epoch_shuffle",
+    "dedup_cluster_size_histogram",
+    "embed_pair_sim_histogram",
+    "mm_ahash_near_dup",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
