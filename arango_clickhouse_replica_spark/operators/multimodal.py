@@ -632,13 +632,19 @@ def extract_audio_frames(media: DataFrame, *, frame_len: int = 16) -> DataFrame:
 
 # --- perceptual image hashing (aHash) --------------------------------------
 
-def synth_group_png_media(docs: DataFrame, group_mod: int = 100) -> DataFrame:
-    """REAL PNG payloads with NEAR-DUPLICATE groups: ``doc_id % group_mod``
-    picks the base gradient (per-group slopes, so groups differ), and
-    ``doc_id // group_mod`` adds a small brightness offset — members of a
-    group are perceptually the same image up to brightness/wrap noise.
+def synth_group_png_media(docs: DataFrame, group_size: int = 5) -> DataFrame:
+    """REAL PNG payloads with BOUNDED near-duplicate groups:
+    ``doc_id // group_size`` picks the base gradient (per-group phase
+    AND slopes, so groups differ), and ``doc_id % group_size`` adds a
+    small brightness offset — the ``group_size`` consecutive doc_ids are
+    perceptually the same image up to brightness/wrap noise. Group SIZE
+    is a constant, so near-dup pair volume grows LINEARLY with the
+    corpus (the first 10x sweep measured 26.7x with corpus-growing
+    groups); group parameters cycle only every lcm(256,5,4,3) = 15,360
+    groups, so distinct groups stay distinct far past probe scale.
     ``p(x, y) = (s*11 + (3 + s%4)*x + (5 + s%3)*y + off) % 256`` with
-    ``w = 16 + s%5, h = 16 + s%3, off = (doc_id // group_mod) % 3``."""
+    ``s = doc_id // group_size, off = doc_id % group_size % 3,
+    w = 16 + s%5, h = 16 + s%3``."""
     from .media_codecs import encode_png_gray8
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -646,7 +652,7 @@ def synth_group_png_media(docs: DataFrame, group_mod: int = 100) -> DataFrame:
             ids, payloads, metas = [], [], []
             for did in pdf["doc_id"]:
                 d = int(did)
-                s, off = d % group_mod, (d // group_mod) % 3
+                s, off = d // group_size, d % group_size % 3
                 w, h = 16 + s % 5, 16 + s % 3
                 ax, ay = 3 + s % 4, 5 + s % 3
                 px = bytes(

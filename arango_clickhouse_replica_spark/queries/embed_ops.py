@@ -1051,6 +1051,8 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate over it.",
 )
 def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.blocking import with_sub_block
+
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
@@ -1060,6 +1062,13 @@ def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("embedding"), F.col("c_emb"))
         / (F.col("nrm") * _norm(F.col("c_emb"))),
     ).select("vec_id", "embedding", "nrm", "cell")
+    # Same occupancy guard as dedup_semdedup_dropped: fixed 16 cells mean
+    # per-cell membership grows with N and the pair join O(n^2/C) — the
+    # first 10x sweep measured 13.1x without the guard. Sub-blocks split
+    # cells past 500 members (inactive at driver/bench scale, so the
+    # oracle stays exact; the histogram becomes within-sub-block at
+    # probe scale, the same recall trade SemDeDup accepts).
+    members = with_sub_block(members, label_col="cell", label_cap=500)
     a, b = members.alias("a"), members.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -1068,6 +1077,7 @@ def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(sim.alias("sim"))
@@ -1079,3 +1089,88 @@ def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "embed_whitening_check",
+    oracle=None,  # composed below from the embed_dim_stats oracle
+    tags=("embedding", "whitening", "validation"),
+    doc="Whitening transform + self-check: standardize every embedding "
+        "component with the per-dimension mean/std that embed_dim_stats "
+        "calibrates (the 6-dp ROUNDED stats, so both engines whiten "
+        "with bit-identical parameters), then re-measure the "
+        "post-transform moments — post_mean ~ 0 and post_std ~ 1 up to "
+        "the rounding lanes prove the transform applied correctly "
+        "corpus-wide. This is the validation pass a feature pipeline "
+        "runs after normalizing embeddings for cosine/PQ stages. Two "
+        "corpus explode passes keyed by dim (64-row exchanges, map-side "
+        "combinable); the 64-row stats relation attaches by broadcast; "
+        "zero-variance dimensions are excluded on both engines.",
+)
+def embed_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = embed_dim_stats(spark, sf_dir).select("dim", "mean", "std")
+    comps = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    w = (F.col("v").cast("double") - F.col("mean")) / F.col("std")
+    wz = (
+        comps.join(F.broadcast(stats), "dim")
+        .filter(F.col("std") > 0)
+        .select(
+            "dim",
+            F.round(w, 6).cast("decimal(18,6)").alias("w"),
+            F.round(w * w, 6).cast("decimal(18,6)").alias("w2"),
+        )
+    )
+    pm = F.col("s1").cast("double") / F.col("n")
+    return (
+        wz.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("w").alias("s1"),
+            F.sum("w2").alias("s2"),
+        )
+        .select(
+            "dim", "n",
+            F.round(pm, 6).alias("post_mean"),
+            F.round(
+                F.sqrt(F.greatest(
+                    F.lit(0.0),
+                    F.col("s2").cast("double") / F.col("n") - pm * pm,
+                )), 6,
+            ).alias("post_std"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _install_whitening_oracle() -> None:
+    """Compose the whitening oracle from the REGISTERED embed_dim_stats
+    oracle verbatim, so the whitening parameters (6-dp rounded mean/std)
+    are bit-identical to what the Spark side joins in."""
+    from dataclasses import replace
+
+    stats = _REG["embed_dim_stats"].oracle
+    z = "(CAST(e.embedding[t.i] AS DOUBLE) - s.mean) / s.std"
+    oracle = f"""
+    WITH stats AS MATERIALIZED ({stats}),
+    wz AS (
+      SELECT t.i - 1 AS dim,
+             {_DEC_SQL.format(x=z)} AS w,
+             {_DEC_SQL.format(x=f'({z}) * ({z})')} AS w2
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      JOIN stats s ON s.dim = t.i - 1
+      WHERE s.std > 0
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS post_mean,
+           round(sqrt(GREATEST(0, CAST(SUM(w2) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(w) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(w) AS DOUBLE) / COUNT(*)))), 6) AS post_std
+    FROM wz GROUP BY dim ORDER BY dim
+    """
+    _REG["embed_whitening_check"] = replace(
+        _REG["embed_whitening_check"], oracle=oracle
+    )
+
+
+_install_whitening_oracle()

@@ -456,3 +456,114 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+@query(
+    "curation_quality_weighted_mixture",
+    oracle=f"""
+    WITH w AS ({_ngrams_sql(1)}),
+    per_doc AS (
+      SELECT w.doc_id, d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(g)) AS BIGINT) AS n_word_chars,
+             CAST(COUNT(*) FILTER (WHERE len(g) <= 2) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT g) FILTER (
+               WHERE g IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})
+             ) AS BIGINT) AS n_stop
+      FROM w JOIN documents d ON d.doc_id = w.doc_id
+      GROUP BY 1, 2
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS est_tokens,
+             CAST(SUM(CASE WHEN n_words BETWEEN {_WC_LO} AND {_WC_HI}
+                            AND n_word_chars >= 3 * n_words
+                            AND n_word_chars <= 10 * n_words
+                            AND 5 * n_short <= n_words
+                            AND n_stop >= 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT SUM(est_tokens) AS t FROM per_source),
+    raw AS (
+      SELECT source, n_docs, est_tokens, n_pass,
+             round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate,
+             CAST(round(sqrt(CAST(est_tokens AS DOUBLE) / t)
+                        * (CAST(n_pass AS DOUBLE) / n_docs), 6)
+                  AS DECIMAL(18,6)) AS w_raw
+      FROM per_source, tot
+    ),
+    denom AS (SELECT SUM(w_raw) AS d FROM raw)
+    SELECT source, n_docs, est_tokens, pass_rate,
+           round(CASE WHEN CAST(d AS DOUBLE) > 0
+                 THEN CAST(w_raw AS DOUBLE) / CAST(d AS DOUBLE)
+                 ELSE 0.0 END, 6) AS weight
+    FROM raw, denom
+    ORDER BY source
+    """,
+    tags=("curation", "mixing", "quality", "decision", "composition"),
+    doc="Quality-weighted domain mixture: the alpha=0.5 temperature "
+        "weights of curation_domain_mixture_weights DISCOUNTED by each "
+        "source's Gopher quality-gate pass rate (weight ~ sqrt(token "
+        "share) * pass_rate, renormalized) — a source that is mostly "
+        "template spam contributes tokens to the share but loses "
+        "sampling mass in proportion to what the gate would drop. This "
+        "is the mixing table a run uses when it samples from RAW "
+        "sources and filters on the fly. Exact-lane discipline as the "
+        "plain mixture: sqrt and pass_rate are deterministic doubles "
+        "rounded to 6-dp decimals BEFORE the cross-row normalization "
+        "sum; token-true word counts come from the same explode "
+        "aggregate as the gate flags (one corpus pass total).",
+)
+def curation_quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = _doc_ngrams(docs, 1)
+    per_doc = (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
+            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
+            .cast("long").alias("n_short"),
+            F.count_distinct(
+                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
+            ).cast("long").alias("n_stop"),
+        )
+    )
+    passes = (
+        F.col("n_words").between(_WC_LO, _WC_HI)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_short") <= F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("est_tokens"),
+        F.sum(passes.cast("int")).cast("long").alias("n_pass"),
+    )
+    tot = per_source.agg(F.sum("est_tokens").alias("t"))
+    pass_rate = F.col("n_pass").cast("double") / F.col("n_docs")
+    raw = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "est_tokens",
+        F.round(pass_rate, 6).alias("pass_rate"),
+        F.round(
+            F.sqrt(F.col("est_tokens").cast("double") / F.col("t")) * pass_rate,
+            6,
+        ).cast("decimal(18,6)").alias("w_raw"),
+    )
+    denom = raw.agg(F.sum("w_raw").alias("d"))
+    return (
+        raw.crossJoin(F.broadcast(denom))
+        .select(
+            "source", "n_docs", "est_tokens", "pass_rate",
+            F.round(
+                F.when(F.col("d").cast("double") > 0,
+                       F.col("w_raw").cast("double")
+                       / F.col("d").cast("double")).otherwise(0.0), 6)
+            .alias("weight"),
+        )
+        .orderBy("source")
+    )

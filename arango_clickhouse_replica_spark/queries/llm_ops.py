@@ -572,6 +572,77 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_topk",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_CAPPED_SQL}),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(LEAST(ca.c, cb.c) AS BIGINT) AS n_smaller,
+           CAST(common AS DOUBLE) / LEAST(ca.c, cb.c) AS containment,
+           CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    ORDER BY containment DESC, jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    tags=("dedup", "containment", "near-dup"),
+    doc="ASYMMETRIC near-dup detection: containment C(small, big) = "
+        "|A n B| / min(|A|, |B|) over word-trigram shingle sets — the "
+        "Broder measure that catches a short document embedded verbatim "
+        "inside a longer one (quotes, concatenated crawls, boilerplate "
+        "wrappers), which symmetric Jaccard dilutes below any threshold "
+        "once the size ratio grows. Shares dedup_ngram_jaccard_topk's "
+        "df-capped grouped-list pair generation (one shuffle, bounded "
+        "lists — never a self-join explosion); jaccard rides along so "
+        "the output directly exhibits the containment-high/jaccard-low "
+        "pairs that motivate the operator. Top-20 with full tiebreak.",
+)
+def dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles_capped(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    docs_per_shingle = sh.groupBy("s").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs = (
+        docs_per_shingle.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    smaller = F.least(F.col("ca"), F.col("cb"))
+    return (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("common").cast("long").alias("common"),
+            smaller.cast("long").alias("n_smaller"),
+            (F.col("common").cast("double") / smaller).alias("containment"),
+            (F.col("common").cast("double")
+             / (F.col("ca") + F.col("cb") - F.col("common"))).alias("jaccard"),
+        )
+        .orderBy(F.desc("containment"), F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
 _MINHASH_MINS_SQL = ",\n           ".join(
     f"MIN(substr(md5(s), {1 + 4 * g}, 4)) AS m{g}" for g in range(8)
 )

@@ -550,9 +550,9 @@ _AHASH_HAMMING_MAX = 6
     "mm_ahash_near_dup",
     oracle=f"""
     WITH dims AS (
-      SELECT doc_id, doc_id % 100 AS s, (doc_id // 100) % 3 AS off,
-             16 + (doc_id % 100) % 5 AS w, 16 + (doc_id % 100) % 3 AS h,
-             3 + (doc_id % 100) % 4 AS ax, 5 + (doc_id % 100) % 3 AS ay
+      SELECT doc_id, doc_id // 5 AS s, doc_id % 5 % 3 AS off,
+             16 + (doc_id // 5) % 5 AS w, 16 + (doc_id // 5) % 3 AS h,
+             3 + (doc_id // 5) % 4 AS ax, 5 + (doc_id // 5) % 3 AS ay
       FROM documents
     ),
     px AS (
@@ -586,9 +586,19 @@ _AHASH_HAMMING_MAX = 6
              MAX(CASE WHEN band = 3 THEN sig END) AS b3
       FROM bands GROUP BY doc_id
     ),
+    hot AS (
+      SELECT band, sig FROM bands GROUP BY band, sig
+      HAVING COUNT(*) > GREATEST(16, LEAST(64,
+               (SELECT COUNT(*) FROM documents) // 100))
+    ),
+    cold AS (
+      SELECT b.doc_id, b.band, b.sig FROM bands b
+      LEFT JOIN hot h ON h.band = b.band AND h.sig = b.sig
+      WHERE h.band IS NULL
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b USING (band, sig)
+      FROM cold a JOIN cold b USING (band, sig)
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
@@ -605,8 +615,10 @@ _AHASH_HAMMING_MAX = 6
     """,
     tags=("multimodal", "image", "dedup", "pandas-udf"),
     doc="Perceptual IMAGE near-dup detection end to end: deterministic "
-        "gradient families encode as genuine PNGs (per-group slopes; "
-        "doc_id % 100 siblings are brightness-offset replicas), a "
+        "gradient families encode as genuine PNGs (per-group phase and "
+        "slopes; the 5 consecutive doc_ids of a group are "
+        "brightness-offset replicas — group size CONSTANT, so pair "
+        "volume grows linearly with the corpus), a "
         "mapInPandas stage DECODES each payload (CRC/inflate/unfilter) "
         "and computes the classic average-hash — 8x8 grid means vs the "
         "global mean, EXACT cross-multiplied integers, packed into four "
@@ -616,22 +628,39 @@ _AHASH_HAMMING_MAX = 6
         "popcount without seeing bytes, so codec + hashing + blocking "
         "are all value-hashed. Scale: the signature relation is 8 "
         "bytes/image; the band join shuffles 16-bit keys, never pixels; "
-        "identical discipline (and widening rule) as "
-        "dedup_simhash_hamming_pairs.",
+        "and DEGENERATE band buckets are occupancy-capped before the "
+        "join — aHash bands on smooth images are low-entropy (an "
+        "all-above-mean grid row is the 0xFFFF band every sky photo "
+        "shares), and a bucket holding thousands of images carries no "
+        "near-dup signal while costing O(n^2) pairs (measured: 215M "
+        "candidates / 53s at 10x before the cap, 4.4s after). Same "
+        "discipline as the hot-shingle df cap; a true sibling pair "
+        "keeps colliding on its group-specific (rare) bands.",
 )
 def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_ahash, synth_group_png_media
 
     docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    occ_cap = max(16, min(64, n_docs // 100))
     sigs = extract_ahash(synth_group_png_media(docs))
     bands = sigs.select(
         F.col("media_id").alias("doc_id"),
         F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)"),
     )
+    # No broadcast hint on the hot list: it grows with corpus structure
+    # (the blocking.py r5 rule) — AQE broadcasts it when actually small.
+    hot = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > occ_cap)
+        .select("band", "sig")
+    )
+    cold = bands.join(hot, ["band", "sig"], "left_anti")
     cand = (
-        bands.alias("a")
+        cold.alias("a")
         .join(
-            bands.alias("b"),
+            cold.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -652,4 +681,105 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
         .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, u.i,
+             ((p.doc_id * 31 + u.i * 7) % 2001) - 1000 AS smp
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(i)
+    ),
+    frames AS (
+      SELECT doc_id, CAST(i // 16 AS INT) AS frame_no,
+             CAST(SUM(smp * smp) AS BIGINT) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(energy) AS BIGINT) AS total_energy
+      FROM frames GROUP BY doc_id
+    ),
+    act AS (
+      SELECT f.doc_id, f.frame_no,
+             f.frame_no - ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                                             ORDER BY f.frame_no) AS grp
+      FROM frames f JOIN tot t USING (doc_id)
+      WHERE f.energy * t.n_frames > t.total_energy
+    ),
+    segs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS seg_len
+      FROM act GROUP BY doc_id, grp
+    )
+    SELECT t.doc_id AS media_id, t.n_frames,
+           CAST(COALESCE(SUM(g.seg_len), 0) AS BIGINT) AS n_active_frames,
+           CAST(COUNT(g.seg_len) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(g.seg_len), 0) AS BIGINT) AS longest_segment,
+           round(CAST(COALESCE(SUM(g.seg_len), 0) AS DOUBLE) / t.n_frames, 6)
+             AS active_frac
+    FROM tot t LEFT JOIN segs g ON g.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_frames
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "vad", "pandas-udf"),
+    doc="Voice-activity segmentation over REAL decoded audio: genuine "
+        "WAV payloads decode and frame (the mm_wav_frame_features "
+        "pipeline), a frame is ACTIVE when its energy strictly exceeds "
+        "the file's mean frame energy (energy * n_frames > total — "
+        "exact integers, no float threshold), and consecutive active "
+        "frames merge into segments via gaps-and-islands (frame_no "
+        "minus per-file rank). Output per file: frame/active counts, "
+        "segment count, longest segment, active fraction — the "
+        "speech/music trimming decision a multimodal curation run "
+        "applies before transcription. Frames aggregate map-side keyed "
+        "by media_id; the islands window partitions by media_id "
+        "(bounded by file length); closed-form integer oracle "
+        "hash-checks decode + framing + segmentation end to end.",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import extract_audio_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = extract_audio_frames(synth_wav_media(docs), frame_len=16).select(
+        "media_id", "frame_no", "energy"
+    )
+    tot = frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("total_energy"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    act = (
+        frames.join(tot, "media_id")
+        .filter(F.col("energy") * F.col("n_frames") > F.col("total_energy"))
+        .select(
+            "media_id",
+            (F.col("frame_no") - F.row_number().over(w)).alias("grp"),
+        )
+    )
+    segs = act.groupBy("media_id", "grp").agg(
+        F.count("*").cast("long").alias("seg_len")
+    )
+    return (
+        tot.join(segs, "media_id", "left")
+        .groupBy("media_id", "n_frames")
+        .agg(
+            F.coalesce(F.sum("seg_len"), F.lit(0))
+            .cast("long").alias("n_active_frames"),
+            F.count("seg_len").cast("long").alias("n_segments"),
+            F.coalesce(F.max("seg_len"), F.lit(0))
+            .cast("long").alias("longest_segment"),
+            F.round(
+                F.coalesce(F.sum("seg_len"), F.lit(0)).cast("double")
+                / F.col("n_frames"), 6).alias("active_frac"),
+        )
+        .select("media_id", "n_frames", "n_active_frames", "n_segments",
+                "longest_segment", "active_frac")
+        .orderBy("media_id")
     )

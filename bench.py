@@ -116,6 +116,10 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "embed_pair_sim_histogram",
     "mm_ahash_near_dup",
+    "dedup_containment_topk",
+    "curation_quality_weighted_mixture",
+    "embed_whitening_check",
+    "mm_audio_vad_segments",
 ]
 
 

@@ -15,9 +15,9 @@ def _write_docs(spark, out, doc_ids):
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
 
-def _ref_ahash(doc_id: int, group_mod: int = 100):
+def _ref_ahash(doc_id: int, group_size: int = 5):
     """Pure-python reference of synth_group_png_media + extract_ahash."""
-    s, off = doc_id % group_mod, (doc_id // group_mod) % 3
+    s, off = doc_id // group_size, doc_id % group_size % 3
     w, h = 16 + s % 5, 16 + s % 3
     ax, ay = 3 + s % 4, 5 + s % 3
     px = np.array(
@@ -39,7 +39,7 @@ def test_ahash_bands_match_reference(spark, tmp_path):
     )
     from arango_clickhouse_replica_spark.sources.tables import load_table
 
-    ids = [0, 7, 100, 107, 205, 342]
+    ids = [0, 7, 35, 36, 103, 342]
     _write_docs(spark, tmp_path, ids)
     docs = load_table(spark, "documents", str(tmp_path))
     got = {
@@ -51,18 +51,18 @@ def test_ahash_bands_match_reference(spark, tmp_path):
 
 
 def test_ahash_near_dup_finds_sibling_groups(spark, tmp_path):
-    # doc pairs (7, 107, 207) share group 7; (13, 113) share group 13
-    ids = [7, 107, 207, 13, 113, 55, 91]
+    # docs 35-39 share group 7; 65-66 share group 13; 91/103 are lone
+    ids = [35, 36, 37, 65, 66, 91, 103]
     _write_docs(spark, tmp_path, ids)
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
         for r in QUERIES["mm_ahash_near_dup"].build(spark, str(tmp_path)).collect()
     }
-    assert (7, 107) in pairs
-    assert (7, 207) in pairs
-    assert (13, 113) in pairs
+    assert (35, 36) in pairs
+    assert (35, 37) in pairs
+    assert (65, 66) in pairs
     for (a, b), ham in pairs.items():
         assert ham <= 6
         # sibling pairs have near-identical hashes
-        if a % 100 == b % 100:
+        if a // 5 == b // 5:
             assert ham <= 3, (a, b, ham)

@@ -106,6 +106,10 @@ BNLJ_ALLOWED = {
         "the per-source relation (bounded cardinality) attaches the "
         "1-row corpus total and the 1-row weight denominator — "
         "O(sources x 1) broadcast attaches",
+    "curation_quality_weighted_mixture":
+        "same shape as curation_domain_mixture_weights: per-source "
+        "relation x 1-row total and 1-row denominator broadcast "
+        "attaches",
 }
 
 ALL_NAMES = sorted(QUERIES)

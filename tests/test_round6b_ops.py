@@ -1,0 +1,93 @@
+"""Round-6 batch-2 semantics: containment vs jaccard divergence,
+quality-weighted mixture, whitening self-check, VAD segmentation."""
+
+import numpy as np
+
+from arango_clickhouse_replica_spark.queries import QUERIES
+
+
+def _write_docs(spark, out, rows):
+    spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """Doc 1 is doc 2's first quarter: containment 1.0 while Jaccard is
+    diluted by the size ratio — exactly the pair the operator exists
+    for."""
+    small = " ".join(f"w{j}" for j in range(12))
+    big = " ".join([f"w{j}" for j in range(12)]
+                   + [f"z{j}" for j in range(36)])
+    other = " ".join(f"q{j}" for j in range(12))
+    _write_docs(spark, tmp_path, [(1, small, "s"), (2, big, "s"),
+                                  (3, other, "s")])
+    rows = {(r.doc_a, r.doc_b): r
+            for r in QUERIES["dedup_containment_topk"]
+            .build(spark, str(tmp_path)).collect()}
+    r = rows[(1, 2)]
+    assert r.containment == 1.0  # all 10 of small's shingles inside big
+    assert r.jaccard < 0.25      # 10 common / (10 + 46 - 10)
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_quality_weighted_mixture_zeroes_failing_source(spark, tmp_path):
+    good = " ".join(["the", "a"] + [f"w{j}" for j in range(28)])
+    spam = "a a a"  # fails word count -> pass rate 0
+    _write_docs(spark, tmp_path,
+                [(i, good, "clean") for i in range(4)]
+                + [(100 + i, spam, "spam") for i in range(4)])
+    got = {r.source: r for r in QUERIES["curation_quality_weighted_mixture"]
+           .build(spark, str(tmp_path)).collect()}
+    assert got["spam"].pass_rate == 0.0
+    assert got["spam"].weight == 0.0
+    assert abs(got["clean"].weight - 1.0) < 1e-6
+
+
+def test_whitening_check_moments_near_standard(spark, tmp_path, sf_dir):
+    rows = QUERIES["embed_whitening_check"].build(spark, sf_dir).collect()
+    assert rows, "fixture embeddings must produce dims"
+    for r in rows:
+        assert abs(r.post_mean) < 1e-3, (r.dim, r.post_mean)
+        assert abs(r.post_std - 1.0) < 1e-3, (r.dim, r.post_std)
+
+
+def _ref_vad(doc_id: int):
+    """Pure-python reference of synth_wav + framing + VAD islands."""
+    n = 32 + doc_id % 17
+    smp = [((doc_id * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+    frames = {}
+    for i, v in enumerate(smp):
+        frames.setdefault(i // 16, 0)
+        frames[i // 16] += v * v
+    n_frames = len(frames)
+    total = sum(frames.values())
+    active = sorted(f for f, e in frames.items() if e * n_frames > total)
+    segs, prev = [], None
+    for f in active:
+        if prev is not None and f == prev + 1:
+            segs[-1] += 1
+        else:
+            segs.append(1)
+        prev = f
+    return {
+        "n_frames": n_frames,
+        "n_active_frames": len(active),
+        "n_segments": len(segs),
+        "longest_segment": max(segs) if segs else 0,
+    }
+
+
+def test_vad_segments_match_reference(spark, tmp_path):
+    ids = [0, 3, 7, 12, 16, 29]
+    _write_docs(spark, tmp_path, [(i, "t", "s") for i in ids])
+    got = {r.media_id: r for r in QUERIES["mm_audio_vad_segments"]
+           .build(spark, str(tmp_path)).collect()}
+    for i in ids:
+        want = _ref_vad(i)
+        r = got[i]
+        assert r.n_frames == want["n_frames"], i
+        assert r.n_active_frames == want["n_active_frames"], i
+        assert r.n_segments == want["n_segments"], i
+        assert r.longest_segment == want["longest_segment"], i

@@ -160,6 +160,22 @@ COMMENT = {
         " exact-Jaccard verification keyed on the candidate pair, "
         "exact-integer J >= t filter; complete for t = 0.8 by the "
         "AllPairs lemma, property-tested vs brute force.",
+    "dedup_containment_topk":
+        "Shares the jaccard query's df-capped grouped-list pair "
+        "generation (one shuffle, bounded lists); containment adds one "
+        "least() per pair — no new exchanges.",
+    "curation_quality_weighted_mixture":
+        "One corpus explode pass yields both token counts and quality "
+        "flags; reduces to one row per source; decimal-lane "
+        "normalization; 1-row broadcasts.",
+    "embed_whitening_check":
+        "Two corpus explode passes keyed by dim (64-row map-side "
+        "combinable exchanges); the 64-row stats relation broadcasts "
+        "back for the standardization.",
+    "mm_audio_vad_segments":
+        "Frames aggregate map-side keyed by media_id; the "
+        "gaps-and-islands window partitions by media_id (bounded by "
+        "file length); integer active-threshold, no float compares.",
     "text_gopher_repetition":
         "Three explode -> (doc, gram) -> doc hash-aggregate chains "
         "(1/2/3-grams) joined on doc_id; integer counts, one final "

@@ -74,6 +74,10 @@ PROBES = [
     "dedup_cluster_size_histogram",
     "embed_pair_sim_histogram",
     "mm_ahash_near_dup",
+    "dedup_containment_topk",
+    "curation_quality_weighted_mixture",
+    "embed_whitening_check",
+    "mm_audio_vad_segments",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
