@@ -33,7 +33,7 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
 
 
 def test_quality_weighted_mixture_zeroes_failing_source(spark, tmp_path):
-    good = " ".join(["the", "a"] + [f"w{j}" for j in range(28)])
+    good = " ".join(["the", "a"] + [f"word{j}" for j in range(28)])
     spam = "a a a"  # fails word count -> pass rate 0
     _write_docs(spark, tmp_path,
                 [(i, good, "clean") for i in range(4)]
