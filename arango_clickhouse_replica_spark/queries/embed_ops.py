@@ -1131,7 +1131,11 @@ def embed_whitening_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "dim", "n",
-            F.round(pm, 6).alias("post_mean"),
+            # + 0.0 collapses IEEE negative zero: DuckDB's round keeps
+            # -0.0 for tiny negative means, Spark's does not, and the
+            # canonical value hash distinguishes them (caught at
+            # sf0.001; sf0.01 happened to agree).
+            (F.round(pm, 6) + F.lit(0.0)).alias("post_mean"),
             F.round(
                 F.sqrt(F.greatest(
                     F.lit(0.0),
@@ -1162,7 +1166,7 @@ def _install_whitening_oracle() -> None:
       WHERE s.std > 0
     )
     SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS post_mean,
+           round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) + 0.0 AS post_mean,
            round(sqrt(GREATEST(0, CAST(SUM(w2) AS DOUBLE) / COUNT(*)
              - (CAST(SUM(w) AS DOUBLE) / COUNT(*))
              * (CAST(SUM(w) AS DOUBLE) / COUNT(*)))), 6) AS post_std
