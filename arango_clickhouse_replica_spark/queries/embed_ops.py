@@ -1178,3 +1178,117 @@ def _install_whitening_oracle() -> None:
 
 
 _install_whitening_oracle()
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+@query(
+    "ann_ivf_nprobe_sweep",
+    oracle=None,  # composed below from the brute-force + IVF oracles
+    tags=("similarity", "ann", "ivf", "calibration", "report"),
+    doc="IVF nprobe TUNING CURVE: recall@5 vs the exact brute-force "
+        "baseline at nprobe = 1, 2, 4 probed cells (of 16) — the "
+        "accuracy knob an ANN deployment turns, measured as data "
+        "instead of guessed. Complements ann_recall_report (which "
+        "compares METHODS at fixed settings) by sweeping the one "
+        "parameter of the winning scale path; reading the curve tells "
+        "you the cheapest nprobe that clears your recall target. "
+        "Per-query recalls go through the 6-dp decimal lane before the "
+        "cross-row mean. Cost: the exact baseline plus three probe "
+        "joins, each touching ~nprobe/16 of the index — the sweep IS "
+        "the measurement, same adjudication as ann_recall_report.",
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import _ivf_topk, ann_cosine_topk_bruteforce
+
+    ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    parts = [
+        _ivf_topk(spark, sf_dir, n_probe=p).select(
+            F.lit(p).cast("int").alias("nprobe"), "query_id", "neighbor_id"
+        )
+        for p in _NPROBE_SWEEP
+    ]
+    ap = parts[0]
+    for p_ in parts[1:]:
+        ap = ap.unionByName(p_)
+    hits = (
+        ex.join(ap, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    probes = spark.createDataFrame(
+        [(p,) for p in _NPROBE_SWEEP], "nprobe int"
+    )
+    per = (
+        n_ex.crossJoin(F.broadcast(probes))
+        .join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"), 6)
+            .cast("decimal(18,6)").alias("r"),
+        )
+    )
+    return (
+        per.groupBy("nprobe")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.sum("r").cast("double") / F.count("*"), 6)
+            .alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _install_nprobe_sweep_oracle() -> None:
+    from dataclasses import replace
+
+    from .llm_ops import _ann_ivf_oracle
+
+    ex = _REG["ann_cosine_topk_bruteforce"].oracle
+    ivf = {p: _ann_ivf_oracle(n_probe=p) for p in _NPROBE_SWEEP}
+    ap_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {p} AS nprobe, query_id, neighbor_id FROM i{p}"
+        for p in _NPROBE_SWEEP
+    )
+    oracle = f"""
+    WITH ex AS MATERIALIZED ({ex}),
+    {", ".join(f"i{p} AS MATERIALIZED ({sql})" for p, sql in ivf.items())},
+    ap AS (
+      {ap_union}
+    ),
+    hits AS (
+      SELECT a.nprobe, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM ap a JOIN ex e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1, 2
+    ),
+    nq AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM ex GROUP BY 1
+    ),
+    per AS (
+      SELECT p.nprobe, q.query_id,
+             CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / q.n_exact, 6)
+                  AS DECIMAL(18,6)) AS r
+      FROM nq q
+      CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in _NPROBE_SWEEP)}])
+                         AS nprobe) p
+      LEFT JOIN hits h ON h.nprobe = p.nprobe AND h.query_id = q.query_id
+    )
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_recall
+    FROM per GROUP BY nprobe ORDER BY nprobe
+    """
+    _REG["ann_ivf_nprobe_sweep"] = replace(
+        _REG["ann_ivf_nprobe_sweep"], oracle=oracle
+    )
+
+
+_install_nprobe_sweep_oracle()

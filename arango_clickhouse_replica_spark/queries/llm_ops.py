@@ -1129,12 +1129,21 @@ def _ann_ivf_oracle(n_cells: int = 16, n_probe: int = 3, k: int = 5) -> str:
         "shuffle-local.",
 )
 def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, n_probe=3)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, *, n_probe: int = 3, k: int = 5
+) -> DataFrame:
+    """IVF top-k with a parameterized probe count — ann_ivf_probed is
+    this at n_probe=3; ann_ivf_nprobe_sweep (embed_ops.py) drives it at
+    1/2/4 for the recall-vs-cost curve."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    n_cells, n_probe, k = 16, 3, 5
+    n_cells = 16
 
     # seed centroids: the first vector of every (vec_id % n_cells) class —
     # deterministic, data-derived, no iteration (k-means would refine them;

@@ -219,12 +219,12 @@ def collect_logs(client: ArangoWalClient, tick_min, batch_size, collections: dic
     batches whose ``content`` is restricted to allowed documents. The
     consumer sends True to ack (advance) or anything falsy to replay —
     forwarded straight to the cursor's ack/replay contract."""
-    collections_id_set = set(collections.values())
+    watched_ids = frozenset(collections.values())
     cursor = WalTailCursor(client, tick_min, batch_size)
     for batch in cursor:
         batch["content"] = [
             doc for doc in batch["content"]
-            if is_document_allowed(doc, collections_id_set)
+            if is_document_allowed(doc, watched_ids)
         ]
         cursor.ack(bool((yield batch)))
 

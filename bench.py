@@ -120,6 +120,7 @@ HEADLINE = [
     "curation_quality_weighted_mixture",
     "embed_whitening_check",
     "mm_audio_vad_segments",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

@@ -91,3 +91,14 @@ def test_vad_segments_match_reference(spark, tmp_path):
         assert r.n_active_frames == want["n_active_frames"], i
         assert r.n_segments == want["n_segments"], i
         assert r.longest_segment == want["longest_segment"], i
+
+
+def test_nprobe_sweep_monotone_and_bounded(spark, sf_dir):
+    rows = {r.nprobe: r for r in QUERIES["ann_ivf_nprobe_sweep"]
+            .build(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    # more probed cells can only add candidates: recall is monotone
+    assert rows[1].mean_recall <= rows[2].mean_recall <= rows[4].mean_recall
+    for r in rows.values():
+        assert 0.0 <= r.mean_recall <= 1.0
+        assert r.n_queries > 0

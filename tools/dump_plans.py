@@ -160,6 +160,11 @@ COMMENT = {
         " exact-Jaccard verification keyed on the candidate pair, "
         "exact-integer J >= t filter; complete for t = 0.8 by the "
         "AllPairs lemma, property-tested vs brute force.",
+    "ann_ivf_nprobe_sweep":
+        "Exact baseline computed once; three IVF probe joins (each "
+        "touching ~nprobe/16 of the index via the cell equi-join) union "
+        "into one hit aggregate; per-query recalls through decimal "
+        "lanes. The sweep IS the measurement.",
     "dedup_containment_topk":
         "Shares the jaccard query's df-capped grouped-list pair "
         "generation (one shuffle, bounded lists); containment adds one "

@@ -78,6 +78,7 @@ PROBES = [
     "curation_quality_weighted_mixture",
     "embed_whitening_check",
     "mm_audio_vad_segments",
+    "ann_ivf_nprobe_sweep",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
