@@ -1292,3 +1292,97 @@ def _install_nprobe_sweep_oracle() -> None:
 
 
 _install_nprobe_sweep_oracle()
+
+
+@query(
+    "embed_label_purity",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, label,
+             {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT b.vec_id, b.label, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_DOT_SQL.format(a='b.embedding', b='c.c_emb')}
+                           / (b.nrm * {_NORM_SQL.format(a='c.c_emb')})) DESC,
+                          c.cell) AS c_rank
+        FROM base b CROSS JOIN centroids c
+      ) WHERE c_rank = 1
+    ),
+    lc AS (
+      SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM assign GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT cell, CAST(SUM(c) AS BIGINT) AS n_members,
+             CAST(MAX(1000000 * c + (999999 - label)) AS BIGINT) AS packed,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM lc GROUP BY cell
+    )
+    SELECT CAST(cell AS INT) AS cell, n_members, n_labels,
+           CAST(packed // 1000000 AS BIGINT) AS majority_count,
+           CAST(999999 - packed % 1000000 AS INT) AS majority_label,
+           round(CAST(packed // 1000000 AS DOUBLE) / n_members, 6) AS purity
+    FROM best
+    ORDER BY cell
+    """,
+    tags=("embedding", "clustering", "validation", "report"),
+    doc="Cluster-label PURITY: assign every vector to its nearest seed "
+        "centroid (the shared IVF/SemDeDup assignment), then score each "
+        "cell against the ground-truth label column — majority label, "
+        "its count, and purity = majority/members. The external "
+        "clustering-quality check (a purity near 1/|labels| means the "
+        "embedding space ignores the labels; near 1.0 means cells "
+        "recover them) run before trusting cell-based dedup or IVF "
+        "routing. Majority selection is the argmax-with-tiebreak trick "
+        "packed into ONE integer aggregate (max of 1e6*count + (999999 - label): "
+        "highest count wins, lowest label on ties — no second window): "
+        "map-side combinable end to end, 16-key exchanges only.",
+)
+def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    seeds = _seed_centroids(emb)
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    # _assign carries (vec_id, embedding, nrm); re-attach the label by
+    # vec_id after assignment (broadcast-sized at fixture scale, plain
+    # hash join at 100 TB — high-cardinality key either way)
+    assigned = _assign(emb.select("vec_id", "embedding", "nrm"), seeds, sim)
+    lc = (
+        assigned.select("vec_id", "cell")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # packed argmax: 1e6*count + (999999 - label) — highest count wins,
+    # lowest label on ties; decode by divmod (labels are small non-neg ints)
+    packed = F.max(F.lit(1000000) * F.col("c") + (F.lit(999999) - F.col("label")))
+    best = lc.groupBy("cell").agg(
+        F.sum("c").cast("long").alias("n_members"),
+        packed.alias("packed"),
+        F.count("*").cast("long").alias("n_labels"),
+    )
+    maj_label = F.lit(999999) - F.col("packed") % 1000000
+    maj_count = F.expr("packed div 1000000")
+    return best.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_members",
+        "n_labels",
+        maj_count.cast("long").alias("majority_count"),
+        maj_label.cast("int").alias("majority_label"),
+        F.round(maj_count.cast("double") / F.col("n_members"), 6)
+        .alias("purity"),
+    ).orderBy("cell")

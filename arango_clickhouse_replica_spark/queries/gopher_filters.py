@@ -567,3 +567,71 @@ def curation_quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM chars GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM cc GROUP BY doc_id
+    )
+    SELECT cc.doc_id, n.n AS n_chars, n.n_distinct AS n_distinct_chars,
+           round(CAST(SUM(CAST(round(
+             -(CAST(cc.c AS DOUBLE) / n.n)
+               * log2(CAST(cc.c AS DOUBLE) / n.n), 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+    FROM cc JOIN n ON n.doc_id = cc.doc_id
+    GROUP BY cc.doc_id, n.n, n.n_distinct
+    ORDER BY cc.doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+    doc="Per-document character-level Shannon entropy (bits/char): the "
+        "encoding-junk detector — base64 blobs and hex dumps sit near "
+        "max entropy, repeated-character padding near zero, natural "
+        "text in a narrow band — used alongside the Gopher rules to "
+        "drop non-prose payloads that word-level heuristics misread. "
+        "Each -p*log2(p) term is a deterministic per-row double (same "
+        "c/n on both engines) rounded to a 6-dp DECIMAL before the "
+        "per-doc cross-row sum (the text_lm.py log-lane discipline). "
+        "One char explode -> (doc, char) -> doc hash-aggregate chain, "
+        "map-side combinable; the char alphabet bounds the inner "
+        "relation at ~100 rows per doc.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            F.col("n_distinct").alias("n_distinct_chars"),
+            "entropy",
+        )
+        .orderBy("doc_id")
+    )

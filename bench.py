@@ -121,6 +121,8 @@ HEADLINE = [
     "embed_whitening_check",
     "mm_audio_vad_segments",
     "ann_ivf_nprobe_sweep",
+    "text_char_entropy",
+    "embed_label_purity",
 ]
 
 

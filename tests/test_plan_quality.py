@@ -110,6 +110,15 @@ BNLJ_ALLOWED = {
         "same shape as curation_domain_mixture_weights: per-source "
         "relation x 1-row total and 1-row denominator broadcast "
         "attaches",
+    "ann_ivf_nprobe_sweep":
+        "inherits ann_ivf_probed's allowlisted shapes x3 (the 16 "
+        "centroids broadcast against vectors for assignment/probing) "
+        "plus the 3-row nprobe axis attached to per-query exact counts "
+        "— every nested-loop side is constant-size",
+    "embed_label_purity":
+        "the shared 16-centroid broadcast assignment (same allowlisted "
+        "O(N*16) narrow pass as dedup_semdedup_dropped); label counts "
+        "and the packed argmax are hash aggregates",
 }
 
 ALL_NAMES = sorted(QUERIES)

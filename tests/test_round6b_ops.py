@@ -102,3 +102,32 @@ def test_nprobe_sweep_monotone_and_bounded(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.mean_recall <= 1.0
         assert r.n_queries > 0
+
+
+def test_char_entropy_golden(spark, tmp_path):
+    import math
+    rows = [
+        (1, "aaaa", "s"),          # zero entropy
+        (2, "abab", "s"),          # exactly 1 bit/char
+        (3, "abcd", "s"),          # exactly 2 bits/char
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in QUERIES["text_char_entropy"]
+           .build(spark, str(tmp_path)).collect()}
+    assert got[1].entropy == 0.0
+    assert got[2].entropy == 1.0
+    assert got[3].entropy == 2.0
+    assert got[3].n_distinct_chars == 4
+
+
+def test_label_purity_consistency(spark, sf_dir):
+    rows = QUERIES["embed_label_purity"].build(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_members for r in rows)
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    assert total == load_table(spark, "embeddings", sf_dir).count()
+    for r in rows:
+        assert 1 <= r.majority_count <= r.n_members
+        assert 0.0 < r.purity <= 1.0
+        assert abs(r.purity - round(r.majority_count / r.n_members, 6)) < 1e-9
+        assert r.n_labels >= 1

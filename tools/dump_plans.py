@@ -160,6 +160,14 @@ COMMENT = {
         " exact-Jaccard verification keyed on the candidate pair, "
         "exact-integer J >= t filter; complete for t = 0.8 by the "
         "AllPairs lemma, property-tested vs brute force.",
+    "text_char_entropy":
+        "Char explode -> (doc, char) -> doc hash-aggregate chain; "
+        "-p*log2(p) terms as 6-dp decimal lanes before the per-doc sum; "
+        "~100-row inner relation per doc.",
+    "embed_label_purity":
+        "Shared broadcast-seed assignment; label counts keyed (cell, "
+        "label); majority via ONE packed-integer max aggregate (no "
+        "second window); 16-key exchanges only.",
     "ann_ivf_nprobe_sweep":
         "Exact baseline computed once; three IVF probe joins (each "
         "touching ~nprobe/16 of the index via the cell equi-join) union "

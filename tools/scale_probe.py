@@ -79,6 +79,8 @@ PROBES = [
     "embed_whitening_check",
     "mm_audio_vad_segments",
     "ann_ivf_nprobe_sweep",
+    "text_char_entropy",
+    "embed_label_purity",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
