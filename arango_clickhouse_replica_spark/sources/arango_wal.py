@@ -310,6 +310,70 @@ def forward_to_jsonl(
     return written
 
 
+def forward_to_jsonl_sharded(
+    client: ArangoWalClient,
+    store: FileTickStore,
+    collections: dict,
+    out_dir: str,
+    max_batches: int = 0,
+) -> dict[str, list[str]]:
+    """The SHARDED forwarder — the documented scale escape for the
+    single-cursor WAL tail, as files instead of Kafka topics.
+
+    One WAL is one ordered log, so the tail cursor is inherently serial
+    (the reference's producer is the same single loop). What does NOT
+    have to be serial is everything downstream: this forwarder routes
+    each acked page's documents into PER-COLLECTION subdirectories
+    (``out_dir/<collection>/wal-<tick>.jsonl`` — the file analogue of
+    one Kafka topic per collection, readme.md:84), so N independent
+    Structured Streaming sources consume N collections in parallel,
+    each with its own checkpoint, trigger, and backpressure, and a slow
+    table never stalls the others. At very high change rates the
+    remaining serial segment is a page fetch plus an in-memory
+    group-by-collection — I/O-bound fan-out, not per-document work;
+    beyond one WAL's bandwidth the unit of further sharding is the
+    DATABASE (one forwarder per db WAL).
+
+    Durability contract: all of a page's per-collection files are
+    written atomically (tmp + rename) BEFORE the tick store advances,
+    so the at-least-once window stays exactly one page and replayed
+    pages rewrite the same tick-named files (idempotent, absorbed by
+    the version-replacing merge downstream).
+    """
+    id_to_name = {cid: name for name, cid in collections.items()}
+    for name in collections:
+        os.makedirs(os.path.join(out_dir, name), exist_ok=True)
+    written: dict[str, list[str]] = {name: [] for name in collections}
+    start = store.get()
+    if start is None:
+        raise RuntimeError("tick store empty - call set_tick_if_not_set first")
+    gen = collect_logs(client, start, None, collections)
+    n = 0
+    try:
+        batch = gen.send(None)
+        while True:
+            tick = batch["last_included"]
+            by_coll: dict[str, list[dict]] = {}
+            for doc in batch["content"]:
+                by_coll.setdefault(id_to_name[doc["cuid"]], []).append(doc)
+            for name, docs in by_coll.items():
+                path = os.path.join(out_dir, name, f"wal-{tick}.jsonl")
+                tmp = f"{path}.tmp-{int(time.time() * 1000)}"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    for doc in docs:
+                        f.write(json.dumps(doc, separators=(",", ":")) + "\n")
+                os.replace(tmp, path)
+                written[name].append(path)
+            store.set(tick)
+            n += 1
+            if max_batches and n >= max_batches:
+                break
+            batch = gen.send(True)
+    except StopIteration:
+        pass
+    return written
+
+
 def iter_documents(batches: Iterator[dict]) -> Iterator[dict]:
     """Flatten tail batches to their documents (consumer convenience)."""
     for batch in batches:

@@ -205,3 +205,56 @@ def test_forward_is_idempotent_after_restart(wal_client, tmp_path):
     second = forward_to_jsonl(client, store, {"events": "h123/1"}, out)
     assert [p.split("/")[-1] for p in second] == ["wal-3.jsonl"]
     assert set(first) >= set(second)  # same names: overwrite, no dup files
+
+
+def test_forward_sharded_routes_per_collection(wal_client, tmp_path):
+    """Sharded forwarder: two watched collections interleaved in one WAL
+    land in per-collection directories (the one-topic-per-collection
+    shape), page-atomically, with the tick store advancing once per
+    page; re-forwarding replays idempotently."""
+    import json as _json
+    import os as _os
+
+    entries = [
+        _entry(1, cuid="h123/1", key="a", v=1),
+        _entry(2, cuid="h456/2", key="u", v=1),
+        _entry(3, cuid="h123/1", key="b", v=1),
+        _entry(4, cuid="h999/9", key="x", v=9),   # unwatched: dropped
+        _entry(5, cuid="h456/2", key="w", v=2),
+    ]
+    client, _ = wal_client(entries, page_size=2)
+    store = FileTickStore(str(tmp_path / "tick"))
+    set_tick_if_not_set(client, store)
+    store.set(0)
+    out = str(tmp_path / "sharded")
+    colls = {"events": "h123/1", "users": "h456/2"}
+
+    from arango_clickhouse_replica_spark.sources.arango_wal import (
+        forward_to_jsonl_sharded,
+    )
+
+    written = forward_to_jsonl_sharded(client, store, colls, out)
+    assert set(written) == {"events", "users"}
+
+    def docs(coll):
+        rows = []
+        d = _os.path.join(out, coll)
+        for f in sorted(_os.listdir(d)):
+            with open(_os.path.join(d, f)) as fh:
+                rows += [_json.loads(line) for line in fh]
+        return rows
+
+    ev, us = docs("events"), docs("users")
+    assert [e["tick"] for e in ev] == ["1", "3"]
+    assert [e["tick"] for e in us] == ["2", "5"]
+    assert all(e["cuid"] == "h123/1" for e in ev)
+    assert all(e["cuid"] == "h456/2" for e in us)
+    assert store.get() == 5  # cursor at the last acked page
+
+    # replay from scratch rewrites the same tick-named files, no dups
+    before = {c: sorted(_os.listdir(_os.path.join(out, c))) for c in colls}
+    store.set(0)
+    forward_to_jsonl_sharded(client, store, colls, out)
+    after = {c: sorted(_os.listdir(_os.path.join(out, c))) for c in colls}
+    assert before == after
+    assert [e["tick"] for e in docs("events")] == ["1", "3"]
