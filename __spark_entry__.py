@@ -126,6 +126,21 @@ def _ordered_names() -> list[str]:
                      if n in ROTATION_EXEMPT and n not in unseen]
         drop = set(droppable[:excess])
         ordered = [n for n in ordered if n not in drop]
+        if len(ordered) > ROTATION_BUDGET:
+            # The exempt pool no longer covers the excess: a query was
+            # registered without growing ROTATION_EXEMPT in the same
+            # commit (or, legitimately, >150 names are never-verified and
+            # must all be emitted). Warn loudly instead of silently
+            # exceeding the documented 3-round re-verification bound;
+            # tests/test_entry_contract.py asserts the steady-state
+            # (all-verified) registry never takes this branch.
+            print(
+                f"WARNING __spark_entry__: emitting {len(ordered)} names > "
+                f"ROTATION_BUDGET={ROTATION_BUDGET}; grow ROTATION_EXEMPT "
+                "with a subsumed variant in the same commit as the new "
+                "registration",
+                file=sys.stderr,
+            )
     return ordered
 
 

@@ -211,9 +211,14 @@ class IncrementalAHashDedup:
             cand = cand.unionByName(
                 candidate_pairs(bands, self._bands(store))  # new vs old
             ).distinct()
+            # A re-ingested media_id (update/replay of a different batch)
+            # has a signature row in BOTH the batch and the store; keep
+            # only the newest so the verification joins don't fan out
+            # into duplicate pair rows with mixed old/new Hamming values.
             sigs_all = sigs.unionByName(
                 store.select("media_id", "width", "height",
                              "b0", "b1", "b2", "b3")
+                .join(sigs.select("media_id"), "media_id", "left_anti")
             )
         pairs = self._verified(cand, sigs_all)
         pairs.write.mode("overwrite").parquet(

@@ -104,3 +104,17 @@ def test_malformed_writebacks_are_ignored(tmp_path):
     from arango_clickhouse_replica_spark.queries import QUERIES
 
     assert sorted(mod.queries()) == sorted(QUERIES)
+
+
+def test_steady_state_registry_fits_budget():
+    """The all-verified steady state must never hit the overflow warning:
+    the exempt pool has to cover (registry size - budget). When you
+    register a new query, grow ROTATION_EXEMPT in the SAME commit."""
+    import __spark_entry__ as mod
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    assert len(QUERIES) - len(mod.ROTATION_EXEMPT) <= mod.ROTATION_BUDGET, (
+        f"registry {len(QUERIES)} - exempt {len(mod.ROTATION_EXEMPT)} > "
+        f"budget {mod.ROTATION_BUDGET}: add a subsumed variant to "
+        "ROTATION_EXEMPT"
+    )

@@ -131,3 +131,65 @@ def test_label_purity_consistency(spark, sf_dir):
         assert 0.0 < r.purity <= 1.0
         assert abs(r.purity - round(r.majority_count / r.n_members, 6)) < 1e-9
         assert r.n_labels >= 1
+
+
+def test_pair_sim_histogram_sub_block_inactive_at_oracle_scale(spark):
+    """embed_pair_sim_histogram guards its cell-local pair join with
+    with_sub_block(label_cap=500), but its registered oracle has NO
+    sub-blocking — the two are only equivalent while every cell stays
+    <= 500 members. Pin that divergence condition at the scales the
+    oracle actually runs (driver = sf0.01, parity suite = sf0.001; and
+    sf0.1 where bench runs): measured 42/42/148. If a fixture regen
+    pushes a cell past the cap, this fails BEFORE the driver sees a
+    hash mismatch."""
+    import pyspark.sql.functions as F
+    from arango_clickhouse_replica_spark.queries.embed_ops import (
+        _assign, _seed_centroids, _dot, _norm,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        emb = load_table(spark, "embeddings", sf).withColumn(
+            "nrm", _norm(F.col("embedding"))
+        )
+        members = _assign(
+            emb.select("vec_id", "embedding", "nrm"),
+            _seed_centroids(emb),
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * _norm(F.col("c_emb"))),
+        )
+        occ = (
+            members.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert occ <= 500, (
+            f"{sf}: max cell occupancy {occ} > 500 — sub-blocking is now "
+            "active and the embed_pair_sim_histogram oracle diverges; "
+            "mirror the sub-block split in the oracle SQL"
+        )
+
+
+def test_char_entropy_astral_parity(spark, tmp_path):
+    """ADVICE r6 flagged text_char_entropy's '.' split as potentially
+    code-unit-based on the Spark (Java regex) side vs codepoint-based in
+    DuckDB (RE2). Empirically BOTH engines iterate codepoints — Java
+    regex treats surrogate pairs as one match for '.', and both skip
+    newlines — so no code change is needed; this test pins that parity
+    on astral (non-BMP) input so a Spark/DuckDB upgrade that changes it
+    fails here, not in the driver."""
+    import duckdb
+
+    rows = [(1, "a\U0001F600b\U0001F600\U0001F600\ncd", "s")]
+    _write_docs(spark, tmp_path, rows)
+    got = QUERIES["text_char_entropy"].build(spark, str(tmp_path)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(QUERIES["text_char_entropy"].oracle).fetchone()
+    con.close()
+    # 6 codepoints (newline excluded by '.'): a, emoji x3, b -> wait, plus c,d
+    assert (got.doc_id, got.n_chars, got.n_distinct_chars) == want[:3]
+    assert got.n_chars == 7 and got.n_distinct_chars == 5
+    assert abs(got.entropy - want[3]) < 1e-9
