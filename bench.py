@@ -123,6 +123,9 @@ HEADLINE = [
     "ann_ivf_nprobe_sweep",
     "text_char_entropy",
     "embed_label_purity",
+    "mm_rgb_png_decode_features",
+    "mm_color_jpeg_decode_features",
+    "mm_color_ahash_near_dup",
 ]
 
 

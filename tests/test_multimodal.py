@@ -468,3 +468,164 @@ def test_mjpeg_sampler_decodes_only_kept_frames(spark):
     got = {(r.frame_no, r.sum_pixels) for r in
            sample_mjpeg_frames(media, every_n=2).collect()}
     assert got == {(0, 0), (2, 64 * 20), (4, 64 * 40)}
+
+
+# --- color codecs (round 7: RGB PNG + 4:2:0 color JPEG) --------------------
+
+
+def test_rgb_png_roundtrip_byte_level():
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_png,
+        encode_png_rgb8,
+    )
+
+    w, h = 5, 3
+    px = bytes(
+        c
+        for y in range(h) for x in range(w)
+        for c in ((3 * x + 5 * y) % 256, (7 * x + y) % 256, (x + 11 * y) % 256)
+    )
+    png = encode_png_rgb8(px, w, h)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png(png)
+    assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+    assert out["pixels"] == px
+
+
+def test_ycbcr_fixed_point_floor_semantics():
+    """The inverse transform's numerators go negative; Python // floors
+    toward -inf, and the oracle mirrors it with FLOOR(x/1000.0). Pin a
+    handful of exact values, including the negative-numerator cases."""
+    import math
+
+    import numpy as np
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        rgb_to_ycbcr_int,
+        ycbcr_to_rgb_int,
+    )
+
+    y, cb, cr = rgb_to_ycbcr_int(
+        np.array([0, 255, 12]), np.array([0, 255, 200]), np.array([0, 255, 3])
+    )
+    assert list(y) == [0, 255, (299 * 12 + 587 * 200 + 114 * 3 + 500) // 1000]
+    # forward numerators are provably non-negative: floor == truncate
+    assert (cb >= 0).all() and (cr >= 0).all() and (cb <= 255).all()
+
+    r, g, b = ycbcr_to_rgb_int(np.array([0]), np.array([0]), np.array([0]))
+    # negative numerators floor toward -inf then clip to 0
+    assert (int(r[0]), int(b[0])) == (0, 0)
+    assert int(g[0]) == min(
+        255, max(0, math.floor((0 - 344 * (0 - 128) - 714 * (0 - 128) + 500) / 1000))
+    )
+
+
+def test_color_jpeg_roundtrip_exact_on_constant_mcus():
+    """MCU-constant color survives the lossy 4:2:0 chain exactly modulo
+    the YCbCr fixed-point round trip — the property the
+    mm_color_jpeg_decode_features oracle replays in closed form."""
+    import numpy as np
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_color420,
+        encode_jpeg_color420,
+        rgb_to_ycbcr_int,
+        ycbcr_to_rgb_int,
+    )
+
+    w, h = 32, 16  # two MCUs wide
+    mcu_rgb = [(37, 201, 90), (254, 3, 128)]
+    px = bytes(
+        c for y in range(h) for x in range(w) for c in mcu_rgb[x // 16]
+    )
+    jpg = encode_jpeg_color420(px, w, h)
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    dec = decode_jpeg_color420(jpg)
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+
+    expect = b""
+    rt = {}
+    for rgb in mcu_rgb:
+        yy, cb, cr = rgb_to_ycbcr_int(*(np.array([v]) for v in rgb))
+        rr, gg, bb = ycbcr_to_rgb_int(yy, cb, cr)
+        rt[rgb] = (int(rr[0]), int(gg[0]), int(bb[0]))
+    expect = bytes(
+        c for y in range(h) for x in range(w) for c in rt[mcu_rgb[x // 16]]
+    )
+    assert dec["pixels"] == expect
+
+
+def test_color_jpeg_gray_content_roundtrips_like_gray8():
+    """r=g=b noise: Y equals the gray value exactly and chroma is the
+    constant 128, so the color pipeline must match the gray codec's
+    +-1 bound even on worst-case (noise) luma, across odd dimensions
+    (exercises the 16x16 edge-replication padding)."""
+    import random
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_color420,
+        encode_jpeg_color420,
+    )
+
+    rng = random.Random(7)
+    w, h = 21, 13
+    gray = [rng.randrange(256) for _ in range(w * h)]
+    px = bytes(c for v in gray for c in (v, v, v))
+    dec = decode_jpeg_color420(encode_jpeg_color420(px, w, h))
+    assert (dec["width"], dec["height"]) == (w, h)
+    out = dec["pixels"]
+    err = max(
+        abs(out[3 * i + c] - gray[i]) for i in range(w * h) for c in range(3)
+    )
+    assert err <= 1
+
+
+def test_color_jpeg_rejects_gray_and_garbage():
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_color420,
+        decode_jpeg_gray8,
+        encode_jpeg_color420,
+        encode_jpeg_gray8,
+    )
+
+    gray = encode_jpeg_gray8(bytes(range(64)), 8, 8)
+    with _pytest.raises(ValueError):
+        decode_jpeg_color420(gray)
+    color = encode_jpeg_color420(bytes(16 * 16 * 3), 16, 16)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray8(color)
+    with _pytest.raises(ValueError):
+        decode_jpeg_color420(b"\x00\x01not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg_color420(gray[:2])  # SOI only, no scan
+
+
+def test_color_ahash_luma_weights_match_gray_on_gray_content(spark):
+    """A color PNG whose channels are all equal must hash identically to
+    the gray PNG of the same pixels: luma WEIGHT 299r+587g+114b =
+    1000*v, and the cross-multiplied mean comparison is scale-invariant."""
+    import pandas as pd
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        encode_png_gray8,
+        encode_png_rgb8,
+    )
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        extract_ahash,
+    )
+    w, h = 16, 16
+    gray_px = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    rgb_px = bytes(c for v in gray_px for c in (v, v, v))
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "payload": [encode_png_gray8(gray_px, w, h),
+                        encode_png_rgb8(rgb_px, w, h)],
+            "meta": [{"mime": "image/png", "n_bytes": 0, "source": None}] * 2,
+        })
+    )
+    rows = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
+            for r in extract_ahash(media).collect()}
+    assert rows[1] == rows[2]

@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--only", default="", help="comma-separated query names")
     ap.add_argument("--limit", type=int, default=0,
                     help="check only the first N queries() entries (driver window)")
+    ap.add_argument("--all", action="store_true",
+                    help="drive the FULL registry (rotation-exempt included), "
+                         "bypassing the 150-name emission cap — the per-round "
+                         "full-verification record (VERDICT r6 item 1)")
+    ap.add_argument("--json", default="",
+                    help="write per-query results to this JSON file")
     args = ap.parse_args()
 
     import duckdb
@@ -78,8 +84,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    qs = mod.queries()
-    oracles = mod.oracle_sql()
+    if args.all:
+        from arango_clickhouse_replica_spark.queries import QUERIES
+
+        qs = {n: q.build for n, q in QUERIES.items()}
+        oracles = {n: q.oracle for n, q in QUERIES.items()
+                   if q.oracle is not None}
+    else:
+        qs = mod.queries()
+        oracles = mod.oracle_sql()
     names = list(qs)
     if args.only:
         wanted = args.only.split(",")
@@ -88,6 +101,7 @@ def main() -> int:
         names = names[: args.limit]
 
     failures = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -102,12 +116,27 @@ def main() -> int:
         dt = time.perf_counter() - t0
         status = "PASS" if ok else "FAIL"
         print(f"{status} {name} ({dt:.1f}s) {msg if not ok or 'rows-only' in msg else ''}")
+        record[name] = {
+            "pass": ok,
+            "oracle": name in oracles,
+            "sec": round(dt, 2),
+            **({} if ok else {"msg": msg[:300]}),
+        }
         if not ok:
             failures.append((name, msg))
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass")
     for name, msg in failures:
         print(f"  FAIL {name}: {msg[:500]}")
+    if args.json:
+        import json as _json
+
+        Path(args.json).write_text(_json.dumps(
+            {"sf": args.sf, "full_registry": bool(args.all),
+             "n": len(names),
+             "n_pass": len(names) - len(failures),
+             "queries": record},
+            indent=1, sort_keys=True) + "\n")
     return 1 if failures else 0
 
 

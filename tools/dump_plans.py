@@ -287,6 +287,22 @@ COMMENT = {
         "corpus shuffle); only colliding positions shuffle on doc_id "
         "for the span merge — leak localization priced at one narrow "
         "pass over the corpus.",
+    "mm_rgb_png_decode_features":
+        "Real COLOR PNG decode (round 7): two chained 1:1 mapInPandas "
+        "stages (color-type-2 encode, bpp-aware decode + per-channel "
+        "moments) — zero exchanges; zlib + numpy per payload, "
+        "scan/IO-bound and partition-parallel at 100 TB.",
+    "mm_color_jpeg_decode_features":
+        "Real 4:2:0 color JPEG decode (round 7): two chained 1:1 "
+        "mapInPandas stages (YCbCr + subsample + interleaved-MCU "
+        "encode, full marker-walk decode + moments) — zero exchanges; "
+        "numpy DCT/Huffman per payload, scan-bound.",
+    "mm_color_ahash_near_dup":
+        "Perceptual near-dup on COLOR input (round 7): real RGB PNG "
+        "decode -> integer luma-weight aHash -> occupancy-capped "
+        "16-bit band join -> Hamming verify; signatures are 8 "
+        "bytes/image and the band join shuffles 16-bit keys, never "
+        "pixels — same discipline as the gray twin.",
     "mm_jpeg_decode_features":
         "Real JPEG decode (round 5): two chained 1:1 mapInPandas stages "
         "(encode, decode+features) — zero exchanges; per-payload work "

@@ -81,6 +81,9 @@ PROBES = [
     "ann_ivf_nprobe_sweep",
     "text_char_entropy",
     "embed_label_purity",
+    "mm_rgb_png_decode_features",
+    "mm_color_jpeg_decode_features",
+    "mm_color_ahash_near_dup",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
