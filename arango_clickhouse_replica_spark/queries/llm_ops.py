@@ -208,7 +208,13 @@ def text_lang_stopword_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arithmetic -> exact parity).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    return quality_scores(load_table(spark, "documents", sf_dir))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """The quality relation over an arbitrary ``(doc_id, text)`` frame —
+    shared by the registered query above and the streaming curation
+    gate, so batch and ingest-time scores agree by construction."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")

@@ -19,9 +19,12 @@ streaming/dedup.py). State never grows: unlike incremental dedup there is
 no accumulating store — the eval side is constant, so each batch's work
 is O(batch), making this the cheapest possible ingest-time gate at 100 TB.
 
-Like streaming/dedup.py, signatures here use UNCAPPED shingles: the
-hot-shingle document-frequency cap needs corpus-global df, which a batch
-cannot see (production keeps a rolling df sketch; documented trade-off).
+Like streaming/dedup.py, signatures default to UNCAPPED shingles (a
+batch cannot see corpus-global df); pass ``hot_shingles`` — the rolling
+df sketch's stopword-like shingle list — to apply the batch queries'
+``drop_hot_shingles`` discipline to BOTH the eval set and every batch,
+making streaming verdicts equal the df-capped ``decontam_minhash_fuzzy``
+batch query's exactly (tests/test_streaming_curation.py).
 """
 
 from __future__ import annotations
@@ -45,13 +48,20 @@ class StreamingDecontam:
         id_col: str = "doc_id",
         text_col: str = "text",
         min_lanes: int = LANES // 2,
+        hot_shingles: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.flags_dir = flags_dir
         self.id_col = id_col
         self.text_col = text_col
         self.min_lanes = min_lanes
-        sh = word_shingles(eval_docs, id_col=id_col, text_col=text_col)
+        self._hot = (
+            hot_shingles.select("s").localCheckpoint(eager=True)
+            if hot_shingles is not None else None
+        )
+        sh = self._capped(
+            word_shingles(eval_docs, id_col=id_col, text_col=text_col)
+        )
         # Benchmark suites are tiny and static per run — materialize their
         # signatures once; every batch join below broadcasts them.
         self._eval_mins = lane_mins(sh, id_col=id_col).withColumnRenamed(
@@ -61,8 +71,15 @@ class StreamingDecontam:
             id_col, "eval_doc"
         ).localCheckpoint(eager=True)
 
+    def _capped(self, sh: DataFrame) -> DataFrame:
+        if self._hot is not None:
+            sh = sh.join(self._hot, "s", "left_anti")
+        return sh
+
     def _score(self, batch: DataFrame) -> DataFrame:
-        sh = word_shingles(batch, id_col=self.id_col, text_col=self.text_col)
+        sh = self._capped(
+            word_shingles(batch, id_col=self.id_col, text_col=self.text_col)
+        )
         mins = lane_mins(sh, id_col=self.id_col).withColumnRenamed(
             self.id_col, "train_doc"
         )

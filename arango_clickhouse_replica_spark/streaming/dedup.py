@@ -18,9 +18,14 @@ dead-letter path). At 100 TB the store is the only growing state and is
 itself bucketable by (band, sig); the per-batch join touches one
 bucket's worth of store rows per new signature.
 
-No document-frequency shingle cap here: the cap needs corpus-global df
-(a batch sees only its slice). Production systems maintain a rolling df
-sketch for this; documented trade-off.
+A batch cannot see corpus-global document frequency, so by default the
+shingles here are UNCAPPED. Production systems maintain a rolling df
+sketch; that sketch's output is exactly the optional ``hot_shingles``
+relation — a ``(s)`` list of stopword-like shingles anti-joined out of
+every batch's shingle stream (same discipline as the batch queries'
+``drop_hot_shingles``). With a hot list built by the batch cap formula,
+the streaming candidate set equals the df-capped batch query's exactly
+(tests/test_streaming_curation.py).
 """
 
 from __future__ import annotations
@@ -44,12 +49,25 @@ class IncrementalLshDedup:
         pairs_dir: str,
         id_col: str = "doc_id",
         text_col: str = "text",
+        hot_shingles: DataFrame | None = None,
     ) -> None:
         self.spark = spark
         self.store_dir = store_dir
         self.pairs_dir = pairs_dir
         self.id_col = id_col
         self.text_col = text_col
+        # The rolling-df-sketch output: a tiny (s) relation, constant for
+        # the run — materialize once, anti-join into every batch.
+        self._hot = (
+            hot_shingles.select("s").localCheckpoint(eager=True)
+            if hot_shingles is not None else None
+        )
+
+    def _shingles(self, batch: DataFrame) -> DataFrame:
+        sh = word_shingles(batch, id_col=self.id_col, text_col=self.text_col)
+        if self._hot is not None:
+            sh = sh.join(self._hot, "s", "left_anti")
+        return sh
 
     def _store(self, exclude_batch: int) -> DataFrame | None:
         if not os.path.isdir(self.store_dir):
@@ -65,10 +83,7 @@ class IncrementalLshDedup:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        sigs = band_signatures(
-            word_shingles(batch, id_col=self.id_col, text_col=self.text_col),
-            id_col=self.id_col,
-        )
+        sigs = band_signatures(self._shingles(batch), id_col=self.id_col)
         # Signatures are re-read twice below (store join + self join);
         # they are bands-per-doc tiny — materialize once.
         sigs = sigs.localCheckpoint(eager=True)
