@@ -218,19 +218,18 @@ _TFIDF_CAP_SQL = ("GREATEST(5, LEAST(64, "
                   "(SELECT COUNT(*) FROM documents) // 100))")
 
 _TFIDF_WEIGHTS_SQL = f"""
-  SELECT dw.doc_id, dw.s,
-         CAST(round(CAST(dw.tf AS DOUBLE) * CAST(idf.idf_s AS DOUBLE), 6)
+  SELECT doc_id, s,
+         CAST(round(CAST(tf AS DOUBLE) * CAST({_LOG2_DEC_SQL.format(
+             x="CAST(n_docs AS DOUBLE) / CAST(df_s AS DOUBLE)")} AS DOUBLE), 6)
               AS DECIMAL(18,6)) AS wt
-  FROM (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM ({_RAW_SHINGLES_SQL}) GROUP BY doc_id, s) dw
-  JOIN (
-    SELECT s, {_LOG2_DEC_SQL.format(
-        x="CAST(n_docs AS DOUBLE) / CAST(df_s AS DOUBLE)")} AS idf_s
-    FROM (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_s
-          FROM ({_RAW_SHINGLES_SQL}) GROUP BY s) cw0,
-         (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) st
-    WHERE df_s <= {_TFIDF_CAP_SQL}
-  ) idf ON dw.s = idf.s
+  FROM (
+    SELECT doc_id, s, tf,
+           COUNT(*) OVER (PARTITION BY s) AS df_s,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    FROM (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM ({_RAW_SHINGLES_SQL}) GROUP BY doc_id, s)
+  )
+  WHERE df_s <= {_TFIDF_CAP_SQL}
 """
 
 
@@ -238,7 +237,17 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-capped tf-idf vector space ``(doc_id, s, wt)`` shared by the
     cosine near-dup join and keyphrase extraction — weights are 6-dp
     decimals (exact cross-engine), shingles past the df cap carry no
-    weight (stopword-like AND pair-cost-quadratic, see llm_ops)."""
+    weight (stopword-like AND pair-cost-quadratic, see llm_ops).
+
+    df comes from a window over ``s``, not a separate aggregate joined
+    back: the r7 50x profile (docs/SCALING.md) caught the idf JOIN — a
+    corpus-sized relation joined onto the corpus-sized tf relation — at
+    ~85% of the whole query's wall time; the window needs ONE shuffle of
+    the tf relation where the join needed two plus an aggregate.
+    ``n_docs`` is the count already collected for the cap — a literal,
+    not a crossJoin."""
+    from pyspark.sql.window import Window
+
     from .llm_ops import _hot_shingle_cap
 
     docs = load_table(spark, "documents", sf_dir)
@@ -255,24 +264,21 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+    n_docs = docs.count()
+    cap = _hot_shingle_cap(n_docs)
     dw = raw.groupBy("doc_id", "s").agg(F.count("*").alias("tf"))
-    cw = dw.groupBy("s").agg(F.count("*").alias("df_s"))
-    cap = _hot_shingle_cap(docs.count())
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    idf = (
-        cw.filter(F.col("df_s") <= cap)
-        .crossJoin(F.broadcast(n_docs))
+    idf = F.expr(_LOG2_DEC.format(
+        x=f"cast({n_docs} as double) / cast(df_s as double)"))
+    return (
+        dw.withColumn("df_s", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("df_s") <= cap)
+        .withColumn("idf_s", idf)
         .select(
+            "doc_id",
             "s",
-            F.expr(_LOG2_DEC.format(
-                x="cast(n_docs as double) / cast(df_s as double)")).alias("idf_s"),
+            F.round(F.col("tf").cast("double") * F.col("idf_s").cast("double"), 6)
+            .cast("decimal(18,6)").alias("wt"),
         )
-    )
-    return dw.join(idf, "s").select(
-        "doc_id",
-        "s",
-        F.round(F.col("tf").cast("double") * F.col("idf_s").cast("double"), 6)
-        .cast("decimal(18,6)").alias("wt"),
     )
 
 
