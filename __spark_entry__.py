@@ -74,6 +74,13 @@ ROTATION_EXEMPT = frozenset({
     "q_rollup_revenue_by_year_status",  # ROLLUP: q_grouping_sets_revenue superset
     "q_orders_per_customer",            # plain groupBy count: q_top_customers
     "q_window_running_spend",           # rows-frame running sum: q_window_range_30d_spend
+    # Grown r7 alongside the 4 retrieval/LM/curation registrations
+    # (rrf, bigram LM, matryoshka, DSIR); each pick has 4-6 green
+    # driver rounds plus the r7 full-registry record:
+    "q_json_extract_props",           # JSON paths: q_variant_schemaless
+    "q_explode_token_counts",         # explode+count: every text_* explode query
+    "q_argmax_latest_order",          # argmax: q_asof_join_latest_order, cdc_latest_state
+    "q_top_customers",                # global top-N: every *_topk TakeOrdered query
 })
 
 

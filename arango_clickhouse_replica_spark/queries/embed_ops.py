@@ -1386,3 +1386,154 @@ def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(maj_count.cast("double") / F.col("n_members"), 6)
         .alias("purity"),
     ).orderBy("cell")
+
+
+# Matryoshka truncation sweep: leading-dim prefixes evaluated for recall.
+_MRL_DIMS = (16, 32)
+
+
+def _mrl_trunc_sql(d: int) -> str:
+    from .llm_ops import _cosine_sql
+
+    cos = _cosine_sql(f"q.embedding[1:{d}]", f"e.embedding[1:{d}]")
+    return f"""
+      SELECT {d} AS trunc_dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({cos}, 4) DESC, e.vec_id) AS rn
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 100 = 0) q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rn <= 5"""
+
+
+def _install_matryoshka_oracle() -> None:
+    from dataclasses import replace
+
+    ex = _REG["ann_cosine_topk_bruteforce"].oracle
+    tr_union = "\n      UNION ALL\n      ".join(
+        _mrl_trunc_sql(d) for d in _MRL_DIMS
+    )
+    dims_list = ", ".join(str(d) for d in _MRL_DIMS)
+    oracle = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM ({ex})
+    ),
+    tr AS MATERIALIZED (
+      {tr_union}
+    ),
+    hits AS (
+      SELECT t.trunc_dim, t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM tr t JOIN ex ON ex.query_id = t.query_id
+                       AND ex.neighbor_id = t.neighbor_id
+      GROUP BY t.trunc_dim, t.query_id
+    ),
+    nex AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM ex GROUP BY query_id
+    ),
+    per AS (
+      SELECT d.trunc_dim,
+             CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                        / CAST(nex.n_exact AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS r
+      FROM nex CROSS JOIN (SELECT unnest([{dims_list}]) AS trunc_dim) d
+      LEFT JOIN hits h ON h.trunc_dim = d.trunc_dim
+                      AND h.query_id = nex.query_id
+    )
+    SELECT CAST(trunc_dim AS INTEGER) AS trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_recall
+    FROM per GROUP BY trunc_dim ORDER BY trunc_dim
+    """
+    _REG["embed_matryoshka_recall"] = replace(
+        _REG["embed_matryoshka_recall"], oracle=oracle
+    )
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle=None,  # composed below from the brute-force oracle
+    tags=("similarity", "embedding", "calibration", "report"),
+    doc="Matryoshka truncation quality curve (Kusupati et al. 2022 "
+        "MRL): recall@5 of cosine top-5 computed on the LEADING 16 and "
+        "32 of 64 dimensions vs the full-dimension exact baseline, for "
+        "the bounded vec_id%100 query set. MRL-trained embedding stacks "
+        "serve truncated prefixes to cut index memory/bandwidth 2-4x; "
+        "this report measures what that costs in retrieval quality as "
+        "data, the same adjudication discipline as ann_recall_report "
+        "and ann_ivf_nprobe_sweep. Per-query recalls go through the "
+        "6-dp decimal lane before the cross-row mean; ranks tiebreak "
+        "on rounded similarity + neighbor id in both engines. Cost: "
+        "one broadcast-Q scan per truncation plus the shared exact "
+        "baseline — shortlists are Q*5 rows regardless of N.",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import ann_cosine_topk_bruteforce
+
+    ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def trunc_topk(d: int) -> DataFrame:
+        sl = lambda c: F.slice(c, 1, d)  # noqa: E731
+        e = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            sl(F.col("embedding")).alias("e_emb"),
+        ).withColumn("e_nrm", _norm(F.col("e_emb")))
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            sl(F.col("embedding")).alias("q_emb"),
+        ).withColumn("q_nrm", _norm(F.col("q_emb")))
+        sim = _dot(F.col("q_emb"), F.col("e_emb")) \
+            / (F.col("q_nrm") * F.col("e_nrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .join(e, F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(sim, 4).alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select(F.lit(d).cast("int").alias("trunc_dim"),
+                    "query_id", "neighbor_id")
+        )
+
+    tr = trunc_topk(_MRL_DIMS[0])
+    for d in _MRL_DIMS[1:]:
+        tr = tr.unionByName(trunc_topk(d))
+
+    hits = (
+        tr.join(ex, ["query_id", "neighbor_id"])
+        .groupBy("trunc_dim", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "trunc_dim int")
+    per = (
+        n_ex.crossJoin(F.broadcast(dims))
+        .join(hits, ["trunc_dim", "query_id"], "left")
+        .select(
+            "trunc_dim",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact"), 6)
+            .cast("decimal(18,6)").alias("r"),
+        )
+    )
+    return (
+        per.groupBy("trunc_dim")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.sum("r").cast("double") / F.count("*"), 6)
+            .alias("mean_recall"),
+        )
+        .orderBy("trunc_dim")
+    )
+
+
+_install_matryoshka_oracle()

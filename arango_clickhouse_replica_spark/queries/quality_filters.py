@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
-from .text_lm import UNIGRAM_LOGPROB_SQL, text_unigram_logprob
+from .text_lm import (
+    UNIGRAM_LOGPROB_SQL,
+    _LOG2_DEC_SQL as _LOG2_DEC_SQL_QF,
+    text_unigram_logprob,
+)
 
 # --- shared 8-word segmentation (same shape as dedup_passage_segments) --
 
@@ -719,3 +723,152 @@ def _install_cluster_histogram_oracle() -> None:
 
 
 _install_cluster_histogram_oracle()
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(ws || list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS feat
+      FROM ws
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(feat), 1, 6) AS BIGINT)
+               % {_N_BUCKETS} AS bucket,
+             doc_id % 97 = 0 AS is_target
+      FROM feats
+      WHERE feat <> '' AND feat NOT LIKE '% ' AND feat NOT LIKE ' %'
+        AND feat NOT LIKE '%  %'
+    ),
+    cnt AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_t,
+             CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+               AS c_r
+      FROM fb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+             CAST(SUM(c_r) AS BIGINT) AS n_r
+      FROM cnt
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST({_LOG2_DEC_SQL_QF.format(
+                 x=f"(CAST(c_t AS DOUBLE) + 1.0)"
+                   f" / (CAST(n_t AS DOUBLE) + {_N_BUCKETS}.0)")} AS
+                 DECIMAL(18,6))
+             - CAST({_LOG2_DEC_SQL_QF.format(
+                 x=f"(CAST(c_r AS DOUBLE) + 1.0)"
+                   f" / (CAST(n_r AS DOUBLE) + {_N_BUCKETS}.0)")} AS
+                 DECIMAL(18,6)) AS lr
+      FROM cnt CROSS JOIN tot
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fb WHERE NOT is_target GROUP BY doc_id, bucket
+    )
+    SELECT db.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_features,
+           CAST(SUM(c * lr) AS DOUBLE) AS dsir_logweight_bits,
+           CAST(SUM(c * lr) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS avg_logratio_bits
+    FROM db JOIN lr USING (bucket)
+    GROUP BY db.doc_id
+    """,
+    tags=("curation", "sampling", "classifier"),
+    doc="DSIR importance weights (Xie et al. 2023, Data Selection via "
+        "Importance Resampling — the published method behind "
+        "target-domain data selection at pre-training scale): every "
+        "TRAIN document's log importance weight "
+        "sum_f c(f) * [log2 p_target(f) - log2 p_raw(f)] under "
+        "add-1-smoothed hashed unigram+bigram bag models (the same "
+        "1024-bucket md5 feature space as text_hashed_ngram_classifier, "
+        "so the two share one feature generator shape), with the eval "
+        "marking rule (doc_id%97) shared by every decontam probe. "
+        "Documents resembling the target distribution get positive "
+        "weights; sampling proportional to exp of these weights IS the "
+        "DSIR recipe. Each log goes through the verified round+DECIMAL "
+        "lane; per-doc sums multiply exact BIGINT counts by exact "
+        "decimal ratios. Plan: one narrow feature pass, a 1024-row "
+        "(structurally bounded) count relation broadcast back onto the "
+        "per-doc bucket aggregate, one groupBy(doc_id) — the corpus "
+        "never shuffles on anything wider than (doc_id, bucket).",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feats = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "concat(ws, if(size(ws) >= 2,"
+                    " transform(sequence(1, size(ws) - 1),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i])),"
+                    " cast(array() as array<string>)))"
+                )
+            ).alias("feat"),
+        )
+        .filter(
+            (F.col("feat") != "")
+            & ~F.col("feat").like("% ")
+            & ~F.col("feat").like(" %")
+            & ~F.col("feat").like("%  %")
+        )
+    )
+    fb = feats.select(
+        "doc_id",
+        _feature_bucket(F.col("feat")).alias("bucket"),
+        (F.col("doc_id") % 97 == 0).alias("is_target"),
+    )
+    cnt = fb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    tot = cnt.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+    )
+    lane = "cast(round(log2({x}), 6) as decimal(18,6))"
+    lr = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.expr(lane.format(
+                    x=f"(cast(c_t as double) + 1.0)"
+                      f" / (cast(n_t as double) + {_N_BUCKETS}.0)"))
+                - F.expr(lane.format(
+                    x=f"(cast(c_r as double) + 1.0)"
+                      f" / (cast(n_r as double) + {_N_BUCKETS}.0)"))
+            ).alias("lr"),
+        )
+    )
+    db = (
+        fb.filter(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_features"),
+            F.sum(F.col("c") * F.col("lr")).alias("slr"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            F.col("slr").cast("double").alias("dsir_logweight_bits"),
+            (F.col("slr").cast("double")
+             / F.col("n_features").cast("double")).alias("avg_logratio_bits"),
+        )
+    )

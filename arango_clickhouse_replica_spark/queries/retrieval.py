@@ -79,17 +79,16 @@ _CORPUS_COUNTS_SQL = f"""
 """
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH dw AS (
+# The BM25 scoring CTE chain, shared by text_bm25_topk and the RRF
+# fusion oracle (same query-term set, same decimal lanes).
+_BM25_PRELUDE_SQL = f"""dw AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
       FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w
     ),
     cw AS ({_CORPUS_COUNTS_SQL}),
     qterms AS (
-      SELECT w, df_w FROM (
-        SELECT w, df_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk
+      SELECT w, df_w, c_w FROM (
+        SELECT w, df_w, c_w, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rnk
         FROM cw
       ) WHERE rnk BETWEEN {_QTERM_LO} AND {_QTERM_HI}
     ),
@@ -118,11 +117,21 @@ _CORPUS_COUNTS_SQL = f"""
       FROM dw JOIN idf ON dw.w = idf.w
       JOIN dl ON dw.doc_id = dl.doc_id
       CROSS JOIN stats
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-           CAST(SUM(term_score) AS DOUBLE) AS bm25
-    FROM scores
-    GROUP BY doc_id
+    ),
+    bm25_scores AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(term_score) AS DOUBLE) AS bm25
+      FROM scores
+      GROUP BY doc_id
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_PRELUDE_SQL}
+    SELECT doc_id, n_terms_hit, bm25
+    FROM bm25_scores
     ORDER BY bm25 DESC, doc_id
     LIMIT 20
     """,
@@ -135,6 +144,17 @@ _CORPUS_COUNTS_SQL = f"""
         "order-independent; idf uses the verified round+DECIMAL log2 lane.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _query_term_parts(spark: SparkSession, sf_dir: str):
+    """(dw, qterms, dl, stats): the per-doc tf table, the deterministic
+    rank-11..13 query-term set, doc lengths, and corpus stats — shared
+    by BM25 scoring and the query-likelihood ranker in the RRF fusion."""
     words = _doc_words(spark, sf_dir)
     dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     cw = dw.groupBy("w").agg(
@@ -150,12 +170,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk", F.row_number().over(Window.orderBy(F.desc("c_w"), F.asc("w")))
         )
         .filter(F.col("rnk").between(_QTERM_LO, _QTERM_HI))
-        .select("w", "df_w")
+        .select("w", "df_w", "c_w")
     )
     dl = dw.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
+    return dw, qterms, dl, stats
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungated BM25 score relation ``(doc_id, n_terms_hit, bm25)`` over
+    the deterministic rank-11..13 query-term set — shared by the top-k
+    query above and the RRF fusion below."""
+    dw, qterms, dl, stats = _query_term_parts(spark, sf_dir)
     idf = qterms.crossJoin(F.broadcast(stats)).select(
         "w",
         F.expr(_LOG2_DEC.format(
@@ -188,8 +216,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_terms_hit"),
             F.sum("term_score").cast("double").alias("bm25"),
         )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
     )
 
 
@@ -1025,4 +1051,110 @@ def text_keyphrase_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("phrase"),
             F.col("wt").cast("double").alias("tfidf"),
         )
+    )
+
+
+# Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60).
+_RRF_K = 60
+# Jelinek-Mercer interpolation for the query-likelihood ranker.
+_QL_LAMBDA = 0.5
+# Per-ranker candidate-list depth fused by RRF.
+_RRF_DEPTH = 50
+
+
+@query(
+    "text_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_PRELUDE_SQL},
+    ql AS (
+      SELECT dl.doc_id,
+             CAST(SUM({_LOG2_DEC_SQL.format(
+                 x="0.5 * CAST(COALESCE(dw.tf, 0) AS DOUBLE)"
+                   " / CAST(dl.dl AS DOUBLE)"
+                   " + 0.5 * CAST(q.c_w AS DOUBLE)"
+                   " / CAST(stats.total_len AS DOUBLE)")}) AS DOUBLE) AS ql
+      FROM dl CROSS JOIN qterms q CROSS JOIN stats
+      LEFT JOIN dw ON dw.doc_id = dl.doc_id AND dw.w = q.w
+      GROUP BY dl.doc_id
+    ),
+    rb AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM bm25_scores
+      ) WHERE rnk <= {_RRF_DEPTH}
+    ),
+    rq AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ql DESC, doc_id) AS rnk
+        FROM ql
+      ) WHERE rnk <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id,
+           CAST(rb.rnk AS INTEGER) AS bm25_rank,
+           CAST(rq.rnk AS INTEGER) AS ql_rank,
+           round(COALESCE(1.0 / ({_RRF_K} + rb.rnk), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + rq.rnk), 0.0), 6) AS rrf
+    FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "retrieval", "fusion"),
+    doc="Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009, "
+        "the standard BM25+semantic combiner in production search): two "
+        "independent rankers over the same deterministic query-term set "
+        "— BM25 (shared _bm25_scores relation) and a Jelinek-Mercer "
+        "query-likelihood LM (lambda=0.5, per-term log2 through the "
+        "decimal lane, absent terms carried by the corpus background) — "
+        "each cut to a depth-50 list via distributed "
+        "TakeOrderedAndProject + a window over those 50 rows, then "
+        "fused with 1/(60+rank) and re-ranked. Rank fusion needs no "
+        "score calibration, which is why it survives mixing lexical "
+        "and LM scores; 1/(60+rank) over small-integer ranks is "
+        "IEEE-exact in both engines. Scale: per-ranker candidate "
+        "lists are O(depth) rows regardless of corpus size, so the "
+        "fusion join is trivially bounded; the QL scan is one "
+        "O(N x |qterms|) narrow pass.",
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw, qterms, dl, stats = _query_term_parts(spark, sf_dir)
+
+    # Query-likelihood: every (doc, qterm) cell, absent terms tf=0.
+    cells = (
+        dl.crossJoin(F.broadcast(qterms.select("w", "c_w")))
+        .crossJoin(F.broadcast(stats))
+        .join(dw, ["doc_id", "w"], "left")
+    )
+    ql = (
+        cells.select(
+            "doc_id",
+            F.expr(_LOG2_DEC.format(
+                x=f"{_QL_LAMBDA} * cast(coalesce(tf, 0) as double)"
+                  " / cast(dl as double)"
+                  f" + {1 - _QL_LAMBDA} * cast(c_w as double)"
+                  " / cast(total_len as double)")).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("lp").cast("double").alias("ql"))
+    )
+
+    def ranked(rel: DataFrame, score: str, out: str) -> DataFrame:
+        top = rel.orderBy(F.desc(score), F.asc("doc_id")).limit(_RRF_DEPTH)
+        w = Window.orderBy(F.desc(score), F.asc("doc_id"))
+        return top.withColumn(out, F.row_number().over(w).cast("int")) \
+            .select("doc_id", out)
+
+    rb = ranked(_bm25_scores(spark, sf_dir), "bm25", "bm25_rank")
+    rq = ranked(ql, "ql", "ql_rank")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(c)), F.lit(0.0))
+    return (
+        rb.join(rq, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "ql_rank",
+            F.round(contrib("bm25_rank") + contrib("ql_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
     )

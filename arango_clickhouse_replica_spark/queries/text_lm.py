@@ -342,3 +342,150 @@ def text_source_kl_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kl_bits"),
         )
     )
+
+
+# Interpolation weight for the bigram term (1 - this carries the
+# unigram background) — Jelinek-Mercer, the KenLM-style fixed-lambda
+# variant of stupid backoff.
+_BIGRAM_LAMBDA = 0.7
+
+BIGRAM_LOGPROB_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg0 AS (
+      SELECT doc_id, tk[k] AS w1, tk[k + 1] AS w2
+      FROM tk, unnest(range(1, len(tk))) AS u(k)
+    ),
+    cw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+      FROM ({_DOC_WORDS_SQL}) GROUP BY w
+    ),
+    head AS (SELECT w FROM cw ORDER BY c_w DESC, w LIMIT {_VOCAB_CAP}),
+    bg AS MATERIALIZED (
+      SELECT bg0.doc_id,
+             CASE WHEN h1.w IS NULL THEN '<unk>' ELSE bg0.w1 END AS m1,
+             CASE WHEN h2.w IS NULL THEN '<unk>' ELSE bg0.w2 END AS m2
+      FROM bg0
+      LEFT JOIN head h1 ON bg0.w1 = h1.w
+      LEFT JOIN head h2 ON bg0.w2 = h2.w
+    ),
+    c12 AS MATERIALIZED (
+      SELECT m1, m2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY m1, m2
+    ),
+    c1 AS (SELECT m1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY m1),
+    c2 AS (SELECT m2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY m2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS t FROM c12),
+    lp AS (
+      SELECT c12.m1, c12.m2, {_LOG2_DEC_SQL.format(
+          x=f"{_BIGRAM_LAMBDA} * CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)"
+            f" + {round(1 - _BIGRAM_LAMBDA, 6)} * CAST(c2 AS DOUBLE)"
+            " / CAST(t AS DOUBLE)")} AS lp
+      FROM c12 JOIN c1 USING (m1) JOIN c2 USING (m2) CROSS JOIN tot
+    ),
+    dbg AS (
+      SELECT doc_id, m1, m2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, m1, m2
+    )
+    SELECT dbg.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * lp) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS avg_bigram_lp_bits
+    FROM dbg JOIN lp USING (m1, m2)
+    GROUP BY dbg.doc_id
+    """
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=BIGRAM_LOGPROB_SQL,
+    tags=("text", "lm", "quality"),
+    doc="Bigram LM document scoring — the next-order companion of "
+        "text_unigram_logprob (KenLM-style perplexity filtering uses "
+        "n>=2 context): mean per-bigram log2-probability under a "
+        "Jelinek-Mercer interpolated corpus bigram LM, "
+        "P = 0.7*c12/c1 + 0.3*c2/total, where contexts/continuations "
+        "are mapped through the SAME bounded top-65536+<unk> vocabulary "
+        "as the unigram LM BEFORE counting — that mapping is the scale "
+        "contract: the bigram count relation is bounded by distinct "
+        "SURVIVING pairs (at most head^2, in practice corpus-limited), "
+        "exactly how production KenLM pipelines bound their models. "
+        "Per-bigram logs go through the verified round+DECIMAL lane and "
+        "the per-doc sum multiplies exact BIGINT occurrence counts by "
+        "exact decimals, so cross-engine hashes match. Plan: narrow "
+        "pair generator, two broadcast hash joins against the "
+        "structurally bounded head, hash aggregates for the count "
+        "tables, one uncapped (m1,m2)-keyed equi-join of the per-doc "
+        "pair table against the logprob table (the KL-mixture-style "
+        "accepted shuffle), one groupBy(doc_id). In-corpus scoring "
+        "means no unseen bigram (every scored pair was counted), so no "
+        "backoff branch is needed.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.expr("filter(split(text, ' '), x -> x != '')")
+    bg0 = (
+        docs.select("doc_id", tk.alias("tk"))
+        # sequence(1, 0) would DESCEND in Spark — guard short docs.
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    words = _doc_words(spark, sf_dir)
+    head = (
+        words.groupBy("w").agg(F.count("*").alias("c_w"))
+        .orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(_VOCAB_CAP)
+        .select("w")
+    )
+    h1 = head.withColumnRenamed("w", "w1").withColumn("in1", F.lit(1))
+    h2 = head.withColumnRenamed("w", "w2").withColumn("in2", F.lit(1))
+    bg = (
+        bg0.join(F.broadcast(h1), "w1", "left")
+        .join(F.broadcast(h2), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in1").isNull(), "<unk>").otherwise(F.col("w1"))
+            .alias("m1"),
+            F.when(F.col("in2").isNull(), "<unk>").otherwise(F.col("w2"))
+            .alias("m2"),
+        )
+    )
+    c12 = bg.groupBy("m1", "m2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("m1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("m2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("long").alias("t"))
+    lp = (
+        c12.join(c1, "m1").join(c2, "m2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m1", "m2",
+            F.expr(_LOG2_DEC.format(
+                x=f"{_BIGRAM_LAMBDA} * cast(c12 as double)"
+                  " / cast(c1 as double)"
+                  f" + {round(1 - _BIGRAM_LAMBDA, 6)} * cast(c2 as double)"
+                  " / cast(t as double)")).alias("lp"),
+        )
+    )
+    dbg = bg.groupBy("doc_id", "m1", "m2").agg(F.count("*").alias("c"))
+    return (
+        dbg.join(lp, ["m1", "m2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("slp").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("avg_bigram_lp_bits"),
+        )
+    )

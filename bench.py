@@ -126,6 +126,10 @@ HEADLINE = [
     "mm_rgb_png_decode_features",
     "mm_color_jpeg_decode_features",
     "mm_color_ahash_near_dup",
+    "text_rrf_fusion",
+    "text_bigram_logprob",
+    "embed_matryoshka_recall",
+    "curation_dsir_weights",
 ]
 
 

@@ -55,7 +55,9 @@ def test_rotation_budget_binds_with_full_history(tmp_path):
 def test_never_verified_queries_order_first(tmp_path):
     mod = _load(tmp_path)
     all_names = list(mod.queries())
-    some_green = all_names[:3]
+    # exempt names would be DROPPED (not reordered) once verified — pick
+    # non-exempt ones so this asserts pure rotation order
+    some_green = [n for n in all_names if n not in mod.ROTATION_EXEMPT][:3]
     (tmp_path / "CORRECTNESS_r01.json").write_text(
         json.dumps({n: {"hash_match": True, "spark_rows": 1, "err": None}
                     for n in some_green})

@@ -64,6 +64,22 @@ BNLJ_ALLOWED = {
         "vector (O(N*16) narrow pass) — that broadcast loop IS the "
         "assignment step; the candidate scoring join itself is an "
         "equi-join on cell id",
+    "curation_dsir_weights":
+        "the only BNLJ is the 1-row feature-mass totals broadcast-"
+        "attached onto the 1024-row bucket counts (O(1024*1) literal "
+        "attach); the weight lookup back onto per-doc buckets is a "
+        "broadcast hash equi-join on the structurally bounded bucket",
+    "text_bigram_logprob":
+        "the only BNLJ is the 1-row bigram-mass total broadcast-"
+        "attached onto the count table (O(K*1) literal attach); vocab "
+        "mapping is a broadcast hash equi-join on the bounded head and "
+        "the scoring join is an (m1,m2)-keyed hash equi-join",
+    "text_rrf_fusion":
+        "inherits text_bm25_topk's 1-row corpus-stats attaches, plus "
+        "the <=3-row query-term relation cross-attached onto per-doc "
+        "lengths for the QL ranker — O(N*3) narrow pass, bounded by "
+        "the structural |qterms|=3; the fusion join is a hash "
+        "full-outer equi-join over two depth-50 lists",
     "text_bm25_topk":
         "the only BNLJs attach the 1-row (n_docs, total_len) corpus "
         "stats to the tiny query-term relation and to per-doc rows — "
@@ -73,6 +89,11 @@ BNLJ_ALLOWED = {
         "the 1-row n_docs aggregate broadcast-attaches onto the "
         "df-capped vocabulary (O(V*1)); weighting, norming, and the "
         "shared-term pair join are all hash equi-joins",
+    "embed_matryoshka_recall":
+        "inherits ann_cosine_topk_bruteforce's allowlisted broadcast-Q "
+        "loop for the exact baseline AND runs it once per truncation "
+        "prefix — the report exists to measure truncated prefixes "
+        "against that exact baseline; shortlists stay Q*5 rows",
     "ann_recall_report":
         "inherits ann_cosine_topk_bruteforce's allowlisted broadcast "
         "loop — the report exists to measure the LSH path against that "

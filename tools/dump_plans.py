@@ -287,6 +287,28 @@ COMMENT = {
         "corpus shuffle); only colliding positions shuffle on doc_id "
         "for the span merge — leak localization priced at one narrow "
         "pass over the corpus.",
+    "text_rrf_fusion":
+        "Reciprocal-rank fusion (round 7): BM25 + query-likelihood LM "
+        "rankers share the query-term parts; each list is a "
+        "distributed TakeOrdered depth-50 cut, fusion is a full-outer "
+        "hash join over two 50-row relations — O(depth) regardless of "
+        "corpus size; the QL scan is one O(N*3) narrow pass.",
+    "text_bigram_logprob":
+        "Bigram LM scoring (round 7): vocab-mapped pair counts via "
+        "broadcast joins on the bounded 65536-word head, count tables "
+        "as hash aggregates, one (m1,m2)-keyed equi-join of the "
+        "per-doc pair table against the logprob table, one "
+        "groupBy(doc_id). Decimal log lanes end to end.",
+    "embed_matryoshka_recall":
+        "MRL truncation sweep (round 7): the exact baseline plus one "
+        "broadcast-Q scan per prefix length; shortlists are Q*5 rows "
+        "independent of N — same audit shape as ann_ivf_nprobe_sweep.",
+    "curation_dsir_weights":
+        "DSIR importance weights (round 7): one narrow hashed-feature "
+        "pass, a structurally bounded 1024-row log-ratio relation "
+        "broadcast onto the (doc_id, bucket) aggregate, one "
+        "groupBy(doc_id) — corpus never shuffles wider than "
+        "(doc_id, bucket).",
     "mm_rgb_png_decode_features":
         "Real COLOR PNG decode (round 7): two chained 1:1 mapInPandas "
         "stages (color-type-2 encode, bpp-aware decode + per-channel "

@@ -84,6 +84,10 @@ PROBES = [
     "mm_rgb_png_decode_features",
     "mm_color_jpeg_decode_features",
     "mm_color_ahash_near_dup",
+    "text_rrf_fusion",
+    "text_bigram_logprob",
+    "embed_matryoshka_recall",
+    "curation_dsir_weights",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
