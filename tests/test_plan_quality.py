@@ -86,9 +86,10 @@ BNLJ_ALLOWED = {
         "O(N*1) literal attaches; the tf/idf joins are hash equi-joins "
         "on the word and doc keys",
     "dedup_tfidf_cosine_topk":
-        "the 1-row n_docs aggregate broadcast-attaches onto the "
-        "df-capped vocabulary (O(V*1)); weighting, norming, and the "
-        "shared-term pair join are all hash equi-joins",
+        "no BNLJ remains since the r7 window rewrite (df via COUNT "
+        "OVER s, n_docs a collected literal) — entry kept as the "
+        "documented history; weighting, norming, and the shared-term "
+        "pair join are hash equi-joins",
     "embed_matryoshka_recall":
         "inherits ann_cosine_topk_bruteforce's allowlisted broadcast-Q "
         "loop for the exact baseline AND runs it once per truncation "
