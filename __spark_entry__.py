@@ -81,6 +81,18 @@ ROTATION_EXEMPT = frozenset({
     "q_explode_token_counts",         # explode+count: every text_* explode query
     "q_argmax_latest_order",          # argmax: q_asof_join_latest_order, cdc_latest_state
     "q_top_customers",                # global top-N: every *_topk TakeOrdered query
+    # Grown r7 alongside text_c4_heuristics (6 green driver rounds):
+    "q_supplier_part_volume",         # multi-join agg: q3_revenue_by_nation
+    # Grown r7 alongside embed_hard_negatives + mm_mjpeg_scene_cuts
+    # (each pick 6 green driver rounds r1-r6 + the r7 full-registry
+    # record):
+    "q_scd2_event_intervals",         # interval assembly: cdc_scd2_history
+    "q_window_top_orders_per_customer",  # per-group top-N window: ann_* rank windows
+    # Grown r7 alongside embed_silhouette_approx + dedup_minhash_band_sweep
+    # (each pick 6 green driver rounds r1-r6 + the r7 full-registry
+    # record):
+    "q_cube_lineitem_flags",          # CUBE: q_grouping_sets_revenue superset
+    "q_string_agg_segments",          # list/string agg: curation_epoch_shuffle fingerprints
 })
 
 

@@ -537,6 +537,47 @@ def synth_mjpeg_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_mjpeg_scene_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL multi-scene video payloads (the scene-cut
+    fixture): doc_id seeds ``6 + d % 4`` frames grouped into scenes of
+    ``3 + d % 2`` frames; each frame is a genuine 16x8 baseline JPEG of
+    constant 8x8 blocks whose value
+    ``16 + 60*(f // seg) + 7*(f % seg) + 9*bx`` drifts gently WITHIN a
+    scene (+7/frame) and jumps hard AT a scene boundary (+39..46), all
+    bounded below 256 so no modular wrap can blur a cut. Constant
+    blocks keep the lossy JPEG transform bit-exact, so a closed-form
+    oracle knows every decoded frame's pixel sum — and therefore the
+    ground-truth segmentation — without parsing a byte."""
+    from .media_codecs import encode_jpeg_gray8, encode_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                seg = 3 + d % 2
+                frames = []
+                for f in range(6 + d % 4):
+                    base = 16 + 60 * (f // seg) + 7 * (f % seg)
+                    px = bytes(
+                        base + 9 * (x // 8)
+                        for _y in range(8) for x in range(16)
+                    )
+                    frames.append(encode_jpeg_gray8(px, 16, 8))
+                mj = encode_mjpeg(frames)
+                ids.append(d)
+                payloads.append(mj)
+                metas.append(
+                    {"mime": "video/x-motion-jpeg", "n_bytes": len(mj),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 FRAME_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1537,3 +1537,207 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_matryoshka_oracle()
+
+
+@query(
+    "embed_hard_negatives",
+    oracle="",  # installed below (needs _cosine_sql)
+    tags=("embedding", "similarity", "training", "llm-pipeline"),
+    doc="Hard-negative mining for retrieval/embedding training (the "
+        "standard contrastive-training data op — e.g. DPR/Contriever "
+        "negative selection): for each query vector (the bounded "
+        "vec_id % 100 == 0 set shared with the ANN family) the top-5 "
+        "most-cosine-similar vectors whose ground-truth LABEL differs "
+        "from the query's — similar-but-wrong examples, exactly what a "
+        "contrastive loss needs. Selection and ranking happen in the "
+        "rounded-4dp domain with an id tie-break, the established "
+        "cross-engine total order. Scale: a broadcast-Q scan (Q bounded "
+        "by construction) with the label filter fused into the join "
+        "condition, then a per-query ranking window over Q*N' scored "
+        "rows — same shape and cost as the brute-force ANN baseline; "
+        "an IVF/LSH shortlist drops in unchanged when N' grows, since "
+        "the label predicate composes with any candidate generator.",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (
+        F.col("q_nrm") * F.col("e_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(e, F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cos_sim", F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _install_hard_negatives_oracle() -> None:
+    from dataclasses import replace
+
+    from .llm_ops import _cosine_sql
+    from .registry import QUERIES as _Q
+
+    sql = f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             round({_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
+      FROM q JOIN embeddings e ON e.label <> q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+    _Q["embed_hard_negatives"] = replace(
+        _Q["embed_hard_negatives"], oracle=sql
+    )
+
+
+_install_hard_negatives_oracle()
+
+
+_SILHOUETTE_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    sims AS (
+      SELECT b.vec_id, s.cell,
+             ({_DOT_SQL.format(a='b.embedding', b='s.c_emb')}
+              / (b.nrm * {_NORM_SQL.format(a='s.c_emb')})) AS c_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY ({_DOT_SQL.format(a='b.embedding', b='s.c_emb')}
+                         / (b.nrm * {_NORM_SQL.format(a='s.c_emb')})) DESC,
+                        s.cell) AS rnk
+      FROM base b CROSS JOIN seeds s
+    ),
+    t AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rnk = 1 THEN cell END) AS cell,
+             MAX(CASE WHEN rnk = 1 THEN c_sim END) AS s1,
+             MAX(CASE WHEN rnk = 2 THEN c_sim END) AS s2
+      FROM sims WHERE rnk <= 2 GROUP BY vec_id
+    ),
+    sil AS (
+      SELECT cell,
+             CASE WHEN GREATEST(1.0 - s1, 1.0 - s2) <= 0 THEN 0.0
+                  ELSE ((1.0 - s2) - (1.0 - s1))
+                       / GREATEST(1.0 - s1, 1.0 - s2) END AS sil
+      FROM t
+    )
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM({_DEC_SQL.format(x='sil')}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette
+    FROM sil GROUP BY cell ORDER BY cell
+    """
+
+
+@query(
+    "embed_silhouette_approx",
+    oracle=_SILHOUETTE_ORACLE,
+    tags=("embedding", "clustering", "evaluation"),
+    doc="Simplified (centroid-based) silhouette over the shared IVF seed "
+        "centroids — the INTERNAL clustering-quality check pairing "
+        "embed_label_purity's external one: per vector, a = cosine "
+        "distance to its assigned (nearest) centroid, b = distance to "
+        "the runner-up, s = (b - a) / max(a, b); reported as per-cell "
+        "means. Low mean silhouette marks cells whose members sit on "
+        "cluster boundaries — exactly where IVF probing loses recall "
+        "and cell-local semantic dedup over-merges, so this relation "
+        "decides nprobe and cell-count tuning from data. The top-2 "
+        "similarities come from ONE bounded sort per vector (16 structs "
+        "collected map-side, never a window over the N x K cross), and "
+        "the arithmetic mirrors the oracle expression tree literally so "
+        "IEEE division bits agree. Scale: one broadcast of K centroids, "
+        "one map-side-combinable aggregate keyed by vec_id, one K-row "
+        "final aggregate — the same two-exchange shape as "
+        "embed_kmeans_lloyd's assignment pass.",
+)
+def embed_silhouette_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    seeds = _seed_centroids(emb).withColumn("c_nrm", _norm(F.col("c_emb")))
+    d = (
+        emb.select("vec_id", "embedding", "nrm")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "c_sim",
+            _dot(F.col("embedding"), F.col("c_emb"))
+            / (F.col("nrm") * F.col("c_nrm")),
+        )
+    )
+    top2 = d.groupBy("vec_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("c_sim").alias("s"),
+                        (-F.col("cell")).alias("neg_cell"),
+                    )
+                ),
+                asc=False,
+            ),
+            1, 2,
+        ).alias("t2")
+    )
+    s1 = F.col("t2")[0]["s"]
+    s2 = F.col("t2")[1]["s"]
+    a = F.lit(1.0) - s1
+    b = F.lit(1.0) - s2
+    sil = F.when(F.greatest(a, b) <= 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    per = top2.select(
+        (-F.col("t2")[0]["neg_cell"]).cast("int").alias("cell"),
+        sil.alias("sil"),
+    )
+    return (
+        per.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.expr(_DEC.format(x="sil"))).cast("double")
+                / F.count("*"), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )

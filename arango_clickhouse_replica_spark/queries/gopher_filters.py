@@ -635,3 +635,84 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_c4_heuristics",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             CASE WHEN text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?'
+                    OR text LIKE '%"' THEN 1 ELSE 0 END AS f_punct,
+             CASE WHEN text NOT LIKE '%{%' THEN 1 ELSE 0 END AS f_brace,
+             CASE WHEN lower(text) NOT LIKE '%lorem ipsum%'
+                  THEN 1 ELSE 0 END AS f_lorem,
+             CASE WHEN lower(text) NOT LIKE '%javascript%'
+                  THEN 1 ELSE 0 END AS f_js,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) >= 5
+                  THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN len(string_split(text, '. ')) >= 3
+                  THEN 1 ELSE 0 END AS f_sent
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_punct) AS BIGINT) AS pass_terminal_punct,
+           CAST(SUM(f_brace) AS BIGINT) AS pass_no_brace,
+           CAST(SUM(f_lorem) AS BIGINT) AS pass_no_lorem,
+           CAST(SUM(f_js) AS BIGINT) AS pass_no_javascript,
+           CAST(SUM(f_words) AS BIGINT) AS pass_min_words,
+           CAST(SUM(f_sent) AS BIGINT) AS pass_min_sentences,
+           CAST(SUM(f_punct * f_brace * f_lorem * f_js * f_words * f_sent)
+                AS BIGINT) AS pass_all
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "c4"),
+    doc="C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the OTHER "
+        "canonical published filter set, complementing the Gopher rules "
+        "already registered): per-source pass counts for terminal "
+        "punctuation, no curly braces (code leakage), no 'lorem ipsum' "
+        "placeholder, no 'javascript' boilerplate, >= 5 words, and "
+        ">= 3 sentences, plus the all-rules conjunction. Every rule is "
+        "a pure string predicate, so the whole query is one narrow "
+        "projection folded into a per-source hash aggregate — "
+        "map-side combinable, nothing wider than the source key "
+        "shuffles at any corpus size.",
+)
+def text_c4_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    lo = F.lower(t)
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    per = docs.select(
+        "source",
+        flag(t.like("%.") | t.like("%!") | t.like("%?") | t.like('%"'))
+        .alias("f_punct"),
+        flag(~t.like("%{%")).alias("f_brace"),
+        flag(~lo.like("%lorem ipsum%")).alias("f_lorem"),
+        flag(~lo.like("%javascript%")).alias("f_js"),
+        flag(F.size(F.expr("filter(split(text, ' '), x -> x != '')")) >= 5)
+        .alias("f_words"),
+        flag(F.size(F.split(t, F.lit("\\. "), -1).cast("array<string>")) >= 3)
+        .alias("f_sent"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f_punct").cast("long").alias("pass_terminal_punct"),
+            F.sum("f_brace").cast("long").alias("pass_no_brace"),
+            F.sum("f_lorem").cast("long").alias("pass_no_lorem"),
+            F.sum("f_js").cast("long").alias("pass_no_javascript"),
+            F.sum("f_words").cast("long").alias("pass_min_words"),
+            F.sum("f_sent").cast("long").alias("pass_min_sentences"),
+            F.sum(
+                F.col("f_punct") * F.col("f_brace") * F.col("f_lorem")
+                * F.col("f_js") * F.col("f_words") * F.col("f_sent")
+            ).cast("long").alias("pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -3504,3 +3504,173 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def _band_sweep_cfg_sql() -> str:
+    """Band layouts over the shared 8 minhash lanes, as one UNION ALL
+    relation keyed by the config's band count: 2 bands x 4 lanes,
+    4 bands x 2 lanes (the production config), 8 bands x 1 lane."""
+    parts = []
+    for b in (2, 4, 8):
+        per = 8 // b
+        for g in range(b):
+            sig = " || ".join(f"m{g * per + j}" for j in range(per))
+            parts.append(
+                f"SELECT {b} AS bands, doc_id, {g} AS band, {sig} AS sig"
+                " FROM mins"
+            )
+    return "\n      UNION ALL ".join(parts)
+
+
+_BAND_SWEEP_ORACLE = f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM ({_DOC_SHINGLES_CAPPED_SQL}) x0
+    ),
+    mins AS MATERIALIZED (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    cfg AS MATERIALIZED (
+      {{cfg}}
+    ),
+    ok AS (
+      SELECT bands, band, sig FROM cfg GROUP BY 1, 2, 3
+      HAVING COUNT(*) <= GREATEST(16, LEAST(64,
+        (SELECT COUNT(*) FROM documents) // 100))
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cfg a
+      JOIN ok o ON o.bands = a.bands AND o.band = a.band AND o.sig = a.sig
+      JOIN cfg b ON b.bands = a.bands AND b.band = a.band
+                AND b.sig = a.sig AND a.doc_id < b.doc_id
+    ),
+    up AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM cand),
+    cs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+           GROUP BY doc_id),
+    inter AS (
+      SELECT u.doc_a, u.doc_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM up u
+      JOIN sh a ON a.doc_id = u.doc_a
+      JOIN sh b ON b.doc_id = u.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    tru AS MATERIALIZED (
+      SELECT u.doc_a, u.doc_b,
+             CASE WHEN 2 * COALESCE(i.ni, 0)
+                       >= ca.n + cb.n - COALESCE(i.ni, 0)
+                  THEN 1 ELSE 0 END AS is_true
+      FROM up u
+      LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+      JOIN cs ca ON ca.doc_id = u.doc_a
+      JOIN cs cb ON cb.doc_id = u.doc_b
+    ),
+    tot AS (SELECT SUM(is_true) AS nt FROM tru)
+    SELECT CAST(c.bands AS INT) AS bands,
+           CAST(8 // c.bands AS INT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(t.is_true) AS BIGINT) AS n_true_j50,
+           round(CAST(SUM(t.is_true) AS DOUBLE) / COUNT(*), 6)
+             AS precision_j50,
+           CASE WHEN (SELECT nt FROM tot) = 0 THEN 0.0
+                ELSE round(CAST(SUM(t.is_true) AS DOUBLE)
+                           / (SELECT nt FROM tot), 6) END AS recall_vs_union
+    FROM cand c JOIN tru t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    GROUP BY c.bands ORDER BY bands
+    """.replace("{cfg}", _band_sweep_cfg_sql())
+
+
+@query(
+    "dedup_minhash_band_sweep",
+    oracle=_BAND_SWEEP_ORACLE,
+    tags=("dedup", "minhash", "lsh", "evaluation", "report", "llm-pipeline"),
+    doc="LSH banding TUNED from data, not folklore — the dedup twin of "
+        "ann_ivf_nprobe_sweep: the same 8 minhash lanes re-banded as "
+        "2x4, 4x2 (the production config), and 8x1, each config's "
+        "candidates verified with exact set Jaccard, reported as "
+        "candidate volume, precision at J >= 0.5, and recall relative "
+        "to the union of all configs' verified-true pairs (the 8x1 "
+        "layout is a near-superset, so the union is the practical "
+        "ground truth without an all-pairs scan). More bands -> higher "
+        "recall, lower precision; this relation prices that S-curve "
+        "trade per corpus. Every config's band buckets are "
+        "occupancy-capped (max(16, min(64, n/100)) — the round-6 "
+        "discipline, mirrored in the oracle) because 1-lane 16-bit "
+        "buckets degenerate first; a config that emits zero candidates "
+        "simply has no row. Scale: signatures are ONE map-side "
+        "groupBy over df-capped shingles shared by all configs; each "
+        "bucket join is equi-keyed and occupancy-bounded; verification "
+        "is union-candidate-bounded, never all-pairs.",
+)
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.minhash import band_signatures, candidate_pairs
+
+    sh = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    occ_cap = max(16, min(64, n_docs // 100))
+
+    def cfg(b: int) -> DataFrame:
+        bands = band_signatures(sh, bands=b)
+        hot = (
+            bands.groupBy("band", "sig")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > occ_cap)
+            .select("band", "sig")
+        )
+        cold = bands.join(hot, ["band", "sig"], "left_anti")
+        return candidate_pairs(cold).withColumn(
+            "bands", F.lit(b).cast("int")
+        )
+
+    cand = cfg(2).unionByName(cfg(4)).unionByName(cfg(8))
+    up = cand.select("doc_a", "doc_b").distinct()
+    cs = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        up.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    tru = (
+        up.join(inter, ["doc_a", "doc_b"], "left")
+        .join(cs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n").alias("na")), "doc_a")
+        .join(cs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.when(
+                2 * F.coalesce("ni", F.lit(0))
+                >= F.col("na") + F.col("nb") - F.coalesce("ni", F.lit(0)),
+                1,
+            ).otherwise(0).alias("is_true"),
+        )
+    )
+    tot = tru.agg(F.sum("is_true").alias("nt"))
+    per = (
+        cand.join(tru, ["doc_a", "doc_b"])
+        .groupBy("bands")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum("is_true").cast("long").alias("n_true_j50"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bands",
+            (F.lit(8) / F.col("bands")).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            "n_true_j50",
+            F.round(
+                F.col("n_true_j50").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision_j50"),
+            F.when(F.col("nt") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("n_true_j50").cast("double") / F.col("nt"), 6)
+            ).alias("recall_vs_union"),
+        )
+        .orderBy("bands")
+    )

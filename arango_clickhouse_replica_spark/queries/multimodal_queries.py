@@ -1045,3 +1045,96 @@ def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
         .orderBy("hamming", "doc_a", "doc_b")
     )
+
+
+@query(
+    "mm_mjpeg_scene_cuts",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 3 + doc_id % 2 AS seg, 6 + doc_id % 4 AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT p.doc_id, p.seg, CAST(u.f AS INT) AS f
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(f)
+    ),
+    px AS (
+      SELECT doc_id, f, CAST(f // seg AS INT) AS scene_id,
+             128 * (16 + 60 * (f // seg) + 7 * (f % seg)) + 576
+               AS sum_pixels
+      FROM fr
+    )
+    SELECT doc_id AS media_id, scene_id,
+           CAST(MIN(f) AS INT) AS start_frame,
+           CAST(MAX(f) AS INT) AS end_frame,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(sum_pixels) AS BIGINT) AS sum_pixels_total,
+           round(CAST(SUM(sum_pixels) AS DOUBLE) / (128 * COUNT(*)), 6)
+             AS mean_luma
+    FROM px
+    GROUP BY doc_id, scene_id
+    ORDER BY media_id, scene_id
+    """,
+    tags=("multimodal", "video", "codec", "pandas-udf"),
+    doc="REAL video scene-cut detection end to end (the temporal "
+        "segmentation primitive every video training pipeline runs "
+        "before clip sampling — shot boundaries from luma discontinuity, "
+        "the classic FFmpeg `select='gt(scene,..)'` / PySceneDetect "
+        "shape): deterministic multi-scene clips mux genuine baseline "
+        "JPEGs into the MJPG container, a mapInPandas stage demuxes and "
+        "fully DECODES every frame (Huffman, dezigzag, IDCT), and the "
+        "cut detector itself is pure JVM DataFrame logic — a lag window "
+        "over decoded per-frame pixel sums flags |delta| > 2000 "
+        "(in-scene drift is 896, a cut is >= 4992 by construction), a "
+        "running sum converts cut flags into scene ids (gaps-and-"
+        "islands), and one aggregate emits each scene's span and mean "
+        "luma. The closed-form oracle replays the ground-truth "
+        "segmentation from the synth formula — a defect in the demux, "
+        "the decode, the threshold, or the island assembly breaks the "
+        "hash. Scale: decode is a narrow 1:N Arrow stage; the window "
+        "and aggregate shuffle ONCE on media_id (frames-per-clip is "
+        "bounded, so no skew), and per-frame work is numpy DCT math — "
+        "scan/IO-bound at 100 TB.",
+)
+def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import (
+        sample_mjpeg_frames,
+        synth_mjpeg_scene_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_mjpeg_frames(
+        synth_mjpeg_scene_media(docs), every_n=1
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    cut = F.when(
+        F.abs(
+            F.col("sum_pixels")
+            - F.lag("sum_pixels").over(w)
+        ) > 2000,
+        1,
+    ).otherwise(0)
+    scenes = frames.select(
+        "media_id", "frame_no", "sum_pixels"
+    ).withColumn(
+        "scene_id",
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return (
+        scenes.groupBy("media_id", "scene_id")
+        .agg(
+            F.min("frame_no").cast("int").alias("start_frame"),
+            F.max("frame_no").cast("int").alias("end_frame"),
+            F.count("*").cast("int").alias("n_frames"),
+            F.sum("sum_pixels").cast("long").alias("sum_pixels_total"),
+            F.round(
+                F.sum("sum_pixels").cast("double")
+                / (128 * F.count("*")), 6
+            ).alias("mean_luma"),
+        )
+        .orderBy("media_id", "scene_id")
+    )

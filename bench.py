@@ -130,6 +130,11 @@ HEADLINE = [
     "text_bigram_logprob",
     "embed_matryoshka_recall",
     "curation_dsir_weights",
+    "text_c4_heuristics",
+    "embed_hard_negatives",
+    "mm_mjpeg_scene_cuts",
+    "embed_silhouette_approx",
+    "dedup_minhash_band_sweep",
 ]
 
 

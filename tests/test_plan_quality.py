@@ -17,6 +17,12 @@ BNLJ_ALLOWED = {
         "the brute-force baseline IS all-pairs by definition; queries are "
         "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
         "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
+    "embed_hard_negatives":
+        "hard-negative mining scores the bounded broadcast query set "
+        "against every candidate with the label-difference predicate "
+        "fused into the loop condition — the brute-force-ANN shape "
+        "(broadcast loop over N, never NxN shuffle); an IVF/LSH "
+        "shortlist generator composes in front when N' outgrows a scan",
     "ann_topk_int8_rerank":
         "stage 1 deliberately scans every candidate's int8 codes against "
         "the broadcast query set (the FAISS-SQ8 flat-scan shape: 4x less "
@@ -141,6 +147,16 @@ BNLJ_ALLOWED = {
         "the shared 16-centroid broadcast assignment (same allowlisted "
         "O(N*16) narrow pass as dedup_semdedup_dropped); label counts "
         "and the packed argmax are hash aggregates",
+    "embed_silhouette_approx":
+        "the shared 16-centroid broadcast scored against every vector "
+        "(the same allowlisted O(N*16) narrow pass as "
+        "embed_kmeans_lloyd); top-2 selection is a bounded map-side "
+        "aggregate, never a window over the crossed relation",
+    "dedup_minhash_band_sweep":
+        "the only BNLJ is the 1-row union-true-total broadcast attach "
+        "onto the 3-row per-config relation (O(3x1)); every candidate "
+        "join is an occupancy-capped (band, sig) hash equi-join and "
+        "verification is union-candidate-bounded",
 }
 
 ALL_NAMES = sorted(QUERIES)

@@ -287,6 +287,35 @@ COMMENT = {
         "corpus shuffle); only colliding positions shuffle on doc_id "
         "for the span merge — leak localization priced at one narrow "
         "pass over the corpus.",
+    "text_c4_heuristics":
+        "C4 cleaning rules (round 7): pure string predicates folded "
+        "into one per-source hash aggregate — a single narrow pass, "
+        "map-side combinable, nothing wider than the source key "
+        "shuffles.",
+    "embed_hard_negatives":
+        "Hard-negative mining (round 7): the brute-force ANN shape with "
+        "the label-difference predicate fused into the broadcast-Q join "
+        "condition — Q bounded by construction, one scan of the "
+        "embedding table, per-query ranking window over the scored "
+        "rows; any shortlist generator (IVF/LSH) composes in front "
+        "unchanged.",
+    "mm_mjpeg_scene_cuts":
+        "Video scene cuts (round 7): narrow 1:N Arrow demux-decode "
+        "stage, then pure JVM gaps-and-islands — lag window flags luma "
+        "jumps, running sum assigns scene ids, one (media_id, scene_id) "
+        "aggregate; a single shuffle on media_id with bounded "
+        "frames-per-clip.",
+    "embed_silhouette_approx":
+        "Centroid silhouette (round 7): one 16-centroid broadcast "
+        "scored per vector, top-2 kept by a bounded map-side "
+        "collect+sort aggregate (no N x K window), K-row final "
+        "aggregate — the kmeans assignment shape with a second-best "
+        "lane.",
+    "dedup_minhash_band_sweep":
+        "LSH band sweep (round 7): one shared lane-min groupBy feeds "
+        "three occupancy-capped (band, sig) equi-joins; exact-Jaccard "
+        "verification runs once over the UNION of candidates; the "
+        "only BNLJ is the 1-row true-total attach onto 3 rows.",
     "text_rrf_fusion":
         "Reciprocal-rank fusion (round 7): BM25 + query-likelihood LM "
         "rankers share the query-term parts; each list is a "

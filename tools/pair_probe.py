@@ -44,6 +44,9 @@ PAIR_QUERIES = [
     # prefix-verify within survivors — its candidate count is bounded by
     # DISTINCT content, not replica count (contrast with the row above)
     "dedup_prefix_filter_clustered",
+    # r7: three band layouts over the shared lanes, occupancy-capped,
+    # verified once over the union of candidates
+    "dedup_minhash_band_sweep",
 ]
 
 
@@ -103,6 +106,20 @@ def candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         spark, sf_dir).count()
     out["dedup_prefix_filter_clustered"] = prefix_filter_clustered_candidates(
         spark, sf_dir).count()
+    # band sweep: the distinct union of the three configs'
+    # occupancy-capped candidates (exactly the relation it verifies)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    occ_cap = max(16, min(64, n_docs // 100))
+    union = None
+    for nb in (2, 4, 8):
+        bands = band_signatures(sh, bands=nb)
+        hot = (
+            bands.groupBy("band", "sig").agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > occ_cap).select("band", "sig")
+        )
+        cand = candidate_pairs(bands.join(hot, ["band", "sig"], "left_anti"))
+        union = cand if union is None else union.unionByName(cand)
+    out["dedup_minhash_band_sweep"] = union.distinct().count()
     return out
 
 

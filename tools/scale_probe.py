@@ -88,6 +88,11 @@ PROBES = [
     "text_bigram_logprob",
     "embed_matryoshka_recall",
     "curation_dsir_weights",
+    "text_c4_heuristics",
+    "embed_hard_negatives",
+    "mm_mjpeg_scene_cuts",
+    "embed_silhouette_approx",
+    "dedup_minhash_band_sweep",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
