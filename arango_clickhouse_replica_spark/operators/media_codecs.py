@@ -574,6 +574,19 @@ def _decode_zz_block(r: "_BitReader", zz, prev_dc: int,
     return prev_dc
 
 
+def _entropy_scan_bytes(payload: bytes, start: int) -> bytes:
+    """Slice the entropy-coded scan starting at `start`, bounded by the
+    first EOI (0xFFD9) marker rather than assuming EOI is the file's
+    final two bytes. Inside baseline entropy data every 0xFF is either
+    stuffed (0xFF00) or an RST marker (0xFFD0-0xFFD7), so the first
+    literal 0xFFD9 after the scan start is necessarily the EOI — this
+    tolerates trailing bytes after EOI (common in real-world files)."""
+    eoi = payload.find(b"\xff\xd9", start)
+    if eoi < 0:
+        raise ValueError("truncated JPEG (no EOI after scan)")
+    return payload[start:eoi]
+
+
 def decode_jpeg_gray8(payload: bytes) -> dict:
     """Decode a baseline grayscale JPEG produced by any encoder using a
     single non-subsampled component and one scan. Returns
@@ -627,8 +640,10 @@ def decode_jpeg_gray8(payload: bytes) -> dict:
                 else:
                     ac_table = _huff_decoder(bits, vals)
                 b = b[17 + n:]
+        elif marker == 0xDD:  # DRI — RST markers would interrupt the scan
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:  # SOS — entropy data follows to EOI
-            scan_data = payload[pos + seglen:-2]
+            scan_data = _entropy_scan_bytes(payload, pos + seglen)
             pos += seglen
             break
         pos += seglen
@@ -848,8 +863,10 @@ def encode_jpeg_color420(rgb_pixels, width: int, height: int) -> bytes:
 
 def decode_jpeg_color420(payload: bytes) -> dict:
     """Decode a baseline 3-component 4:2:0 JFIF JPEG (the shape
-    encode_jpeg_color420 writes, and the dominant shape of real-world
-    JPEGs): marker walk with per-id quant/Huffman tables,
+    encode_jpeg_color420 writes; real-world baseline files decode too
+    provided they use a single scan without restart intervals — DRI
+    raises explicitly, and trailing bytes after EOI are tolerated):
+    marker walk with per-id quant/Huffman tables,
     MCU-interleaved entropy decode with per-component predictors,
     batched IDCT per plane, 2x chroma upsample (replication), and the
     fixed-point YCbCr->RGB transform. Returns
@@ -908,6 +925,8 @@ def decode_jpeg_color420(payload: bytes) -> dict:
                     bits, vals
                 )
                 b = b[17 + n:]
+        elif marker == 0xDD:  # DRI — RST markers would interrupt the scan
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xDA:
             ns = body[0]
             if ns != 3:
@@ -916,7 +935,7 @@ def decode_jpeg_color420(payload: bytes) -> dict:
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(3)
             ]
-            scan_data = payload[pos + seglen:-2]
+            scan_data = _entropy_scan_bytes(payload, pos + seglen)
             pos += seglen
             break
         pos += seglen

@@ -116,6 +116,13 @@ class StreamingCurationGate:
             pairs_dir=os.path.join(out_root, "image_pairs"),
             hamming_max=hamming_max,
         )
+        # Release-time drop sets (connected components over accumulated
+        # pairs) are expensive; keep_list() followed by funnel_report()
+        # — the exact sequence tools/ingest.py runs — would rebuild each
+        # graph twice. Memoize per accumulated-state version instead:
+        # any new batch bumps the version and invalidates the cache.
+        self._state_ver = 0
+        self._drop_cache: dict = {}
 
     # -- per-batch ingest work ---------------------------------------------
 
@@ -126,6 +133,7 @@ class StreamingCurationGate:
         ``batch_id`` so a replayed batch overwrites itself."""
         from ..queries.llm_ops import quality_scores
 
+        self._state_ver += 1
         batch = batch.localCheckpoint(eager=True)  # scanned by 3 stages
         quality_scores(batch).select("doc_id", "quality_score").write.mode(
             "overwrite"
@@ -136,6 +144,7 @@ class StreamingCurationGate:
 
     def process_media_batch(self, media_batch: DataFrame, batch_id: int) -> None:
         """One media micro-batch through the perceptual dedup engine."""
+        self._state_ver += 1
         self.images.process_batch(media_batch, batch_id)
 
     def attach_docs(
@@ -173,27 +182,41 @@ class StreamingCurationGate:
             .dropDuplicates(["doc_id"])
         )
 
+    def _cached_drops(self, key: str, build) -> DataFrame:
+        """Build-once per accumulated-state version: the drop graphs are
+        shared between ``keep_list()`` and ``funnel_report()`` via an
+        eager ``localCheckpoint`` so the component iteration never
+        re-runs for the second caller (ADVICE r7)."""
+        hit = self._drop_cache.get(key)
+        if hit is not None and hit[0] == self._state_ver:
+            return hit[1]
+        df = build().localCheckpoint(eager=True)
+        self._drop_cache[key] = (self._state_ver, df)
+        return df
+
     def _text_drops(self) -> DataFrame:
         """Non-canonical members of text near-dup clusters (cluster =
         connected component over accumulated candidate pairs; canonical
         = min doc_id — the same collapse ``clusters_relation`` uses)."""
         from ..operators.components import connected_components
 
-        comp = connected_components(
-            self.text.all_candidates(), src="doc_a", dst="doc_b"
-        )
-        return (
-            comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias("doc_id"))
+        return self._cached_drops(
+            "text",
+            lambda: connected_components(
+                self.text.all_candidates(), src="doc_a", dst="doc_b"
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id")),
         )
 
     def _contaminated(self) -> DataFrame:
         assert self.decontam is not None
-        return (
-            self.decontam.all_flags()
+        return self._cached_drops(
+            "contam",
+            lambda: self.decontam.all_flags()
             .filter("contaminated")
             .select(F.col("train_doc").alias("doc_id"))
-            .distinct()
+            .distinct(),
         )
 
     def _image_drops(self) -> DataFrame:
@@ -201,13 +224,14 @@ class StreamingCurationGate:
         doc ids (media_id == doc_id in this engine's media model)."""
         from ..operators.components import connected_components
 
-        comp = connected_components(
-            self.images.all_pairs().select("doc_a", "doc_b"),
-            src="doc_a", dst="doc_b",
-        )
-        return (
-            comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias("doc_id"))
+        return self._cached_drops(
+            "image",
+            lambda: connected_components(
+                self.images.all_pairs().select("doc_a", "doc_b"),
+                src="doc_a", dst="doc_b",
+            )
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id")),
         )
 
     def keep_list(self) -> DataFrame:

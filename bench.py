@@ -185,7 +185,7 @@ def main() -> None:
                 "unit": "sec",
                 "n": len(timings),
                 "queries": worst3,
-                "full_timings": SELF_RECORDING,
+                "full_timings_file": SELF_RECORDING,
                 "sf": sf,
             }
         )

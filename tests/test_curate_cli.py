@@ -2,21 +2,26 @@
 equal the composition of its registered stages, and the artifacts a
 release needs (shards, cluster relation, reports) must all land."""
 
+import importlib.util
 import json
-import sys
 from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from pyspark.sql import functions as F
 
 from arango_clickhouse_replica_spark.queries import QUERIES
 
+_spec = importlib.util.spec_from_file_location(
+    "acs_tools_curate",
+    Path(__file__).resolve().parent.parent / "tools" / "curate.py",
+)
+_curate_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_curate_mod)
+
 SF = "/root/testdata/sf0.001"
 
 
 def test_curate_end_to_end(spark, tmp_path):
-    from curate import curate
+    curate = _curate_mod.curate
 
     out = tmp_path / "run"
     summary = curate(spark, SF, str(out), shards=8, quality_min=2,
@@ -63,7 +68,7 @@ def test_curate_end_to_end(spark, tmp_path):
 
 
 def test_curate_keep_best_swaps_canonicals(spark, tmp_path):
-    from curate import curate
+    curate = _curate_mod.curate
 
     out = tmp_path / "runb"
     s = curate(spark, SF, str(out), shards=4, quality_min=0, keep_best=True)

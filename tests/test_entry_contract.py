@@ -120,3 +120,29 @@ def test_steady_state_registry_fits_budget():
         f"budget {mod.ROTATION_BUDGET}: add a subsumed variant to "
         "ROTATION_EXEMPT"
     )
+
+
+def test_design_doc_counts_match_registry():
+    """docs/DESIGN.md states the registered/headline counts in prose;
+    they drifted in r7 (173/105 vs actual 178/110). Sync by
+    construction: this test fails any registration that forgets to
+    update the doc (VERDICT r7 item 6)."""
+    import re
+    from pathlib import Path
+
+    import bench
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "docs", "DESIGN.md"
+    ).read_text()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m and int(m.group(1)) == len(QUERIES), (
+        f"DESIGN.md says '{m and m.group(0)}' but registry has "
+        f"{len(QUERIES)} — update docs/DESIGN.md"
+    )
+    m = re.search(r"`bench.py` \((\d+) headline queries", text)
+    assert m and int(m.group(1)) == len(bench.HEADLINE), (
+        f"DESIGN.md says '{m and m.group(0)}' but bench.HEADLINE has "
+        f"{len(bench.HEADLINE)} — update docs/DESIGN.md"
+    )

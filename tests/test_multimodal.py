@@ -602,6 +602,36 @@ def test_color_jpeg_rejects_gray_and_garbage():
         decode_jpeg_color420(gray[:2])  # SOI only, no scan
 
 
+def test_jpeg_decoders_tolerate_trailing_bytes_and_reject_dri():
+    """Real-world shapes: bytes after EOI must not corrupt the entropy
+    scan (the EOI is found by marker search, not assumed terminal), and
+    a DRI segment raises an explicit 'restart intervals' error instead
+    of failing mid-scan on RST markers."""
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_color420,
+        decode_jpeg_gray8,
+        encode_jpeg_color420,
+        encode_jpeg_gray8,
+    )
+
+    gray = encode_jpeg_gray8(bytes(range(64)), 8, 8)
+    color = encode_jpeg_color420(bytes(range(128)) * 6, 16, 16)
+    for codec, payload in ((decode_jpeg_gray8, gray),
+                           (decode_jpeg_color420, color)):
+        clean = codec(payload)
+        padded = codec(payload + b"\x00\xffJUNK after EOI")
+        assert padded == clean
+
+    # splice a DRI (FFDD, len=4, interval=8) right after SOI
+    for codec, payload in ((decode_jpeg_gray8, gray),
+                           (decode_jpeg_color420, color)):
+        with_dri = payload[:2] + b"\xff\xdd\x00\x04\x00\x08" + payload[2:]
+        with _pytest.raises(ValueError, match="restart intervals"):
+            codec(with_dri)
+
+
 def test_color_ahash_luma_weights_match_gray_on_gray_content(spark):
     """A color PNG whose channels are all equal must hash identically to
     the gray PNG of the same pixels: luma WEIGHT 299r+587g+114b =

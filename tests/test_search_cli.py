@@ -3,21 +3,23 @@ what the registered oracle-checked queries compute in-flight — same
 decimal lanes, same rounded-domain rank order — and the dense index
 must actually be cell-partitioned (the partition-pruning story)."""
 
-import sys
+import importlib.util
 from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-
-from search import (  # noqa: E402
-    _auto_terms,
-    bm25_search,
-    build_index,
-    probe_cells,
-    rrf_fuse,
-    vector_search,
+_spec = importlib.util.spec_from_file_location(
+    "acs_tools_search",
+    Path(__file__).resolve().parent.parent / "tools" / "search.py",
 )
+_search = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_search)
+_auto_terms = _search._auto_terms
+bm25_search = _search.bm25_search
+build_index = _search.build_index
+probe_cells = _search.probe_cells
+rrf_fuse = _search.rrf_fuse
+vector_search = _search.vector_search
 
 from arango_clickhouse_replica_spark.queries import QUERIES
 

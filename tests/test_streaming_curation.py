@@ -190,3 +190,24 @@ def test_funnel_report_is_consistent(spark, sf_dir, tmp_path):
     assert rows["kept"] == gate.keep_list().count()
     assert rows["kept"] <= rows["ingested"]
     assert rows["text_dup_dropped"] > 0  # fixture corpus has near-dups
+
+
+def test_drop_sets_computed_once_per_state_version(spark, sf_dir, tmp_path):
+    """keep_list() then funnel_report() (the tools/ingest.py sequence)
+    must share one checkpointed drop graph per engine, and a new batch
+    must invalidate the cache (ADVICE r7)."""
+    docs = _docs(spark, sf_dir)
+    gate = _gate(spark, docs, tmp_path, "gate_cache")
+    gate.process_doc_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+
+    first = gate._text_drops()
+    assert gate._text_drops() is first  # memoized, not rebuilt
+    before = _ids(first)
+    gate.keep_list().count()
+    gate.funnel_report().count()
+    assert gate._text_drops() is first  # still the same checkpoint
+
+    gate.process_doc_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    second = gate._text_drops()
+    assert second is not first  # new state version -> rebuilt
+    assert _ids(second) >= before
