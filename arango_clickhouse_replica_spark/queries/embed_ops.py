@@ -1388,6 +1388,98 @@ def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+# Guard band for per-partition shortlist selection (see
+# _shortlist_candidates): must exceed the 1e-4 round-4dp quantum plus
+# any numpy-BLAS-vs-sequential-fold float drift (~1e-12).
+_SHORTLIST_GUARD = 2e-4
+
+
+def _shortlist_candidates(
+    spark: SparkSession,
+    base: DataFrame,
+    *,
+    k: int,
+    exclude: str,
+) -> DataFrame:
+    """Per-partition guarded top-k candidate generator — the
+    ``ann_topk_int8_rerank`` shortlist shape (r4) applied to exact
+    float scoring (VERDICT r7 item 2). Each Arrow batch is scored
+    against the broadcast query matrix with ONE float64 matmul and
+    emits only the rows that could still reach the global top-``k``
+    under the rounded-4dp + neighbor-id total order: everything with
+    score >= (batch k-th best - _SHORTLIST_GUARD).
+
+    Why this is exact, not approximate: if a candidate X falls below
+    the guard, its batch holds >= k candidates scoring >= X + 2e-4;
+    with numpy-vs-sequential-fold drift <= ~1e-12, their true scores
+    exceed X's by > 1e-4, hence their ROUNDED scores strictly exceed
+    X's — X cannot be in the global top-k. Conversely any rounded-tie
+    contender sits within 1e-4 (< guard) of the batch leader and is
+    kept. So the union of per-batch shortlists contains the global
+    top-k, and the exact Spark-side rescore (sequential-fold cosine,
+    round 4, id tie-break) re-ranks only partitions*Q*(k+tail) rows —
+    the Q*N window exchange is gone.
+
+    ``exclude``: "self" masks neighbor_id == query_id (ANN recall),
+    "label" masks neighbor_label == query_label (hard negatives).
+    ``base`` must carry vec_id + embedding (+ label when needed); the
+    query set is the established bounded vec_id % 100 == 0 slice.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qrows = base.filter(F.col("vec_id") % 100 == 0).collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = (
+        np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+        if qrows else np.zeros((0, 1))
+    )
+    q_lbl = (
+        np.array([r.label for r in qrows], dtype=np.int64)
+        if exclude == "label" else None
+    )
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, q_lbl))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, qn, ql = bc.value
+        if not len(ids):
+            return
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            sims = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+            cid = pdf["vec_id"].to_numpy()
+            if ql is not None:
+                mask = ql[:, None] == pdf["label"].to_numpy()[None, :]
+            else:
+                mask = ids[:, None] == cid[None, :]
+            sims = np.where(mask, -np.inf, sims)
+            b = sims.shape[1]
+            kk = min(k, b)
+            thr = (
+                np.partition(sims, b - kk, axis=1)[:, b - kk]
+                - _SHORTLIST_GUARD
+            )
+            qi, ci = np.nonzero(
+                (sims >= thr[:, None]) & np.isfinite(sims)
+            )
+            yield pd.DataFrame(
+                {"query_id": ids[qi], "neighbor_id": cid[ci]}
+            )
+
+    shards = base
+    parallelism = spark.sparkContext.defaultParallelism
+    if shards.rdd.getNumPartitions() < parallelism:
+        shards = shards.repartition(parallelism)
+    return shards.mapInPandas(gen, "query_id long, neighbor_id long")
+
+
 # Matryoshka truncation sweep: leading-dim prefixes evaluated for recall.
 _MRL_DIMS = (16, 32)
 
@@ -1464,9 +1556,12 @@ def _install_matryoshka_oracle() -> None:
         "data, the same adjudication discipline as ann_recall_report "
         "and ann_ivf_nprobe_sweep. Per-query recalls go through the "
         "6-dp decimal lane before the cross-row mean; ranks tiebreak "
-        "on rounded similarity + neighbor id in both engines. Cost: "
-        "one broadcast-Q scan per truncation plus the shared exact "
-        "baseline — shortlists are Q*5 rows regardless of N.",
+        "on rounded similarity + neighbor id in both engines. Cost "
+        "(r8 reshape): each truncation runs the guarded per-partition "
+        "shortlist (one matmul per Arrow batch, exchange carries "
+        "partitions*Q*(5+tail) rows — the Q*N ranking window is gone) "
+        "plus the exact rescore; only the shared exact baseline keeps "
+        "the allowlisted brute-force shape.",
 )
 def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
@@ -1478,14 +1573,19 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
 
     def trunc_topk(d: int) -> DataFrame:
+        # Stage 1: guarded per-partition shortlist on the truncated
+        # prefix (no Q*N window exchange — VERDICT r7 item 2); stage 2:
+        # exact sequential-fold rescore of the Q*(5+tail) survivors.
         sl = lambda c: F.slice(c, 1, d)  # noqa: E731
-        e = emb.select(
+        base = emb.select("vec_id", sl(F.col("embedding")).alias("embedding"))
+        cand = _shortlist_candidates(spark, base, k=5, exclude="self")
+        e = base.select(
             F.col("vec_id").alias("neighbor_id"),
-            sl(F.col("embedding")).alias("e_emb"),
+            F.col("embedding").alias("e_emb"),
         ).withColumn("e_nrm", _norm(F.col("e_emb")))
-        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        q = base.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"),
-            sl(F.col("embedding")).alias("q_emb"),
+            F.col("embedding").alias("q_emb"),
         ).withColumn("q_nrm", _norm(F.col("q_emb")))
         sim = _dot(F.col("q_emb"), F.col("e_emb")) \
             / (F.col("q_nrm") * F.col("e_nrm"))
@@ -1493,8 +1593,9 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("cos_sim"), F.asc("neighbor_id")
         )
         return (
-            F.broadcast(q)
-            .join(e, F.col("neighbor_id") != F.col("query_id"))
+            F.broadcast(cand)
+            .join(F.broadcast(q), "query_id")
+            .join(e, "neighbor_id")
             .select("query_id", "neighbor_id",
                     F.round(sim, 4).alias("cos_sim"))
             .withColumn("rn", F.row_number().over(w))
@@ -1551,24 +1652,29 @@ _install_matryoshka_oracle()
         "from the query's — similar-but-wrong examples, exactly what a "
         "contrastive loss needs. Selection and ranking happen in the "
         "rounded-4dp domain with an id tie-break, the established "
-        "cross-engine total order. Scale: a broadcast-Q scan (Q bounded "
-        "by construction) with the label filter fused into the join "
-        "condition, then a per-query ranking window over Q*N' scored "
-        "rows — same shape and cost as the brute-force ANN baseline; "
-        "an IVF/LSH shortlist drops in unchanged when N' grows, since "
-        "the label predicate composes with any candidate generator.",
+        "cross-engine total order. Scale (r8 reshape, VERDICT item 2): "
+        "stage 1 scores each Arrow batch against the broadcast query "
+        "matrix with one float64 matmul (label mask fused) and keeps "
+        "only the guarded per-partition top-5 shortlist — the "
+        "ann_topk_int8_rerank shape — so the only exchange carries "
+        "partitions*Q*(5+tail) rows, never Q*N; stage 2 re-ranks the "
+        "shortlist with the exact sequential-fold cosine. An IVF/LSH "
+        "candidate generator still composes in front when N' grows.",
 )
 def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "nrm", _norm(F.col("embedding"))
+    emb = load_table(spark, "embeddings", sf_dir)
+    cand = _shortlist_candidates(
+        spark, emb.select("vec_id", "embedding", "label"),
+        k=5, exclude="label",
     )
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    full = emb.withColumn("nrm", _norm(F.col("embedding")))
+    q = full.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    e = emb.select(
+    e = full.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("e_emb"),
@@ -1581,8 +1687,9 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        F.broadcast(q)
-        .join(e, F.col("neighbor_label") != F.col("query_label"))
+        F.broadcast(cand)
+        .join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
         .select(
             "query_id", "query_label", "neighbor_id", "neighbor_label",
             F.round(sim, 4).alias("cos_sim"),

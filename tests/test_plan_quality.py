@@ -18,11 +18,9 @@ BNLJ_ALLOWED = {
         "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
         "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
     "embed_hard_negatives":
-        "hard-negative mining scores the bounded broadcast query set "
-        "against every candidate with the label-difference predicate "
-        "fused into the loop condition — the brute-force-ANN shape "
-        "(broadcast loop over N, never NxN shuffle); an IVF/LSH "
-        "shortlist generator composes in front when N' outgrows a scan",
+        "no BNLJ remains since the r8 shortlist reshape (stage 1 is a "
+        "guarded per-partition matmul shortlist, stage 2 broadcast "
+        "hash equi-joins) — entry kept as the documented history",
     "ann_topk_int8_rerank":
         "stage 1 deliberately scans every candidate's int8 codes against "
         "the broadcast query set (the FAISS-SQ8 flat-scan shape: 4x less "
@@ -98,9 +96,10 @@ BNLJ_ALLOWED = {
         "pair join are hash equi-joins",
     "embed_matryoshka_recall":
         "inherits ann_cosine_topk_bruteforce's allowlisted broadcast-Q "
-        "loop for the exact baseline AND runs it once per truncation "
-        "prefix — the report exists to measure truncated prefixes "
-        "against that exact baseline; shortlists stay Q*5 rows",
+        "loop for the exact baseline ONLY — since the r8 reshape each "
+        "truncation prefix runs the guarded per-partition shortlist "
+        "(matmul per Arrow batch, no Q*N window); shortlists stay "
+        "Q*(5+tail) rows",
     "ann_recall_report":
         "inherits ann_cosine_topk_bruteforce's allowlisted broadcast "
         "loop — the report exists to measure the LSH path against that "
