@@ -93,6 +93,12 @@ ROTATION_EXEMPT = frozenset({
     # record):
     "q_cube_lineitem_flags",          # CUBE: q_grouping_sets_revenue superset
     "q_string_agg_segments",          # list/string agg: curation_epoch_shuffle fingerprints
+    # Grown r8 alongside the 4 new registrations (unimax, knn-label,
+    # ttr, audio clipping); each pick has 7 green driver rounds r1-r7
+    # incl. the r7 full-registry record:
+    "mm_feature_extract",             # fake-decode plumbing: subsumed by the real codec family (mm_wav/png/jpeg_decode_features)
+    "mm_resize_decimate",             # fake byte resize: mm_png_resize_features is the real path
+    "q_pivot_status_by_year",         # pivot: q_grouping_sets_revenue + q_unpivot pair covers the reshape surface
 })
 
 

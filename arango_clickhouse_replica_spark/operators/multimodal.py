@@ -982,3 +982,71 @@ def extract_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+def synth_gain_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads with a per-doc gain sweep, for
+    clipping analysis: the base signal is synth_wav_media's
+    (``b_i = ((doc_id*31 + i*7) % 2001) - 1000``), multiplied by gain
+    ``g = 1 + 16 * (doc_id % 3)`` (1 / 17 / 33) and CLAMPED to int16 —
+    so one out of three clips by construction and a closed-form SQL
+    oracle can replay every clamped sample."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 32 + d % 17
+                g = 1 + 16 * (d % 3)
+                samples = [
+                    max(-32768, min(32767,
+                                    (((d * 31 + i * 7) % 2001) - 1000) * g))
+                    for i in range(n)
+                ]
+                wav = encode_wav_pcm16(samples, sample_rate=8000)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AUDIO_CLIPPING_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_clipped", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_clipping(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> clipping census per payload: samples at the
+    int16 rails (<= -32768 or >= 32767) counted from the DECODED stream,
+    plus the absolute peak — exact integers end to end."""
+    from .media_codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "n_clipped", "peak")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                wav = decode_wav(bytes(raw))
+                s = wav["samples"]
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(s))
+                rows["n_clipped"].append(
+                    sum(1 for x in s if x <= -32768 or x >= 32767)
+                )
+                rows["peak"].append(max((abs(x) for x in s), default=0))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_CLIPPING_SCHEMA)
+

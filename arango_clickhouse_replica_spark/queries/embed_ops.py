@@ -1848,3 +1848,115 @@ def embed_silhouette_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _install_knn_consistency_oracle() -> None:
+    from dataclasses import replace
+
+    from .llm_ops import _cosine_sql
+    from .registry import QUERIES as _Q
+
+    sql = f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id % 100 = 0),
+    topk AS (
+      SELECT query_id, query_label, neighbor_label FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               e.label AS neighbor_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_cosine_sql('q.embedding', 'e.embedding')},
+                                4) DESC, e.vec_id) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rn <= 5
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN neighbor_label = query_label
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           round(CAST(SUM(CASE WHEN neighbor_label = query_label
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS consistency
+    FROM topk GROUP BY query_id, query_label ORDER BY query_id
+    """
+    _Q["embed_knn_label_consistency"] = replace(
+        _Q["embed_knn_label_consistency"], oracle=sql
+    )
+
+
+@query(
+    "embed_knn_label_consistency",
+    oracle="",  # installed below (needs _cosine_sql)
+    tags=("embedding", "similarity", "quality", "report"),
+    doc="kNN label-consistency audit — the embedding-space label-noise "
+        "estimate run before trusting labels for hard-negative mining "
+        "or cell-purity routing (the k-NN agreement check behind "
+        "confident-learning-style noise detection): for each bounded "
+        "query vector (the shared vec_id % 100 == 0 set), the fraction "
+        "of its cosine top-5 neighbors sharing the query's ground-truth "
+        "label. Low consistency rows are mislabeled-or-boundary points; "
+        "the per-query relation (not a scalar) is what a relabeling "
+        "pass consumes. Ranking is the established rounded-4dp + id "
+        "total order. Scale (r8 shape): the guarded per-partition "
+        "shortlist (one matmul per Arrow batch, exchange carries "
+        "partitions*Q*(5+tail) rows) feeds the exact sequential-fold "
+        "rescore — same plan as embed_hard_negatives, no Q*N window.",
+)
+def embed_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cand = _shortlist_candidates(
+        spark, emb.select("vec_id", "embedding"), k=5, exclude="self",
+    )
+    full = emb.withColumn("nrm", _norm(F.col("embedding")))
+    q = full.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    e = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("e_emb")) / (
+        F.col("q_nrm") * F.col("e_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        F.broadcast(cand)
+        .join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .select(
+            "query_id", "query_label", "neighbor_label",
+            F.round(sim, 4).alias("cos_sim"), "neighbor_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    same = F.when(
+        F.col("neighbor_label") == F.col("query_label"), 1
+    ).otherwise(0)
+    return (
+        topk.groupBy("query_id", "query_label")
+        .agg(
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.sum(same).cast("long").alias("n_same_label"),
+        )
+        .select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            "n_neighbors", "n_same_label",
+            F.round(
+                F.col("n_same_label").cast("double") / F.col("n_neighbors"),
+                6,
+            ).alias("consistency"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_install_knn_consistency_oracle()

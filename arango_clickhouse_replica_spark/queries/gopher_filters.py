@@ -716,3 +716,125 @@ def text_c4_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_UNIMAX_EPOCH_CAP = 4
+
+
+@query(
+    "curation_unimax_budget",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(GREATEST(1, n_chars // 4)) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS budget FROM per_lang
+    ),
+    ranked AS (
+      SELECT lang, tokens, budget,
+             CAST({_UNIMAX_EPOCH_CAP} * tokens AS BIGINT) AS cap_tokens,
+             ROW_NUMBER() OVER (ORDER BY tokens, lang) AS i,
+             COUNT(*) OVER () AS n,
+             COALESCE(SUM({_UNIMAX_EPOCH_CAP} * tokens) OVER (
+               ORDER BY tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM per_lang, tot
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN cap_tokens * (n - i + 1) <= budget - cum_prev
+                     THEN 1 ELSE 0 END AS capped
+      FROM ranked
+    ),
+    totals AS (
+      SELECT *,
+             SUM(capped * cap_tokens) OVER () AS s_capped,
+             SUM(capped) OVER () AS k
+      FROM flagged
+    )
+    SELECT lang, tokens, cap_tokens,
+           CAST(capped AS INT) AS at_cap,
+           round(CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(budget - s_capped AS DOUBLE) / (n - k)
+                 END, 6) AS alloc_tokens,
+           round(CASE WHEN capped = 1 THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(budget - s_capped AS DOUBLE) / (n - k)
+                 END / tokens, 6) AS epochs
+    FROM totals ORDER BY lang
+    """,
+    tags=("curation", "mixing", "decision"),
+    doc=f"UniMax budget allocation (Chung et al. 2023): distribute a "
+        "token budget (half the corpus here) across languages so every "
+        f"language is repeated at most {_UNIMAX_EPOCH_CAP} epochs and "
+        "the remainder spreads UNIFORMLY over the others — the "
+        "closed-form waterfill: langs ascending by size, lang i is "
+        "'capped' iff giving it its full cap still leaves every larger "
+        "lang an equal share (an exact integer comparison, so the "
+        "branch point is bit-identical cross-engine; caps ascend, so "
+        "cappedness is a prefix property). Allocations: cap for capped "
+        "langs, (budget - capped mass) / #uncapped for the rest — one "
+        "double division on exact integers. THE sampling table "
+        "multilingual runs consume instead of temperature mixing when "
+        "low-resource repetition must be bounded. Scale: the corpus "
+        "reduces to one row per lang before any window; every window "
+        "runs over that L-row relation.",
+)
+def curation_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.greatest(F.lit(1), F.expr("n_chars div 4")))
+        .cast("long").alias("tokens"),
+    )
+    tot = per_lang.agg(
+        F.expr("sum(tokens) div 2").cast("long").alias("budget")
+    )
+    w_ord = Window.orderBy("tokens", "lang")
+    ranked = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "tokens", "budget",
+            (F.lit(_UNIMAX_EPOCH_CAP) * F.col("tokens"))
+            .cast("long").alias("cap_tokens"),
+        )
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        F.when(
+            F.col("cap_tokens") * (F.col("n") - F.col("i") + 1)
+            <= F.col("budget") - F.col("cum_prev"),
+            1,
+        ).otherwise(0),
+    )
+    w_all = Window.partitionBy()
+    totals = (
+        flagged
+        .withColumn(
+            "s_capped", F.sum(F.col("capped") * F.col("cap_tokens")).over(w_all)
+        )
+        .withColumn("k", F.sum("capped").over(w_all))
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap_tokens").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("s_capped")).cast("double")
+        / (F.col("n") - F.col("k"))
+    )
+    return totals.select(
+        "lang", "tokens", "cap_tokens",
+        F.col("capped").cast("int").alias("at_cap"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens"), 6).alias("epochs"),
+    ).orderBy("lang")

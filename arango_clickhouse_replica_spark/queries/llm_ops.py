@@ -3674,3 +3674,88 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+_TTR_CHUNK = 50
+
+
+@query(
+    "text_ttr_chunked",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, arr[CAST(u.i + 1 AS INT)] AS tok,
+             CAST(u.i // {_TTR_CHUNK} AS BIGINT) AS chunk
+      FROM toks, unnest(range(0, len(arr))) AS u(i)
+    ),
+    per_chunk AS (
+      SELECT doc_id, chunk,
+             CAST(round(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(18,6)) AS ttr
+      FROM pos GROUP BY doc_id, chunk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           -- exact integer micro-units: round-half-up((sum/n) * 1e6)
+           -- as (2a + n) // (2n) — no double-rounding half-boundary
+           -- divergence (round() on the double quotient differed at
+           -- 0.5041935 between engines)
+           CAST((2 * CAST(SUM(ttr) * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_ttr
+    FROM per_chunk GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "report"),
+    doc=f"Chunked type-token ratio — the windowed lexical-diversity "
+        "quality signal (the MATTR idea of Covington & McFall 2010, "
+        f"fixed {_TTR_CHUNK}-token tumbling chunks instead of a sliding "
+        "window so the aggregate is one hash groupBy): raw whole-doc "
+        "TTR penalizes long documents purely for length, so quality "
+        "filters compare diversity on fixed-size chunks and average. "
+        "Low mean TTR at fixed chunk size = TEMPLATED/repetitive text "
+        "(the signal Gopher's repetition rules threshold). Per-chunk "
+        "ratios go through the 6-dp decimal lane; the cross-chunk mean "
+        "is computed in exact integer micro-units with round-half-up "
+        "((2a+n) div 2n) — rounding the double quotient diverged at a "
+        "half boundary between engines. Scale: posexplode "
+        "-> (doc_id, chunk) count-distinct aggregate -> doc_id "
+        "aggregate; keys are bounded by document length, no skew, no "
+        "joins.",
+)
+def text_ttr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i", "tok"),
+        )
+        .select(
+            "doc_id", "tok",
+            (F.col("i") / _TTR_CHUNK).cast("long").alias("chunk"),
+        )
+    )
+    per_chunk = (
+        pos.groupBy("doc_id", "chunk")
+        .agg(
+            F.round(
+                F.count_distinct("tok").cast("double") / F.count("*"), 6
+            ).cast("decimal(18,6)").alias("ttr"),
+        )
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("ttr").alias("__sum_ttr"),
+        )
+        .select(
+            "doc_id", "n_chunks",
+            # exact integer micro-units, round-half-up — see oracle note
+            F.expr(
+                "cast((2 * cast(__sum_ttr * 1000000 as bigint) + n_chunks)"
+                " div (2 * n_chunks) as double) / 1000000.0"
+            ).alias("mean_ttr"),
+        )
+        .orderBy("doc_id")
+    )

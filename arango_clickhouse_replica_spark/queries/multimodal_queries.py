@@ -1161,3 +1161,54 @@ def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "scene_id")
     )
+
+
+@query(
+    "mm_audio_clipping_report",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n, 1 + 16 * (doc_id % 3) AS g
+      FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, n,
+             GREATEST(-32768, LEAST(32767,
+               (((doc_id * 31 + u.i * 7) % 2001) - 1000) * g)) AS s
+      FROM params, unnest(range(0, CAST(n AS INT))) AS u(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN s <= -32768 OR s >= 32767
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           round(CAST(SUM(CASE WHEN s <= -32768 OR s >= 32767
+                          THEN 1 ELSE 0 END) AS DOUBLE) / n, 6) AS clip_frac
+    FROM smp GROUP BY doc_id, n ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "codec", "quality", "pandas-udf"),
+    doc="Audio clipping census over REAL decoded WAVs — the loudness-QA "
+        "gate an audio training pipeline runs before feature extraction "
+        "(clipped segments corrupt spectral features; pipelines drop or "
+        "attenuate them): a gain-swept synth (1x/17x/33x, clamped to "
+        "int16 like any real recording chain) encodes through the RIFF "
+        "encoder, a mapInPandas stage DECODES each payload and counts "
+        "samples at the int16 rails plus the absolute peak — exact "
+        "integers, replayed by a closed-form oracle that never sees "
+        "bytes. Complements mm_audio_vad_segments (silence) with the "
+        "other amplitude extreme. Scale: one narrow 1:1 Arrow decode "
+        "stage, zero exchanges before the final orderBy.",
+)
+def mm_audio_clipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_audio_clipping,
+        synth_gain_wav_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_audio_clipping(synth_gain_wav_media(docs))
+    return feats.select(
+        "media_id", "n_samples", "n_clipped", "peak",
+        F.round(
+            F.col("n_clipped").cast("double") / F.col("n_samples"), 6
+        ).alias("clip_frac"),
+    ).orderBy("media_id")

@@ -159,6 +159,69 @@ class StreamingCurationGate:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def attach_wal(
+        self,
+        *,
+        mapping,
+        data_schema,
+        wal_options: dict,
+        checkpoint_dir: str,
+        collections=None,
+        processing_time: str = "500 milliseconds",
+    ) -> StreamingQuery:
+        """The full reference-shape ingest fused with the LLM gate
+        (VERDICT r7 item 8): native ``arango_wal`` streaming source
+        (WAL ticks are the checkpoint offsets) -> the DSL cast kernel
+        (``schema.dsl`` — the F1-F13 surface, compiled ONCE against the
+        envelope schema) -> this gate's per-batch curation stages, all
+        in one streaming query. Document upserts flow through; the DSL's
+        dead-letter split lands under ``<out_root>/dead_letter/`` keyed
+        by batch so replays overwrite (A4 semantics). ``mapping`` must
+        produce at least (doc_id, text).
+
+        Parity (tests/test_wal_curation.py): the keep_list after
+        draining a scripted WAL equals feeding the same documents
+        through the DSL transform and ``process_doc_batch`` directly.
+        """
+        from ..schema.dsl import compile_mapping
+        from ..sources.arango_wal import UPSERT_DOCUMENT
+        from ..sources.wal_datasource import register
+
+        register(self.spark)
+        reader = self.spark.readStream.format("arango_wal")
+        for k, v in (wal_options or {}).items():
+            reader = reader.option(k, str(v))
+        if collections:
+            reader = reader.option("collections", ",".join(collections))
+        stream = (
+            reader.load()
+            .select(
+                F.col("tick").cast("long").alias("tick"),
+                "type",
+                "cuid",
+                F.from_json("data", data_schema).alias("data"),
+            )
+            .filter(F.col("type") == UPSERT_DOCUMENT)
+        )
+        compiled = compile_mapping(mapping, stream.schema, doc_col="data")
+        dead_dir = os.path.join(self.out_root, "dead_letter")
+
+        def _apply(batch: DataFrame, batch_id: int) -> None:
+            res = compiled.apply(batch)
+            res.rejected.select(
+                "tick", "cuid", F.to_json("data").alias("doc"), "_errors"
+            ).write.mode("overwrite").json(
+                os.path.join(dead_dir, f"batch_id={batch_id}")
+            )
+            self.process_doc_batch(res.valid, batch_id)
+
+        return (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
     def attach_media(
         self, media_stream: DataFrame, *, checkpoint_dir: str,
         available_now: bool = True,

@@ -135,6 +135,10 @@ HEADLINE = [
     "mm_mjpeg_scene_cuts",
     "embed_silhouette_approx",
     "dedup_minhash_band_sweep",
+    "curation_unimax_budget",
+    "embed_knn_label_consistency",
+    "text_ttr_chunked",
+    "mm_audio_clipping_report",
 ]
 
 

@@ -407,6 +407,24 @@ COMMENT = {
         "frontier (<= |customers| rows) hash-joined per round against "
         "the 30-day successor edges; functional edge -> linear "
         "recursion, no path blowup.",
+    "curation_unimax_budget":
+        "UniMax waterfill (round 8): corpus reduces to one row per "
+        "lang before any window; the cappedness prefix test is an "
+        "exact integer comparison over the L-row relation, one "
+        "1-row budget broadcast attach.",
+    "embed_knn_label_consistency":
+        "kNN label audit (round 8): guarded per-partition shortlist "
+        "(one matmul per Arrow batch, exchange = partitions*Q*(5+tail) "
+        "rows) -> exact sequential-fold rescore -> Q-row aggregate; "
+        "no Q*N window.",
+    "text_ttr_chunked":
+        "Chunked TTR (round 8): posexplode -> (doc, chunk) "
+        "count-distinct hash aggregate -> doc aggregate through the "
+        "decimal mean lane; keys bounded by doc length, no joins.",
+    "mm_audio_clipping_report":
+        "Audio clipping census (round 8): one narrow 1:1 Arrow decode "
+        "stage (real RIFF parse), exact integer rail counts, zero "
+        "exchanges before the final orderBy.",
 }
 
 

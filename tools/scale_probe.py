@@ -93,6 +93,10 @@ PROBES = [
     "mm_mjpeg_scene_cuts",
     "embed_silhouette_approx",
     "dedup_minhash_band_sweep",
+    "curation_unimax_budget",
+    "embed_knn_label_consistency",
+    "text_ttr_chunked",
+    "mm_audio_clipping_report",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",

@@ -91,7 +91,14 @@ def build_index(spark, sf_dir: str, out: str) -> dict:
 
     words = _doc_words(spark, sf_dir)
     dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dw.write.mode("overwrite").parquet(f"{out}/tf")
+    # Range-partition + sort the postings BY TERM before writing: each
+    # parquet file/row-group then covers a narrow lexicographic w-range,
+    # so a `w IN (...)` query skips every file whose [min_w, max_w]
+    # stats miss the terms — file-level pruning measured by
+    # tools/search_probe.py, not just asserted.
+    (dw.repartitionByRange(8, F.col("w"))
+       .sortWithinPartitions("w")
+       .write.mode("overwrite").parquet(f"{out}/tf"))
     dw = spark.read.parquet(f"{out}/tf")  # re-read: one source of truth
 
     cw = dw.groupBy("w").agg(
@@ -257,8 +264,14 @@ def vector_search(spark, index: str, q_id: int, q_vec: list[float],
     from arango_clickhouse_replica_spark.queries.llm_ops import _dot
 
     cells = probe_cells(spark, index, q_vec, nprobe)
-    vecs = spark.read.parquet(f"{index}/vectors").filter(
-        F.col("cell").isin(cells) & (F.col("vec_id") != q_id)
+    # Path-level pruning, not just partition-filter pruning: list ONLY
+    # the probed cells' directories (basePath keeps the `cell` column).
+    # The scan provably cannot touch the other C-nprobe cells —
+    # tools/search_probe.py asserts it via inputFiles().
+    vecs = (
+        spark.read.option("basePath", f"{index}/vectors")
+        .parquet(*[f"{index}/vectors/cell={c}" for c in cells])
+        .filter(F.col("vec_id") != q_id)
     )
     q_arr = F.array(*[F.lit(float(x)) for x in q_vec])
     q_nrm = math.sqrt(_fold_dot(q_vec, q_vec))
