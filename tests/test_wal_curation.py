@@ -73,7 +73,10 @@ def _gate(spark, corpus, tmp_path, name):
 
 
 def _drain(gate, q, want: int, timeout_s: float = 120.0):
-    """Poll the quality ledger until `want` docs have been ingested."""
+    """Poll the quality ledger until `want` docs have been ingested,
+    then wait for the stream to go idle: the ledger is written FIRST in
+    process_doc_batch, so stopping on ledger count alone can kill the
+    final batch's dedup/decontam stages mid-write."""
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         try:
@@ -82,6 +85,14 @@ def _drain(gate, q, want: int, timeout_s: float = 120.0):
         except Exception:
             pass
         time.sleep(0.5)
+    idle = 0
+    while time.monotonic() < deadline and idle < 3:
+        st = q.status
+        if not st["isDataAvailable"] and not st["isTriggerActive"]:
+            idle += 1
+        else:
+            idle = 0
+        time.sleep(0.3)
     q.stop()
     q.awaitTermination(30)
 
