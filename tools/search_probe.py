@@ -72,8 +72,8 @@ def _tf_file_stats(idx: str, terms: list[str]) -> dict:
     total_rg = match_rg = match_files = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
-        w_i = next(i for i in range(md.schema.num_columns)
-                   if md.schema.column(i).name == "w")
+        w_i = next(i for i in range(len(md.schema.names))
+                   if md.schema.names[i] == "w")
         file_hit = False
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(w_i).statistics
@@ -116,8 +116,8 @@ def probe_index(spark, sf_dir: str, idx: str) -> dict:
     # -- sparse: footer stats + pushdown ------------------------------
     terms = search._auto_terms(spark, idx)
     sparse = _tf_file_stats(idx, terms)
-    plan = (spark.read.parquet(f"{idx}/tf")
-            .filter(spark.read.parquet(f"{idx}/tf")["w"].isin(terms))
+    tf = spark.read.parquet(f"{idx}/tf")
+    plan = (tf.filter(tf["w"].isin(terms))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan and "In(w" in plan, plan[:500]
     sparse["pushdown"] = True
