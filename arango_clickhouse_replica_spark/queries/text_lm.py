@@ -414,16 +414,38 @@ BIGRAM_LOGPROB_SQL = f"""
         "exactly how production KenLM pipelines bound their models. "
         "Per-bigram logs go through the verified round+DECIMAL lane and "
         "the per-doc sum multiplies exact BIGINT occurrence counts by "
-        "exact decimals, so cross-engine hashes match. Plan: narrow "
-        "pair generator, two broadcast hash joins against the "
-        "structurally bounded head, hash aggregates for the count "
-        "tables, one uncapped (m1,m2)-keyed equi-join of the per-doc "
-        "pair table against the logprob table (the KL-mixture-style "
-        "accepted shuffle), one groupBy(doc_id). In-corpus scoring "
-        "means no unseen bigram (every scored pair was counted), so no "
-        "backoff branch is needed.",
+        "exact decimals, so cross-engine hashes match. Plan (r8 "
+        "profile-driven reshape, docs/SCALING.md 'bigram LM 50x "
+        "profile'): the bounded head is collected ONCE and re-shipped "
+        "with dense vocab ids (no consumer can re-trigger the corpus "
+        "TakeOrdered job — it used to run 4x), every downstream "
+        "relation keys on ONE packed int64 (id1*span+id2, "
+        "collision-free by construction; half the shuffle width of two "
+        "strings), and the per-doc counts are computed FIRST with the "
+        "global counts derived from them, so the corpus-sized pair "
+        "stream has a single consumer. One long-keyed equi-join of "
+        "per-doc counts against logprobs, one groupBy(doc_id). "
+        "In-corpus scoring means no unseen bigram (every scored pair "
+        "was counted), so no backoff branch is needed.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8 profile-driven reshape (r7 verdict item 7). The 50x stage
+    # profile (docs/SCALING.md "bigram LM 50x profile") showed the query
+    # at 34 s while its heaviest single stage ran in 3 s: the vocab-head
+    # TakeOrdered job (a full corpus word count) was re-executed for
+    # each of the FOUR broadcast subplans (h1/h2 under both the c12 and
+    # dbg consumers). Fix:
+    #   1. Collect the head ONCE — it is structurally bounded at
+    #      _VOCAB_CAP rows (the round-5 bounded-broadcast rule makes
+    #      this collect legal at any corpus size) — and re-ship it as a
+    #      local relation with DENSE VOCAB IDS, so no consumer can
+    #      re-trigger the corpus job.
+    #   2. Key every downstream relation on ONE packed int64
+    #      (id1 * (cap+1) + id2, <unk> = cap) instead of two strings —
+    #      half the shuffle width, collision-free by construction
+    #      (dense ids, not hashes). The (m1, m2) -> key mapping is a
+    #      bijection, so every count and therefore the output is
+    #      unchanged; the oracle needs no mirror.
     docs = load_table(spark, "documents", sf_dir)
     tk = F.expr("filter(split(text, ' '), x -> x != '')")
     bg0 = (
@@ -439,34 +461,46 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.w2")
     )
     words = _doc_words(spark, sf_dir)
-    head = (
+    head_rows = (
         words.groupBy("w").agg(F.count("*").alias("c_w"))
         .orderBy(F.desc("c_w"), F.asc("w"))
         .limit(_VOCAB_CAP)
         .select("w")
+        .collect()
     )
-    h1 = head.withColumnRenamed("w", "w1").withColumn("in1", F.lit(1))
-    h2 = head.withColumnRenamed("w", "w2").withColumn("in2", F.lit(1))
+    unk_id = _VOCAB_CAP  # one past the densest possible head
+    ids = spark.createDataFrame(
+        [(r.w, i) for i, r in enumerate(head_rows)], "w string, wid long"
+    )
+    i1 = ids.select(F.col("w").alias("w1"), F.col("wid").alias("id1"))
+    i2 = ids.select(F.col("w").alias("w2"), F.col("wid").alias("id2"))
+    span = _VOCAB_CAP + 1
+    key = (
+        F.coalesce(F.col("id1"), F.lit(unk_id)) * span
+        + F.coalesce(F.col("id2"), F.lit(unk_id))
+    )
     bg = (
-        bg0.join(F.broadcast(h1), "w1", "left")
-        .join(F.broadcast(h2), "w2", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("in1").isNull(), "<unk>").otherwise(F.col("w1"))
-            .alias("m1"),
-            F.when(F.col("in2").isNull(), "<unk>").otherwise(F.col("w2"))
-            .alias("m2"),
-        )
+        bg0.join(F.broadcast(i1), "w1", "left")
+        .join(F.broadcast(i2), "w2", "left")
+        .select("doc_id", key.alias("k"))
     )
-    c12 = bg.groupBy("m1", "m2").agg(F.count("*").alias("c12"))
-    c1 = c12.groupBy("m1").agg(F.sum("c12").alias("c1"))
-    c2 = c12.groupBy("m2").agg(F.sum("c12").alias("c2"))
+    # dbg FIRST, global counts derived from it: the corpus-sized bg
+    # chain then has a single consumer (dbg's two consumers share one
+    # ReusedExchange), instead of re-running the explode + broadcasts
+    # under both the global-count and per-doc-count subplans.
+    dbg = bg.groupBy("doc_id", "k").agg(F.count("*").alias("c"))
+    c12 = dbg.groupBy("k").agg(F.sum("c").alias("c12"))
+    m1 = F.expr(f"k div {span}")
+    m2 = F.col("k") % span
+    c1 = c12.groupBy(m1.alias("m1")).agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy(m2.alias("m2")).agg(F.sum("c12").alias("c2"))
     tot = c12.agg(F.sum("c12").cast("long").alias("t"))
     lp = (
-        c12.join(c1, "m1").join(c2, "m2")
+        c12.withColumn("m1", m1).withColumn("m2", m2)
+        .join(c1, "m1").join(c2, "m2")
         .crossJoin(F.broadcast(tot))
         .select(
-            "m1", "m2",
+            "k",
             F.expr(_LOG2_DEC.format(
                 x=f"{_BIGRAM_LAMBDA} * cast(c12 as double)"
                   " / cast(c1 as double)"
@@ -474,9 +508,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                   " / cast(t as double)")).alias("lp"),
         )
     )
-    dbg = bg.groupBy("doc_id", "m1", "m2").agg(F.count("*").alias("c"))
     return (
-        dbg.join(lp, ["m1", "m2"])
+        dbg.join(lp, "k")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),

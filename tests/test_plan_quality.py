@@ -76,8 +76,9 @@ BNLJ_ALLOWED = {
     "text_bigram_logprob":
         "the only BNLJ is the 1-row bigram-mass total broadcast-"
         "attached onto the count table (O(K*1) literal attach); vocab "
-        "mapping is a broadcast hash equi-join on the bounded head and "
-        "the scoring join is an (m1,m2)-keyed hash equi-join",
+        "mapping is a broadcast hash equi-join on the bounded "
+        "collected head and the scoring join is keyed on one packed "
+        "int64 (r8 reshape)",
     "text_rrf_fusion":
         "inherits text_bm25_topk's 1-row corpus-stats attaches, plus "
         "the <=3-row query-term relation cross-attached onto per-doc "

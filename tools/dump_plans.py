@@ -323,11 +323,12 @@ COMMENT = {
         "hash join over two 50-row relations — O(depth) regardless of "
         "corpus size; the QL scan is one O(N*3) narrow pass.",
     "text_bigram_logprob":
-        "Bigram LM scoring (round 7): vocab-mapped pair counts via "
-        "broadcast joins on the bounded 65536-word head, count tables "
-        "as hash aggregates, one (m1,m2)-keyed equi-join of the "
-        "per-doc pair table against the logprob table, one "
-        "groupBy(doc_id). Decimal log lanes end to end.",
+        "Bigram LM scoring (r8 reshape): head collected once and "
+        "re-shipped with dense vocab ids, all count tables keyed on "
+        "one packed int64, per-doc counts computed first with global "
+        "counts derived (single consumer of the corpus pair stream), "
+        "one long-keyed equi-join, one groupBy(doc_id). Decimal log "
+        "lanes end to end.",
     "embed_matryoshka_recall":
         "MRL truncation sweep (round 7): the exact baseline plus one "
         "broadcast-Q scan per prefix length; shortlists are Q*5 rows "
