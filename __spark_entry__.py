@@ -25,6 +25,12 @@ per-query plan-quality guard in tests/test_plan_quality.py still covers
 it), and remains available to users — it just no longer consumes
 rotation slots. Exempt names re-enter automatically if the emitted set
 falls below the budget.
+
+PER-ROUND HABIT (r7 verdict item 3): because the exempt pool grows with
+every registration, each round must also run the FULL registry —
+``python tools/driver_check.py --all --json VERIFY_FULL_r{N}.json`` —
+and commit the record, so rotation-exempt queries' oracle evidence
+never ages beyond one round. r7 and r8 records are in-repo.
 """
 
 from __future__ import annotations
@@ -99,6 +105,13 @@ ROTATION_EXEMPT = frozenset({
     "mm_feature_extract",             # fake-decode plumbing: subsumed by the real codec family (mm_wav/png/jpeg_decode_features)
     "mm_resize_decimate",             # fake byte resize: mm_png_resize_features is the real path
     "q_pivot_status_by_year",         # pivot: q_grouping_sets_revenue + q_unpivot pair covers the reshape surface
+    # Grown r8 alongside the PMI/quant-error/shard-balance registrations
+    # (each pick has 7 green driver rounds r1-r7 incl. the full-registry
+    # record):
+    "q_stat_moments_by_segment",      # per-segment distribution stats: q_percentiles_by_segment + q_weighted_avg_discount cover the family
+    "q_funnel_conversion",            # event-sequence analytics: q_click_purchase_attribution + q_cohort_retention cover the family
+    "text_bigram_heavy_hitters",      # raw pair-count top-k: text_cooccurrence_pmi + text_bigram_logprob are the kept pair-statistics siblings
+    "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (kept) + dsl_deadletter_split (kept) on another table
 })
 
 

@@ -1960,3 +1960,130 @@ def embed_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_knn_consistency_oracle()
+
+
+_QUANT_LEVELS = ((8, 127), (6, 31), (4, 7))
+
+
+def _quant_mse_sql(level: int) -> str:
+    dq = (f"GREATEST(CAST(-{level} AS DOUBLE), LEAST(CAST({level} AS DOUBLE),"
+          f" floor(CAST(x AS DOUBLE) * {level} / vabs))) * vabs / {level}")
+    return f"""
+      SELECT {level} AS lvl, vec_id,
+             CASE WHEN vabs IS NULL OR vabs = 0 THEN CAST(0 AS DECIMAL(18,6))
+                  ELSE CAST(round(list_reduce(list_transform(
+                         list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) - ({dq})),
+                         e -> e * e), (p, q) -> p + q)
+                       / len(embedding), 6) AS DECIMAL(18,6))
+             END AS mse
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS vabs
+            FROM embeddings)"""
+
+
+def _install_quant_error_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    per_level = "\n      UNION ALL\n      ".join(
+        _quant_mse_sql(lv) for _, lv in _QUANT_LEVELS
+    )
+    bits_case = " ".join(
+        f"WHEN lvl = {lv} THEN {b}" for b, lv in _QUANT_LEVELS
+    )
+    sql = f"""
+    WITH mses AS (
+      {per_level}
+    )
+    SELECT CAST(CASE {bits_case} END AS INT) AS bits,
+           CAST(lvl AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           -- exact integer micro-units, round-half-up (the ttr lesson):
+           CAST((2 * CAST(SUM(mse) * 1000000 AS BIGINT) + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_mse,
+           CAST(MAX(mse) AS DOUBLE) AS max_mse
+    FROM mses GROUP BY lvl ORDER BY bits DESC
+    """
+    _Q["embed_quantization_error_report"] = replace(
+        _Q["embed_quantization_error_report"], oracle=sql
+    )
+
+
+@query(
+    "embed_quantization_error_report",
+    oracle="",  # installed below
+    tags=("embedding", "quantization", "calibration", "report"),
+    doc="Quantization bits-vs-error decision table — the calibration "
+        "report run before choosing a code width for the int-code ANN "
+        "path (the FAISS-SQ tradeoff made data, same adjudication "
+        "discipline as ann_recall_report/embed_matryoshka_recall): for "
+        "symmetric linear quantizers at 8/6/4 bits (levels 127/31/7, "
+        "the ann_topk_int8_rerank floor formula), the per-vector "
+        "reconstruction MSE, reported as mean and max per width. "
+        "Exactness: floor/clamp/divisions in ONE fixed IEEE expression "
+        "shape mirrored across engines, the per-vector squared-error "
+        "fold is sequential (bit-identical), each MSE passes the 6-dp "
+        "decimal lane before cross-row aggregation; zero/null-norm "
+        "vectors quantize to exact zero. Scale: one narrow pass over "
+        "the vectors per width (3 widths), 3-row output — no joins, no "
+        "windows, map-side-combinable aggregate.",
+)
+def embed_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding",
+        F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+        .alias("vabs"),
+    )
+    per = []
+    for bits, lv in _QUANT_LEVELS:
+        dq = (f"greatest(cast(-{lv} as double), least(cast({lv} as double),"
+              f" floor(cast(x as double) * {lv} / vabs))) * vabs / {lv}")
+        mse = F.when(
+            F.col("vabs").isNull() | (F.col("vabs") == 0),
+            F.lit(0).cast("decimal(18,6)"),
+        ).otherwise(
+            F.expr(
+                "cast(round(aggregate(transform(transform(embedding,"
+                f" x -> cast(x as double) - ({dq})),"
+                " e -> e * e), cast(0.0 as double), (p, q) -> p + q)"
+                " / size(embedding), 6) as decimal(18,6))"
+            )
+        )
+        per.append(
+            emb.select(
+                F.lit(lv).alias("lvl"),
+                F.lit(bits).alias("bits"),
+                mse.alias("mse"),
+            )
+        )
+    mses = per[0]
+    for p in per[1:]:
+        mses = mses.unionByName(p)
+    return (
+        mses.groupBy("lvl", "bits")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("mse").alias("__sum_mse"),
+            F.max("mse").cast("double").alias("max_mse"),
+        )
+        .withColumn(
+            "mean_mse",
+            # exact integer micro-units, round-half-up (the ttr lesson)
+            F.expr(
+                "cast((2 * cast(__sum_mse * 1000000 as bigint) + n_vectors)"
+                " div (2 * n_vectors) as double) / 1000000.0"
+            ),
+        )
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            F.col("lvl").cast("int").alias("level"),
+            "n_vectors", "mean_mse", "max_mse",
+        )
+        .orderBy(F.desc("bits"))
+    )
+
+
+_install_quant_error_oracle()

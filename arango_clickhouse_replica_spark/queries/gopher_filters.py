@@ -838,3 +838,71 @@ def curation_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc, 6).alias("alloc_tokens"),
         F.round(alloc / F.col("tokens"), 6).alias("epochs"),
     ).orderBy("lang")
+
+
+@query(
+    "curation_shard_balance_report",
+    oracle=f"""
+    WITH assign AS (
+      SELECT CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:0'),
+                                1, 1)) - 1 AS INT) % {_N_SHARDS} AS shard,
+             GREATEST(1, n_chars // 4) AS est_tokens
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(est_tokens) AS BIGINT) AS est_tokens
+      FROM assign GROUP BY shard
+    ),
+    tot AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS t FROM per_shard)
+    SELECT shard, n_docs, est_tokens,
+           round(CAST(est_tokens AS DOUBLE) / t, 6) AS token_share,
+           round(CAST(est_tokens AS DOUBLE) * {_N_SHARDS} / t, 6)
+             AS load_factor
+    FROM per_shard, tot ORDER BY shard
+    """,
+    tags=("curation", "sharding", "report", "decision"),
+    doc="Shard-balance audit over the deterministic training shards "
+        "(epoch 0 of curation_epoch_shuffle's md5 assignment): per-shard "
+        "doc and estimated-token mass, token share, and load factor "
+        "(share * n_shards — 1.0 is perfect balance). THE pre-flight "
+        "check before a training run trusts its shards: a load factor "
+        "far from 1.0 means stragglers (data-parallel ranks idle on the "
+        "small shards while the big one streams). Exact integer masses; "
+        "the two derived doubles are single divisions of exact "
+        "integers. Scale: one narrow hash pass into an 8-key aggregate, "
+        "1-row total broadcast attach.",
+)
+def curation_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    shard = (
+        (F.expr(f"instr('0123456789abcdef', substr(md5(concat("
+                f"cast(doc_id as string), ':epoch:0')), 1, 1))") - 1)
+        % _N_SHARDS
+    ).cast("int")
+    per_shard = (
+        docs.select(
+            shard.alias("shard"),
+            F.greatest(F.lit(1), F.expr("n_chars div 4")).alias("est_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("est_tokens").cast("long").alias("est_tokens"),
+        )
+    )
+    tot = per_shard.agg(F.sum("est_tokens").cast("long").alias("t"))
+    return (
+        per_shard.crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs", "est_tokens",
+            F.round(F.col("est_tokens").cast("double") / F.col("t"), 6)
+            .alias("token_share"),
+            F.round(
+                F.col("est_tokens").cast("double") * _N_SHARDS / F.col("t"), 6
+            ).alias("load_factor"),
+        )
+        .orderBy("shard")
+    )

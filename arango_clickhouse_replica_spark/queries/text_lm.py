@@ -522,3 +522,159 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_bigrams").cast("double")).alias("avg_bigram_lp_bits"),
         )
     )
+
+
+_PMI_MIN_COUNT, _PMI_TOPK = 5, 20
+
+COOCCURRENCE_PMI_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    pr0 AS (
+      SELECT tk[k] AS w1, tk[k + 1] AS w2
+      FROM tk, unnest(range(1, len(tk))) AS u(k)
+      UNION ALL
+      SELECT tk[k] AS w1, tk[k + 2] AS w2
+      FROM tk, unnest(range(1, len(tk) - 1)) AS u(k)
+    ),
+    tok AS (SELECT unnest(tk) AS w FROM tk),
+    cw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM tok GROUP BY w
+    ),
+    head AS (SELECT w FROM cw ORDER BY c_w DESC, w LIMIT {_VOCAB_CAP}),
+    marg AS MATERIALIZED (
+      SELECT CASE WHEN h.w IS NULL THEN '<unk>' ELSE t.w END AS m,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok t LEFT JOIN head h ON t.w = h.w GROUP BY 1
+    ),
+    pr AS MATERIALIZED (
+      SELECT CASE WHEN h1.w IS NULL THEN '<unk>' ELSE pr0.w1 END AS m1,
+             CASE WHEN h2.w IS NULL THEN '<unk>' ELSE pr0.w2 END AS m2
+      FROM pr0
+      LEFT JOIN head h1 ON pr0.w1 = h1.w
+      LEFT JOIN head h2 ON pr0.w2 = h2.w
+    ),
+    cab AS (
+      SELECT m1, m2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM pr GROUP BY m1, m2
+    ),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM marg),
+    tp AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS t_pairs FROM cab)
+    SELECT m1 AS w1, m2 AS w2, c_ab,
+           CAST({_LOG2_DEC_SQL.format(
+               x="(CAST(c_ab AS DOUBLE) / t_pairs)"
+                 " / ((CAST(ca.c AS DOUBLE) / t_tok)"
+                 " * (CAST(cb.c AS DOUBLE) / t_tok))")} AS DOUBLE)
+             AS pmi_bits
+    FROM cab
+    JOIN marg ca ON ca.m = m1
+    JOIN marg cb ON cb.m = m2
+    CROSS JOIN tt CROSS JOIN tp
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_bits DESC, c_ab DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle=COOCCURRENCE_PMI_SQL,
+    tags=("text", "lm", "cooccurrence", "report"),
+    doc="Window-2 co-occurrence PMI — the skip-gram association "
+        "statistic (Church & Hanks 1990; the count table word2vec/GloVe "
+        "training data preparation materializes): for ordered word "
+        "pairs within distance <= 2, pmi = log2(p(a,b) / (p(a)p(b))), "
+        "top-20 with a c_ab >= 5 support floor (PMI without a support "
+        "floor ranks hapax noise first). High-PMI pairs are "
+        "collocations/boilerplate phrases — both a tokenizer-merge "
+        "candidate list and a templated-text signal. Vocabulary is "
+        "bounded through the SAME collected top-65536+<unk> head as "
+        "the LM family (dense ids, packed int64 pair keys — the r8 "
+        "bigram shape), so the count relation is bounded at any corpus "
+        "size. The PMI argument is computed in one fixed IEEE "
+        "expression shape and goes through the round+DECIMAL log2 "
+        "lane; ordering ties break on exact counts then words. Scale: "
+        "narrow pair generator, broadcast id mapping, two hash "
+        "aggregates, an id-keyed marginal join, global top-20 "
+        "TakeOrdered.",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.expr("filter(split(text, ' '), x -> x != '')")
+    base = docs.select(tk.alias("tk")).filter(F.size("tk") >= 1)
+    toks = base.select(F.explode("tk").alias("w"))
+    head_rows = (
+        toks.groupBy("w").agg(F.count("*").alias("c_w"))
+        .orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(_VOCAB_CAP)
+        .select("w")
+        .collect()
+    )
+    unk_id, span = _VOCAB_CAP, _VOCAB_CAP + 1
+    ids = spark.createDataFrame(
+        [(r.w, i) for i, r in enumerate(head_rows)], "w string, wid long"
+    )
+    marg = (
+        toks.join(F.broadcast(ids), "w", "left")
+        .groupBy(F.coalesce("wid", F.lit(unk_id)).alias("m"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs0 = (
+        base.filter(F.size("tk") >= 2)
+        .select(F.explode(F.expr(
+            "concat("
+            " transform(sequence(1, size(tk) - 1),"
+            "  i -> struct(tk[i-1] AS w1, tk[i] AS w2)),"
+            " if(size(tk) >= 3,"
+            "  transform(sequence(2, size(tk) - 1),"
+            "   i -> struct(tk[i-2] AS w1, tk[i] AS w2)),"
+            "  array()))")).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    i1 = ids.select(F.col("w").alias("w1"), F.col("wid").alias("id1"))
+    i2 = ids.select(F.col("w").alias("w2"), F.col("wid").alias("id2"))
+    key = (
+        F.coalesce(F.col("id1"), F.lit(unk_id)) * span
+        + F.coalesce(F.col("id2"), F.lit(unk_id))
+    )
+    cab = (
+        pairs0.join(F.broadcast(i1), "w1", "left")
+        .join(F.broadcast(i2), "w2", "left")
+        .groupBy(key.alias("k"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    t_tok = marg.agg(F.sum("c").cast("long").alias("t_tok"))
+    t_pairs_rel = (
+        pairs0.agg(F.count("*").cast("long").alias("t_pairs"))
+    )
+    ca = marg.select(F.col("m").alias("m1"), F.col("c").alias("c_a"))
+    cb = marg.select(F.col("m").alias("m2"), F.col("c").alias("c_b"))
+    out_ids = spark.createDataFrame(
+        [(r.w, i) for i, r in enumerate(head_rows)] + [("<unk>", unk_id)],
+        "w string, wid long",
+    )
+    o1 = out_ids.select(F.col("wid").alias("m1"), F.col("w").alias("w1"))
+    o2 = out_ids.select(F.col("wid").alias("m2"), F.col("w").alias("w2"))
+    pmi = F.expr(
+        "cast(" + _LOG2_DEC.format(
+            x="(cast(c_ab as double) / t_pairs)"
+              " / ((cast(c_a as double) / t_tok)"
+              " * (cast(c_b as double) / t_tok))"
+        ) + " as double)"
+    )
+    return (
+        cab
+        .withColumn("m1", F.expr(f"k div {span}"))
+        .withColumn("m2", F.col("k") % span)
+        .join(F.broadcast(ca), "m1")
+        .join(F.broadcast(cb), "m2")
+        .crossJoin(F.broadcast(t_tok))
+        .crossJoin(F.broadcast(t_pairs_rel))
+        .join(F.broadcast(o1), "m1")
+        .join(F.broadcast(o2), "m2")
+        .select("w1", "w2", "c_ab", pmi.alias("pmi_bits"))
+        .orderBy(F.desc("pmi_bits"), F.desc("c_ab"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )

@@ -139,6 +139,9 @@ HEADLINE = [
     "embed_knn_label_consistency",
     "text_ttr_chunked",
     "mm_audio_clipping_report",
+    "text_cooccurrence_pmi",
+    "embed_quantization_error_report",
+    "curation_shard_balance_report",
 ]
 
 

@@ -79,6 +79,19 @@ BNLJ_ALLOWED = {
         "mapping is a broadcast hash equi-join on the bounded "
         "collected head and the scoring join is keyed on one packed "
         "int64 (r8 reshape)",
+    "curation_unimax_budget":
+        "the only BNLJ is the 1-row budget total broadcast-attached "
+        "onto the L-row per-lang table — an O(L*1) literal attach; "
+        "every window runs over that L-row relation",
+    "curation_shard_balance_report":
+        "the only BNLJ is the 1-row token-mass total broadcast-"
+        "attached onto the 8-row shard table — an O(8*1) literal "
+        "attach; the shard assignment is one narrow md5 hash pass",
+    "text_cooccurrence_pmi":
+        "the only BNLJs are the two 1-row totals (token mass, pair "
+        "mass) broadcast-attached onto the bounded count table — "
+        "O(K*1) literal attaches; the pair counts and marginal joins "
+        "are packed-int64-keyed hash equi-joins on the bounded head",
     "text_rrf_fusion":
         "inherits text_bm25_topk's 1-row corpus-stats attaches, plus "
         "the <=3-row query-term relation cross-attached onto per-doc "

@@ -426,6 +426,19 @@ COMMENT = {
         "Audio clipping census (round 8): one narrow 1:1 Arrow decode "
         "stage (real RIFF parse), exact integer rail counts, zero "
         "exchanges before the final orderBy.",
+    "text_cooccurrence_pmi":
+        "Window-2 PMI (round 8): narrow pair generator, broadcast "
+        "dense-id mapping (collected bounded head, the r8 bigram "
+        "shape), packed-int64-keyed count aggregate, broadcast "
+        "marginal joins, global top-20 TakeOrdered.",
+    "embed_quantization_error_report":
+        "Quantization error table (round 8): three narrow passes over "
+        "the vectors (one per bit width), sequential-fold squared "
+        "error per vector, 3-key map-side-combinable aggregate — no "
+        "joins, no windows.",
+    "curation_shard_balance_report":
+        "Shard balance audit (round 8): one narrow md5-shard hash "
+        "pass into an 8-key aggregate, 1-row total broadcast attach.",
 }
 
 

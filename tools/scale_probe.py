@@ -97,6 +97,9 @@ PROBES = [
     "embed_knn_label_consistency",
     "text_ttr_chunked",
     "mm_audio_clipping_report",
+    "text_cooccurrence_pmi",
+    "embed_quantization_error_report",
+    "curation_shard_balance_report",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
