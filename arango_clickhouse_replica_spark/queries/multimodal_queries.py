@@ -852,10 +852,11 @@ def mm_rgb_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    return (
-        extract_color_image_features(synth_rgb_png_media(docs))
-        .orderBy("media_id")
+    feats = _cached_media(
+        spark, sf_dir, "rgb_png_features",
+        lambda: extract_color_image_features(synth_rgb_png_media(docs)),
     )
+    return feats.orderBy("media_id")
 
 
 @query(
@@ -1128,8 +1129,11 @@ def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    frames = sample_mjpeg_frames(
-        synth_mjpeg_scene_media(docs), every_n=1
+    frames = _cached_media(
+        spark, sf_dir, "mjpeg_frames",
+        lambda: sample_mjpeg_frames(
+            synth_mjpeg_scene_media(docs), every_n=1
+        ),
     )
     w = Window.partitionBy("media_id").orderBy("frame_no")
     cut = F.when(

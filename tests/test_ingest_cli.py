@@ -60,3 +60,52 @@ def test_ingest_cli_media_stage(spark, sf_dir, tmp_path):
     # grouped PNG fixtures guarantee perceptual near-dups -> drops
     assert summary["funnel"]["image_dup_dropped"] > 0
     assert summary["n_kept"] < summary["n_ingested"]
+
+
+def test_ingest_cli_wal_path(spark, sf_dir, tmp_path):
+    """--wal-file mode: the WAL -> DSL -> gate chain drained by the CLI
+    equals a directly process_batch-driven gate over the same docs."""
+    from tests import wal_fake
+    from tools.ingest import ingest_wal
+
+    from arango_clickhouse_replica_spark.sources.arango_wal import (
+        UPSERT_DOCUMENT,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    entries = [
+        {"tick": str(10 + i), "type": UPSERT_DOCUMENT, "db": "testdb",
+         "cuid": "c_documents", "tid": "0",
+         "data": {"_key": str(r.doc_id), "doc_id": r.doc_id,
+                  "text": r.text}}
+        for i, r in enumerate(rows)
+    ]
+    wal = str(tmp_path / "wal.json")
+    wal_fake.write_wal(wal, entries, page_size=128)
+
+    out = tmp_path / "wal_run"
+    summary = ingest_wal(
+        spark, str(out), sf_dir=sf_dir,
+        wal_options={"transportFactory": "tests.wal_fake:make_transport",
+                     "walFile": wal, "host": "scripted"},
+        collections=["c_documents"],
+    )
+    assert summary["n_ingested"] == len(rows)
+    kept = spark.read.parquet(str(out / "keep"))
+    assert kept.count() == summary["n_kept"] > 0
+
+    from arango_clickhouse_replica_spark.streaming.curation import (
+        StreamingCurationGate,
+        hot_shingle_list,
+    )
+
+    twin = StreamingCurationGate(
+        spark,
+        out_root=str(tmp_path / "wal_twin"),
+        eval_docs=docs.filter(F.col("doc_id") % 97 == 0),
+        hot_shingles=hot_shingle_list(docs),
+    )
+    twin.process_doc_batch(docs.select("doc_id", "text"), 0)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == \
+        {r.doc_id for r in twin.keep_list().select("doc_id").collect()}

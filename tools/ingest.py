@@ -110,9 +110,101 @@ def ingest(spark, src: str, out: str, *, sf_dir: str, eval_mod: int = 97,
     return summary
 
 
+def ingest_wal(spark, out: str, *, sf_dir: str, wal_options: dict,
+               collections=None, eval_mod: int = 97,
+               quality_min: int = 2, timeout_s: float = 300.0) -> dict:
+    """The full reference-shape ingest fused with the LLM gate (VERDICT
+    r7 item 8, CLI form): native ``arango_wal`` source -> DSL cast
+    kernel -> curation gate, in one streaming query, drained to idle.
+    The document mapping is the standard (doc_id int pk, text str)
+    pair; swap in a TableMapping yaml for custom schemas."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from arango_clickhouse_replica_spark.schema.dsl import TableMapping
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.curation import (
+        StreamingCurationGate,
+        hot_shingle_list,
+    )
+
+    out_dir = Path(out)
+    (out_dir / "reports").mkdir(parents=True, exist_ok=True)
+    corpus = load_table(spark, "documents", sf_dir)
+    gate = StreamingCurationGate(
+        spark,
+        out_root=str(out_dir),
+        eval_docs=corpus.filter(F.col("doc_id") % eval_mod == 0),
+        hot_shingles=hot_shingle_list(corpus),
+        quality_min=quality_min,
+    )
+    mapping = TableMapping.from_dict({
+        "table_name": "documents",
+        "schema": {
+            "primary_key": "doc_id",
+            "properties": {
+                "doc_id": {"type": "int", "required": True},
+                "text": {"type": "str", "required": True},
+            },
+        },
+    })
+    data_schema = T.StructType([
+        T.StructField("_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    q = gate.attach_wal(
+        mapping=mapping,
+        data_schema=data_schema,
+        wal_options=wal_options,
+        collections=collections,
+        checkpoint_dir=str(out_dir / "ckpt_wal"),
+    )
+    # drain: ledger growth stalls AND the stream reports idle
+    deadline = _time.monotonic() + timeout_s
+    last, idle = -1, 0
+    while _time.monotonic() < deadline and idle < 3:
+        try:
+            n = gate._ledger().count()
+        except Exception:
+            n = -1
+        st = q.status
+        if n == last and not st["isDataAvailable"] \
+                and not st["isTriggerActive"]:
+            idle += 1
+        else:
+            idle = 0
+        last = n
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    keep = gate.keep_list()
+    keep.write.mode("overwrite").parquet(str(out_dir / "keep"))
+    funnel = {r.stage: r.n for r in gate.funnel_report().collect()}
+    (out_dir / "reports" / "funnel.json").write_text(
+        json.dumps(funnel, indent=2)
+    )
+    summary = {
+        "src": "arango_wal",
+        "out": str(out_dir),
+        "n_ingested": funnel.get("ingested", 0),
+        "n_kept": funnel.get("kept", 0),
+        "funnel": funnel,
+        "quality_min": quality_min,
+        "eval_mod": eval_mod,
+    }
+    (out_dir / "reports" / "summary.json").write_text(
+        json.dumps(summary, indent=2)
+    )
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--src", required=True,
+    ap.add_argument("--src",
                     help="directory of parquet doc files to tail")
     ap.add_argument("--out", required=True,
                     help="output root: gate state + keep/ + reports/")
@@ -123,17 +215,45 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=1)
     ap.add_argument("--media", action="store_true",
                     help="also run the perceptual image-dedup stage")
+    ap.add_argument("--wal-host", default="",
+                    help="ingest from the native arango_wal source "
+                         "instead of --src (WAL -> DSL -> gate in one "
+                         "streaming query); ArangoDB host URL, or any "
+                         "value when --wal-transport is set")
+    ap.add_argument("--wal-db", default="_system")
+    ap.add_argument("--wal-file", default="",
+                    help="scripted WAL file (test transport)")
+    ap.add_argument("--wal-transport", default="",
+                    help="module:callable transport factory override")
+    ap.add_argument("--collections", default="",
+                    help="comma-separated collections to ingest")
     args = ap.parse_args()
 
     from arango_clickhouse_replica_spark.session import get_spark
 
     spark = get_spark("ingest")
     spark.sparkContext.setLogLevel("ERROR")
-    summary = ingest(
-        spark, args.src, args.out, sf_dir=args.sf_dir,
-        eval_mod=args.eval_mod, quality_min=args.quality_min,
-        max_files_per_trigger=args.max_files_per_trigger, media=args.media,
-    )
+    if args.wal_host or args.wal_file:
+        wal_options = {"host": args.wal_host or "scripted",
+                       "db": args.wal_db}
+        if args.wal_file:
+            wal_options["walFile"] = args.wal_file
+        if args.wal_transport:
+            wal_options["transportFactory"] = args.wal_transport
+        summary = ingest_wal(
+            spark, args.out, sf_dir=args.sf_dir, wal_options=wal_options,
+            collections=[c for c in args.collections.split(",") if c] or None,
+            eval_mod=args.eval_mod, quality_min=args.quality_min,
+        )
+    else:
+        if not args.src:
+            ap.error("--src is required unless --wal-host/--wal-file is set")
+        summary = ingest(
+            spark, args.src, args.out, sf_dir=args.sf_dir,
+            eval_mod=args.eval_mod, quality_min=args.quality_min,
+            max_files_per_trigger=args.max_files_per_trigger,
+            media=args.media,
+        )
     print(json.dumps(summary))
 
 
