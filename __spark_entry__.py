@@ -112,6 +112,9 @@ ROTATION_EXEMPT = frozenset({
     "q_funnel_conversion",            # event-sequence analytics: q_click_purchase_attribution + q_cohort_retention cover the family
     "text_bigram_heavy_hitters",      # raw pair-count top-k: text_cooccurrence_pmi + text_bigram_logprob are the kept pair-statistics siblings
     "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (kept) + dsl_deadletter_split (kept) on another table
+    # Grown r8 alongside cdc_churn_report + curation_dedup_survivorship_bias:
+    "q_salted_skew_agg",              # salting demo: the production salting lives in operators/blocking.py + AQE (DESIGN.md §3); cdc_churn_report now measures the skew itself
+    "q_cohort_retention",             # event-sequence analytics: q_click_purchase_attribution + q_event_transitions cover the family
 })
 
 

@@ -256,3 +256,66 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         changed_cols.alias("changed_cols"),
     )
+
+
+@query(
+    "cdc_churn_report",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_changes,
+             CAST(SUM(CASE WHEN _ver % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inserts,
+             CAST(SUM(CASE WHEN _ver % 2 = 1 AND _deleted = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+             CAST(SUM(_deleted) AS BIGINT) AS n_deletes
+      FROM changes GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n_changes) AS BIGINT) AS t FROM per_user)
+    SELECT user_id, n_changes, n_inserts, n_updates, n_deletes,
+           round(CAST(n_changes AS DOUBLE) / t, 6) AS change_share
+    FROM per_user, tot
+    ORDER BY n_changes DESC, user_id
+    LIMIT 20
+    """,
+    tags=("cdc", "skew", "report", "decision"),
+    doc="CDC churn census — the hot-partition report an operator "
+        "consults before bucketing the merge target or salting the "
+        "apply (the reference's replicator has no visibility into "
+        "which keys churn; this makes the skew a queryable relation): "
+        "per-user change volume over the envelope stream with op "
+        "breakdown (inserts = even _ver, updates = odd _ver alive, "
+        "deletes), top-20 by volume with id tiebreak, plus each "
+        "user's share of total churn. A user_id holding a large "
+        "change_share is exactly the key that makes the per-key "
+        "merge window skew. Exact integers + one share division. "
+        "Scale: one hash aggregate on user_id (map-side combinable), "
+        "1-row total attach, TakeOrdered top-20.",
+)
+def cdc_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
+                                initial_tick=0)
+    per_user = (
+        rows.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_changes"),
+            F.sum(F.when(F.col("_ver") % 2 == 0, 1).otherwise(0))
+            .cast("long").alias("n_inserts"),
+            F.sum(F.when((F.col("_ver") % 2 == 1) & (F.col("_deleted") == 0),
+                         1).otherwise(0)).cast("long").alias("n_updates"),
+            F.sum("_deleted").cast("long").alias("n_deletes"),
+        )
+    )
+    tot = per_user.agg(F.sum("n_changes").cast("long").alias("t"))
+    return (
+        per_user.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n_changes", "n_inserts", "n_updates", "n_deletes",
+            F.round(F.col("n_changes").cast("double") / F.col("t"), 6)
+            .alias("change_share"),
+        )
+        .orderBy(F.desc("n_changes"), "user_id")
+        .limit(20)
+    )

@@ -3759,3 +3759,105 @@ def text_ttr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_dedup_survivorship_bias",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_DOC_SHINGLES_SQL}),
+    mins AS (
+      SELECT doc_id,
+           {_MINHASH_MINS_SQL}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach AS (
+      SELECT DISTINCT a AS node, a AS lab FROM edges
+      UNION
+      SELECT e.b AS node, r.lab
+      FROM reach r JOIN edges e ON e.a = r.node
+      WHERE r.lab < e.b
+    ),
+    dropped AS MATERIALIZED (
+      SELECT node AS doc_id FROM reach
+      GROUP BY node HAVING node <> MIN(lab)
+    ),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                        BETWEEN 20 AND 2000 THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(length(text)
+                         - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                         AS BIGINT) * 10 < length(text) THEN 1 ELSE 0 END)
+           + (CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                         AS BIGINT) * 4
+                   > CAST(len(string_split(text, ' ')) AS BIGINT)
+              THEN 1 ELSE 0 END) AS quality_score
+      FROM documents
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(quality_score) AS BIGINT) AS sum_quality,
+           CAST((2 * SUM(quality_score) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_quality
+    FROM (
+      SELECT q.doc_id, q.quality_score,
+             CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'dropped' END
+               AS cohort
+      FROM q LEFT JOIN dropped d ON d.doc_id = q.doc_id
+    )
+    GROUP BY cohort ORDER BY cohort
+    """,
+    tags=("curation", "dedup", "quality", "report", "decision"),
+    doc="Dedup survivorship-bias audit — does keeping min-doc_id "
+        "canonicals systematically change corpus quality? (the check a "
+        "curation run publishes alongside its funnel: near-dup removal "
+        "SHOULD be quality-neutral; a gap means the canonical rule is "
+        "selecting for something, e.g. crawl order correlating with "
+        "template quality). Cohorts = docs the near-dup collapse drops "
+        "(non-canonical cluster members, from the SAME materialized "
+        "cluster hub every other curation stage consumes) vs everything "
+        "kept; per cohort the doc count and mean 0-3 quality score "
+        "(exact integer micro-units — the r8 rounding lesson). Scale: "
+        "serves from the cached cluster relation (computed once per "
+        "session), one broadcast-able anti-join-shaped cohort split, "
+        "2-key aggregate.",
+)
+def curation_dedup_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    dropped = (
+        clusters_relation(spark, sf_dir)
+        .filter(F.col("is_canonical") == 0)
+        .select("doc_id")
+    )
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    cohort = F.when(F.col("d").isNull(), "kept").otherwise("dropped")
+    return (
+        q.join(dropped.withColumn("d", F.lit(1)), "doc_id", "left")
+        .select(cohort.alias("cohort"), "quality_score")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("quality_score").cast("long").alias("sum_quality"),
+        )
+        .withColumn(
+            "mean_quality",
+            F.expr(
+                "cast((2 * sum_quality * 1000000 + n_docs)"
+                " div (2 * n_docs) as double) / 1000000.0"
+            ),
+        )
+        .orderBy("cohort")
+    )

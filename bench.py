@@ -142,6 +142,8 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "embed_quantization_error_report",
     "curation_shard_balance_report",
+    "cdc_churn_report",
+    "curation_dedup_survivorship_bias",
 ]
 
 

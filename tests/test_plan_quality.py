@@ -79,6 +79,10 @@ BNLJ_ALLOWED = {
         "mapping is a broadcast hash equi-join on the bounded "
         "collected head and the scoring join is keyed on one packed "
         "int64 (r8 reshape)",
+    "cdc_churn_report":
+        "the only BNLJ is the 1-row churn total broadcast-attached "
+        "onto the per-user aggregate — an O(U*1) literal attach; the "
+        "census itself is one map-side-combinable hash aggregate",
     "curation_unimax_budget":
         "the only BNLJ is the 1-row budget total broadcast-attached "
         "onto the L-row per-lang table — an O(L*1) literal attach; "

@@ -439,6 +439,15 @@ COMMENT = {
     "curation_shard_balance_report":
         "Shard balance audit (round 8): one narrow md5-shard hash "
         "pass into an 8-key aggregate, 1-row total broadcast attach.",
+    "cdc_churn_report":
+        "CDC churn census (round 8): one map-side-combinable "
+        "user_id hash aggregate over the envelope stream, 1-row "
+        "total attach, TakeOrdered top-20 — the hot-partition report "
+        "before bucketing/salting the merge.",
+    "curation_dedup_survivorship_bias":
+        "Survivorship-bias audit (round 8): serves from the cached "
+        "cluster hub, one left join for the cohort split, 2-key "
+        "aggregate with exact micro-unit means.",
 }
 
 

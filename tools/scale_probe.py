@@ -100,6 +100,8 @@ PROBES = [
     "text_cooccurrence_pmi",
     "embed_quantization_error_report",
     "curation_shard_balance_report",
+    "cdc_churn_report",
+    "curation_dedup_survivorship_bias",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
