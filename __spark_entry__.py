@@ -115,6 +115,13 @@ ROTATION_EXEMPT = frozenset({
     # Grown r8 alongside cdc_churn_report + curation_dedup_survivorship_bias:
     "q_salted_skew_agg",              # salting demo: the production salting lives in operators/blocking.py + AQE (DESIGN.md §3); cdc_churn_report now measures the skew itself
     "q_cohort_retention",             # event-sequence analytics: q_click_purchase_attribution + q_event_transitions cover the family
+    # Grown r8 alongside the interval-merge/late-arrival/temperature/
+    # fertility registrations (each pick has 2-3 green driver rounds
+    # plus the r7 AND r8 full-registry records):
+    "dedup_simhash_fingerprints",     # fingerprint build: dedup_simhash_hamming_pairs builds the same signatures AND the band join
+    "mm_payload_stats",               # raw byte stats: subsumed by the real codec decode family (mm_wav/png/jpeg_decode_features)
+    "mm_frame_sample",                # fake-decode frame sampling: mm_mjpeg_frame_sample is the real demux path
+    "text_token_stats",               # basic token counts: text_doc_length_percentiles + text_c4_heuristics cover the family
 })
 
 

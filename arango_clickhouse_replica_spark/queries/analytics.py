@@ -537,3 +537,106 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("purchase_value").cast("decimal(18,2)"))
         .cast("double").alias("attributed_value"),
     )
+
+
+# --- gaps-and-islands interval merge ----------------------------------------
+
+
+@query(
+    "q_interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts)
+               + (60 + CAST(floor(value) AS BIGINT) % 3600) * 1000000
+               AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN s_us > MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(e_us) - MIN(s_us) AS span_us
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(span_us) // 1000000 AS BIGINT) AS covered_s,
+           CAST(MAX(span_us) // 1000000 AS BIGINT) AS longest_island_s,
+           CAST(MAX(n_events) AS BIGINT) AS max_events_per_island
+    FROM per_island GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "window", "gaps-islands"),
+    doc="Gaps-and-islands interval merge: each event opens a derived "
+        "activity interval [ts, ts + 60..3659 s); overlapping/touching "
+        "intervals per user merge into islands (running MAX(end) over the "
+        "start-ordered frame detects island starts, a running SUM numbers "
+        "them), then per-user coverage stats — the classic sessionized "
+        "'total active time' report that a naive self-join makes "
+        "quadratic. All arithmetic in exact epoch microseconds (positive, "
+        "so DuckDB's truncating // and Spark's div agree). Scale: two "
+        "windows + two aggregates all partitioned by user_id — ONE key "
+        "shuffle, per-user state is a single running max; no self-join, "
+        "no range join.",
+)
+def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s_us = F.unix_micros("ts")
+    dur_us = (60 + F.floor("value").cast("long") % 3600) * F.lit(1000000)
+    iv = ev.select(
+        "user_id", "event_id",
+        s_us.alias("s_us"), (s_us + dur_us).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e_us").over(w_prev)
+    flagged = iv.select(
+        "user_id", "event_id", "s_us", "e_us",
+        F.when(prev_max_e.isNull() | (F.col("s_us") > prev_max_e), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s_us", "e_us",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("e_us") - F.min("s_us")).alias("span_us"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_islands"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.expr("cast(sum(span_us) div 1000000 as bigint)").alias("covered_s"),
+            F.expr("cast(max(span_us) div 1000000 as bigint)")
+            .alias("longest_island_s"),
+            F.max("n_events").cast("long").alias("max_events_per_island"),
+        )
+        .orderBy("user_id")
+    )

@@ -319,3 +319,91 @@ def cdc_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_changes"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "cdc_late_arrival_report",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    seq AS (
+      SELECT user_id, _ver, epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY _ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_us
+      FROM changes
+    ),
+    scored AS (
+      SELECT user_id,
+             CASE WHEN hw_us IS NOT NULL AND ts_us < hw_us THEN 1 ELSE 0 END
+               AS is_late,
+             CASE WHEN hw_us IS NOT NULL AND ts_us < hw_us
+                  THEN hw_us - ts_us ELSE 0 END AS lateness_us
+      FROM seq
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST((2 * SUM(is_late) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS late_share,
+           CAST(MAX(lateness_us) // 1000000 AS BIGINT) AS max_lateness_s,
+           CAST(SUM(lateness_us) // 1000000 AS BIGINT) AS total_lateness_s
+    FROM scored GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("cdc", "streaming", "watermark", "report"),
+    doc="Late-arrival census over the WAL change stream — the report that "
+        "sizes ``withWatermark`` for the T5 event-time windows: per user, "
+        "events whose payload event-time ts is BEHIND the running "
+        "event-time high-water mark in arrival (tick) order, with the "
+        "worst and total lateness in whole seconds. The reference applies "
+        "changes in tick order and never sees event-time disorder; an "
+        "event-time window over the same stream drops exactly the rows "
+        "this report counts unless the watermark delay exceeds "
+        "max_lateness_s. All arithmetic in exact epoch microseconds; the "
+        "late share is an exact integer micro-unit round-half-up ((2a+n) "
+        "div 2n — the r8 rounding lesson). Scale: one user_id window "
+        "(single key shuffle, running-max state) + one map-side-"
+        "combinable aggregate; no joins.",
+)
+def cdc_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
+                                initial_tick=0)
+    w = (
+        Window.partitionBy("user_id").orderBy("_ver")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    seq = rows.select(
+        "user_id", ts_us.alias("ts_us"),
+        F.max(ts_us).over(w).alias("hw_us"),
+    )
+    late = F.col("hw_us").isNotNull() & (F.col("ts_us") < F.col("hw_us"))
+    scored = seq.select(
+        "user_id",
+        F.when(late, 1).otherwise(0).alias("is_late"),
+        F.when(late, F.col("hw_us") - F.col("ts_us")).otherwise(0)
+        .alias("lateness_us"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_changes"),
+            F.sum("is_late").cast("long").alias("n_late"),
+            F.sum("lateness_us").alias("__sum_late_us"),
+            F.max("lateness_us").alias("__max_late_us"),
+        )
+        .select(
+            "user_id", "n_changes", "n_late",
+            F.expr(
+                "cast((2 * n_late * 1000000 + n_changes)"
+                " div (2 * n_changes) as double) / 1000000.0"
+            ).alias("late_share"),
+            F.expr("cast(__max_late_us div 1000000 as bigint)")
+            .alias("max_lateness_s"),
+            F.expr("cast(__sum_late_us div 1000000 as bigint)")
+            .alias("total_lateness_s"),
+        )
+        .orderBy("user_id")
+    )

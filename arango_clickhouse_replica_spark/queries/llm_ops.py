@@ -3861,3 +3861,150 @@ def curation_dedup_survivorship_bias(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "curation_temperature_mixture",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    grid AS (
+      SELECT lang, n_docs, n_tokens, a.alpha
+      FROM per_lang, (SELECT unnest([0.3, 0.7, 1.0]) AS alpha) a
+    )
+    SELECT lang, alpha, n_docs, n_tokens,
+           CAST((2 * n_tokens * 1000000
+                 + SUM(n_tokens) OVER (PARTITION BY alpha))
+                // (2 * SUM(n_tokens) OVER (PARTITION BY alpha))
+                AS DOUBLE) / 1000000.0 AS natural_share,
+           round(pow(CAST(n_tokens AS DOUBLE), alpha)
+                 / SUM(pow(CAST(n_tokens AS DOUBLE), alpha))
+                     OVER (PARTITION BY alpha), 6) AS sampled_share
+    FROM grid ORDER BY alpha, lang
+    """,
+    tags=("curation", "mixture", "sampling", "decision"),
+    doc="Temperature-scaled sampling mixture — the multilingual "
+        "up-sampling rule (p_i proportional to n_i^alpha, the mBERT/XLM-R "
+        "exponential-smoothing recipe; alpha=1 is proportional sampling, "
+        "alpha->0 uniform) over per-language token mass, on an alpha grid "
+        "{0.3, 0.7, 1.0}: the table a curator reads to pick how hard "
+        "low-resource languages are boosted before writing the epoch "
+        "plan (curation_source_mixing consumes weights like these). "
+        "natural_share is an exact integer micro-unit ratio; "
+        "sampled_share rounds the pow() quotient to the 6-dp lane, with "
+        "the per-alpha normalizer computed as a WINDOW over the 5-row "
+        "language relation (no 1-row total attach, no BNLJ). Scale: one "
+        "map-side-combinable aggregate over the corpus; everything after "
+        "operates on |langs| x |alphas| rows.",
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    grid = per_lang.select(
+        "lang", "n_docs", "n_tokens",
+        F.explode(F.array(F.lit(0.3), F.lit(0.7), F.lit(1.0))).alias("alpha"),
+    )
+    w_alpha = Window.partitionBy("alpha")
+    tok_total = F.sum("n_tokens").over(w_alpha)
+    pw = F.pow(F.col("n_tokens").cast("double"), F.col("alpha"))
+    return (
+        grid.select(
+            "lang", "alpha", "n_docs", "n_tokens",
+            (tok_total).alias("__tot"),
+            (F.sum(pw).over(w_alpha)).alias("__pow_tot"),
+            pw.alias("__pow"),
+        )
+        .select(
+            "lang", "alpha", "n_docs", "n_tokens",
+            F.expr(
+                "cast((2 * n_tokens * 1000000 + __tot) div (2 * __tot)"
+                " as double) / 1000000.0"
+            ).alias("natural_share"),
+            F.round(F.col("__pow") / F.col("__pow_tot"), 6)
+            .alias("sampled_share"),
+        )
+        .orderBy("alpha", "lang")
+    )
+
+
+_FERT_W = 3  # greedy fixed-width subword chunk length (chars per piece)
+
+
+@query(
+    "text_subword_fertility",
+    oracle=f"""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pieces AS (
+      SELECT lang, length(w) AS wlen,
+             (length(w) + {_FERT_W} - 1) // {_FERT_W} AS n_pieces
+      FROM words WHERE length(w) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST((2 * SUM(n_pieces) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS fertility,
+           CAST((2 * SUM(wlen) * 1000000 + SUM(n_pieces))
+                // (2 * SUM(n_pieces)) AS DOUBLE) / 1000000.0
+             AS chars_per_piece,
+           CAST(SUM(CASE WHEN n_pieces >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split_words
+    FROM pieces GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens", "report", "decision"),
+    doc="Tokenizer-fertility report — tokens-per-word by language under a "
+        f"greedy fixed-width subword tokenizer ({_FERT_W}-char pieces, so "
+        "a word of length L costs ceil(L/w) pieces): fertility is THE "
+        "budget number for multilingual token planning (how many more "
+        "tokens a language pays per word decides its share of a fixed "
+        "token budget; high-fertility languages are under-served by a "
+        "shared vocabulary). ceil is exact integer arithmetic "
+        "((L + w - 1) div w) and both means are exact integer micro-unit "
+        "round-half-up ratios — no float path at all. Scale: one "
+        "explode -> one map-side-combinable aggregate on the 5-key lang "
+        "column; no joins, no windows.",
+)
+def text_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    pieces = words.select(
+        "lang",
+        F.length("w").alias("wlen"),
+        F.expr(f"(length(w) + {_FERT_W} - 1) div {_FERT_W}").alias("n_pieces"),
+    )
+    return (
+        pieces.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("wlen").alias("__sum_wlen"),
+            F.sum(F.when(F.col("n_pieces") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_split_words"),
+        )
+        .select(
+            "lang", "n_words", "n_pieces",
+            F.expr(
+                "cast((2 * n_pieces * 1000000 + n_words)"
+                " div (2 * n_words) as double) / 1000000.0"
+            ).alias("fertility"),
+            F.expr(
+                "cast((2 * __sum_wlen * 1000000 + n_pieces)"
+                " div (2 * n_pieces) as double) / 1000000.0"
+            ).alias("chars_per_piece"),
+            "n_split_words",
+        )
+        .orderBy("lang")
+    )

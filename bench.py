@@ -144,6 +144,10 @@ HEADLINE = [
     "curation_shard_balance_report",
     "cdc_churn_report",
     "curation_dedup_survivorship_bias",
+    "q_interval_merge_coverage",
+    "cdc_late_arrival_report",
+    "curation_temperature_mixture",
+    "text_subword_fertility",
 ]
 
 

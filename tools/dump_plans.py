@@ -448,6 +448,21 @@ COMMENT = {
         "Survivorship-bias audit (round 8): serves from the cached "
         "cluster hub, one left join for the cohort split, 2-key "
         "aggregate with exact micro-unit means.",
+    "q_interval_merge_coverage":
+        "Gaps-and-islands interval merge (round 8): two user_id windows "
+        "+ two aggregates, ONE key shuffle, exact epoch-microsecond "
+        "arithmetic — no self-join, no range join.",
+    "cdc_late_arrival_report":
+        "Watermark-sizing lateness census (round 8): one user_id "
+        "running-max window + one map-side-combinable aggregate over "
+        "the WAL change stream.",
+    "curation_temperature_mixture":
+        "Temperature-scaled mixture (round 8): corpus collapses to "
+        "|langs| rows in one aggregate; the alpha grid and per-alpha "
+        "normalizers are windows over 15 rows — no 1-row attach.",
+    "text_subword_fertility":
+        "Tokenizer-fertility budget table (round 8): explode -> one "
+        "5-key aggregate, all-integer ceil and micro-unit means.",
 }
 
 

@@ -102,6 +102,10 @@ PROBES = [
     "curation_shard_balance_report",
     "cdc_churn_report",
     "curation_dedup_survivorship_bias",
+    "q_interval_merge_coverage",
+    "cdc_late_arrival_report",
+    "curation_temperature_mixture",
+    "text_subword_fertility",
     "cdc_scd2_history",
     "curation_train_val_test_split",
     "curation_importance_sample",
