@@ -122,6 +122,11 @@ ROTATION_EXEMPT = frozenset({
     "mm_payload_stats",               # raw byte stats: subsumed by the real codec decode family (mm_wav/png/jpeg_decode_features)
     "mm_frame_sample",                # fake-decode frame sampling: mm_mjpeg_frame_sample is the real demux path
     "text_token_stats",               # basic token counts: text_doc_length_percentiles + text_c4_heuristics cover the family
+    # Grown r8 alongside embed_ood_mahalanobis + curation_coreset_kcenter
+    # (each pick has 7 green driver rounds r1-r7 plus the r7 and r8
+    # full-registry records):
+    "q_exists_high_value_order",      # EXISTS semi-join: q_scalar_subquery_above_avg keeps the correlated-subquery surface
+    "q_mode_ship_priority",           # mode(): q_argmax_latest_order + q_percentiles_by_segment cover the order-statistic family
 })
 
 

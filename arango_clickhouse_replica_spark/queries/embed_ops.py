@@ -2087,3 +2087,229 @@ def embed_quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _install_quant_error_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Label-conditioned OOD scoring + greedy coreset selection (round 8).
+# ---------------------------------------------------------------------------
+
+_OOD_THRESH = 96.0  # 1.5 x dim(64): flag vectors well past E[m2]=dim
+
+
+@query(
+    "embed_ood_mahalanobis",
+    oracle=f"""
+    WITH stats AS (
+      SELECT label, t.i AS dim, COUNT(*) AS n,
+             CAST(SUM({_DEC_SQL.format(
+                 x='CAST(e.embedding[t.i] AS DOUBLE)')}) AS DOUBLE) AS s1,
+             CAST(SUM({_DEC_SQL.format(
+                 x='CAST(e.embedding[t.i] AS DOUBLE)'
+                   ' * CAST(e.embedding[t.i] AS DOUBLE)')}) AS DOUBLE) AS s2
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+      GROUP BY label, t.i
+    ),
+    prof AS (
+      SELECT label,
+             list(s1 / n ORDER BY dim) AS mu_arr,
+             list(GREATEST(1e-6, s2 / n - (s1 / n) * (s1 / n))
+                  ORDER BY dim) AS var_arr
+      FROM stats GROUP BY label
+    ),
+    m AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - p.mu_arr[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - p.mu_arr[i])
+                    / p.var_arr[i]),
+               (a, b) -> a + b) AS m2
+      FROM embeddings e JOIN prof p USING (label)
+    ),
+    worst AS (
+      SELECT label, vec_id, m2 FROM (
+        SELECT label, vec_id, m2,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY m2 DESC, vec_id DESC) AS rn
+        FROM m
+      ) WHERE rn = 1
+    )
+    SELECT m.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM({_DEC_SQL.format(x='m.m2')}) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_m2,
+           round(MAX(m.m2), 6) AS max_m2,
+           CAST(SUM(CASE WHEN m.m2 > {_OOD_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(MAX(w.vec_id) AS BIGINT) AS worst_vec_id
+    FROM m JOIN worst w USING (label)
+    GROUP BY m.label
+    ORDER BY m.label
+    """,
+    tags=("embedding", "ood", "quality", "llm-pipeline"),
+    doc="Label-conditioned out-of-distribution census — the diagonal-"
+        "Mahalanobis complement of embed_centroid_outliers' cosine "
+        "cohesion: per label a diagonal Gaussian (per-dim mean/variance "
+        "from exact 6-dp decimal moments, variance floored at 1e-6), "
+        "then every member's squared Mahalanobis distance to ITS OWN "
+        "label profile folds sequentially over dims (F.aggregate / "
+        "list_reduce — bit-identical doubles). Vectors past 1.5x dim "
+        "are flagged: mislabeled or corrupted points a curation pass "
+        "should re-route before contrastive training. Scale: one "
+        "posexplode hash-aggregate keyed (label, dim) builds the "
+        "profiles (|labels|*dim rows), the profile relation broadcasts "
+        "back (bounded by label cardinality), scoring is map-side, and "
+        "the only other exchange is the |labels|-key final aggregate — "
+        "the embedding matrix itself never reshuffles.",
+)
+def embed_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.col("v").cast("double")
+    stats = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(_DEC.format(x="cast(v as double)")))
+            .cast("double").alias("s1"),
+            F.sum(F.round(v * v, 6).cast("decimal(18,6)"))
+            .cast("double").alias("s2"),
+        )
+    )
+    mu = F.col("s1") / F.col("n")
+    prof = (
+        stats.select(
+            "label", "dim", mu.alias("mu"),
+            F.greatest(F.lit(1e-6),
+                       F.col("s2") / F.col("n") - mu * mu).alias("var"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s.mu,
+            ).alias("mu_arr"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "var"))),
+                lambda s: s["var"],
+            ).alias("var_arr"),
+        )
+    )
+    scored = emb.join(F.broadcast(prof), "label").withColumn(
+        "m2",
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(
+                    F.col("embedding"), F.col("mu_arr"),
+                    lambda x, m: (x.cast("double") - m)
+                    * (x.cast("double") - m),
+                ),
+                F.col("var_arr"),
+                lambda t, vr: t / vr,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(F.expr(_DEC.format(x="m2"))).cast("double")
+                / F.count("*"), 6
+            ).alias("mean_m2"),
+            F.round(F.max("m2"), 6).alias("max_m2"),
+            F.sum(F.when(F.col("m2") > _OOD_THRESH, 1).otherwise(0))
+            .cast("long").alias("n_flagged"),
+            F.max(F.struct(F.col("m2").alias("s"),
+                           F.col("vec_id").alias("v"))).alias("w"),
+        )
+        .select(
+            "label", "n_vecs", "mean_m2", "max_m2", "n_flagged",
+            F.col("w.v").cast("long").alias("worst_vec_id"),
+        )
+        .orderBy("label")
+    )
+
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-point chain (the recursive CTE would be
+    the same 8 steps; unrolling keeps both engines on plain joins)."""
+    l2 = _L2SQ_SQL
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        ("d1 AS (SELECT e.vec_id, e.embedding, "
+         + l2.format(a="e.embedding", b="c1.embedding")
+         + " AS dmin FROM e, c1)"),
+    ]
+    for r in range(2, _KCENTER_K + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, embedding, dmin FROM d{r-1} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if r < _KCENTER_K:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.embedding, LEAST(d.dmin, "
+                + l2.format(a="d.embedding", b=f"c{r}.embedding")
+                + f") AS dmin FROM d{r-1} d, c{r})"
+            )
+    selects = ["SELECT 1 AS round, CAST(vec_id AS BIGINT) AS vec_id, "
+               "0.0 AS radius2 FROM c1"]
+    for r in range(2, _KCENTER_K + 1):
+        selects.append(
+            f"SELECT {r}, CAST(vec_id AS BIGINT), round(dmin, 6) FROM c{r}"
+        )
+    return (",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+            + "\nORDER BY round")
+
+
+@query(
+    "curation_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("curation", "embedding", "coreset", "llm-pipeline"),
+    doc="Greedy k-center (farthest-point) coreset selection — the "
+        "diversity-sampling pass a data-pruning pipeline runs to pick a "
+        "small cover of embedding space (Sener & Savarese core-set "
+        "active learning): seed = lowest vec_id, then 7 rounds each "
+        "select the vector FARTHEST (squared L2, vec_id tiebreak) from "
+        "the chosen set; radius2 of round r is the covering radius of "
+        "the first r-1 centers — the monotone curve that tells you when "
+        "the coreset stops paying. Determinism: per-center distances "
+        "fold sequentially (zip_with/aggregate == list_transform/"
+        "list_reduce), min-over-centers is an exact IEEE selection, and "
+        "the argmax orders (dmin DESC, vec_id). Scale: each round is "
+        "one NARROW pass — the <= 8 selected centers travel as literal "
+        "arrays (the broadcast degenerate), per-row min is map-side, "
+        "and TakeOrdered(1) reduces without a shuffle; k rounds = k "
+        "scans, no quadratic term anywhere. The k collected rows are "
+        "the bounded driver-side state the plan-quality rules allow.",
+)
+def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(seed.vec_id), 0.0, list(seed.embedding))]
+    for r in range(2, _KCENTER_K + 1):
+        dmin = None
+        for _, _, _, c_emb in centers:
+            lit = F.array(*[F.lit(float(x)) for x in c_emb])
+            d = _l2sq(F.col("embedding"), lit)
+            dmin = d if dmin is None else F.least(dmin, d)
+        nxt = (
+            emb.withColumn("dmin", dmin)
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (r, int(nxt.vec_id), float(nxt.dmin), list(nxt.embedding))
+        )
+    return spark.createDataFrame(
+        [(r, v, round(d, 6)) for r, v, d, _ in centers],
+        "round int, vec_id bigint, radius2 double",
+    )

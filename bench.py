@@ -148,6 +148,8 @@ HEADLINE = [
     "cdc_late_arrival_report",
     "curation_temperature_mixture",
     "text_subword_fertility",
+    "embed_ood_mahalanobis",
+    "curation_coreset_kcenter",
 ]
 
 

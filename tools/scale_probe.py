@@ -142,6 +142,8 @@ PROBES = [
     "q_recursive_order_chains",
     "q_funnel_conversion",
     "q_cohort_retention",
+    "embed_ood_mahalanobis",
+    "curation_coreset_kcenter",
 ]
 
 
