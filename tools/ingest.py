@@ -162,16 +162,26 @@ def ingest_wal(spark, out: str, *, sf_dir: str, wal_options: dict,
         collections=collections,
         checkpoint_dir=str(out_dir / "ckpt_wal"),
     )
-    # drain: ledger growth stalls AND the stream reports idle
+    # Drain: the stream must first PROGRESS (a committed micro-batch —
+    # source init can take seconds under load, and "no data yet" is
+    # indistinguishable from "drained" before batch 0 lands), then the
+    # ledger must stall across 3 consecutive idle polls. Declaring idle
+    # before the first progress event stopped the query empty-handed
+    # when the suite ran under contention.
     deadline = _time.monotonic() + timeout_s
-    last, idle = -1, 0
+    last, idle, progressed = -1, 0, False
     while _time.monotonic() < deadline and idle < 3:
+        lp = q.lastProgress
+        if lp is not None and (
+            lp.get("batchId", 0) >= 1 or lp.get("numInputRows", 0) > 0
+        ):
+            progressed = True
         try:
             n = gate._ledger().count()
         except Exception:
             n = -1
         st = q.status
-        if n == last and not st["isDataAvailable"] \
+        if progressed and n == last and not st["isDataAvailable"] \
                 and not st["isTriggerActive"]:
             idle += 1
         else:
