@@ -127,6 +127,8 @@ ROTATION_EXEMPT = frozenset({
     # full-registry records):
     "q_exists_high_value_order",      # EXISTS semi-join: q_scalar_subquery_above_avg keeps the correlated-subquery surface
     "q_mode_ship_priority",           # mode(): q_argmax_latest_order + q_percentiles_by_segment cover the order-statistic family
+    # Grown r8 alongside mm_video_frame_dedup:
+    "mm_mjpeg_frame_sample",          # every-2nd-frame demux: mm_mjpeg_scene_cuts + mm_video_frame_dedup decode the full frame stream
 })
 
 

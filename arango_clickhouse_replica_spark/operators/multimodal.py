@@ -1050,3 +1050,50 @@ def extract_audio_clipping(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(batches, schema=AUDIO_CLIPPING_SCHEMA)
 
+
+
+def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
+    """Group-content REAL video fixture for cross-video dedup:
+    ``g = doc_id // group_size`` seeds the clip content, so only group
+    members share frames (pair volume stays linear in the corpus).
+    Member roles (``m = doc_id % group_size``): m0/m1 exact duplicates,
+    m2 a +1-luma near-dup (frame signatures differ), m3 a truncated
+    copy (one frame fewer — a CONTAINED clip). Each frame is a genuine
+    16x8 baseline JPEG of two constant 8x8 blocks
+    ``b0 = 16 + (g*7 + f*11) % 239 + off, b1 = 16 + (g*13 + f*17) % 239
+    + off`` — two independent congruences mod 239, so cross-group
+    signature collisions need a simultaneous double alignment (~1/239^2
+    density) and within a clip no two frames repeat a signature.
+    Constant blocks keep the lossy JPEG chain bit-exact, so a
+    closed-form oracle knows every decoded frame's (min, max) tuple."""
+    from .media_codecs import encode_jpeg_gray8, encode_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, m = d // group_size, d % group_size
+                n = (5 + g % 3) - (1 if m == 3 else 0)
+                off = 1 if m == 2 else 0
+                frames = []
+                for f in range(n):
+                    b0 = 16 + (g * 7 + f * 11) % 239 + off
+                    b1 = 16 + (g * 13 + f * 17) % 239 + off
+                    px = bytes(
+                        (b0 if x < 8 else b1)
+                        for _y in range(8) for x in range(16)
+                    )
+                    frames.append(encode_jpeg_gray8(px, 16, 8))
+                mj = encode_mjpeg(frames)
+                ids.append(d)
+                payloads.append(mj)
+                metas.append(
+                    {"mime": "video/x-motion-jpeg", "n_bytes": len(mj),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -1216,3 +1216,132 @@ def mm_audio_clipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_clipped").cast("double") / F.col("n_samples"), 6
         ).alias("clip_frac"),
     ).orderBy("media_id")
+
+
+@query(
+    "mm_video_frame_dedup",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+             (5 + (doc_id // 4) % 3) - CASE WHEN doc_id % 4 = 3
+                                            THEN 1 ELSE 0 END AS n,
+             CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS off
+      FROM documents
+    ),
+    fr AS (
+      SELECT p.doc_id,
+             16 + (p.g * 7 + u.f * 11) % 239 + p.off AS b0,
+             16 + (p.g * 13 + u.f * 17) % 239 + p.off AS b1
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(f)
+    ),
+    sig AS (
+      SELECT doc_id, LEAST(b0, b1) AS lo, GREATEST(b0, b1) AS hi FROM fr
+    ),
+    nfr AS (SELECT doc_id, COUNT(*) AS n_frames FROM sig GROUP BY doc_id),
+    hot AS (
+      SELECT lo, hi FROM sig GROUP BY lo, hi
+      HAVING COUNT(*) > GREATEST(8,
+               (SELECT COUNT(*) FROM documents) // 50)
+    ),
+    cold AS (
+      SELECT s.doc_id, s.lo, s.hi FROM sig s
+      LEFT JOIN hot h ON h.lo = s.lo AND h.hi = s.hi
+      WHERE h.lo IS NULL
+    ),
+    pairs AS (
+      SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_frames
+      FROM cold a JOIN cold b ON a.lo = b.lo AND a.hi = b.hi
+                             AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.video_a, p.video_b, p.shared_frames,
+           CAST(na.n_frames AS BIGINT) AS n_a,
+           CAST(nb.n_frames AS BIGINT) AS n_b,
+           round(CAST(p.shared_frames AS DOUBLE)
+                 / LEAST(na.n_frames, nb.n_frames), 6) AS containment
+    FROM pairs p
+    JOIN nfr na ON na.doc_id = p.video_a
+    JOIN nfr nb ON nb.doc_id = p.video_b
+    WHERE CAST(p.shared_frames AS DOUBLE)
+          / LEAST(na.n_frames, nb.n_frames) >= 0.8
+    ORDER BY video_a, video_b
+    """,
+    tags=("multimodal", "video", "dedup", "codec", "pandas-udf"),
+    doc="Cross-video duplicate detection from decoded frame fingerprints "
+        "— the content-ID primitive a video training pipeline runs to "
+        "drop re-uploads and contained clips before sampling: group-"
+        "content MJPG clips (exact dups, a +1-luma near-dup, a truncated "
+        "copy) demux and fully DECODE per frame, each frame's exact "
+        "(px_min, px_max) block tuple is its signature, hot signatures "
+        "past the occupancy cap are dropped (the same degenerate-bucket "
+        "guard as the aHash family — candidate volume stays linear), "
+        "cold signatures equi-join into video pairs, and bag-of-"
+        "fingerprint containment >= 0.8 against the SHORTER clip flags "
+        "both full duplicates and clip containment (the truncated copy "
+        "scores 1.0; the luma-shifted near-dup scores 0 by design — "
+        "frame-exact matching, not perceptual: that lane is "
+        "mm_color_ahash_near_dup). The closed-form oracle replays "
+        "decode, cap, join, and ratio from the synth congruences. "
+        "Scale: one narrow 1:N Arrow decode, the pair join shuffles "
+        "2-byte tuples never pixels, per-video frame counts are a "
+        "map-side-combinable aggregate, and the cap bounds any bucket.",
+)
+def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        sample_mjpeg_frames,
+        synth_mjpeg_group_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    occ_cap = max(8, n_docs // 50)
+    frames = _cached_media(
+        spark, sf_dir, "mjpeg_group_frames",
+        lambda: sample_mjpeg_frames(
+            synth_mjpeg_group_media(docs), every_n=1
+        ),
+    )
+    sig = frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("px_min").alias("lo"),
+        F.col("px_max").alias("hi"),
+    )
+    nfr = sig.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    hot = (
+        sig.groupBy("lo", "hi")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > occ_cap)
+        .select("lo", "hi")
+    )
+    cold = sig.join(hot, ["lo", "hi"], "left_anti")
+    pairs = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.lo") == F.col("b.lo"))
+            & (F.col("a.hi") == F.col("b.hi"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("video_a"),
+            F.col("b.doc_id").alias("video_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+    )
+    na = nfr.select(F.col("doc_id").alias("video_a"),
+                    F.col("n_frames").alias("n_a"))
+    nb = nfr.select(F.col("doc_id").alias("video_b"),
+                    F.col("n_frames").alias("n_b"))
+    cont = F.col("shared_frames").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(na, "video_a").join(nb, "video_b")
+        .filter(cont >= 0.8)
+        .select(
+            "video_a", "video_b", "shared_frames",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("video_a", "video_b")
+    )

@@ -150,6 +150,7 @@ HEADLINE = [
     "text_subword_fertility",
     "embed_ood_mahalanobis",
     "curation_coreset_kcenter",
+    "mm_video_frame_dedup",
 ]
 
 

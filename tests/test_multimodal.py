@@ -675,3 +675,28 @@ def test_media_cache_serves_second_call(spark, sf_dir):
     df2 = QUERIES["mm_color_jpeg_decode_features"].build(spark, sf_dir)
     assert len(mq._MEDIA_CACHE) == n_keys  # no rebuild, same key
     assert df1.collect() == df2.collect()
+
+
+def test_mjpeg_group_synth_roles(spark):
+    """The group-content video fixture's member roles: m0/m1 decode to
+    identical frame signatures, m3 to a one-frame-shorter prefix bag,
+    m2 to fully disjoint signatures (+1 luma shifts every block)."""
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        sample_mjpeg_frames,
+        synth_mjpeg_group_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8, 16)], "doc_id long"
+    )
+    frames = sample_mjpeg_frames(
+        synth_mjpeg_group_media(docs), every_n=1
+    ).collect()
+    sigs = {}
+    for r in frames:
+        sigs.setdefault(r.media_id, set()).add((r.px_min, r.px_max))
+    for g0 in (8, 12):
+        assert sigs[g0] == sigs[g0 + 1]                 # exact dup
+        assert sigs[g0 + 3] < sigs[g0]                  # truncated copy
+        assert len(sigs[g0]) - len(sigs[g0 + 3]) == 1
+        assert not (sigs[g0 + 2] & sigs[g0])            # luma near-dup

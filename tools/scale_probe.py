@@ -144,6 +144,7 @@ PROBES = [
     "q_cohort_retention",
     "embed_ood_mahalanobis",
     "curation_coreset_kcenter",
+    "mm_video_frame_dedup",
 ]
 
 
