@@ -129,6 +129,9 @@ ROTATION_EXEMPT = frozenset({
     "q_mode_ship_priority",           # mode(): q_argmax_latest_order + q_percentiles_by_segment cover the order-statistic family
     # Grown r8 alongside mm_video_frame_dedup:
     "mm_mjpeg_frame_sample",          # every-2nd-frame demux: mm_mjpeg_scene_cuts + mm_video_frame_dedup decode the full frame stream
+    # Grown r8 alongside text_length_outlier_mad + q_event_anomaly_zscore:
+    "text_word_entropy",              # unigram entropy: text_char_entropy + text_zipf_slope keep the distribution-shape surface
+    "mm_wav_frame_features",          # framed energy/ZCR build: mm_audio_vad_segments consumes the same framed primitives end-to-end
 })
 
 

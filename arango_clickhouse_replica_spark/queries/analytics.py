@@ -640,3 +640,105 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_event_anomaly_zscore",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS cnt,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(18,6))) OVER w
+                  AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, value,
+             (value - s1 / cnt)
+               / sqrt(GREATEST(0.0, s2 / cnt - (s1 / cnt) * (s1 / cnt)))
+               AS z
+      FROM win
+      WHERE cnt >= 10
+        AND sqrt(GREATEST(0.0, s2 / cnt - (s1 / cnt) * (s1 / cnt))) > 0
+    ),
+    worst AS (
+      SELECT user_id, event_id, ABS(z) AS az FROM (
+        SELECT user_id, event_id, z,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(z) DESC, event_id DESC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN ABS(s.z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(MAX(w.az), 6) AS max_abs_z,
+           CAST(MAX(w.event_id) AS BIGINT) AS worst_event_id
+    FROM scored s JOIN worst w USING (user_id)
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+    tags=("events", "window", "anomaly", "quality"),
+    doc="Rolling z-score anomaly census over the event stream — the "
+        "metric-outlier sweep an observability or fraud pipeline runs "
+        "per entity: each event's value scores against the PRIOR 20 "
+        "events' rolling mean/std (frame excludes the current row — no "
+        "self-masking), warm-up below 10 priors and zero-variance "
+        "windows are unscorable, and |z| > 3 flags the spike. "
+        "Determinism: the rolling moments are window SUMs of 6-dp "
+        "DECIMALs (exact, frame-defined — partition order can't shift a "
+        "bit), the z division is one double op sequence identical on "
+        "both engines, and the worst-event argmax orders (|z| DESC, "
+        "event_id DESC). Scale: ONE hash exchange on user_id feeds the "
+        "sort-window and the final per-user aggregate; the frame is "
+        "constant-width so state is O(21) per partition cursor — the "
+        "streaming twin is a transformWithState over the same frame.",
+)
+def q_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    win = events.select(
+        "user_id", "event_id", "value",
+        F.count("value").over(w).alias("cnt"),
+        F.sum(F.round(v, 6).cast("decimal(18,6)")).over(w)
+        .cast("double").alias("s1"),
+        F.sum(F.round(v * v, 6).cast("decimal(18,6)")).over(w)
+        .cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("cnt")
+    std = F.sqrt(
+        F.greatest(F.lit(0.0), F.col("s2") / F.col("cnt") - mean * mean)
+    )
+    scored = (
+        win.filter((F.col("cnt") >= 10) & (std > 0))
+        .select(
+            "user_id", "event_id",
+            ((v - mean) / std).alias("z"),
+        )
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(F.when(F.abs("z") > 3, 1).otherwise(0))
+            .cast("long").alias("n_anomalies"),
+            F.max(F.struct(F.abs("z").alias("a"),
+                           F.col("event_id").alias("e"))).alias("w"),
+        )
+        .select(
+            "user_id", "n_scored", "n_anomalies",
+            F.round(F.col("w.a"), 6).alias("max_abs_z"),
+            F.col("w.e").cast("long").alias("worst_event_id"),
+        )
+        .orderBy("user_id")
+    )

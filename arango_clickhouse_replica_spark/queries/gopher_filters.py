@@ -906,3 +906,122 @@ def curation_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "text_length_outlier_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT source, MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+               AS median_chars
+      FROM ranked GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, d.doc_id, m.median_chars,
+             ABS(d.n_chars - m.median_chars) AS dv
+      FROM documents d JOIN med m USING (source)
+    ),
+    ranked2 AS (
+      SELECT source, doc_id, median_chars, dv,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY dv, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT source, MAX(CASE WHEN rn = (n + 1) // 2 THEN dv END)
+               AS mad_chars
+      FROM ranked2 GROUP BY source
+    ),
+    worst AS (
+      SELECT source, doc_id, dv FROM (
+        SELECT source, doc_id, dv,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY dv DESC, doc_id DESC) AS rn
+        FROM dev
+      ) WHERE rn = 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(d.median_chars) AS BIGINT) AS median_chars,
+           CAST(MAX(m.mad_chars) AS BIGINT) AS mad_chars,
+           CAST(SUM(CASE WHEN d.dv > 3 * m.mad_chars
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(w.dv) AS BIGINT) AS max_dev,
+           CAST(MAX(w.doc_id) AS BIGINT) AS worst_doc_id
+    FROM dev d
+    JOIN mad m USING (source)
+    JOIN worst w ON w.source = d.source
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("text", "quality", "outlier", "llm-pipeline"),
+    doc="Robust per-source length-outlier census — the median/MAD twin "
+        "of the mean/std censor (a single 100 MB crawl artifact shifts "
+        "a mean but not a median): type-1 medians select by RANK "
+        "(ceil(n/2), doc_id tiebreak — pure integers, no interpolating "
+        "percentile, the text_doc_length_percentiles discipline), "
+        "deviation and MAD stay integers, and the 3-MAD flag is an "
+        "integer compare — nothing for float drift to touch. Flags the "
+        "truncation/boilerplate artifacts a length-quality gate drops. "
+        "Scale: two sort-windows PARTITIONED BY the same source key "
+        "(one hash exchange, re-sorted in place) + one broadcast of "
+        "the |sources|-row median/MAD relations back onto the corpus; "
+        "the final aggregate is map-side combinable on source.",
+)
+def text_length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", "n_chars"
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    med = (
+        docs.select(
+            "source", "n_chars",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("source", F.col("n_chars").alias("median_chars"))
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "doc_id", "median_chars",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("dv"),
+    )
+    w_rank2 = Window.partitionBy("source").orderBy("dv", "doc_id")
+    mad = (
+        dev.select(
+            "source", "dv",
+            F.row_number().over(w_rank2).alias("rn"),
+            F.count("*").over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("source", F.col("dv").alias("mad_chars"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("median_chars").cast("long").alias("median_chars"),
+            F.max("mad_chars").cast("long").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("dv") > 3 * F.col("mad_chars"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max(F.struct(F.col("dv").alias("d"),
+                           F.col("doc_id").alias("i"))).alias("w"),
+        )
+        .select(
+            "source", "n_docs", "median_chars", "mad_chars", "n_outliers",
+            F.col("w.d").cast("long").alias("max_dev"),
+            F.col("w.i").cast("long").alias("worst_doc_id"),
+        )
+        .orderBy("source")
+    )

@@ -151,6 +151,8 @@ HEADLINE = [
     "embed_ood_mahalanobis",
     "curation_coreset_kcenter",
     "mm_video_frame_dedup",
+    "text_length_outlier_mad",
+    "q_event_anomaly_zscore",
 ]
 
 
