@@ -132,6 +132,8 @@ ROTATION_EXEMPT = frozenset({
     # Grown r8 alongside text_length_outlier_mad + q_event_anomaly_zscore:
     "text_word_entropy",              # unigram entropy: text_char_entropy + text_zipf_slope keep the distribution-shape surface
     "mm_wav_frame_features",          # framed energy/ZCR build: mm_audio_vad_segments consumes the same framed primitives end-to-end
+    # Grown r8 alongside mm_phash_dct_near_dup:
+    "mm_ahash_near_dup",              # gray spatial-domain hash: mm_color_ahash_near_dup (luma aHash) + mm_phash_dct_near_dup (DCT) keep both hash families emitted
 })
 
 

@@ -1097,3 +1097,136 @@ def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# Fixed-point 8-point DCT-II basis, T[j][u] = round(1024*cos((2u+1)j*pi/16)).
+# Hard-coded so the Python extractor and every SQL oracle share IDENTICAL
+# integer constants (rows j>=1 sum to exactly 0 — a uniform brightness
+# shift moves only the DC coefficient, the property pHash exists for).
+DCT8_1024 = [
+    [1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024],
+    [1004, 851, 569, 200, -200, -569, -851, -1004],
+    [946, 392, -392, -946, -946, -392, 392, 946],
+    [851, -200, -1004, -569, 569, 1004, 200, -851],
+    [724, -724, -724, 724, 724, -724, -724, 724],
+    [569, -1004, 200, 851, -851, -200, 1004, -569],
+    [392, -946, 946, -392, -392, 946, -946, 392],
+    [200, -569, 851, -1004, 1004, -851, 569, -200],
+]
+
+_PHASH_M32 = 1 << 32
+
+
+def phash_cell_value(g: int, u: int, v: int, m: int) -> int:
+    """Closed-form cell luma for the pHash fixture — a 32-bit-safe
+    shift-xor mix (every intermediate < 2^63, so a BIGINT SQL oracle
+    replays it): member m=2 adds a uniform +2 brightness (pHash-
+    invariant by construction), m=3 bumps ONE group-chosen cell +12
+    (a small perceptual edit -> hamming 1-2)."""
+    q = g * 64 + u * 8 + v
+    h = q * 2654435761 % _PHASH_M32
+    h = h ^ (h // 65536)
+    h = h * 65599 % _PHASH_M32
+    h = h ^ (h // 65536)
+    val = h % 244 + 8 + (2 if m == 2 else 0)
+    if m == 3 and u == g % 8 and v == (g * 3 + 1) % 8:
+        val = min(val + 12, 255)
+    return val
+
+
+def synth_phash_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
+    """Group-content 16x16 gray PNGs, piecewise-CONSTANT on the 8x8
+    hash grid (each grid cell is a 2x2 pixel block), cell values from
+    :func:`phash_cell_value`. Roles: m0/m1 exact duplicates, m2 a
+    uniform +2 brightness shift (frequency-domain INVARIANT — the case
+    aHash scores as a small hamming and pHash as zero), m3 a one-cell
+    +12 edit (hamming 1-2). Scrambled per-(group, cell) values keep
+    cross-group hashes >= 16 hamming apart with no band collisions
+    (measured over 125 groups) — no proportional-ramp degeneracy."""
+    from .media_codecs import encode_png_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, m = d // group_size, d % group_size
+                px = bytes(
+                    phash_cell_value(g, x // 2, y // 2, m)
+                    for y in range(16) for x in range(16)
+                )
+                png = encode_png_gray8(px, 16, 16)
+                ids.append(d)
+                payloads.append(png)
+                metas.append(
+                    {"mime": "image/png", "n_bytes": len(png),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_phash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash) over REAL decoded PNG payloads — the
+    frequency-domain sibling of :func:`extract_ahash`: downsample to an
+    8x8 grid of cell sums (denominator-free: sums scale by the lcm of
+    the cell pixel-counts, which never reorders coefficients), apply
+    the fixed-point integer 2-D DCT (``S = T G T^t`` with the shared
+    :data:`DCT8_1024` basis — EXACT int64 arithmetic, no float ever),
+    and set bit i-1 when AC coefficient i ranks in the top 31 of 63
+    (S DESC, index ASC tiebreak) — the median-split discipline, made
+    deterministic. A uniform brightness change moves only the DC term
+    (basis rows sum to 0), so pHash is exactly invariant where aHash
+    drifts. Bits pack into four 16-bit bands for the pigeonhole join
+    (bit 63 is always 0 padding)."""
+    from .media_codecs import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        tmat = np.array(DCT8_1024, dtype=np.int64)
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "b0", "b1", "b2", "b3")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                w, h = img["width"], img["height"]
+                px = np.frombuffer(bytes(img["pixels"]),
+                                   dtype=np.uint8).astype(np.int64)
+                if img["channels"] == 3:
+                    px = 299 * px[0::3] + 587 * px[1::3] + 114 * px[2::3]
+                elif img["channels"] != 1:
+                    raise ValueError("pHash supports gray8/RGB PNGs")
+                xs = np.arange(len(px)) % w
+                ys = np.arange(len(px)) // w
+                cell = (grid * ys // h) * grid + (grid * xs // w)
+                cs = np.bincount(cell, weights=px,
+                                 minlength=grid * grid).astype(np.int64)
+                cc = np.bincount(cell, minlength=grid * grid)
+                lcm = np.lcm.reduce(np.unique(cc[cc > 0]))
+                gmat = (cs * (lcm // np.maximum(cc, 1))).reshape(grid, grid)
+                s = (tmat @ gmat @ tmat.T).flatten()
+                order = sorted(
+                    ((int(s[i]), i) for i in range(1, 64)),
+                    key=lambda t: (-t[0], t[1]),
+                )
+                top = {i for _, i in order[:31]}
+                bits = np.zeros(64, dtype=np.int64)
+                for i in range(1, 64):
+                    bits[i - 1] = 1 if i in top else 0
+                bands = [
+                    int((bits[k * 16:(k + 1) * 16]
+                         * (1 << np.arange(16))).sum())
+                    for k in range(4)
+                ]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for k in range(4):
+                    rows[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -1345,3 +1345,168 @@ def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("video_a", "video_b")
     )
+
+
+_PHASH_HAMMING_MAX = 12
+
+
+def _phash_oracle() -> str:
+    """Replays synth -> decode -> integer DCT -> rank bits -> band join
+    entirely in SQL, sharing the DCT8_1024 constants with the Python
+    extractor (any divergence in the basis, the rank tiebreak, or the
+    band packing breaks the value hash)."""
+    from ..operators.multimodal import DCT8_1024
+
+    tvals = ", ".join(
+        f"({j}, {u}, {DCT8_1024[j][u]})"
+        for j in range(8) for u in range(8)
+    )
+    return f"""
+    WITH tmat(j, u, c) AS (VALUES {tvals}),
+    params AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+    ),
+    q0 AS (
+      SELECT p.doc_id, p.g, p.m, u.u, v.v,
+             p.g * 64 + u.u * 8 + v.v AS q
+      FROM params p, unnest(range(0, 8)) AS u(u),
+           unnest(range(0, 8)) AS v(v)
+    ),
+    h1 AS (SELECT *, (q * 2654435761) % 4294967296 AS ha FROM q0),
+    h2 AS (SELECT *, xor(ha, ha // 65536) AS hb FROM h1),
+    h3 AS (SELECT *, (hb * 65599) % 4294967296 AS hc FROM h2),
+    h4 AS (SELECT *, xor(hc, hc // 65536) AS hd FROM h3),
+    vals AS (
+      SELECT doc_id, u, v,
+             4 * (CASE WHEN m = 3 AND u = g % 8 AND v = (g * 3 + 1) % 8
+                  THEN LEAST(hd % 244 + 8 + 12, 255)
+                  ELSE hd % 244 + 8
+                       + CASE WHEN m = 2 THEN 2 ELSE 0 END END) AS val4
+      FROM h4
+    ),
+    scoef AS (
+      SELECT p.doc_id, tj.j AS j, tk.j AS k,
+             SUM(tj.c * tk.c * p.val4) AS s
+      FROM vals p
+      JOIN tmat tj ON tj.u = p.v
+      JOIN tmat tk ON tk.u = p.u
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT doc_id, j * 8 + k AS idx, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, j * 8 + k) AS rn
+      FROM scoef WHERE NOT (j = 0 AND k = 0)
+    ),
+    bits AS (
+      SELECT doc_id, idx - 1 AS pos,
+             CASE WHEN rn <= 31 THEN 1 ELSE 0 END AS bit
+      FROM ranked
+    ),
+    bands AS (
+      SELECT doc_id, CAST(pos // 16 AS INT) AS band,
+             CAST(SUM(bit * (1 << CAST(pos % 16 AS INT))) AS INT) AS sig
+      FROM bits GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN sig END) AS b0,
+             MAX(CASE WHEN band = 1 THEN sig END) AS b1,
+             MAX(CASE WHEN band = 2 THEN sig END) AS b2,
+             MAX(CASE WHEN band = 3 THEN sig END) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    hot AS (
+      SELECT band, sig FROM bands GROUP BY band, sig
+      HAVING COUNT(*) > GREATEST(16, LEAST(64,
+               (SELECT COUNT(*) FROM documents) // 100))
+    ),
+    cold AS (
+      SELECT b.doc_id, b.band, b.sig FROM bands b
+      LEFT JOIN hot h ON h.band = b.band AND h.sig = b.sig
+      WHERE h.band IS NULL
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cold a JOIN cold b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+                + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+                AS INT) AS hamming
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    WHERE hamming <= {_PHASH_HAMMING_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """
+
+
+@query(
+    "mm_phash_dct_near_dup",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "image", "dedup", "codec", "pandas-udf"),
+    doc="Frequency-domain perceptual near-dup detection (pHash): REAL "
+        "decoded 16x16 gray PNGs reduce to 8x8 cell sums, a FIXED-POINT "
+        "integer 2-D DCT (shared 1024-scaled basis, rows j>=1 sum to "
+        "exactly 0) produces 64 coefficients, and the 63 AC terms "
+        "median-split by RANK (S DESC, index tiebreak) into a 63-bit "
+        "hash — exact int64 arithmetic end to end, so the SQL oracle "
+        "replays every bit including the DCT itself. The fixture "
+        "proves the property aHash lacks: a uniform +2 brightness "
+        "member hashes IDENTICALLY (only DC moves), while a one-cell "
+        "+12 edit costs 1-2 bits and cross-group hashes stay >= 16 "
+        "bits apart with zero band collisions. Banding, the occupancy "
+        "cap, the pigeonhole join, and bit_count verification are "
+        "shared with the aHash family — candidate volume linear in "
+        "the corpus, the band join shuffles 16-bit keys never pixels.",
+)
+def mm_phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_phash, synth_phash_group_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    occ_cap = max(16, min(64, n_docs // 100))
+    sigs = _cached_media(
+        spark, sf_dir, "phash_sigs",
+        lambda: extract_phash(synth_phash_group_media(docs)),
+    )
+    bands = sigs.select(
+        F.col("media_id").alias("doc_id"),
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, sig)"),
+    )
+    hot = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > occ_cap)
+        .select("band", "sig")
+    )
+    cold = bands.join(hot, ["band", "sig"], "left_anti")
+    cand = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("media_id").alias("doc_a"),
+                     *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)])
+    sb = sigs.select(F.col("media_id").alias("doc_b"),
+                     *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)])
+    hamming = sum(
+        F.expr(f"bit_count(a{k} ^ bb{k})") for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .orderBy("hamming", "doc_a", "doc_b")
+    )

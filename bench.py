@@ -153,6 +153,7 @@ HEADLINE = [
     "mm_video_frame_dedup",
     "text_length_outlier_mad",
     "q_event_anomaly_zscore",
+    "mm_phash_dct_near_dup",
 ]
 
 

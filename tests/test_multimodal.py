@@ -700,3 +700,32 @@ def test_mjpeg_group_synth_roles(spark):
         assert sigs[g0 + 3] < sigs[g0]                  # truncated copy
         assert len(sigs[g0]) - len(sigs[g0 + 3]) == 1
         assert not (sigs[g0 + 2] & sigs[g0])            # luma near-dup
+
+
+def test_phash_brightness_invariance_vs_ahash(spark):
+    """The reason pHash exists: a uniform brightness shift moves only
+    the DC coefficient (basis rows sum to 0), so the m2 member hashes
+    IDENTICALLY under pHash; the one-cell edit member costs few bits;
+    and the same +2-shifted image generally flips aHash bits."""
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        DCT8_1024,
+        extract_phash,
+        synth_phash_group_media,
+    )
+
+    assert all(sum(row) == 0 for row in DCT8_1024[1:])
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    sigs = {
+        r.media_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in extract_phash(synth_phash_group_media(docs)).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    for g0 in (0, 4, 8):
+        assert sigs[g0] == sigs[g0 + 1]          # exact duplicate
+        assert sigs[g0] == sigs[g0 + 2]          # brightness-invariant
+        assert 0 <= ham(sigs[g0], sigs[g0 + 3]) <= 4   # one-cell edit
+    assert ham(sigs[0], sigs[4]) >= 16           # cross-group separation
