@@ -134,6 +134,9 @@ ROTATION_EXEMPT = frozenset({
     "mm_wav_frame_features",          # framed energy/ZCR build: mm_audio_vad_segments consumes the same framed primitives end-to-end
     # Grown r8 alongside mm_phash_dct_near_dup:
     "mm_ahash_near_dup",              # gray spatial-domain hash: mm_color_ahash_near_dup (luma aHash) + mm_phash_dct_near_dup (DCT) keep both hash families emitted
+    # Grown r8 alongside cdc_compaction_savings + text_kneser_ney_logprob:
+    "dedup_lsh_precision_report",     # per-layout precision: dedup_minhash_band_sweep measures the same tradeoff across three layouts
+    "ann_lsh_bucketed",               # LSH scale path: ann_recall_report composes it against IVF + exact every round
 })
 
 

@@ -407,3 +407,70 @@ def cdc_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "cdc_compaction_savings",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    per_key AS (
+      SELECT event_id, MAX(event_type) AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(ROW(_ver, _deleted)) AS mx
+      FROM changes GROUP BY event_id
+    )
+    SELECT event_type,
+           CAST(SUM(n_rows) AS BIGINT) AS n_log_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(mx[2]) AS BIGINT) AS n_dead_keys,
+           CAST(COUNT(*) - SUM(mx[2]) AS BIGINT) AS n_live_keys,
+           round(CAST(COUNT(*) - SUM(mx[2]) AS DOUBLE)
+                 / SUM(n_rows), 6) AS live_row_ratio
+    FROM per_key
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("cdc", "compaction", "ops"),
+    doc="Compaction savings report over the change log — the sizing "
+        "table behind the reference's ReplacingMergeTree decision "
+        "(reference/replication/schema.py engine clause; K4 snapshot "
+        "swap): per entity type, how many log rows the merge-on-read "
+        "view carries vs how many keys survive compaction (latest "
+        "version per key, minus keys whose latest is a tombstone). "
+        "live_row_ratio is the FINAL-query amplification factor — the "
+        "number that tells you when to OPTIMIZE/compact a partition. "
+        "Version resolution is the same (_ver, _deleted) "
+        "max-struct as cdc_latest_state, so the report provably agrees "
+        "with what compaction would produce. Scale: one map-side-"
+        "combinable aggregate keyed by the entity key (the exchange the "
+        "merge view needs anyway), then a |types|-key rollup — the log "
+        "never reshuffles twice.",
+)
+def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
+                                initial_tick=0)
+    per_key = rows.groupBy("event_id").agg(
+        F.count("*").alias("n_rows"),
+        F.max("event_type").alias("event_type"),
+        F.max(F.struct(F.col("_ver").alias("v"),
+                       F.col("_deleted").alias("d"))).alias("mx"),
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_log_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.col("mx.d")).cast("long").alias("n_dead_keys"),
+        )
+        .select(
+            "event_type", "n_log_rows", "n_keys", "n_dead_keys",
+            (F.col("n_keys") - F.col("n_dead_keys")).cast("long")
+            .alias("n_live_keys"),
+            F.round(
+                (F.col("n_keys") - F.col("n_dead_keys")).cast("double")
+                / F.col("n_log_rows"), 6
+            ).alias("live_row_ratio"),
+        )
+        .orderBy("event_type")
+    )

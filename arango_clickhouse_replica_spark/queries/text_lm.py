@@ -678,3 +678,156 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_bits"), F.desc("c_ab"), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+# Kneser-Ney absolute discount: 3/4 is an exact binary fraction, so the
+# discounted term is one exact double subtraction on both engines.
+_KN_D = 0.75
+
+KNESER_NEY_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bg0 AS (
+      SELECT doc_id, tk[k] AS w1, tk[k + 1] AS w2
+      FROM tk, unnest(range(1, len(tk))) AS u(k)
+    ),
+    cw AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+      FROM ({_DOC_WORDS_SQL}) GROUP BY w
+    ),
+    head AS (SELECT w FROM cw ORDER BY c_w DESC, w LIMIT {_VOCAB_CAP}),
+    bg AS MATERIALIZED (
+      SELECT bg0.doc_id,
+             CASE WHEN h1.w IS NULL THEN '<unk>' ELSE bg0.w1 END AS m1,
+             CASE WHEN h2.w IS NULL THEN '<unk>' ELSE bg0.w2 END AS m2
+      FROM bg0
+      LEFT JOIN head h1 ON bg0.w1 = h1.w
+      LEFT JOIN head h2 ON bg0.w2 = h2.w
+    ),
+    dbg AS MATERIALIZED (
+      SELECT doc_id, m1, m2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, m1, m2
+    ),
+    c12 AS MATERIALIZED (
+      SELECT m1, m2, CAST(SUM(c) AS BIGINT) AS c12
+      FROM dbg GROUP BY m1, m2
+    ),
+    c1 AS (
+      SELECT m1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM c12 GROUP BY m1
+    ),
+    c2 AS (SELECT m2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY m2),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM c12),
+    lp AS (
+      SELECT c12.m1, c12.m2, {_LOG2_DEC_SQL.format(
+          x=f"(CAST(c12 AS DOUBLE) - {_KN_D}) / CAST(c1 AS DOUBLE)"
+            f" + {_KN_D} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)"
+            " * CAST(n1b AS DOUBLE) / CAST(np AS DOUBLE)")} AS lp
+      FROM c12 JOIN c1 USING (m1) JOIN c2 USING (m2) CROSS JOIN np
+    )
+    SELECT dbg.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * lp) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS avg_kn_lp_bits
+    FROM dbg JOIN lp USING (m1, m2)
+    GROUP BY dbg.doc_id
+    """
+
+
+@query(
+    "text_kneser_ney_logprob",
+    oracle=KNESER_NEY_SQL,
+    tags=("text", "lm", "quality"),
+    doc="Kneser-Ney bigram document scoring — the smoothing the JM-"
+        "interpolated sibling (text_bigram_logprob) approximates: "
+        "P = (c12 - D)/c1 + D * N1+(w1,.)/c1 * N1+(.,w2)/N_pairs with "
+        "D = 3/4, where the continuation probability counts DISTINCT "
+        "left contexts, not raw frequency — the 'San Francisco' "
+        "correction that makes KN the production perplexity-filter LM "
+        "(KenLM's default). In-corpus scoring means c12 >= 1 > D, so no "
+        "zero branch. The continuation statistics N1+ are row counts of "
+        "the ALREADY-BOUNDED pair relation (vocab-capped to the "
+        "top-65536+<unk> head before counting), so they add zero new "
+        "corpus passes. Per-pair logs go through the verified "
+        "round+DECIMAL lane; D = 0.75 is an exact binary fraction, so "
+        "the discounted numerator is bit-identical on both engines. "
+        "Plan: the text_bigram_logprob shape — head collected once with "
+        "dense ids, packed int64 pair keys, per-doc counts first — plus "
+        "two |vocab|-bounded aggregates for the N1+ tables.",
+)
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tk = F.expr("filter(split(text, ' '), x -> x != '')")
+    bg0 = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    words = _doc_words(spark, sf_dir)
+    head_rows = (
+        words.groupBy("w").agg(F.count("*").alias("c_w"))
+        .orderBy(F.desc("c_w"), F.asc("w"))
+        .limit(_VOCAB_CAP)
+        .select("w")
+        .collect()
+    )
+    unk_id = _VOCAB_CAP
+    ids = spark.createDataFrame(
+        [(r.w, i) for i, r in enumerate(head_rows)], "w string, wid long"
+    )
+    i1 = ids.select(F.col("w").alias("w1"), F.col("wid").alias("id1"))
+    i2 = ids.select(F.col("w").alias("w2"), F.col("wid").alias("id2"))
+    span = _VOCAB_CAP + 1
+    key = (
+        F.coalesce(F.col("id1"), F.lit(unk_id)) * span
+        + F.coalesce(F.col("id2"), F.lit(unk_id))
+    )
+    bg = (
+        bg0.join(F.broadcast(i1), "w1", "left")
+        .join(F.broadcast(i2), "w2", "left")
+        .select("doc_id", key.alias("k"))
+    )
+    dbg = bg.groupBy("doc_id", "k").agg(F.count("*").alias("c"))
+    c12 = dbg.groupBy("k").agg(F.sum("c").alias("c12"))
+    m1 = F.expr(f"k div {span}")
+    m2 = F.col("k") % span
+    c1 = c12.groupBy(m1.alias("m1")).agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    c2 = c12.groupBy(m2.alias("m2")).agg(F.count("*").alias("n1b"))
+    np_ = c12.agg(F.count("*").cast("long").alias("np"))
+    lp = (
+        c12.withColumn("m1", m1).withColumn("m2", m2)
+        .join(c1, "m1").join(c2, "m2")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "k",
+            F.expr(_LOG2_DEC.format(
+                x=f"(cast(c12 as double) - {_KN_D}) / cast(c1 as double)"
+                  f" + {_KN_D} * cast(n1f as double) / cast(c1 as double)"
+                  " * cast(n1b as double) / cast(np as double)")).alias("lp"),
+        )
+    )
+    return (
+        dbg.join(lp, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("slp").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("avg_kn_lp_bits"),
+        )
+    )

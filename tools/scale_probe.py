@@ -148,6 +148,8 @@ PROBES = [
     "text_length_outlier_mad",
     "q_event_anomaly_zscore",
     "mm_phash_dct_near_dup",
+    "cdc_compaction_savings",
+    "text_kneser_ney_logprob",
 ]
 
 
