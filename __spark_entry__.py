@@ -137,6 +137,8 @@ ROTATION_EXEMPT = frozenset({
     # Grown r8 alongside cdc_compaction_savings + text_kneser_ney_logprob:
     "dedup_lsh_precision_report",     # per-layout precision: dedup_minhash_band_sweep measures the same tradeoff across three layouts
     "ann_lsh_bucketed",               # LSH scale path: ann_recall_report composes it against IVF + exact every round
+    # Grown r8 alongside mm_image_entropy_census:
+    "mm_png_decode_features",         # gray PNG decode moments: mm_rgb_png_decode_features + the phash/entropy consumers re-prove the decoder every round
 })
 
 

@@ -1230,3 +1230,44 @@ def extract_phash(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("hist", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def extract_gray_histogram(media: DataFrame) -> DataFrame:
+    """REAL decoded pixel-value histogram (256 bins) per PNG payload —
+    the raw material for entropy/flatness censuses. Color payloads bin
+    the integer luma weight scaled back to 0..255 via //1000 (exact
+    floor). The histogram rides as one array<long> per image; the
+    downstream entropy math stays JVM-side."""
+    from .media_codecs import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_pixels", "hist")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                px = np.frombuffer(bytes(img["pixels"]),
+                                   dtype=np.uint8).astype(np.int64)
+                if img["channels"] == 3:
+                    px = (299 * px[0::3] + 587 * px[1::3]
+                          + 114 * px[2::3]) // 1000
+                elif img["channels"] != 1:
+                    raise ValueError("histogram supports gray8/RGB PNGs")
+                rows["media_id"].append(mid)
+                rows["n_pixels"].append(len(px))
+                rows["hist"].append(
+                    np.bincount(px, minlength=256).astype(np.int64)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=HIST_SCHEMA)

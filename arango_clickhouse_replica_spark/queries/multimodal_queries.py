@@ -1510,3 +1510,107 @@ def mm_phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
         .orderBy("hamming", "doc_a", "doc_b")
     )
+
+
+def _entropy_oracle() -> str:
+    """Replays synth -> decode -> histogram -> entropy in SQL (the
+    phash_cell_value mix, then the verified round+DECIMAL log2 lane)."""
+    return """
+    WITH params AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+    ),
+    q0 AS (
+      SELECT p.doc_id, p.g, p.m, u.u, v.v,
+             p.g * 64 + u.u * 8 + v.v AS q
+      FROM params p, unnest(range(0, 8)) AS u(u),
+           unnest(range(0, 8)) AS v(v)
+    ),
+    h1 AS (SELECT *, (q * 2654435761) % 4294967296 AS ha FROM q0),
+    h2 AS (SELECT *, xor(ha, ha // 65536) AS hb FROM h1),
+    h3 AS (SELECT *, (hb * 65599) % 4294967296 AS hc FROM h2),
+    h4 AS (SELECT *, xor(hc, hc // 65536) AS hd FROM h3),
+    vals AS (
+      SELECT doc_id,
+             CASE WHEN m = 3 AND u = g % 8 AND v = (g * 3 + 1) % 8
+                  THEN LEAST(hd % 244 + 8 + 12, 255)
+                  ELSE hd % 244 + 8
+                       + CASE WHEN m = 2 THEN 2 ELSE 0 END END AS val
+      FROM h4
+    ),
+    hist AS (
+      SELECT doc_id, val, CAST(4 * COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY doc_id, val
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pixels
+      FROM hist GROUP BY doc_id
+    ),
+    ent AS (
+      SELECT h.doc_id, t.n_pixels,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_vals,
+             SUM(c * CAST(round(log2(CAST(c AS DOUBLE) / t.n_pixels), 6)
+                          AS DECIMAL(18,6))) AS s
+      FROM hist h JOIN tot t USING (doc_id)
+      GROUP BY h.doc_id, t.n_pixels
+    )
+    SELECT doc_id AS media_id, n_pixels, n_distinct_vals,
+           round(-CAST(s AS DOUBLE) / n_pixels, 6) AS entropy_bits,
+           CASE WHEN -CAST(s AS DOUBLE) / n_pixels < 5.0
+                THEN 1 ELSE 0 END AS low_entropy
+    FROM ent ORDER BY media_id
+    """
+
+
+@query(
+    "mm_image_entropy_census",
+    oracle=_entropy_oracle(),
+    tags=("multimodal", "image", "quality", "codec", "pandas-udf"),
+    doc="Per-image pixel-entropy census over REAL decoded PNGs — the "
+        "flat/blank/junk-image gate an image training pipeline runs "
+        "before feature extraction (near-zero-entropy images are "
+        "letterboxes, solid fills, or corrupt decodes; pipelines drop "
+        "them before they poison contrastive batches): decode -> exact "
+        "256-bin histogram (one array per image crossing the Arrow "
+        "boundary, never raw pixels) -> Shannon entropy JVM-side with "
+        "the verified round+DECIMAL log2 lane (exact integer counts, "
+        "one double division at the end), plus a <5-bit low-entropy "
+        "flag. The oracle replays the synth mix, the histogram, and "
+        "the entropy bit for bit. Scale: narrow 1:1 Arrow decode, one "
+        "posexplode bounded at 256 rows/image, map-side-combinable "
+        "media_id aggregate — no joins, no corpus reshuffle.",
+)
+def mm_image_entropy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_gray_histogram,
+        synth_phash_group_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    hist = _cached_media(
+        spark, sf_dir, "phash_gray_hist",
+        lambda: extract_gray_histogram(synth_phash_group_media(docs)),
+    )
+    bins = (
+        hist.select(
+            "media_id", "n_pixels",
+            F.posexplode("hist").alias("val", "c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+    ent = bins.groupBy("media_id").agg(
+        F.max("n_pixels").cast("long").alias("n_pixels"),
+        F.count("*").cast("long").alias("n_distinct_vals"),
+        F.sum(
+            F.col("c")
+            * F.expr(
+                "cast(round(log2(cast(c as double) / n_pixels), 6)"
+                " as decimal(18,6))"
+            )
+        ).alias("s"),
+    )
+    h = -F.col("s").cast("double") / F.col("n_pixels")
+    return ent.select(
+        "media_id", "n_pixels", "n_distinct_vals",
+        F.round(h, 6).alias("entropy_bits"),
+        F.when(h < 5.0, 1).otherwise(0).alias("low_entropy"),
+    ).orderBy("media_id")

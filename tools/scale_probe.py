@@ -150,6 +150,7 @@ PROBES = [
     "mm_phash_dct_near_dup",
     "cdc_compaction_savings",
     "text_kneser_ney_logprob",
+    "mm_image_entropy_census",
 ]
 
 
