@@ -1052,6 +1052,19 @@ def extract_audio_clipping(media: DataFrame) -> DataFrame:
 
 
 
+def mix32(q: int) -> int:
+    """Shared 32-bit shift-xor mix (every intermediate < 2^63, so a
+    BIGINT SQL oracle replays it). Period 2^32 — no modular clone
+    families at any corpus scale (the first video-fixture draft used
+    ``% 239`` congruences in the group id, which made groups g and
+    g+239 byte-identical and pair volume quadratic at sf0.1; measured
+    and replaced, see docs/SCALING.md)."""
+    h = q * 2654435761 % (1 << 32)
+    h = h ^ (h // 65536)
+    h = h * 65599 % (1 << 32)
+    return h ^ (h // 65536)
+
+
 def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
     """Group-content REAL video fixture for cross-video dedup:
     ``g = doc_id // group_size`` seeds the clip content, so only group
@@ -1059,13 +1072,13 @@ def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
     Member roles (``m = doc_id % group_size``): m0/m1 exact duplicates,
     m2 a +1-luma near-dup (frame signatures differ), m3 a truncated
     copy (one frame fewer — a CONTAINED clip). Each frame is a genuine
-    16x8 baseline JPEG of two constant 8x8 blocks
-    ``b0 = 16 + (g*7 + f*11) % 239 + off, b1 = 16 + (g*13 + f*17) % 239
-    + off`` — two independent congruences mod 239, so cross-group
-    signature collisions need a simultaneous double alignment (~1/239^2
-    density) and within a clip no two frames repeat a signature.
-    Constant blocks keep the lossy JPEG chain bit-exact, so a
-    closed-form oracle knows every decoded frame's (min, max) tuple."""
+    32x8 baseline JPEG of four constant 8x8 blocks
+    ``b_j = 16 + mix32(g*32 + f*4 + j) % 239 + off`` — the scrambled
+    mix gives each (group, frame) a distinct 4-block pattern with no
+    periodic structure, so cross-group signature collisions are
+    birthday-random, not systematic. Constant blocks keep the lossy
+    JPEG chain bit-exact, so a closed-form oracle knows every decoded
+    frame's (sum, min, max) signature."""
     from .media_codecs import encode_jpeg_gray8, encode_mjpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1078,13 +1091,15 @@ def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
                 off = 1 if m == 2 else 0
                 frames = []
                 for f in range(n):
-                    b0 = 16 + (g * 7 + f * 11) % 239 + off
-                    b1 = 16 + (g * 13 + f * 17) % 239 + off
+                    bs = [
+                        16 + mix32(g * 32 + f * 4 + j) % 239 + off
+                        for j in range(4)
+                    ]
                     px = bytes(
-                        (b0 if x < 8 else b1)
-                        for _y in range(8) for x in range(16)
+                        bs[x // 8]
+                        for _y in range(8) for x in range(32)
                     )
-                    frames.append(encode_jpeg_gray8(px, 16, 8))
+                    frames.append(encode_jpeg_gray8(px, 32, 8))
                 mj = encode_mjpeg(frames)
                 ids.append(d)
                 payloads.append(mj)
@@ -1123,12 +1138,7 @@ def phash_cell_value(g: int, u: int, v: int, m: int) -> int:
     replays it): member m=2 adds a uniform +2 brightness (pHash-
     invariant by construction), m=3 bumps ONE group-chosen cell +12
     (a small perceptual edit -> hamming 1-2)."""
-    q = g * 64 + u * 8 + v
-    h = q * 2654435761 % _PHASH_M32
-    h = h ^ (h // 65536)
-    h = h * 65599 % _PHASH_M32
-    h = h ^ (h // 65536)
-    val = h % 244 + 8 + (2 if m == 2 else 0)
+    val = mix32(g * 64 + u * 8 + v) % 244 + 8 + (2 if m == 2 else 0)
     if m == 3 and u == g % 8 and v == (g * 3 + 1) % 8:
         val = min(val + 12, 255)
     return val

@@ -1228,30 +1228,37 @@ def mm_audio_clipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS off
       FROM documents
     ),
+    q0 AS (
+      SELECT p.doc_id, p.off, CAST(u.f AS INT) AS f,
+             p.g * 32 + u.f * 4 + j.j AS q
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(f),
+           unnest(range(0, 4)) AS j(j)
+    ),
+    h1 AS (SELECT *, (q * 2654435761) % 4294967296 AS ha FROM q0),
+    h2 AS (SELECT *, xor(ha, ha // 65536) AS hb FROM h1),
+    h3 AS (SELECT *, (hb * 65599) % 4294967296 AS hc FROM h2),
+    h4 AS (SELECT *, xor(hc, hc // 65536) AS hd FROM h3),
+    blocks AS (SELECT doc_id, f, 16 + hd % 239 + off AS b FROM h4),
     fr AS (
-      SELECT p.doc_id,
-             16 + (p.g * 7 + u.f * 11) % 239 + p.off AS b0,
-             16 + (p.g * 13 + u.f * 17) % 239 + p.off AS b1
-      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(f)
+      SELECT doc_id, f, SUM(b) AS s, MIN(b) AS mn, MAX(b) AS mx
+      FROM blocks GROUP BY doc_id, f
     ),
-    sig AS (
-      SELECT doc_id, LEAST(b0, b1) AS lo, GREATEST(b0, b1) AS hi FROM fr
-    ),
+    sig AS (SELECT DISTINCT doc_id, 64 * s AS s, mn, mx FROM fr),
     nfr AS (SELECT doc_id, COUNT(*) AS n_frames FROM sig GROUP BY doc_id),
     hot AS (
-      SELECT lo, hi FROM sig GROUP BY lo, hi
-      HAVING COUNT(*) > GREATEST(8,
-               (SELECT COUNT(*) FROM documents) // 50)
+      SELECT s, mn, mx FROM sig GROUP BY s, mn, mx
+      HAVING COUNT(*) > GREATEST(8, LEAST(64,
+               (SELECT COUNT(*) FROM documents) // 50))
     ),
     cold AS (
-      SELECT s.doc_id, s.lo, s.hi FROM sig s
-      LEFT JOIN hot h ON h.lo = s.lo AND h.hi = s.hi
-      WHERE h.lo IS NULL
+      SELECT g.doc_id, g.s, g.mn, g.mx FROM sig g
+      LEFT JOIN hot h ON h.s = g.s AND h.mn = g.mn AND h.mx = g.mx
+      WHERE h.s IS NULL
     ),
     pairs AS (
       SELECT a.doc_id AS video_a, b.doc_id AS video_b,
              CAST(COUNT(*) AS BIGINT) AS shared_frames
-      FROM cold a JOIN cold b ON a.lo = b.lo AND a.hi = b.hi
+      FROM cold a JOIN cold b ON a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
                              AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -1273,19 +1280,23 @@ def mm_audio_clipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drop re-uploads and contained clips before sampling: group-"
         "content MJPG clips (exact dups, a +1-luma near-dup, a truncated "
         "copy) demux and fully DECODE per frame, each frame's exact "
-        "(px_min, px_max) block tuple is its signature, hot signatures "
-        "past the occupancy cap are dropped (the same degenerate-bucket "
-        "guard as the aHash family — candidate volume stays linear), "
-        "cold signatures equi-join into video pairs, and bag-of-"
-        "fingerprint containment >= 0.8 against the SHORTER clip flags "
+        "(sum, min, max) block signature joins as a SET per video "
+        "(bag-of-fingerprints with duplicate tuples collapsed), hot "
+        "signatures past the BOUNDED occupancy cap (<= 64 — constant, "
+        "so candidate volume stays linear at ANY corpus size) are "
+        "dropped, and containment >= 0.8 against the SHORTER clip flags "
         "both full duplicates and clip containment (the truncated copy "
         "scores 1.0; the luma-shifted near-dup scores 0 by design — "
         "frame-exact matching, not perceptual: that lane is "
-        "mm_color_ahash_near_dup). The closed-form oracle replays "
-        "decode, cap, join, and ratio from the synth congruences. "
-        "Scale: one narrow 1:N Arrow decode, the pair join shuffles "
-        "2-byte tuples never pixels, per-video frame counts are a "
-        "map-side-combinable aggregate, and the cap bounds any bucket.",
+        "mm_color_ahash_near_dup). The synth content uses the shared "
+        "32-bit mix (period 2^32): the first draft's mod-239 "
+        "congruences made groups g and g+239 byte-identical clone "
+        "families and pair volume QUADRATIC at sf0.1 — measured by "
+        "tools/media_pair_probe.py and replaced. The closed-form "
+        "oracle replays decode, mix, cap, join, and ratio. Scale: one "
+        "narrow 1:N Arrow decode, the pair join shuffles 3-int "
+        "signatures never pixels, per-video frame counts are a "
+        "map-side-combinable aggregate.",
 )
 def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -1295,7 +1306,7 @@ def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(8, n_docs // 50)
+    occ_cap = max(8, min(64, n_docs // 50))
     frames = _cached_media(
         spark, sf_dir, "mjpeg_group_frames",
         lambda: sample_mjpeg_frames(
@@ -1304,23 +1315,25 @@ def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = frames.select(
         F.col("media_id").alias("doc_id"),
-        F.col("px_min").alias("lo"),
-        F.col("px_max").alias("hi"),
-    )
+        F.col("sum_pixels").alias("s"),
+        F.col("px_min").alias("mn"),
+        F.col("px_max").alias("mx"),
+    ).distinct()
     nfr = sig.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
     hot = (
-        sig.groupBy("lo", "hi")
+        sig.groupBy("s", "mn", "mx")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") > occ_cap)
-        .select("lo", "hi")
+        .select("s", "mn", "mx")
     )
-    cold = sig.join(hot, ["lo", "hi"], "left_anti")
+    cold = sig.join(hot, ["s", "mn", "mx"], "left_anti")
     pairs = (
         cold.alias("a")
         .join(
             cold.alias("b"),
-            (F.col("a.lo") == F.col("b.lo"))
-            & (F.col("a.hi") == F.col("b.hi"))
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.mn") == F.col("b.mn"))
+            & (F.col("a.mx") == F.col("b.mx"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

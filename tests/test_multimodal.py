@@ -694,7 +694,9 @@ def test_mjpeg_group_synth_roles(spark):
     ).collect()
     sigs = {}
     for r in frames:
-        sigs.setdefault(r.media_id, set()).add((r.px_min, r.px_max))
+        sigs.setdefault(r.media_id, set()).add(
+            (r.sum_pixels, r.px_min, r.px_max)
+        )
     for g0 in (8, 12):
         assert sigs[g0] == sigs[g0 + 1]                 # exact dup
         assert sigs[g0 + 3] < sigs[g0]                  # truncated copy

@@ -79,6 +79,11 @@ BNLJ_ALLOWED = {
         "mapping is a broadcast hash equi-join on the bounded "
         "collected head and the scoring join is keyed on one packed "
         "int64 (r8 reshape)",
+    "text_kneser_ney_logprob":
+        "same shape as text_bigram_logprob: the only BNLJ is the "
+        "1-row distinct-pair total (N_pairs) broadcast-attached onto "
+        "the count table (O(K*1) literal attach); the N1+ continuation "
+        "tables join as hash equi-joins on the bounded vocab ids",
     "cdc_churn_report":
         "the only BNLJ is the 1-row churn total broadcast-attached "
         "onto the per-user aggregate — an O(U*1) literal attach; the "
