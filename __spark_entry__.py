@@ -139,6 +139,8 @@ ROTATION_EXEMPT = frozenset({
     "ann_lsh_bucketed",               # LSH scale path: ann_recall_report composes it against IVF + exact every round
     # Grown r8 alongside mm_image_entropy_census:
     "mm_png_decode_features",         # gray PNG decode moments: mm_rgb_png_decode_features + the phash/entropy consumers re-prove the decoder every round
+    # Grown r8 alongside mm_audio_fingerprint_dedup:
+    "mm_wav_resample_features",       # resample kernel: mm_wav_decode_features + the fingerprint/VAD/clipping consumers re-prove the WAV codec every round
 })
 
 

@@ -1281,3 +1281,42 @@ def extract_gray_histogram(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=HIST_SCHEMA)
+
+
+def synth_group_wav_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
+    """Group-content REAL WAV fixture for audio fingerprint dedup:
+    ``g = doc_id // group_size`` seeds 256 odd PCM16 samples
+    ``s_i = 2*(mix32(g*256 + i) % 1000) + 1 - 1000`` (odd -> every
+    8-sample frame energy is strictly positive, so log2 is total).
+    Member roles: m0/m1 exact duplicates, m2 a 2x GAIN copy (frame
+    energies scale exactly 4x, so log2 shifts by the integer +2 and the
+    fingerprint's AC coefficients are INVARIANT — the volume-change
+    case an energy hash fails), m3 a one-sample +500 edit (1-2
+    fingerprint bits). Encoded through the real RIFF encoder."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g, m = d // group_size, d % group_size
+                s = [2 * (mix32(g * 256 + i) % 1000) + 1 - 1000
+                     for i in range(256)]
+                if m == 2:
+                    s = [2 * x for x in s]
+                if m == 3:
+                    k = g % 256
+                    s[k] = min(s[k] + 500, 32767)
+                wav = encode_wav_pcm16(s, sample_rate=8000)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)

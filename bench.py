@@ -157,6 +157,7 @@ HEADLINE = [
     "cdc_compaction_savings",
     "text_kneser_ney_logprob",
     "mm_image_entropy_census",
+    "mm_audio_fingerprint_dedup",
 ]
 
 

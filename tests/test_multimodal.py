@@ -731,3 +731,24 @@ def test_phash_brightness_invariance_vs_ahash(spark):
         assert sigs[g0] == sigs[g0 + 2]          # brightness-invariant
         assert 0 <= ham(sigs[g0], sigs[g0 + 3]) <= 4   # one-cell edit
     assert ham(sigs[0], sigs[4]) >= 16           # cross-group separation
+
+
+def test_audio_fingerprint_gain_invariance(spark, sf_dir):
+    """The fingerprint's reason to exist: a 2x-gain copy scales frame
+    energies exactly 4x -> log2 shifts by the integer +2 -> only the
+    DC coefficient moves -> identical fingerprint; a one-sample edit
+    costs at most a couple of bits."""
+    from arango_clickhouse_replica_spark.queries.multimodal_queries import (
+        mm_audio_fingerprint_dedup,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm_audio_fingerprint_dedup(spark, sf_dir).collect()
+    }
+    assert pairs, "fixture must produce near-dup pairs"
+    for g0 in (0, 4, 8):
+        assert pairs[(g0, g0 + 1)] == 0        # exact duplicate
+        assert pairs[(g0, g0 + 2)] == 0        # 2x gain: invariant
+        assert pairs[(g0 + 1, g0 + 2)] == 0
+        assert pairs.get((g0, g0 + 3), 99) <= 3  # one-sample edit
