@@ -141,6 +141,9 @@ ROTATION_EXEMPT = frozenset({
     "mm_png_decode_features",         # gray PNG decode moments: mm_rgb_png_decode_features + the phash/entropy consumers re-prove the decoder every round
     # Grown r8 alongside mm_audio_fingerprint_dedup:
     "mm_wav_resample_features",       # resample kernel: mm_wav_decode_features + the fingerprint/VAD/clipping consumers re-prove the WAV codec every round
+    # Grown r8 alongside cdc_tick_gap_census + curation_filter_agreement:
+    "cdc_deleted_keys",               # tombstone listing: cdc_compaction_savings counts the same dead keys; cdc_scd2_history keeps the delete intervals
+    "text_lang_stopword_id",          # stopword lang-ID: text_lang_char_ngram + text_lang_confusion_matrix keep the family emitted
 })
 
 

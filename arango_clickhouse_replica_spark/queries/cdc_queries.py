@@ -474,3 +474,77 @@ def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cdc_tick_gap_census",
+    oracle="""
+    WITH env AS (
+      SELECT 'c_events' AS cuid, 2 * event_id AS tick FROM events
+      UNION ALL
+      SELECT 'c_events', 2 * event_id + 1 FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'c_events', 2 * event_id + 1 FROM events WHERE event_id % 20 = 7
+      UNION ALL
+      SELECT 'c_events', 1 FROM events WHERE event_id % 50 = 3
+    ),
+    ticks AS (SELECT DISTINCT cuid, tick FROM env),
+    gaps AS (
+      SELECT cuid, tick,
+             tick - LAG(tick) OVER (PARTITION BY cuid ORDER BY tick) - 1
+               AS gap
+      FROM ticks
+    )
+    SELECT g.cuid,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM env) AS n_envelopes,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(MIN(tick) AS BIGINT) AS min_tick,
+           CAST(MAX(tick) AS BIGINT) AS max_tick,
+           CAST(MAX(tick) - MIN(tick) + 1 - COUNT(*) AS BIGINT)
+             AS n_missing,
+           CAST(MAX(gap) AS BIGINT) AS max_gap
+    FROM gaps g
+    GROUP BY g.cuid
+    ORDER BY g.cuid
+    """,
+    tags=("cdc", "monitoring", "ops"),
+    doc="Tick-gap census over the WAL envelope stream — the batch twin "
+        "of the streaming TickGapMonitor (A2, acs/streaming/monitor.py; "
+        "the reference's missed-tick alarm): per collection, envelope "
+        "volume, distinct WAL positions, the covered tick range, how "
+        "many positions inside the range never arrived, and the single "
+        "largest hole (the number that distinguishes steady small loss "
+        "from one big dropped page). Run after any resync to certify "
+        "the log is contiguous before trusting latest-state. Scale: "
+        "ONE exchange keyed by collection feeds the distinct, the "
+        "lag-window sort, and the final aggregate.",
+)
+def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    n_env = env.groupBy("cuid").agg(
+        F.count("*").cast("long").alias("n_envelopes")
+    )
+    ticks = env.select("cuid", "tick").distinct()
+    w = Window.partitionBy("cuid").orderBy("tick")
+    gaps = ticks.withColumn(
+        "gap", F.col("tick") - F.lag("tick").over(w) - 1
+    )
+    return (
+        gaps.groupBy("cuid")
+        .agg(
+            F.count("*").cast("long").alias("n_ticks"),
+            F.min("tick").cast("long").alias("min_tick"),
+            F.max("tick").cast("long").alias("max_tick"),
+            (F.max("tick") - F.min("tick") + 1 - F.count("*"))
+            .cast("long").alias("n_missing"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .join(F.broadcast(n_env), "cuid")
+        .select(
+            "cuid", "n_envelopes", "n_ticks", "min_tick", "max_tick",
+            "n_missing", "max_gap",
+        )
+        .orderBy("cuid")
+    )

@@ -872,3 +872,162 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_features").cast("double")).alias("avg_logratio_bits"),
         )
     )
+
+
+def _filter_agreement_oracle() -> str:
+    """Composes the classifier's registered oracle with an inline
+    per-doc Gopher rule gate (same thresholds/stopwords as
+    text_gopher_quality_flags) — the two filter stacks' stored SQL IS
+    the spec, so any drift in either breaks this query too."""
+    from .gopher_filters import _STOPWORDS, _WC_HI, _WC_LO, _ngrams_sql
+    from .registry import QUERIES
+
+    clf_sql = QUERIES["text_hashed_ngram_classifier"].oracle
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+    WITH clf AS ({clf_sql}),
+    w AS ({_ngrams_sql(1)}),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(g)) AS BIGINT) AS n_word_chars,
+             CAST(COUNT(*) FILTER (WHERE len(g) <= 2) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT g) FILTER (WHERE g IN ({stop_list}))
+                  AS BIGINT) AS n_stop
+      FROM w GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT doc_id,
+             CASE WHEN n_words BETWEEN {_WC_LO} AND {_WC_HI}
+                   AND n_word_chars >= 3 * n_words
+                   AND n_word_chars <= 10 * n_words
+                   AND 5 * n_short <= n_words
+                   AND n_stop >= 2 THEN 1 ELSE 0 END AS k_rules
+      FROM per_doc
+    ),
+    j AS (
+      SELECT d.source,
+             CASE WHEN clf.keep THEN 1 ELSE 0 END AS kc,
+             r.k_rules AS kr
+      FROM documents d
+      JOIN clf ON clf.doc_id = d.doc_id
+      JOIN rules r ON r.doc_id = d.doc_id
+    ),
+    cm AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(kc * kr) AS BIGINT) AS both_keep,
+             CAST(SUM(kc * (1 - kr)) AS BIGINT) AS clf_only,
+             CAST(SUM((1 - kc) * kr) AS BIGINT) AS rules_only,
+             CAST(SUM((1 - kc) * (1 - kr)) AS BIGINT) AS both_drop
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, both_keep, clf_only, rules_only, both_drop,
+           round(CAST(both_keep + both_drop AS DOUBLE) / n_docs, 6)
+             AS agreement,
+           round(CASE WHEN 1.0
+                 - (CAST((both_keep + clf_only) AS DOUBLE)
+                    * (both_keep + rules_only)
+                    + CAST((rules_only + both_drop) AS DOUBLE)
+                    * (clf_only + both_drop))
+                   / (CAST(n_docs AS DOUBLE) * n_docs) = 0.0 THEN 0.0
+                 ELSE (CAST(both_keep + both_drop AS DOUBLE) / n_docs
+                       - (CAST((both_keep + clf_only) AS DOUBLE)
+                          * (both_keep + rules_only)
+                          + CAST((rules_only + both_drop) AS DOUBLE)
+                          * (clf_only + both_drop))
+                         / (CAST(n_docs AS DOUBLE) * n_docs))
+                      / (1.0
+                         - (CAST((both_keep + clf_only) AS DOUBLE)
+                            * (both_keep + rules_only)
+                            + CAST((rules_only + both_drop) AS DOUBLE)
+                            * (clf_only + both_drop))
+                           / (CAST(n_docs AS DOUBLE) * n_docs))
+                 END, 6) AS kappa
+    FROM cm
+    ORDER BY source
+    """
+
+
+@query(
+    "curation_filter_agreement",
+    oracle=_filter_agreement_oracle(),
+    tags=("curation", "quality", "decision", "llm-pipeline"),
+    doc="Filter-stack agreement matrix — the A/B table a curation team "
+        "reads before swapping a rule-based gate for a learned one "
+        "(CCNet -> fastText-classifier migrations live or die on this): "
+        "per source, the 2x2 confusion between the hashed-ngram "
+        "classifier's keep and the Gopher rule gate's per-doc pass "
+        "(same thresholds as text_gopher_quality_flags), raw agreement, "
+        "and Cohen's kappa (chance-corrected — the honest number when "
+        "both filters keep almost everything). All cells are exact "
+        "integer counts; agreement and kappa are single identical "
+        "double-expression trees on both engines, rounded to 6 dp. "
+        "Scale: the classifier side is its own narrow broadcast-join "
+        "aggregate; the rules side is one explode -> doc aggregate; "
+        "they hash-join on doc_id and collapse to |sources| rows.",
+)
+def curation_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .gopher_filters import _STOPWORDS, _WC_HI, _WC_LO, _doc_ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    clf = text_hashed_ngram_classifier(spark, sf_dir).select(
+        "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("kc")
+    )
+    per_doc = (
+        _doc_ngrams(docs, 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
+            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
+            .cast("long").alias("n_short"),
+            F.count_distinct(
+                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
+            ).cast("long").alias("n_stop"),
+        )
+    )
+    rules = per_doc.select(
+        "doc_id",
+        F.when(
+            F.col("n_words").between(_WC_LO, _WC_HI)
+            & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+            & (5 * F.col("n_short") <= F.col("n_words"))
+            & (F.col("n_stop") >= 2),
+            1,
+        ).otherwise(0).alias("kr"),
+    )
+    cm = (
+        docs.select("doc_id", "source")
+        .join(clf, "doc_id")
+        .join(rules, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("kc") * F.col("kr")).cast("long").alias("both_keep"),
+            F.sum(F.col("kc") * (1 - F.col("kr"))).cast("long")
+            .alias("clf_only"),
+            F.sum((1 - F.col("kc")) * F.col("kr")).cast("long")
+            .alias("rules_only"),
+            F.sum((1 - F.col("kc")) * (1 - F.col("kr"))).cast("long")
+            .alias("both_drop"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("both_keep") + F.col("both_drop")).cast("double") / F.col("n_docs")
+    pe = (
+        (F.col("both_keep") + F.col("clf_only")).cast("double")
+        * (F.col("both_keep") + F.col("rules_only"))
+        + (F.col("rules_only") + F.col("both_drop")).cast("double")
+        * (F.col("clf_only") + F.col("both_drop"))
+    ) / (n * F.col("n_docs"))
+    kappa = F.when(F.lit(1.0) - pe == 0.0, F.lit(0.0)).otherwise(
+        (po - pe) / (F.lit(1.0) - pe)
+    )
+    return cm.select(
+        "source", "n_docs", "both_keep", "clf_only", "rules_only",
+        "both_drop",
+        F.round(po, 6).alias("agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    ).orderBy("source")

@@ -158,6 +158,8 @@ HEADLINE = [
     "text_kneser_ney_logprob",
     "mm_image_entropy_census",
     "mm_audio_fingerprint_dedup",
+    "cdc_tick_gap_census",
+    "curation_filter_agreement",
 ]
 
 

@@ -152,6 +152,8 @@ PROBES = [
     "text_kneser_ney_logprob",
     "mm_image_entropy_census",
     "mm_audio_fingerprint_dedup",
+    "cdc_tick_gap_census",
+    "curation_filter_agreement",
 ]
 
 
