@@ -701,6 +701,15 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
+    scored = anomaly_scored_events(events)
+    return _anomaly_user_rollup(scored)
+
+
+def anomaly_scored_events(events: DataFrame) -> DataFrame:
+    """Per-event rolling z-scores (user_id, event_id, z) — the scoring
+    relation behind q_event_anomaly_zscore, exported so the streaming
+    twin (streaming/stateful.py streaming_anomaly_zscore) can be
+    parity-tested bit for bit against the batch window."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -719,13 +728,16 @@ def q_event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt(
         F.greatest(F.lit(0.0), F.col("s2") / F.col("cnt") - mean * mean)
     )
-    scored = (
+    return (
         win.filter((F.col("cnt") >= 10) & (std > 0))
         .select(
             "user_id", "event_id",
             ((v - mean) / std).alias("z"),
         )
     )
+
+
+def _anomaly_user_rollup(scored: DataFrame) -> DataFrame:
     return (
         scored.groupBy("user_id")
         .agg(

@@ -260,3 +260,111 @@ def streaming_user_stats_tws(df: DataFrame, key_col: str, value_col: str) -> Dat
         make_user_stats_processor(key_col, value_col),
         out_schema, "Update", "None",
     )
+
+
+# --- streaming anomaly z-score (the q_event_anomaly_zscore twin) ----------
+
+_ANOM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("flagged", T.BooleanType()),
+    ]
+)
+_ANOM_STATE = "m1 array<long>, m2 array<long>"
+
+
+def _micro6(v: float) -> int:
+    """Exact 6-dp HALF_UP micro-units of a double — bit-identical to
+    Spark's ``round(v, 6)`` into DECIMAL(18,6): Decimal(v) is the exact
+    binary value, quantize matches Spark's HALF_UP (a true .5 tie is
+    impossible for a binary fraction at the 6th decimal, so HALF_UP vs
+    HALF_EVEN never diverges anyway)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
+
+
+def streaming_anomaly_zscore(
+    df: DataFrame,
+    *,
+    window: int = 20,
+    min_prior: int = 10,
+    z_thresh: float = 3.0,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch rolling z-score
+    (queries/analytics.py q_event_anomaly_zscore): every event scores
+    against its user's PRIOR ``window`` events' mean/std, carried
+    across micro-batches in the state store — the live metric-spike /
+    fraud alert the batch query post-hoc reports.
+
+    Bit-exact parity with the batch window (asserted in
+    tests/test_streaming_stateful.py): the rolling moments are exact
+    6-dp micro-unit INTEGERS (the decimal lane, carried as two
+    ``array<long>`` ring buffers of per-event terms), converted to
+    double by one correctly-rounded division (``s_micro / 10**6`` ==
+    Spark's DECIMAL->DOUBLE cast), then the identical double sequence
+    mean -> clamped variance -> sqrt -> (v - mean)/std. Events within
+    a micro-batch sort by (ts, event_id); parity across batches holds
+    whenever batch boundaries respect per-user event-time order (the
+    WAL tail and any time-partitioned replay deliver exactly that).
+
+    Scale: one shuffle on user_id (the same exchange the batch window
+    needs); state is O(window) longs per key; Arrow-batched transfer.
+    ``state_ttl_ms`` ages out idle users for unbounded key spaces."""
+
+    def score(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+              ) -> Iterable[pd.DataFrame]:
+        import math
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        m1, m2 = ([], [])
+        if state.exists:
+            sm1, sm2 = state.get
+            m1, m2 = list(sm1), list(sm2)
+        out = {"user_id": [], "event_id": [], "z": [], "flagged": []}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                cnt = len(m1)
+                if cnt >= min_prior:
+                    s1d = sum(m1) / 10**6
+                    s2d = sum(m2) / 10**6
+                    mean = s1d / cnt
+                    var = max(0.0, s2d / cnt - mean * mean)
+                    std = math.sqrt(var)
+                    if std > 0:
+                        z = (v - mean) / std
+                        out["user_id"].append(key[0])
+                        out["event_id"].append(int(ev))
+                        out["z"].append(z)
+                        out["flagged"].append(abs(z) > z_thresh)
+                m1.append(_micro6(v))
+                m2.append(_micro6(v * v))
+                if len(m1) > window:
+                    m1.pop(0)
+                    m2.pop(0)
+        state.update((m1, m2))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy("user_id").applyInPandasWithState(
+        score, _ANOM_SCHEMA, _ANOM_STATE, "append", timeout
+    )

@@ -270,3 +270,61 @@ def test_transform_with_state_totals_match_batch(spark, sf_dir, stream_dirs):
         | (F.abs(F.col("g.vmax") - F.col("w.vmax")) > 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_streaming_anomaly_zscore_parity_with_batch(spark, sf_dir, tmp_path):
+    """The streaming scorer must equal the batch window BIT FOR BIT:
+    same micro-unit decimal lane, same double sequence — across TWO
+    micro-batches split on event time (state carries the per-user ring
+    buffer over the boundary)."""
+    from arango_clickhouse_replica_spark.queries.analytics import (
+        anomaly_scored_events,
+    )
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_anomaly_zscore,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cutoff = ev.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as bigint))"
+        " AS c"
+    ).collect()[0].c
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            streaming_anomaly_zscore(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode(
+        "append").parquet(src)
+    run()
+    got = {
+        (r.user_id, r.event_id): (r.z, r.flagged)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    want = {
+        (r.user_id, r.event_id): r.z
+        for r in anomaly_scored_events(ev).collect()
+    }
+    assert set(got) == set(want)
+    for k, (z, flagged) in got.items():
+        assert z == want[k], f"z mismatch at {k}: {z} != {want[k]}"
+        assert flagged == (abs(z) > 3.0)
