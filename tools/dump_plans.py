@@ -463,6 +463,60 @@ COMMENT = {
     "text_subword_fertility":
         "Tokenizer-fertility budget table (round 8): explode -> one "
         "5-key aggregate, all-integer ceil and micro-unit means.",
+    "embed_ood_mahalanobis":
+        "Label-conditioned OOD census (round 8): one (label, dim) "
+        "explode-aggregate builds the diagonal-Gaussian profiles, the "
+        "bounded profile relation broadcasts back, scoring is a "
+        "map-side sequential fold — the matrix never reshuffles.",
+    "curation_coreset_kcenter":
+        "Greedy k-center coreset (round 8): k narrow passes, centers "
+        "as literal arrays, TakeOrdered(1) per round — no shuffle, no "
+        "quadratic term; the k collected rows are the bounded driver "
+        "state the plan rules allow.",
+    "mm_video_frame_dedup":
+        "Video content-ID (round 8): narrow 1:N demux+decode, DISTINCT "
+        "per-video signature set, constant-64 occupancy cap, pair "
+        "equi-join shuffles 3-int signatures never pixels; containment "
+        "joins two map-side frame-count relations.",
+    "text_length_outlier_mad":
+        "Median/MAD outlier census (round 8): two sort-windows on ONE "
+        "source exchange, two |sources|-row broadcasts back, "
+        "all-integer 3-MAD compares.",
+    "q_event_anomaly_zscore":
+        "Rolling z-score census (round 8): one user_id exchange feeds "
+        "the 20-row prior frame (decimal-lane moments) and the final "
+        "per-user aggregate; streaming twin proven bit-exact.",
+    "mm_phash_dct_near_dup":
+        "Perceptual DCT hash (round 8): narrow Arrow decode + integer "
+        "DCT per image, 16-bit band join under the capped occupancy "
+        "guard, bit_count verify — the aHash family plan with a "
+        "frequency-domain signature stage.",
+    "cdc_compaction_savings":
+        "Compaction sizing (round 8): ONE entity-key aggregate (the "
+        "same exchange the merge view needs) + a |types|-key rollup; "
+        "the log never reshuffles twice.",
+    "text_kneser_ney_logprob":
+        "Kneser-Ney LM (round 8): the bigram-LM shape (head collected "
+        "once, packed int64 keys, per-doc counts first) + two "
+        "vocab-bounded N1+ aggregates; only BNLJ is the 1-row N_pairs "
+        "attach.",
+    "mm_image_entropy_census":
+        "Image entropy gate (round 8): histogram arrays (not pixels) "
+        "cross the Arrow boundary, 256-bounded posexplode, one "
+        "media_id aggregate with the verified log2 decimal lane.",
+    "mm_audio_fingerprint_dedup":
+        "Audio fingerprint (round 8): decoded frame energies -> "
+        "JVM-side exact-decimal integer DCT -> bounded (doc, grp) rank "
+        "windows -> capped 14-bit band join; gain copies hash "
+        "identically by construction.",
+    "cdc_tick_gap_census":
+        "WAL contiguity census (round 8): one collection-keyed "
+        "exchange feeds distinct + lag window + aggregate.",
+    "curation_filter_agreement":
+        "Filter-stack A/B (round 8): the classifier's broadcast-join "
+        "aggregate + one explode-aggregate hash-join on doc_id, "
+        "collapsing to |sources| rows with exact-integer confusion "
+        "cells and one kappa expression tree.",
 }
 
 
