@@ -144,6 +144,8 @@ ROTATION_EXEMPT = frozenset({
     # Grown r8 alongside cdc_tick_gap_census + curation_filter_agreement:
     "cdc_deleted_keys",               # tombstone listing: cdc_compaction_savings counts the same dead keys; cdc_scd2_history keeps the delete intervals
     "text_lang_stopword_id",          # stopword lang-ID: text_lang_char_ngram + text_lang_confusion_matrix keep the family emitted
+    # Grown r8 alongside mm_media_dataset_card:
+    "q_tumbling_hourly",              # tumbling window: q_session_windows_5m + the streaming windows parity suite keep the event-time surface emitted
 })
 
 

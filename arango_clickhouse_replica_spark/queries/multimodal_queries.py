@@ -1837,3 +1837,104 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AUDIO_FP_HAMMING_MAX)
         .orderBy("hamming", "doc_a", "doc_b")
     )
+
+
+@query(
+    "mm_media_dataset_card",
+    oracle="""
+    WITH img AS (
+      SELECT 'image' AS modality, COUNT(*) AS n_items,
+             CAST(SUM(256) AS BIGINT) AS total_units,
+             CAST(MIN(256) AS BIGINT) AS min_units,
+             CAST(MAX(256) AS BIGINT) AS max_units
+      FROM documents
+    ),
+    aud AS (
+      SELECT 'audio' AS modality, COUNT(*) AS n_items,
+             CAST(SUM(256) AS BIGINT), CAST(MIN(256) AS BIGINT),
+             CAST(MAX(256) AS BIGINT)
+      FROM documents
+    ),
+    vid AS (
+      SELECT 'video' AS modality, COUNT(*) AS n_items,
+             CAST(SUM((5 + (doc_id // 4) % 3)
+                      - CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS total_units,
+             CAST(MIN((5 + (doc_id // 4) % 3)
+                      - CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(MAX((5 + (doc_id // 4) % 3)
+                      - CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM documents
+    )
+    SELECT modality, CAST(n_items AS BIGINT) AS n_items, total_units,
+           min_units, max_units,
+           round(CAST(total_units AS DOUBLE) / n_items, 6) AS mean_units
+    FROM (SELECT * FROM img UNION ALL SELECT * FROM aud
+          UNION ALL SELECT * FROM vid)
+    ORDER BY modality
+    """,
+    tags=("multimodal", "curation", "card", "pandas-udf"),
+    doc="Cross-modality dataset card — the release datasheet a "
+        "multimodal training run publishes next to the text card "
+        "(curation_dataset_card): per modality, item counts and "
+        "decoded-unit mass (pixels / samples / frames) with min/max/"
+        "mean, measured from REAL decodes. The card consumes the SAME "
+        "per-(session, sf_dir) cached relations the dedup queries "
+        "build (image histograms, audio frame energies, demuxed video "
+        "frames), so in a curation run it costs three tiny aggregates "
+        "— zero extra decode passes. The oracle replays unit counts "
+        "closed-form from the synth formulas; any demux/decode "
+        "miscount breaks the hash. Scale: three map-side-combinable "
+        "aggregates unioned into a 3-row relation.",
+)
+def mm_media_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_audio_frames,
+        extract_gray_histogram,
+        sample_mjpeg_frames,
+        synth_group_wav_media,
+        synth_mjpeg_group_media,
+        synth_phash_group_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    img = _cached_media(
+        spark, sf_dir, "phash_gray_hist",
+        lambda: extract_gray_histogram(synth_phash_group_media(docs)),
+    ).select(F.lit("image").alias("modality"),
+             F.col("media_id"), F.col("n_pixels").alias("units"))
+    aud = _cached_media(
+        spark, sf_dir, "audio_fp_energies",
+        lambda: extract_audio_frames(
+            synth_group_wav_media(docs), frame_len=8
+        ),
+    ).groupBy("media_id").agg(
+        F.sum("n_samples").cast("long").alias("units")
+    ).select(F.lit("audio").alias("modality"), "media_id", "units")
+    vid = _cached_media(
+        spark, sf_dir, "mjpeg_group_frames",
+        lambda: sample_mjpeg_frames(
+            synth_mjpeg_group_media(docs), every_n=1
+        ),
+    ).groupBy("media_id").agg(
+        F.count("*").cast("long").alias("units")
+    ).select(F.lit("video").alias("modality"), "media_id", "units")
+    return (
+        img.unionByName(aud).unionByName(vid)
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("units").cast("long").alias("total_units"),
+            F.min("units").cast("long").alias("min_units"),
+            F.max("units").cast("long").alias("max_units"),
+        )
+        .select(
+            "modality", "n_items", "total_units", "min_units", "max_units",
+            F.round(
+                F.col("total_units").cast("double") / F.col("n_items"), 6
+            ).alias("mean_units"),
+        )
+        .orderBy("modality")
+    )

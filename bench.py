@@ -160,6 +160,7 @@ HEADLINE = [
     "mm_audio_fingerprint_dedup",
     "cdc_tick_gap_census",
     "curation_filter_agreement",
+    "mm_media_dataset_card",
 ]
 
 

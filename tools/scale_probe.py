@@ -154,6 +154,7 @@ PROBES = [
     "mm_audio_fingerprint_dedup",
     "cdc_tick_gap_census",
     "curation_filter_agreement",
+    "mm_media_dataset_card",
 ]
 
 
