@@ -186,6 +186,41 @@ _WC_LO, _WC_HI = 25, 2000
 _STOPWORDS = ("the", "a", "data", "row", "table")
 
 
+def gopher_doc_stats(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Per-document Gopher gate statistics — THE shared relation behind
+    text_gopher_quality_flags, curation_quality_weighted_mixture, and
+    curation_filter_agreement (quality_filters.py): one explode -> doc
+    hash-aggregate producing (n_words, n_word_chars, n_short, n_stop).
+    A rule change here changes every consumer together."""
+    w = _doc_ngrams(docs, 1)
+    base = (
+        w.join(docs.select("doc_id", *extra_cols), "doc_id")
+        if extra_cols else w
+    )
+    return base.groupBy("doc_id", *extra_cols).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("g")).cast("long").alias("n_word_chars"),
+        F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
+        .cast("long").alias("n_short"),
+        F.count_distinct(
+            F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
+        ).cast("long").alias("n_stop"),
+    )
+
+
+def gopher_pass_predicate():
+    """The combined Gopher keep decision over gopher_doc_stats columns
+    (word-count bounds, mean word length in [3,10] as integer cross-
+    multiplications, short-word fraction <= 20%, >= 2 function words)."""
+    return (
+        F.col("n_words").between(_WC_LO, _WC_HI)
+        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_short") <= F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    )
+
+
 @query(
     "text_gopher_quality_flags",
     oracle=f"""
@@ -235,20 +270,7 @@ _STOPWORDS = ("the", "a", "data", "row", "table")
 )
 def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    w = _doc_ngrams(docs, 1)
-    per_doc = (
-        w.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
-            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
-            .cast("long").alias("n_short"),
-            F.count_distinct(
-                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
-            ).cast("long").alias("n_stop"),
-        )
-    )
+    per_doc = gopher_doc_stats(docs, ("source",))
     f_wc = F.when(F.col("n_words").between(_WC_LO, _WC_HI), 1).otherwise(0)
     f_len = F.when(
         (F.col("n_word_chars") >= 3 * F.col("n_words"))
@@ -518,27 +540,8 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_quality_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    w = _doc_ngrams(docs, 1)
-    per_doc = (
-        w.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
-            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
-            .cast("long").alias("n_short"),
-            F.count_distinct(
-                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
-            ).cast("long").alias("n_stop"),
-        )
-    )
-    passes = (
-        F.col("n_words").between(_WC_LO, _WC_HI)
-        & (F.col("n_word_chars") >= 3 * F.col("n_words"))
-        & (F.col("n_word_chars") <= 10 * F.col("n_words"))
-        & (5 * F.col("n_short") <= F.col("n_words"))
-        & (F.col("n_stop") >= 2)
-    )
+    per_doc = gopher_doc_stats(docs, ("source",))
+    passes = gopher_pass_predicate()
     per_source = per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("est_tokens"),

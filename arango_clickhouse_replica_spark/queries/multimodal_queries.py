@@ -31,6 +31,21 @@ from .registry import query
 _MEDIA_CACHE: dict = {}
 
 
+def band_occupancy_cap(n_docs: int) -> int:
+    """Degenerate-bucket guard for the aHash/pHash/audio-fingerprint
+    band joins: buckets larger than this are dropped before pairing.
+    Bounded at a CONSTANT 64, so candidate volume stays linear at any
+    corpus size. Shared with tools/media_pair_probe.py so the probe
+    measures the exact stage the queries run."""
+    return max(16, min(64, n_docs // 100))
+
+
+def frame_sig_occupancy_cap(n_docs: int) -> int:
+    """Same guard for the video frame-signature join (wider signatures,
+    smaller true-dup buckets -> lower floor)."""
+    return max(8, min(64, n_docs // 50))
+
+
 def _cached_media(spark: SparkSession, sf_dir: str, name: str, build):
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     hit = _MEDIA_CACHE.get(key)
@@ -661,7 +676,7 @@ def mm_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(16, min(64, n_docs // 100))
+    occ_cap = band_occupancy_cap(n_docs)
     sigs = extract_ahash(synth_group_png_media(docs))
     bands = sigs.select(
         F.col("media_id").alias("doc_id"),
@@ -1028,7 +1043,7 @@ def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(16, min(64, n_docs // 100))
+    occ_cap = band_occupancy_cap(n_docs)
     sigs = _cached_media(
         spark, sf_dir, "color_ahash_sigs",
         lambda: extract_ahash(synth_group_rgb_png_media(docs)),
@@ -1306,7 +1321,7 @@ def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(8, min(64, n_docs // 50))
+    occ_cap = frame_sig_occupancy_cap(n_docs)
     frames = _cached_media(
         spark, sf_dir, "mjpeg_group_frames",
         lambda: sample_mjpeg_frames(
@@ -1482,7 +1497,7 @@ def mm_phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(16, min(64, n_docs // 100))
+    occ_cap = band_occupancy_cap(n_docs)
     sigs = _cached_media(
         spark, sf_dir, "phash_sigs",
         lambda: extract_phash(synth_phash_group_media(docs)),
@@ -1762,7 +1777,7 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
-    occ_cap = max(16, min(64, n_docs // 100))
+    occ_cap = band_occupancy_cap(n_docs)
     energies = _cached_media(
         spark, sf_dir, "audio_fp_energies",
         lambda: extract_audio_frames(

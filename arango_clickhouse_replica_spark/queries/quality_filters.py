@@ -968,35 +968,15 @@ def _filter_agreement_oracle() -> str:
         "they hash-join on doc_id and collapse to |sources| rows.",
 )
 def curation_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .gopher_filters import _STOPWORDS, _WC_HI, _WC_LO, _doc_ngrams
+    from .gopher_filters import gopher_doc_stats, gopher_pass_predicate
 
     docs = load_table(spark, "documents", sf_dir)
     clf = text_hashed_ngram_classifier(spark, sf_dir).select(
         "doc_id", F.when(F.col("keep"), 1).otherwise(0).alias("kc")
     )
-    per_doc = (
-        _doc_ngrams(docs, 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum(F.length("g")).cast("long").alias("n_word_chars"),
-            F.sum(F.when(F.length("g") <= 2, 1).otherwise(0))
-            .cast("long").alias("n_short"),
-            F.count_distinct(
-                F.when(F.col("g").isin(*_STOPWORDS), F.col("g"))
-            ).cast("long").alias("n_stop"),
-        )
-    )
-    rules = per_doc.select(
+    rules = gopher_doc_stats(docs).select(
         "doc_id",
-        F.when(
-            F.col("n_words").between(_WC_LO, _WC_HI)
-            & (F.col("n_word_chars") >= 3 * F.col("n_words"))
-            & (F.col("n_word_chars") <= 10 * F.col("n_words"))
-            & (5 * F.col("n_short") <= F.col("n_words"))
-            & (F.col("n_stop") >= 2),
-            1,
-        ).otherwise(0).alias("kr"),
+        F.when(gopher_pass_predicate(), 1).otherwise(0).alias("kr"),
     )
     cm = (
         docs.select("doc_id", "source")

@@ -277,14 +277,18 @@ _ANOM_STATE = "m1 array<long>, m2 array<long>"
 
 def _micro6(v: float) -> int:
     """Exact 6-dp HALF_UP micro-units of a double — bit-identical to
-    Spark's ``round(v, 6)`` into DECIMAL(18,6): Decimal(v) is the exact
-    binary value, quantize matches Spark's HALF_UP (a true .5 tie is
-    impossible for a binary fraction at the 6th decimal, so HALF_UP vs
-    HALF_EVEN never diverges anyway)."""
+    Spark's ``round(v, 6)`` into DECIMAL(18,6). Spark rounds the
+    SHORTEST decimal representation of the double
+    (``BigDecimal.valueOf`` goes through ``Double.toString``), NOT the
+    exact binary expansion — ``Decimal(repr(v))`` is Python's shortest
+    round-trip repr of the same value, so the two agree even for
+    inputs like 0.1234565 whose binary expansion rounds DOWN while the
+    shortest repr rounds UP — ``Decimal(v)`` would diverge there."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(
-        Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        Decimal(repr(v))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         .scaleb(6)
     )
 
@@ -330,11 +334,16 @@ def streaming_anomaly_zscore(
             sm1, sm2 = state.get
             m1, m2 = list(sm1), list(sm2)
         out = {"user_id": [], "event_id": [], "z": [], "flagged": []}
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ev, v in zip(pdf["event_id"], pdf["value"]):
+        # Drain ALL Arrow chunks before sorting: a key's micro-batch rows
+        # can span multiple chunks (arrow.maxRecordsPerBatch), and
+        # per-chunk sorting would interleave event time across chunks.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks).sort_values(["ts", "event_id"])
+            if chunks else None
+        )
+        if batch is not None:
+            for ev, v in zip(batch["event_id"], batch["value"]):
                 v = float(v)
                 cnt = len(m1)
                 if cnt >= min_prior:

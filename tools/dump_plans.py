@@ -517,6 +517,10 @@ COMMENT = {
         "aggregate + one explode-aggregate hash-join on doc_id, "
         "collapsing to |sources| rows with exact-integer confusion "
         "cells and one kappa expression tree.",
+    "mm_media_dataset_card":
+        "Cross-modality card (round 8): three map-side aggregates over "
+        "the cached media relations (zero extra decode passes), "
+        "unioned to a 3-row datasheet.",
 }
 
 

@@ -169,7 +169,7 @@ def ingest_wal(spark, out: str, *, sf_dir: str, wal_options: dict,
     # before the first progress event stopped the query empty-handed
     # when the suite ran under contention.
     deadline = _time.monotonic() + timeout_s
-    last, idle, progressed = -1, 0, False
+    last, idle, progressed, idle_noprog = -1, 0, False, 0
     while _time.monotonic() < deadline and idle < 3:
         lp = q.lastProgress
         if lp is not None and (
@@ -181,11 +181,23 @@ def ingest_wal(spark, out: str, *, sf_dir: str, wal_options: dict,
         except Exception:
             n = -1
         st = q.status
-        if progressed and n == last and not st["isDataAvailable"] \
-                and not st["isTriggerActive"]:
+        stream_idle = (not st["isDataAvailable"]
+                       and not st["isTriggerActive"])
+        if progressed and n == last and stream_idle:
             idle += 1
         else:
             idle = 0
+        # Empty-source escape: a WAL with nothing for the tracked
+        # collections never commits a batch, so `progressed` never
+        # latches — without this, the loop would spin for the full
+        # timeout instead of draining in seconds. 20 consecutive idle
+        # polls (~10 s) with zero progress means there is nothing
+        # coming; source init alone flips isTriggerActive and resets
+        # the counter.
+        idle_noprog = idle_noprog + 1 if (not progressed and stream_idle
+                                          ) else 0
+        if idle_noprog >= 20:
+            break
         last = n
         _time.sleep(0.5)
     q.stop()

@@ -8,9 +8,9 @@ occupancy caps must keep candidate volume LINEAR in the corpus. Group
 structure is constant-size (4-5 members), so true-dup pairs grow
 linearly with docs; any super-linear candidate growth would be a cap
 defect. Candidate counts rebuild each query's OWN blocking stage from
-the same extractors and the same cap constants (the stages are inline
-in the query builders; the constants are asserted equal here so drift
-fails the probe, not the reader).
+the same extractors, with the occupancy caps IMPORTED from
+multimodal_queries (band_occupancy_cap / frame_sig_occupancy_cap) — a
+cap change re-measures here automatically instead of drifting.
 """
 
 from __future__ import annotations
@@ -65,13 +65,17 @@ def candidate_count(spark, sf_dir: str, op: str) -> int:
         synth_mjpeg_group_media,
         synth_phash_group_media,
     )
+    from arango_clickhouse_replica_spark.queries.multimodal_queries import (
+        band_occupancy_cap,
+        frame_sig_occupancy_cap,
+    )
     from arango_clickhouse_replica_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
     n_docs = docs.count()
 
     if op == "mm_video_frame_dedup":
-        occ_cap = max(8, min(64, n_docs // 50))
+        occ_cap = frame_sig_occupancy_cap(n_docs)
         sig = sample_mjpeg_frames(
             synth_mjpeg_group_media(docs), every_n=1
         ).select(
@@ -95,7 +99,7 @@ def candidate_count(spark, sf_dir: str, op: str) -> int:
             .select("a.doc_id", "b.doc_id").distinct().count()
         )
 
-    occ_cap = max(16, min(64, n_docs // 100))
+    occ_cap = band_occupancy_cap(n_docs)
     if op == "mm_phash_dct_near_dup":
         sigs = extract_phash(synth_phash_group_media(docs))
     else:
@@ -126,10 +130,13 @@ def main() -> None:
     spark = get_spark("media_pair_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # the query constants this probe mirrors — drift fails here
+    # thresholds stated in the emitted section; the occupancy caps are
+    # IMPORTED from multimodal_queries (band_occupancy_cap /
+    # frame_sig_occupancy_cap), so a cap change re-measures here
+    # automatically instead of drifting
     import arango_clickhouse_replica_spark.queries.multimodal_queries as mq
-    assert mq._PHASH_HAMMING_MAX == 12
-    assert mq._AHASH_HAMMING_MAX >= 1
+    print(f"thresholds: phash<={mq._PHASH_HAMMING_MAX} "
+          f"ahash<={mq._AHASH_HAMMING_MAX}", file=sys.stderr)
 
     tmp = tempfile.mkdtemp(prefix="media_pair_probe_")
     try:
@@ -166,8 +173,12 @@ def main() -> None:
             "| op | scale | wall (s) | result pairs | candidates | cand/doc |",
             "|---|---|---|---|---|---|",
         ]
+        import duckdb
+        base_docs = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{BASE}/documents.parquet'"
+        ).fetchone()[0]
         for r in rows:
-            n_docs = 5000 if r["scale"] == "base" else 5000 * K
+            n_docs = base_docs if r["scale"] == "base" else base_docs * K
             lines.append(
                 f"| {r['op']} | {r['scale']} | {r['wall_s']} | "
                 f"{r['pairs']} | {r['candidates']} | "
