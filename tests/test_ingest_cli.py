@@ -109,3 +109,25 @@ def test_ingest_cli_wal_path(spark, sf_dir, tmp_path):
     twin.process_doc_batch(docs.select("doc_id", "text"), 0)
     assert {r.doc_id for r in kept.select("doc_id").collect()} == \
         {r.doc_id for r in twin.keep_list().select("doc_id").collect()}
+
+
+def test_ingest_cli_wal_path_empty_wal_drains_fast(spark, sf_dir, tmp_path):
+    """An empty WAL (no envelopes for the tracked collections) must not
+    spin until timeout_s: the no-progress escape drains in seconds."""
+    import time
+
+    from tests import wal_fake
+    from tools.ingest import ingest_wal
+
+    wal = str(tmp_path / "empty_wal.json")
+    wal_fake.write_wal(wal, [], page_size=128)
+    t0 = time.monotonic()
+    summary = ingest_wal(
+        spark, str(tmp_path / "empty_run"), sf_dir=sf_dir,
+        wal_options={"transportFactory": "tests.wal_fake:make_transport",
+                     "walFile": wal, "host": "scripted"},
+        collections=["c_documents"],
+        timeout_s=120.0,
+    )
+    assert summary["n_ingested"] == 0
+    assert time.monotonic() - t0 < 90

@@ -328,3 +328,20 @@ def test_streaming_anomaly_zscore_parity_with_batch(spark, sf_dir, tmp_path):
     for k, (z, flagged) in got.items():
         assert z == want[k], f"z mismatch at {k}: {z} != {want[k]}"
         assert flagged == (abs(z) > 3.0)
+
+
+def test_micro6_matches_spark_round(spark):
+    """_micro6 must match Spark's round(v, 6) -> DECIMAL(18,6) on
+    values whose SHORTEST decimal repr rounds differently from their
+    exact binary expansion (0.1234565's nearest double is
+    0.12345649999..., which binary-exact rounding truncates to 123456
+    while Spark's BigDecimal.valueOf path yields 123457)."""
+    from arango_clickhouse_replica_spark.streaming.stateful import _micro6
+
+    vals = [0.1234565, 0.1, 2.675, 490.02, 1e-7, 123.4567895, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").selectExpr(
+        "v", "cast(round(v, 6) as decimal(18,6)) AS r"
+    )
+    for row in df.collect():
+        want = int(row.r.scaleb(6))
+        assert _micro6(row.v) == want, (row.v, _micro6(row.v), want)
