@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Process supervision CLI — the engine's equivalent of the reference's
+PM2 deployment (C5: reference/ecosystem.yaml:3-17 declares per-app
+``max_restarts`` / ``min_uptime`` / ``restart_delay`` / ``kill_timeout``;
+reference/replication/replicator/pm2.py:29-50 wraps the pm2 binary).
+On a Spark cluster the cluster manager owns executor supervision, but
+the DRIVER-side long-runners (tools/replicate.py, tools/ingest.py) still
+need an OS-level restart policy on bare deployments — this supervisor
+provides exactly the reference's semantics without the pm2 dependency:
+
+    python tools/supervise.py --status-file run/status.json \\
+        --max-restarts 3 --min-uptime 20 --restart-delay 0.5 \\
+        --kill-timeout 10 -- python tools/replicate.py ...
+
+or driven by an ecosystem-shaped YAML app block:
+
+    python tools/supervise.py --config ecosystem.yaml --app producer \\
+        --status-file run/status.json -- python tools/replicate.py ...
+
+Semantics (mirroring PM2's):
+- exit 0 -> supervised command finished; supervisor exits 0.
+- nonzero exit -> restart after ``restart_delay`` (doubling per
+  CONSECUTIVE crash, capped at 16x), up to ``max_restarts`` times.
+- a run that survives ``min_uptime`` seconds resets the restart
+  counter (a long-lived process that finally crashes gets a fresh
+  budget — PM2's min_uptime contract).
+- SIGTERM/SIGINT -> forward SIGTERM to the child, wait
+  ``kill_timeout`` seconds, SIGKILL if still alive; exit 0 ("stopped").
+- every transition is written to ``--status-file`` as one JSON object
+  (state, pid, restarts, last_exit, updated_at) — the liveness surface
+  the reference reads back from ``pm2 jlist``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+
+def _write_status(path: str | None, **kv) -> None:
+    if not path:
+        return
+    kv["updated_at"] = time.time()
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_text(json.dumps(kv, indent=1, sort_keys=True) + "\n")
+    tmp.replace(p)
+
+
+def _load_app_config(config_path: str, app: str) -> dict:
+    """Read an ecosystem-shaped YAML app block (the reference's config
+    format). Only the supervision keys are consumed; units follow the
+    reference (restart_delay/kill_timeout in ms, min_uptime like
+    '20m')."""
+    import yaml
+
+    apps = yaml.safe_load(Path(config_path).read_text())["apps"]
+    block = next((a for a in apps if a.get("name") == app), None)
+    if block is None:
+        raise SystemExit(f"app {app!r} not found in {config_path}")
+    out = {}
+    if "max_restarts" in block:
+        out["max_restarts"] = int(block["max_restarts"])
+    if "restart_delay" in block:
+        out["restart_delay"] = float(block["restart_delay"]) / 1000.0
+    if "kill_timeout" in block:
+        out["kill_timeout"] = float(block["kill_timeout"]) / 1000.0
+    if "min_uptime" in block:
+        v = str(block["min_uptime"])
+        mult = {"s": 1, "m": 60, "h": 3600}.get(v[-1], None)
+        out["min_uptime"] = (
+            float(v[:-1]) * mult if mult else float(v)
+        )
+    return out
+
+
+def supervise(cmd: list[str], *, max_restarts: int = 3,
+              min_uptime: float = 20.0, restart_delay: float = 0.5,
+              kill_timeout: float = 10.0,
+              status_file: str | None = None) -> int:
+    """Run ``cmd`` under the restart policy; return the exit code the
+    supervisor should propagate."""
+    restarts = 0
+    stopping = {"flag": False}
+    child: dict = {"proc": None}
+
+    def _terminate(signum, frame):
+        stopping["flag"] = True
+        proc = child["proc"]
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+
+    old_term = signal.signal(signal.SIGTERM, _terminate)
+    old_int = signal.signal(signal.SIGINT, _terminate)
+    try:
+        while True:
+            started = time.monotonic()
+            proc = subprocess.Popen(cmd)
+            child["proc"] = proc
+            _write_status(status_file, state="running", pid=proc.pid,
+                          restarts=restarts, last_exit=None)
+            while True:
+                try:
+                    rc = proc.wait(timeout=0.2)
+                    break
+                except subprocess.TimeoutExpired:
+                    if stopping["flag"]:
+                        try:
+                            rc = proc.wait(timeout=kill_timeout)
+                        except subprocess.TimeoutExpired:
+                            proc.kill()
+                            rc = proc.wait()
+                        break
+            uptime = time.monotonic() - started
+            if stopping["flag"]:
+                _write_status(status_file, state="stopped", pid=None,
+                              restarts=restarts, last_exit=rc)
+                return 0
+            if rc == 0:
+                _write_status(status_file, state="finished", pid=None,
+                              restarts=restarts, last_exit=0)
+                return 0
+            if uptime >= min_uptime:
+                restarts = 0  # long-lived: fresh restart budget
+            if restarts >= max_restarts:
+                _write_status(status_file, state="failed", pid=None,
+                              restarts=restarts, last_exit=rc)
+                return 1
+            delay = restart_delay * min(16, 2 ** restarts)
+            restarts += 1
+            _write_status(status_file, state="backoff", pid=None,
+                          restarts=restarts, last_exit=rc)
+            deadline = time.monotonic() + delay
+            while time.monotonic() < deadline and not stopping["flag"]:
+                time.sleep(0.05)
+            if stopping["flag"]:
+                _write_status(status_file, state="stopped", pid=None,
+                              restarts=restarts, last_exit=rc)
+                return 0
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("--status-file", default=None)
+    ap.add_argument("--max-restarts", type=int, default=3)
+    ap.add_argument("--min-uptime", type=float, default=20.0,
+                    help="seconds a run must survive to reset the "
+                         "restart budget")
+    ap.add_argument("--restart-delay", type=float, default=0.5,
+                    help="base backoff seconds (doubles per consecutive "
+                         "crash, capped at 16x)")
+    ap.add_argument("--kill-timeout", type=float, default=10.0,
+                    help="SIGTERM grace before SIGKILL")
+    ap.add_argument("--config", default=None,
+                    help="ecosystem-shaped YAML to read supervision "
+                         "keys from")
+    ap.add_argument("--app", default=None,
+                    help="app name inside --config")
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="-- command to supervise")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
+    if not cmd:
+        ap.error("no command given (pass it after --)")
+    policy = dict(max_restarts=args.max_restarts,
+                  min_uptime=args.min_uptime,
+                  restart_delay=args.restart_delay,
+                  kill_timeout=args.kill_timeout)
+    if args.config:
+        if not args.app:
+            ap.error("--config requires --app")
+        policy.update(_load_app_config(args.config, args.app))
+    sys.exit(supervise(cmd, status_file=args.status_file, **policy))
+
+
+if __name__ == "__main__":
+    main()
