@@ -99,7 +99,11 @@ def test_majority_inflation_is_noise_not_failure(in_tmp_repo):
     assert (in_tmp_repo / bench.SELF_RECORDING).read_text() == before
 
 
-def test_multi_offender_fails_without_confirm(in_tmp_repo):
+def test_multi_offenders_each_confirmed_before_failing(in_tmp_repo):
+    """Deep-in-run contention can flag SEVERAL untouched queries at once
+    (measured: 2.3-2.6x flags that re-time at 1.2-1.5x in isolation) —
+    every offender gets an isolated confirm re-run; only confirmed ones
+    fail the round."""
     (in_tmp_repo / bench.SELF_RECORDING).write_text(
         json.dumps(
             {"sf": 0.1, "queries": {f"q{i}": 1.0 for i in range(1, 8)}}
@@ -108,8 +112,22 @@ def test_multi_offender_fails_without_confirm(in_tmp_repo):
     timings = {f"q{i}": 1.0 for i in range(1, 8)}
     timings["q1"] = 3.0
     timings["q2"] = 3.0
+    # both clear on re-run: anchor refreshed with the confirmed times
+    bench._check_regressions(dict(timings), 0.1, rerun=lambda n: 1.1)
+    recorded = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert recorded["queries"]["q1"] == 1.1
+
+    # one of two reproduces: the round still fails, naming the real one
     with pytest.raises(SystemExit) as exc:
-        bench._check_regressions(timings, 0.1, rerun=lambda n: 0.0)
+        bench._check_regressions(
+            dict(timings), 0.1,
+            rerun=lambda n: 3.0 if n == "q1" else 1.0,
+        )
+    assert exc.value.code == 2
+
+    # no rerun hook available: multi-offenders still fail outright
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(dict(timings), 0.1, rerun=None)
     assert exc.value.code == 2
 
 
