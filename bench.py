@@ -353,7 +353,11 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
             _persist_self_recording(timings, sf)
             return
         offenders = confirmed
-    print("BENCH REGRESSION (>1.5x and >1s, confirmed):", file=sys.stderr)
+        banner = "BENCH REGRESSION (>1.5x and >1s, confirmed):"
+    else:
+        banner = ("BENCH REGRESSION (>1.5x and >1s, NOT individually "
+                  "confirmed — no rerun hook or >8 offenders):")
+    print(banner, file=sys.stderr)
     for n in offenders:
         print(f"  {n}: {timings[n]:.2f}s vs {old[n]:.2f}s in {src}", file=sys.stderr)
     raise SystemExit(2)

@@ -20,9 +20,7 @@ TOOLS = Path(__file__).resolve().parent.parent / "tools"
 def _load(path):
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "supervise_tool", str(TOOLS / "supervise.py")
-    )
+    spec = importlib.util.spec_from_file_location("supervise_tool", str(path))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -146,3 +144,57 @@ def test_ecosystem_yaml_units(tmp_path):
     }
     with pytest.raises(SystemExit):
         sup._load_app_config(str(cfg), "nope")
+
+
+def test_ecosystem_yaml_pm2_edge_semantics(tmp_path):
+    """PM2 edge semantics: bare min_uptime numbers are MILLISECONDS,
+    'ms' suffix parses, and autorestart: false means zero restarts."""
+    cfg = tmp_path / "eco2.yaml"
+    cfg.write_text(textwrap.dedent("""
+        apps:
+          - name: consumer
+            autorestart: false
+            min_uptime: 5000
+          - name: flaky
+            min_uptime: 100ms
+    """))
+    consumer = sup._load_app_config(str(cfg), "consumer")
+    assert consumer["max_restarts"] == 0
+    assert consumer["min_uptime"] == 5.0
+    assert sup._load_app_config(str(cfg), "flaky")["min_uptime"] == 0.1
+
+
+def test_spawn_failure_is_terminal(tmp_path):
+    status = tmp_path / "status.json"
+    rc = sup.supervise(
+        ["/nonexistent/binary-xyz"],
+        max_restarts=3, min_uptime=1.0, restart_delay=0.05,
+        kill_timeout=1.0, status_file=str(status),
+    )
+    assert rc == 1
+    st = json.loads(status.read_text())
+    assert st["state"] == "failed"
+    assert "spawn error" in st["last_exit"]
+
+
+def test_cli_flags_override_config(tmp_path):
+    """Conventional precedence: CLI > YAML > built-ins."""
+    cfg = tmp_path / "eco3.yaml"
+    cfg.write_text(textwrap.dedent("""
+        apps:
+          - name: producer
+            max_restarts: 3
+    """))
+    child = _crashing_child(tmp_path, 99)
+    proc = subprocess.run(
+        [sys.executable, str(TOOLS / "supervise.py"),
+         "--config", str(cfg), "--app", "producer",
+         "--max-restarts", "1", "--min-uptime", "100",
+         "--restart-delay", "0.05",
+         "--status-file", str(tmp_path / "s.json"),
+         "--", *child],
+        capture_output=True, timeout=60,
+    )
+    assert proc.returncode == 1
+    st = json.loads((tmp_path / "s.json").read_text())
+    assert st["restarts"] == 1  # CLI's 1, not the YAML's 3

@@ -64,7 +64,21 @@ def _load_app_config(config_path: str, app: str) -> dict:
     block = next((a for a in apps if a.get("name") == app), None)
     if block is None:
         raise SystemExit(f"app {app!r} not found in {config_path}")
+
+    def _duration_s(v) -> float:
+        """PM2 duration: bare numbers are MILLISECONDS; 'ms'/'s'/'m'/'h'
+        suffixes as labeled."""
+        v = str(v)
+        if v.endswith("ms"):
+            return float(v[:-2]) / 1000.0
+        mult = {"s": 1, "m": 60, "h": 3600}.get(v[-1])
+        if mult is not None:
+            return float(v[:-1]) * mult
+        return float(v) / 1000.0
+
     out = {}
+    if block.get("autorestart") is False:
+        out["max_restarts"] = 0
     if "max_restarts" in block:
         out["max_restarts"] = int(block["max_restarts"])
     if "restart_delay" in block:
@@ -72,11 +86,7 @@ def _load_app_config(config_path: str, app: str) -> dict:
     if "kill_timeout" in block:
         out["kill_timeout"] = float(block["kill_timeout"]) / 1000.0
     if "min_uptime" in block:
-        v = str(block["min_uptime"])
-        mult = {"s": 1, "m": 60, "h": 3600}.get(v[-1], None)
-        out["min_uptime"] = (
-            float(v[:-1]) * mult if mult else float(v)
-        )
+        out["min_uptime"] = _duration_s(block["min_uptime"])
     return out
 
 
@@ -101,8 +111,18 @@ def supervise(cmd: list[str], *, max_restarts: int = 3,
     try:
         while True:
             started = time.monotonic()
-            proc = subprocess.Popen(cmd)
+            try:
+                proc = subprocess.Popen(cmd)
+            except OSError as e:
+                _write_status(status_file, state="failed", pid=None,
+                              restarts=restarts,
+                              last_exit=f"spawn error: {e}")
+                return 1
             child["proc"] = proc
+            if stopping["flag"] and proc.poll() is None:
+                # signal landed in the Popen registration race window;
+                # _terminate saw no child, so deliver the SIGTERM here
+                proc.terminate()
             _write_status(status_file, state="running", pid=proc.pid,
                           restarts=restarts, last_exit=None)
             while True:
@@ -111,6 +131,8 @@ def supervise(cmd: list[str], *, max_restarts: int = 3,
                     break
                 except subprocess.TimeoutExpired:
                     if stopping["flag"]:
+                        if proc.poll() is None:
+                            proc.terminate()
                         try:
                             rc = proc.wait(timeout=kill_timeout)
                         except subprocess.TimeoutExpired:
@@ -154,15 +176,17 @@ def main() -> None:
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     ap.add_argument("--status-file", default=None)
-    ap.add_argument("--max-restarts", type=int, default=3)
-    ap.add_argument("--min-uptime", type=float, default=20.0,
+    # defaults resolve AFTER --config so explicit CLI flags win over the
+    # YAML, and the YAML wins over built-ins
+    ap.add_argument("--max-restarts", type=int, default=None)
+    ap.add_argument("--min-uptime", type=float, default=None,
                     help="seconds a run must survive to reset the "
-                         "restart budget")
-    ap.add_argument("--restart-delay", type=float, default=0.5,
-                    help="base backoff seconds (doubles per consecutive "
-                         "crash, capped at 16x)")
-    ap.add_argument("--kill-timeout", type=float, default=10.0,
-                    help="SIGTERM grace before SIGKILL")
+                         "restart budget (default 20)")
+    ap.add_argument("--restart-delay", type=float, default=None,
+                    help="base backoff seconds, doubling per consecutive "
+                         "crash, capped at 16x (default 0.5)")
+    ap.add_argument("--kill-timeout", type=float, default=None,
+                    help="SIGTERM grace before SIGKILL (default 10)")
     ap.add_argument("--config", default=None,
                     help="ecosystem-shaped YAML to read supervision "
                          "keys from")
@@ -174,14 +198,17 @@ def main() -> None:
     cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
     if not cmd:
         ap.error("no command given (pass it after --)")
-    policy = dict(max_restarts=args.max_restarts,
-                  min_uptime=args.min_uptime,
-                  restart_delay=args.restart_delay,
-                  kill_timeout=args.kill_timeout)
+    policy = dict(max_restarts=3, min_uptime=20.0,
+                  restart_delay=0.5, kill_timeout=10.0)
     if args.config:
         if not args.app:
             ap.error("--config requires --app")
         policy.update(_load_app_config(args.config, args.app))
+    cli = dict(max_restarts=args.max_restarts,
+               min_uptime=args.min_uptime,
+               restart_delay=args.restart_delay,
+               kill_timeout=args.kill_timeout)
+    policy.update({k: v for k, v in cli.items() if v is not None})
     sys.exit(supervise(cmd, status_file=args.status_file, **policy))
 
 
