@@ -146,6 +146,8 @@ ROTATION_EXEMPT = frozenset({
     "text_lang_stopword_id",          # stopword lang-ID: text_lang_char_ngram + text_lang_confusion_matrix keep the family emitted
     # Grown r8 alongside mm_media_dataset_card:
     "q_tumbling_hourly",              # tumbling window: q_session_windows_5m + the streaming windows parity suite keep the event-time surface emitted
+    # Grown r8 alongside q_rolling_tukey_outliers:
+    "q_percentiles_by_segment",       # static percentile table: q_rolling_tukey_outliers exercises exact quantiles in a window frame; text_doc_length_percentiles keeps the rank-based lane
 })
 
 

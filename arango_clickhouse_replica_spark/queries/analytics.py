@@ -754,3 +754,99 @@ def _anomaly_user_rollup(scored: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_rolling_tukey_outliers",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS cnt,
+             quantile_cont(value, 0.25) OVER w AS q1,
+             quantile_cont(value, 0.75) OVER w AS q3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, value,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi,
+             GREATEST(q1 - 1.5 * (q3 - q1) - value,
+                      value - (q3 + 1.5 * (q3 - q1)), 0.0) AS excess
+      FROM win WHERE cnt >= 10
+    ),
+    worst AS (
+      SELECT user_id, event_id, excess FROM (
+        SELECT user_id, event_id, excess,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY excess DESC, event_id DESC)
+                 AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN s.value < s.lo OR s.value > s.hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(MAX(w.excess), 6) AS max_fence_excess,
+           CAST(MAX(w.event_id) AS BIGINT) AS worst_event_id
+    FROM scored s JOIN worst w USING (user_id)
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+    tags=("events", "window", "anomaly", "robust", "quality"),
+    doc="Rolling Tukey-fence outlier census — the ROBUST companion of "
+        "q_event_anomaly_zscore (quartiles shrug off the very outliers "
+        "that inflate a rolling std and mask their successors): each "
+        "event tests against fences q1 -/+ 1.5*IQR of the PRIOR 20 "
+        "events' exact interpolated quartiles, warm-up below 10 priors "
+        "is unscorable, and the per-user report carries the outlier "
+        "count plus the single worst fence excess. Determinism: with a "
+        "<= 20-row frame the quantile position p*(n-1) is an exact "
+        "binary fraction, so Spark's percentile() and DuckDB's "
+        "quantile_cont interpolate IDENTICAL doubles (verified on "
+        "shared frames); fences and excess are one identical "
+        "expression tree. Scale: same single user_id exchange as the "
+        "z-score — one sort-window (two quantile aggregates share the "
+        "frame) + one map-side-combinable per-user rollup.",
+)
+def q_rolling_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    win = events.select(
+        "user_id", "event_id", "value",
+        F.count("value").over(w).alias("cnt"),
+        F.expr("percentile(value, 0.25)").over(w).alias("q1"),
+        F.expr("percentile(value, 0.75)").over(w).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    scored = win.filter(F.col("cnt") >= 10).select(
+        "user_id", "event_id", "value",
+        lo.alias("lo"), hi.alias("hi"),
+        F.greatest(lo - v, v - hi, F.lit(0.0)).alias("excess"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.sum(
+                F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max(F.struct(F.col("excess").alias("x"),
+                           F.col("event_id").alias("e"))).alias("w"),
+        )
+        .select(
+            "user_id", "n_scored", "n_outliers",
+            F.round(F.col("w.x"), 6).alias("max_fence_excess"),
+            F.col("w.e").cast("long").alias("worst_event_id"),
+        )
+        .orderBy("user_id")
+    )

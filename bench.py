@@ -161,6 +161,7 @@ HEADLINE = [
     "cdc_tick_gap_census",
     "curation_filter_agreement",
     "mm_media_dataset_card",
+    "q_rolling_tukey_outliers",
 ]
 
 

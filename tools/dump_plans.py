@@ -521,6 +521,10 @@ COMMENT = {
         "Cross-modality card (round 8): three map-side aggregates over "
         "the cached media relations (zero extra decode passes), "
         "unioned to a 3-row datasheet.",
+    "q_rolling_tukey_outliers":
+        "Rolling Tukey fences (round 8): one user_id exchange, the two "
+        "window quantiles share the sort frame, robust flags roll up "
+        "map-side — the quartile companion of the z-score window.",
 }
 
 
