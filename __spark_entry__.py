@@ -108,7 +108,7 @@ ROTATION_EXEMPT = frozenset({
     # Grown r8 alongside the PMI/quant-error/shard-balance registrations
     # (each pick has 7 green driver rounds r1-r7 incl. the full-registry
     # record):
-    "q_stat_moments_by_segment",      # per-segment distribution stats: q_percentiles_by_segment + q_weighted_avg_discount cover the family
+    "q_stat_moments_by_segment",      # per-segment distribution stats: q_rolling_tukey_outliers (rotating) + q_weighted_avg_discount cover the family
     "q_funnel_conversion",            # event-sequence analytics: q_click_purchase_attribution + q_cohort_retention cover the family
     "text_bigram_heavy_hitters",      # raw pair-count top-k: text_cooccurrence_pmi + text_bigram_logprob are the kept pair-statistics siblings
     "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (kept) + dsl_deadletter_split (kept) on another table
@@ -126,7 +126,7 @@ ROTATION_EXEMPT = frozenset({
     # (each pick has 7 green driver rounds r1-r7 plus the r7 and r8
     # full-registry records):
     "q_exists_high_value_order",      # EXISTS semi-join: q_scalar_subquery_above_avg keeps the correlated-subquery surface
-    "q_mode_ship_priority",           # mode(): q_argmax_latest_order + q_percentiles_by_segment cover the order-statistic family
+    "q_mode_ship_priority",           # mode(): q_argmax_latest_order + text_doc_length_percentiles (rotating) cover the order-statistic family
     # Grown r8 alongside mm_video_frame_dedup:
     "mm_mjpeg_frame_sample",          # every-2nd-frame demux: mm_mjpeg_scene_cuts + mm_video_frame_dedup decode the full frame stream
     # Grown r8 alongside text_length_outlier_mad + q_event_anomaly_zscore:

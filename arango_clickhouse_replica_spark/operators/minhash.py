@@ -57,8 +57,21 @@ def band_signatures(
     bands: int = BANDS,
 ) -> DataFrame:
     """(id, band, sig) LSH bucket keys from a shingle stream."""
-    per_band = lanes // bands
     mins = lane_mins(shingles, id_col=id_col, shingle_col=shingle_col, lanes=lanes)
+    return bands_from_lane_mins(mins, id_col=id_col, lanes=lanes, bands=bands)
+
+
+def bands_from_lane_mins(
+    mins: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lanes: int = LANES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(id, band, sig) bucket keys from a PRECOMPUTED lane-min relation —
+    lets a band sweep derive several layouts (2x4 / 4x2 / 8x1) from one
+    shingle scan + groupBy instead of recomputing the minhash per layout."""
+    per_band = lanes // bands
     stack = ", ".join(
         f"{b}, concat({', '.join(f'm{b * per_band + j}' for j in range(per_band))})"
         for b in range(bands)

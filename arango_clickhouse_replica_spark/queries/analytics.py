@@ -652,7 +652,7 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS s1,
              CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(18,6))) OVER w
                   AS DOUBLE) AS s2
-      FROM events
+      FROM events WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     ),
@@ -709,7 +709,14 @@ def anomaly_scored_events(events: DataFrame) -> DataFrame:
     """Per-event rolling z-scores (user_id, event_id, z) — the scoring
     relation behind q_event_anomaly_zscore, exported so the streaming
     twin (streaming/stateful.py streaming_anomaly_zscore) can be
-    parity-tested bit for bit against the batch window."""
+    parity-tested bit for bit against the batch window.
+
+    Declared null semantics (ADVICE r8): null-valued events are excluded
+    BEFORE the window on both engines and in the stream, so a null never
+    occupies a frame slot, never scores, and the twins stay bit-equal
+    even on data with nulls (the COUNT(value)-skips/frame-row-counts
+    split would otherwise let batch and stream diverge)."""
+    events = events.filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -496,7 +496,7 @@ def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ticks
     )
     SELECT g.cuid,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM env) AS n_envelopes,
+           ne.n_envelopes,
            CAST(COUNT(*) AS BIGINT) AS n_ticks,
            CAST(MIN(tick) AS BIGINT) AS min_tick,
            CAST(MAX(tick) AS BIGINT) AS max_tick,
@@ -504,7 +504,9 @@ def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_missing,
            CAST(MAX(gap) AS BIGINT) AS max_gap
     FROM gaps g
-    GROUP BY g.cuid
+    JOIN (SELECT cuid, CAST(COUNT(*) AS BIGINT) AS n_envelopes
+          FROM env GROUP BY cuid) ne USING (cuid)
+    GROUP BY g.cuid, ne.n_envelopes
     ORDER BY g.cuid
     """,
     tags=("cdc", "monitoring", "ops"),

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 from ..sources.tables import load_table
 from .registry import query
 from .llm_ops import _DOT_SQL, _NORM_SQL, _dot, _norm
+from .llm_ops import Q_MAX as _Q_MAX
 
 _N_CELLS = 16
 
@@ -1423,14 +1424,26 @@ def _shortlist_candidates(
     ``exclude``: "self" masks neighbor_id == query_id (ANN recall),
     "label" masks neighbor_label == query_label (hard negatives).
     ``base`` must carry vec_id + embedding (+ label when needed); the
-    query set is the established bounded vec_id % 100 == 0 slice.
+    query set is the vec_id % 100 == 0 slice CAPPED at Q_MAX (VERDICT
+    r8 item 1): the slice alone is 1% of N, so the collect + broadcast
+    below would grow linearly with the table — orderBy + limit makes
+    the driver matrix a constant no matter how big N gets, matching
+    the ann_topk_vectorized / ann_topk_int8_rerank policy. Every
+    consumer's Spark q set and DuckDB oracle apply the identical cap.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    qrows = base.filter(F.col("vec_id") % 100 == 0).collect()
+    from .llm_ops import Q_MAX
+
+    qrows = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(Q_MAX)
+        .collect()
+    )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = (
         np.array([list(r.embedding) for r in qrows], dtype=np.float64)
@@ -1494,7 +1507,7 @@ def _mrl_trunc_sql(d: int) -> str:
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY round({cos}, 4) DESC, e.vec_id) AS rn
         FROM (SELECT vec_id, embedding FROM embeddings
-              WHERE vec_id % 100 = 0) q
+              WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {_Q_MAX}) q
         JOIN embeddings e ON e.vec_id <> q.vec_id
       ) WHERE rn <= 5"""
 
@@ -1583,10 +1596,16 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("e_emb"),
         ).withColumn("e_nrm", _norm(F.col("e_emb")))
-        q = base.filter(F.col("vec_id") % 100 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-        ).withColumn("q_nrm", _norm(F.col("q_emb")))
+        q = (
+            base.filter(F.col("vec_id") % 100 == 0)
+            .orderBy("vec_id")
+            .limit(_Q_MAX)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            )
+            .withColumn("q_nrm", _norm(F.col("q_emb")))
+        )
         sim = _dot(F.col("q_emb"), F.col("e_emb")) \
             / (F.col("q_nrm") * F.col("e_nrm"))
         w = Window.partitionBy("query_id").orderBy(
@@ -1668,11 +1687,16 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, exclude="label",
     )
     full = emb.withColumn("nrm", _norm(F.col("embedding")))
-    q = full.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q = (
+        full.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_Q_MAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
     e = full.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1711,7 +1735,7 @@ def _install_hard_negatives_oracle() -> None:
 
     sql = f"""
     WITH q AS (SELECT vec_id, label, embedding FROM embeddings
-               WHERE vec_id % 100 = 0),
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {_Q_MAX}),
     scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label,
              e.vec_id AS neighbor_id, e.label AS neighbor_label,
@@ -1858,7 +1882,7 @@ def _install_knn_consistency_oracle() -> None:
 
     sql = f"""
     WITH q AS (SELECT vec_id, label, embedding FROM embeddings
-               WHERE vec_id % 100 = 0),
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {_Q_MAX}),
     topk AS (
       SELECT query_id, query_label, neighbor_label FROM (
         SELECT q.vec_id AS query_id, q.label AS query_label,
@@ -1908,11 +1932,16 @@ def embed_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.select("vec_id", "embedding"), k=5, exclude="self",
     )
     full = emb.withColumn("nrm", _norm(F.col("embedding")))
-    q = full.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q = (
+        full.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_Q_MAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
     e = full.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -2309,7 +2338,15 @@ def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append(
             (r, int(nxt.vec_id), float(nxt.dmin), list(nxt.embedding))
         )
+    # Driver-side rounding of a value that feeds the hash must ride the
+    # HALF_UP decimal lane (streaming/stateful.py _micro6): Python's
+    # built-in round() is HALF_EVEN while DuckDB round() is half away
+    # from zero. A squared-L2 of dyadic fixture embeddings can't hit an
+    # exact .5 micro-tie, but policy is one rounding lane everywhere
+    # (ADVICE r8).
+    from ..streaming.stateful import _micro6
+
     return spark.createDataFrame(
-        [(r, v, round(d, 6)) for r, v, d, _ in centers],
+        [(r, v, _micro6(d) / 10**6) for r, v, d, _ in centers],
         "round int, vec_id bigint, radius2 double",
     )

@@ -800,11 +800,23 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 # similarity search (ANN)
 # ---------------------------------------------------------------------------
 
+# Structural ceiling on every ANN query set (VERDICT r8 items 1-2): the
+# vec_id % 100 == 0 slice alone is a FRACTION of N, so anything that
+# collects or broadcasts it (driver matrix, broadcast-join side) would
+# grow linearly with the table — a driver OOM at 100 TB. orderBy +
+# limit(Q_MAX) makes the set a constant: TakeOrderedAndProject does
+# per-partition top-K, so no single partition ever sees more than its
+# own rows. Oracles apply the identical ORDER BY vec_id LIMIT cap; at
+# test scale (<= 409.6k vectors) the cap is a semantic no-op, which is
+# why the r8 hashes were already correct — the fix is purely structural.
+Q_MAX = 4096
+
 
 @query(
     "ann_cosine_topk_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {Q_MAX}),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              round({_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
@@ -827,9 +839,19 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    # Bounded query set: without the cap the broadcast side is N/100 rows
+    # (linear in the table) and the loop join is O(N^2/100); with it the
+    # baseline is O(Q_MAX * N) — the only shape a brute-force exact
+    # baseline can defensibly keep.
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(Q_MAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
     e = emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("e_emb"), F.col("nrm").alias("e_nrm"))
@@ -855,7 +877,8 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # happen in the rounded domain with an id tie-break on both engines
     # (the partition-stage lexsort + rounded global window below).
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {Q_MAX}),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
              round({_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
@@ -892,12 +915,11 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side collect therefore has a fixed ceiling no matter how big
     # the candidate table grows. orderBy before limit keeps it
     # deterministic across partitionings.
-    q_max = 4096
     qrows = (
         emb.filter(F.col("vec_id") % 100 == 0)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
-        .limit(q_max)
+        .limit(Q_MAX)
         .collect()
     )
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
@@ -3604,14 +3626,28 @@ _BAND_SWEEP_ORACLE = f"""
         "is union-candidate-bounded, never all-pairs.",
 )
 def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.minhash import band_signatures, candidate_pairs
+    from ..operators.minhash import (
+        bands_from_lane_mins, candidate_pairs, lane_mins,
+    )
 
-    sh = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    # The shingle relation feeds SIX consumers (3 band layouts + cs/a/b
+    # in the truth verify) and the lane-min groupBy feeds three — without
+    # a checkpoint the shingle explode + md5 + 8-way-min recompute per
+    # branch (VERDICT r8 item 3; this was the #1 bench line). One eager
+    # localCheckpoint each: the layouts then re-band K cached lane
+    # minima, and the verify re-reads cached shingles.
+    sh = (
+        _doc_shingles_capped(spark, sf_dir)
+        .select("doc_id", "s")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mins = lane_mins(sh).localCheckpoint(eager=True)
     n_docs = load_table(spark, "documents", sf_dir).count()
     occ_cap = max(16, min(64, n_docs // 100))
 
     def cfg(b: int) -> DataFrame:
-        bands = band_signatures(sh, bands=b)
+        bands = bands_from_lane_mins(mins, bands=b)
         hot = (
             bands.groupBy("band", "sig")
             .agg(F.count("*").alias("__n"))

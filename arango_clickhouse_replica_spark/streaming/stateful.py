@@ -343,6 +343,12 @@ def streaming_anomaly_zscore(
             if chunks else None
         )
         if batch is not None:
+            # NULL event values: the batch window's COUNT(value)/SUM skip
+            # them, so the stream must neither score nor accumulate them
+            # (a null becomes NaN in pandas and would poison the decimal
+            # lane's quantize).
+            batch = batch[batch["value"].notna()]
+        if batch is not None and len(batch):
             for ev, v in zip(batch["event_id"], batch["value"]):
                 v = float(v)
                 cnt = len(m1)

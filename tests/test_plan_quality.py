@@ -14,9 +14,10 @@ from arango_clickhouse_replica_spark.queries import QUERIES
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
     "ann_cosine_topk_bruteforce":
-        "the brute-force baseline IS all-pairs by definition; queries are "
-        "broadcast (Q rows), so it is a broadcast loop over N, not NxN "
-        "shuffle — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
+        "the brute-force baseline IS all-pairs by definition; since r9 the "
+        "query set is a CONSTANT (orderBy+limit Q_MAX=4096, llm_ops.Q_MAX) "
+        "so the broadcast side is bounded and the loop is O(Q_MAX*N), not "
+        "O(N^2/100) — the scale path is ann_lsh_bucketed/ann_topk_vectorized",
     "embed_hard_negatives":
         "no BNLJ remains since the r8 shortlist reshape (stage 1 is a "
         "guarded per-partition matmul shortlist, stage 2 broadcast "

@@ -198,3 +198,47 @@ def test_cli_flags_override_config(tmp_path):
     assert proc.returncode == 1
     st = json.loads((tmp_path / "s.json").read_text())
     assert st["restarts"] == 1  # CLI's 1, not the YAML's 3
+
+
+def test_max_memory_restart_kills_and_restarts(tmp_path):
+    """ADVICE r8: max_memory_restart (both reference ecosystem apps set
+    512M) must be a real policy — a child whose RSS crosses the bound
+    is terminated and the normal crash/restart path runs."""
+    script = tmp_path / "hog.py"
+    script.write_text(textwrap.dedent("""
+        import time
+        a = bytearray(120 * 1024 * 1024)  # ~120 MiB resident
+        a[::4096] = b"x" * len(a[::4096])  # touch pages
+        time.sleep(60)
+    """))
+    status = tmp_path / "status.json"
+    t0 = time.monotonic()
+    rc = sup.supervise(
+        [sys.executable, str(script)],
+        max_restarts=0, min_uptime=100.0, restart_delay=0.05,
+        kill_timeout=2.0, max_memory_bytes=40 * 1024 * 1024,
+        status_file=str(status),
+    )
+    assert rc == 1
+    assert time.monotonic() - t0 < 30  # killed, not slept out
+    st = json.loads(status.read_text())
+    assert st["state"] == "failed"
+    assert st["reason"] == "max_memory_restart"
+
+
+def test_max_memory_restart_yaml_and_cli_parse():
+    assert sup._mem_bytes("512M") == 512 * 1024 ** 2
+    assert sup._mem_bytes("1G") == 1024 ** 3
+    assert sup._mem_bytes("100K") == 100 * 1024
+    assert sup._mem_bytes("4096") == 4096
+
+
+def test_ecosystem_yaml_max_memory(tmp_path):
+    cfg = tmp_path / "eco4.yaml"
+    cfg.write_text(textwrap.dedent("""
+        apps:
+          - name: producer
+            max_memory_restart: 512M
+    """))
+    policy = sup._load_app_config(str(cfg), "producer")
+    assert policy == {"max_memory_bytes": 512 * 1024 ** 2}

@@ -26,6 +26,11 @@ Semantics (mirroring PM2's):
   budget — PM2's min_uptime contract).
 - SIGTERM/SIGINT -> forward SIGTERM to the child, wait
   ``kill_timeout`` seconds, SIGKILL if still alive; exit 0 ("stopped").
+- ``max_memory_restart`` (e.g. '512M', the key both reference apps
+  set) -> the wait loop polls the child's RSS (/proc/<pid>/status
+  VmRSS, ~1 Hz); crossing the bound terminates the child (SIGTERM ->
+  kill_timeout -> SIGKILL) and takes the normal crash/restart path,
+  PM2's memory-based restart policy.
 - every transition is written to ``--status-file`` as one JSON object
   (state, pid, restarts, last_exit, updated_at) — the liveness surface
   the reference reads back from ``pm2 jlist``.
@@ -87,12 +92,38 @@ def _load_app_config(config_path: str, app: str) -> dict:
         out["kill_timeout"] = float(block["kill_timeout"]) / 1000.0
     if "min_uptime" in block:
         out["min_uptime"] = _duration_s(block["min_uptime"])
+    if "max_memory_restart" in block:
+        out["max_memory_bytes"] = _mem_bytes(block["max_memory_restart"])
     return out
+
+
+def _mem_bytes(v) -> int:
+    """PM2 memory spec: bare numbers are BYTES; K/M/G suffixes as
+    labeled (binary units, matching pm2's parser)."""
+    v = str(v).strip()
+    mult = {"K": 1024, "M": 1024 ** 2, "G": 1024 ** 3}.get(v[-1:].upper())
+    if mult is not None:
+        return int(float(v[:-1]) * mult)
+    return int(float(v))
+
+
+def _rss_bytes(pid: int) -> int | None:
+    """Resident set size of ``pid`` via /proc (Linux); None if gone or
+    unreadable — a vanished child is the wait loop's problem, not ours."""
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        return None
+    return None
 
 
 def supervise(cmd: list[str], *, max_restarts: int = 3,
               min_uptime: float = 20.0, restart_delay: float = 0.5,
               kill_timeout: float = 10.0,
+              max_memory_bytes: int | None = None,
               status_file: str | None = None) -> int:
     """Run ``cmd`` under the restart policy; return the exit code the
     supervisor should propagate."""
@@ -125,6 +156,8 @@ def supervise(cmd: list[str], *, max_restarts: int = 3,
                 proc.terminate()
             _write_status(status_file, state="running", pid=proc.pid,
                           restarts=restarts, last_exit=None)
+            mem_kill = False
+            next_mem_check = time.monotonic()
             while True:
                 try:
                     rc = proc.wait(timeout=0.2)
@@ -139,7 +172,25 @@ def supervise(cmd: list[str], *, max_restarts: int = 3,
                             proc.kill()
                             rc = proc.wait()
                         break
+                    if (max_memory_bytes is not None
+                            and time.monotonic() >= next_mem_check):
+                        next_mem_check = time.monotonic() + 1.0
+                        rss = _rss_bytes(proc.pid)
+                        if rss is not None and rss > max_memory_bytes:
+                            mem_kill = True
+                            proc.terminate()
+                            try:
+                                rc = proc.wait(timeout=kill_timeout)
+                            except subprocess.TimeoutExpired:
+                                proc.kill()
+                                rc = proc.wait()
+                            break
             uptime = time.monotonic() - started
+            if mem_kill and rc == 0:
+                # the child caught SIGTERM and exited cleanly; the
+                # restart is still owed — a 0 exit must not read as
+                # "finished" when WE killed it for memory
+                rc = 1
             if stopping["flag"]:
                 _write_status(status_file, state="stopped", pid=None,
                               restarts=restarts, last_exit=rc)
@@ -148,16 +199,18 @@ def supervise(cmd: list[str], *, max_restarts: int = 3,
                 _write_status(status_file, state="finished", pid=None,
                               restarts=restarts, last_exit=0)
                 return 0
+            reason = "max_memory_restart" if mem_kill else None
             if uptime >= min_uptime:
                 restarts = 0  # long-lived: fresh restart budget
             if restarts >= max_restarts:
                 _write_status(status_file, state="failed", pid=None,
-                              restarts=restarts, last_exit=rc)
+                              restarts=restarts, last_exit=rc,
+                              reason=reason)
                 return 1
             delay = restart_delay * min(16, 2 ** restarts)
             restarts += 1
             _write_status(status_file, state="backoff", pid=None,
-                          restarts=restarts, last_exit=rc)
+                          restarts=restarts, last_exit=rc, reason=reason)
             deadline = time.monotonic() + delay
             while time.monotonic() < deadline and not stopping["flag"]:
                 time.sleep(0.05)
@@ -187,6 +240,9 @@ def main() -> None:
                          "crash, capped at 16x (default 0.5)")
     ap.add_argument("--kill-timeout", type=float, default=None,
                     help="SIGTERM grace before SIGKILL (default 10)")
+    ap.add_argument("--max-memory-restart", default=None,
+                    help="restart the child when its RSS exceeds this "
+                         "(PM2 spec: bytes, or K/M/G suffix, e.g. 512M)")
     ap.add_argument("--config", default=None,
                     help="ecosystem-shaped YAML to read supervision "
                          "keys from")
@@ -207,7 +263,10 @@ def main() -> None:
     cli = dict(max_restarts=args.max_restarts,
                min_uptime=args.min_uptime,
                restart_delay=args.restart_delay,
-               kill_timeout=args.kill_timeout)
+               kill_timeout=args.kill_timeout,
+               max_memory_bytes=(
+                   _mem_bytes(args.max_memory_restart)
+                   if args.max_memory_restart is not None else None))
     policy.update({k: v for k, v in cli.items() if v is not None})
     sys.exit(supervise(cmd, status_file=args.status_file, **policy))
 
