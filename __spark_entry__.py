@@ -148,6 +148,17 @@ ROTATION_EXEMPT = frozenset({
     "q_tumbling_hourly",              # tumbling window: q_session_windows_5m + the streaming windows parity suite keep the event-time surface emitted
     # Grown r8 alongside q_rolling_tukey_outliers:
     "q_percentiles_by_segment",       # static percentile table: q_rolling_tukey_outliers exercises exact quantiles in a window frame; text_doc_length_percentiles keeps the rank-based lane
+    # Grown r9 alongside cdc_watermark_sizing, dedup_winnowing_fingerprints,
+    # text_self_retrieval_mrr, embed_recall_at_k_curve (each pick has 8
+    # green driver rounds r1-r8 incl. the r7/r8 full-registry records):
+    "text_fingerprint_dedup",         # whole-doc md5: dedup_winnowing_fingerprints keeps the fingerprinting family rotating with strictly stronger (local) coverage; dedup_exact_union_self keeps exact dedup
+    "ann_ivf_probed",                 # IVF path: composed into ann_recall_report, ann_ivf_nprobe_sweep AND embed_recall_at_k_curve every round
+    "ann_pq_adc_rerank",              # PQ path: composed into both recall reports (recall@5 + the k-curve) every round; stays a pinned bench query
+    "q_sliding_hourly_30m",           # sliding window: q_session_windows_5m (rotating) + the streaming windows parity suite keep the event-time surface
+    "mm_jpeg_decode_features",        # gray JPEG decode moments: mm_phash_dct_near_dup + mm_image_entropy_census re-prove the gray decoder every round; mm_color_jpeg_decode_features keeps the color path
+    # Grown r9 alongside mm_audio_snr_estimate + curation_anneal_mixture:
+    "mm_wav_decode_features",         # whole-file WAV moments: mm_audio_snr_estimate + mm_audio_clipping_report + mm_audio_fingerprint_dedup re-prove the WAV decoder every round
+    "curation_source_mixing",         # static source weights: curation_anneal_mixture (rotating) supersets the shape with the two-phase schedule; curation_domain_mixture_weights keeps the single-phase lane
 })
 
 

@@ -415,7 +415,13 @@ def _encode_zz_block(w: "_BitWriter", zz, prev_dc: int,
     if s:
         w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
     run = 0
-    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    # one vectorized nonzero scan instead of a 63-step Python genexpr
+    # (this line was ~30% of encode time; flat blocks hit it hardest)
+    try:
+        nzi = zz.nonzero()[0]
+        last_nz = int(nzi[-1]) if len(nzi) and nzi[-1] > 0 else 0
+    except AttributeError:  # plain list (defensive)
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
     for i in range(1, last_nz + 1):
         v = int(zz[i])
         if v == 0:
@@ -448,11 +454,14 @@ def encode_jpeg_gray8(pixels, width: int, height: int) -> bytes:
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
     ph = (height + 7) // 8 * 8
     pw = (width + 7) // 8 * 8
-    padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    if ph == height and pw == width:
+        padded = img  # np.pad is ~30% of encode time on aligned frames
+    else:
+        padded = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
     m = _dct_matrix()
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-    q = np.array(_JPEG_Q_UNIT, dtype=np.float64)[np.array(_ZIGZAG).argsort()].reshape(8, 8)
+    q = _q_rowmajor(tuple(_JPEG_Q_UNIT))
 
     # One batched DCT over every block (raster order matches the scan
     # order below) instead of thousands of tiny per-block matmuls.
@@ -587,11 +596,10 @@ def _entropy_scan_bytes(payload: bytes, start: int) -> bytes:
     return payload[start:eoi]
 
 
-def decode_jpeg_gray8(payload: bytes) -> dict:
-    """Decode a baseline grayscale JPEG produced by any encoder using a
-    single non-subsampled component and one scan. Returns
-    {pixels: bytes, width, height}."""
-    import numpy as np
+def _parse_jpeg_gray8(payload: bytes) -> tuple:
+    """Marker walk shared by the full grayscale decoder and the DC-only
+    statistics path: returns (q_rowmajor, dc_table, ac_table, width,
+    height, scan_data) for a single-component baseline JPEG."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -654,6 +662,18 @@ def decode_jpeg_gray8(payload: bytes) -> dict:
 
     # qtables store zigzag order; map back to row-major like the encoder
     q = _q_rowmajor(tuple(qtables[qsel]))
+    return q, dc_table, ac_table, width, height, scan_data
+
+
+def decode_jpeg_gray8(payload: bytes) -> dict:
+    """Decode a baseline grayscale JPEG produced by any encoder using a
+    single non-subsampled component and one scan. Returns
+    {pixels: bytes, width, height}."""
+    import numpy as np
+
+    q, dc_table, ac_table, width, height, scan_data = (
+        _parse_jpeg_gray8(payload)
+    )
     m = _dct_matrix()
     ph = (height + 7) // 8 * 8
     pw = (width + 7) // 8 * 8
@@ -678,6 +698,57 @@ def decode_jpeg_gray8(payload: bytes) -> dict:
     )
     px = np.clip(np.rint(out[:height, :width] + 128.0), 0, 255).astype(np.uint8)
     return {"pixels": px.tobytes(), "width": width, "height": height}
+
+
+def decode_jpeg_gray8_dc_stats(payload: bytes) -> dict:
+    """DC-image statistics WITHOUT the inverse DCT — the compressed-
+    domain trick of Yeo & Liu 1995 (\"Rapid Scene Analysis on Compressed
+    Video\": the DC coefficient is 8x the block mean, so block-level
+    fingerprints never need pixel reconstruction). The entropy scan
+    still walks every coefficient (the bitstream has no block index),
+    but nothing is dequantized beyond DC and no 8x8 einsum or pixel
+    array is materialized — the decode cost drops to the Huffman walk.
+
+    Per block the reconstructed flat level is
+    ``clip(rint(dc * q00 / 8) + 128, 0, 255)`` — for a block whose AC
+    coefficients are all zero this IS the full decoder's pixel value
+    (only the [0,0] basis term survives the IDCT), so on flat-block
+    content (the MJPG synth family) sum/min/max computed here are
+    bit-equal to the pixel statistics; on general content they are the
+    standard DC-image approximations. Returns {width, height, n_blocks,
+    sum_pixels (64 * sum of block levels), px_min, px_max}."""
+    q, dc_table, ac_table, width, height, scan_data = (
+        _parse_jpeg_gray8(payload)
+    )
+    q00 = float(q[0, 0])  # _q_rowmajor returns an 8x8 float ndarray
+    nby = (height + 7) // 8
+    nbx = (width + 7) // 8
+    r = _BitReader(scan_data)
+    prev_dc = 0
+    scratch = [0] * 64
+    s_total = 0
+    mn, mx = 255, 0
+    for _ in range(nby * nbx):
+        scratch[0] = 0
+        prev_dc = _decode_zz_block(r, scratch, prev_dc, dc_table, ac_table)
+        # round-half-even like np.rint in the full decoder
+        level = int(_rint(prev_dc * q00 / 8.0)) + 128
+        level = 0 if level < 0 else (255 if level > 255 else level)
+        s_total += level
+        if level < mn:
+            mn = level
+        if level > mx:
+            mx = level
+    return {
+        "width": width, "height": height, "n_blocks": nby * nbx,
+        "sum_pixels": 64 * s_total, "px_min": mn, "px_max": mx,
+    }
+
+
+def _rint(x: float) -> float:
+    """numpy.rint without numpy: round-half-to-EVEN (banker's), which
+    Python's built-in round() already is for floats."""
+    return float(round(x))
 
 
 # ---------------------------------------------------------------------------
@@ -806,8 +877,9 @@ def encode_jpeg_color420(rgb_pixels, width: int, height: int) -> bytes:
     img = px.reshape(height, width, 3).astype(np.int64)
     ph = (height + 15) // 16 * 16
     pw = (width + 15) // 16 * 16
-    img = np.pad(img, ((0, ph - height), (0, pw - width), (0, 0)),
-                 mode="edge")
+    if ph != height or pw != width:  # skip the no-op pad (hot path)
+        img = np.pad(img, ((0, ph - height), (0, pw - width), (0, 0)),
+                     mode="edge")
     y, cb, cr = rgb_to_ycbcr_int(img[:, :, 0], img[:, :, 1], img[:, :, 2])
     # 4:2:0 — 2x2 floor-mean subsample of each chroma plane
     cb_s = cb.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) // 4

@@ -625,6 +625,42 @@ def sample_mjpeg_frames(media: DataFrame, *, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
 
 
+def sample_mjpeg_dc_signatures(
+    media: DataFrame, *, every_n: int = 2
+) -> DataFrame:
+    """Compressed-domain twin of :func:`sample_mjpeg_frames` (VERDICT r8
+    item 4): same demux + frame selection, but the per-frame
+    (sum, min, max) signature comes from the DC image
+    (media_codecs.decode_jpeg_gray8_dc_stats — Yeo & Liu 1995) instead
+    of full pixel reconstruction: no inverse DCT, no pixel array, no
+    byte-wise Python sum. On flat-block content (every synth MJPG
+    family) the values are bit-equal to the full decode's pixel
+    moments; on general content they are the standard DC-image
+    fingerprint — exactly what a frame dedup wants either way."""
+    from .media_codecs import decode_jpeg_gray8_dc_stats, decode_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "frame_no", "width", "height",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                for fno, frame in enumerate(decode_mjpeg(bytes(raw))):
+                    if fno % every_n:
+                        continue
+                    st = decode_jpeg_gray8_dc_stats(frame)
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["width"].append(st["width"])
+                    rows["height"].append(st["height"])
+                    rows["sum_pixels"].append(st["sum_pixels"])
+                    rows["px_min"].append(st["px_min"])
+                    rows["px_max"].append(st["px_max"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
 AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -521,6 +521,83 @@ def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ONE exchange keyed by collection feeds the distinct, the "
         "lag-window sort, and the final aggregate.",
 )
+@query(
+    "cdc_watermark_sizing",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    seq AS (
+      SELECT epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (
+               ORDER BY _ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+      FROM changes
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN hw IS NOT NULL AND t < hw
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(COALESCE(MAX(CASE WHEN hw IS NOT NULL AND t < hw
+                               THEN hw - t END), 0) AS BIGINT) AS worst_us
+      FROM seq
+    )
+    SELECT n_rows, n_late,
+           CAST((worst_us + 999999) // 1000000 AS BIGINT)
+             AS worst_lateness_s,
+           CAST(GREATEST(60,
+                (5 * ((worst_us + 999999) // 1000000 + 1) + 3) // 4)
+                AS BIGINT) AS sized_delay_s
+    FROM agg
+    """,
+    tags=("cdc", "streaming", "watermark", "decision"),
+    doc="Watermark sizing decision as an oracle-checked relation — the "
+        "single-row policy output behind streaming/windows.py "
+        "size_watermark_from_lateness (VERDICT r8 item 6): replay the "
+        "WAL change stream in arrival (_ver) order, track the GLOBAL "
+        "running max event time (the quantity Spark's watermark "
+        "subtracts its delay from — per-key lateness under-sizes it, "
+        "which is why this differs from cdc_late_arrival_report's "
+        "per-user census), and emit row count, late-row count, the "
+        "worst lateness in ceil whole seconds, and the sized delay "
+        "(1.25x safety factor as the exact integer (5*(w+1)+3) div 4, "
+        "floored at 60 s — no float in the value lane). "
+        "tests/test_watermark.py proves end to end that a window using "
+        "sized_delay_s admits every late event the census saw while a "
+        "zero delay drops them. Scale: the running max needs a single "
+        "total order, so run it over a bounded sample/time-slice of "
+        "the stream (as the helper documents), never the full 100 TB "
+        "history; the aggregate itself is one pass.",
+)
+def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
+                                initial_tick=0)
+    ts_us = F.unix_micros("ts")
+    w = Window.orderBy("_ver").rowsBetween(Window.unboundedPreceding, -1)
+    seq = rows.select(
+        ts_us.alias("t"), F.max(ts_us).over(w).alias("hw")
+    )
+    late = F.col("hw").isNotNull() & (F.col("t") < F.col("hw"))
+    agg = seq.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, F.col("hw") - F.col("t"))), F.lit(0)
+        ).cast("long").alias("worst_us"),
+    )
+    worst_s = F.expr("(worst_us + 999999) div 1000000")
+    return agg.select(
+        "n_rows", "n_late",
+        worst_s.cast("long").alias("worst_lateness_s"),
+        F.greatest(
+            F.lit(60).cast("long"),
+            F.expr("(5 * ((worst_us + 999999) div 1000000 + 1) + 3) div 4")
+            .cast("long"),
+        ).alias("sized_delay_s"),
+    )
+
+
 def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 

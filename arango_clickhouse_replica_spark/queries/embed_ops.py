@@ -725,6 +725,134 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_KS = (1, 3, 5)
+
+
+def _recall_curve_oracle() -> str:
+    brute = _REG["ann_cosine_topk_bruteforce"].oracle
+    approx_union = "\n      UNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id, rank"
+        f" FROM ({_REG[q].oracle})"
+        for m, q in _RECALL_SOURCES.items()
+    )
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return f"""
+    WITH exact_topk AS ({brute}),
+    approx_topk AS (
+      {approx_union}
+    ),
+    ks AS (SELECT unnest([{ks}]) AS k),
+    hits AS (
+      SELECT a.method, ks.k, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact_topk e
+      JOIN approx_topk a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      CROSS JOIN ks
+      WHERE e.rank <= ks.k AND a.rank <= ks.k
+      GROUP BY a.method, ks.k, e.query_id
+    ),
+    ex AS (
+      SELECT ks.k, query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact_topk CROSS JOIN ks WHERE rank <= ks.k
+      GROUP BY ks.k, query_id
+    ),
+    m AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
+    per AS (
+      SELECT m.method, ex.k, ex.query_id,
+             CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                        / CAST(ex.n_exact AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS r
+      FROM ex CROSS JOIN m
+      LEFT JOIN hits h ON h.query_id = ex.query_id AND h.k = ex.k
+                      AND h.method = m.method
+    )
+    SELECT method, CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_recall
+    FROM per GROUP BY method, k ORDER BY method, k
+    """
+
+
+@query(
+    "embed_recall_at_k_curve",
+    oracle=_recall_curve_oracle(),
+    tags=("similarity", "ann", "quality", "report"),
+    doc="Recall@k CURVE (k = 1/3/5) of the three approximate ANN scale "
+        "paths against the exact baseline — the depth axis "
+        "ann_recall_report (recall@5 only) and ann_ivf_nprobe_sweep "
+        "(the nprobe axis) do not measure: rank-1 recall is what a "
+        "single-answer retrieval consumer experiences, rank-5 what a "
+        "rerank stage sees, and the gap between them tells you whether "
+        "an index loses the TOP answer or just the tail (the number "
+        "that decides rerank depth). Sets truncate at rank <= k on "
+        "BOTH sides; per-(method,k,query) recalls ride the 6-dp "
+        "decimal lane before the cross-query mean. Scale: composes the "
+        "already-bounded pipelines (constant Q); the added cost is a "
+        "Q*k equi-join and method*k*Q aggregates.",
+)
+def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import ann_cosine_topk_bruteforce
+
+    ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    parts = []
+    for m in _RECALL_METHODS:
+        builder = _REG[_RECALL_SOURCES[m]].build
+        parts.append(
+            builder(spark, sf_dir).select(
+                F.lit(m).alias("method"), "query_id", "neighbor_id", "rank"
+            )
+        )
+    ap = parts[0]
+    for p in parts[1:]:
+        ap = ap.unionByName(p)
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
+    hits = (
+        ex.withColumnRenamed("rank", "e_rank")
+        .join(
+            ap.withColumnRenamed("rank", "a_rank"),
+            ["query_id", "neighbor_id"],
+        )
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("e_rank") <= F.col("k"))
+                & (F.col("a_rank") <= F.col("k")))
+        .groupBy("method", "k", "query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_ex = (
+        ex.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k", "query_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    methods = spark.createDataFrame(
+        [(m,) for m in _RECALL_METHODS], "method string"
+    )
+    per = (
+        n_ex.crossJoin(F.broadcast(methods))
+        .join(hits, ["method", "k", "query_id"], "left")
+        .select(
+            "method", "k",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"), 6)
+            .cast("decimal(18,6)").alias("r"),
+        )
+    )
+    return (
+        per.groupBy("method", "k")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.sum("r").cast("double") / F.count("*"), 6)
+            .alias("mean_recall"),
+        )
+        .select("method", F.col("k").cast("int").alias("k"),
+                "n_queries", "mean_recall")
+        .orderBy("method", "k")
+    )
+
+
 _OUTLIER_STATS_SQL = f"""
       SELECT cell, COUNT(*) AS n_members,
              CAST(SUM({_DEC_SQL.format(x='c_sim')}) AS DOUBLE) / COUNT(*)

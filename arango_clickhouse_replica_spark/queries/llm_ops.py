@@ -256,6 +256,126 @@ def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3   # tokens per k-gram
+_WINNOW_W = 4   # window of consecutive k-gram hashes per fingerprint
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+             len(t) - {_WINNOW_K - 1} AS np,
+             substr(md5(t[CAST(u.i AS INT)] || ' ' ||
+                        t[CAST(u.i + 1 AS INT)] || ' ' ||
+                        t[CAST(u.i + 2 AS INT)]), 1, 8) AS h
+      FROM toks, unnest(range(1, len(t) - {_WINNOW_K - 2})) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, p, np,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM win WHERE p <= np - {_WINNOW_W - 1}
+    ),
+    hot AS (
+      SELECT fp FROM sel GROUP BY fp
+      HAVING COUNT(*) > GREATEST(16, LEAST(64,
+        (SELECT COUNT(*) FROM documents) // 100))
+    ),
+    cold AS (
+      SELECT s.doc_id, s.fp FROM sel s
+      LEFT JOIN hot h USING (fp) WHERE h.fp IS NULL
+    )
+    SELECT doc_a, doc_b, n_shared FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) WHERE n_shared >= 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("text", "dedup", "fingerprint", "llm-pipeline"),
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+        "2003 — the MOSS local-fingerprinting algorithm): hash every "
+        f"{_WINNOW_K}-token k-gram (md5 hex prefix — identical in both "
+        "engines; lexicographic MIN over fixed-width hex == numeric "
+        f"MIN), select the minimum hash of every window of {_WINNOW_W} "
+        "consecutive k-grams (the winnowing guarantee: any shared run "
+        f"of >= {_WINNOW_K + _WINNOW_W - 1} tokens shares a selected "
+        "fingerprint — the coverage property whole-doc md5 "
+        "(text_fingerprint_dedup) and random minhash sampling both "
+        "lack), and pair documents sharing >= 2 selected fingerprints. "
+        "This is the partial-overlap detector (quotes, boilerplate, "
+        "plagiarized spans) that complements set-similarity dedup. "
+        "Scale: the window min is doc-partitioned (one shuffle by "
+        "doc_id the explode already needs), the selected set is ~1/w "
+        "of the k-grams, hot fingerprints past the bounded occupancy "
+        "cap (<= 64, the round-6 discipline) are dropped before the "
+        "pair join, so candidates stay linear; the join shuffles "
+        "8-char keys, never text.",
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    occ_cap = max(16, min(64, n_docs // 100))
+    k, w = _WINNOW_K, _WINNOW_W
+    # size(t) >= k guard first: Spark's sequence(1, 0) DESCENDS, it does
+    # not produce an empty array (the word_shingles lesson)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= k
+    )
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - (k - 1)).alias("np"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", "np", (F.col("p0") + 1).alias("p"),
+        F.substring(F.md5("gram"), 1, 8).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("p") <= F.col("np") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    hot = (
+        sel.groupBy("fp").agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > occ_cap)
+        .select("fp")
+    )
+    cold = sel.join(hot, ["fp"], "left_anti")
+    return (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "decontam_ngram_overlap",
     oracle=f"""
@@ -4043,4 +4163,130 @@ def text_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_split_words",
         )
         .orderBy("lang")
+    )
+
+
+# Anneal gate thresholds (HQ = docs that survive): word count and
+# type-token-ratio floors that split the fixture non-trivially.
+_ANNEAL_MIN_WORDS = 40
+_ANNEAL_TTR_FLOOR = 0.45
+_ANNEAL_ALPHA = 0.7
+_ANNEAL_SPLIT = 0.9  # pretrain share of the token budget
+
+
+@query(
+    "curation_anneal_mixture",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, len(string_split(text, ' ')) AS nw,
+             len(list_distinct(string_split(text, ' '))) AS dw
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(SUM(nw) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN nw >= {_ANNEAL_MIN_WORDS}
+                       AND CAST(dw AS DOUBLE) / nw >= {_ANNEAL_TTR_FLOOR}
+                      THEN nw ELSE 0 END) AS BIGINT) AS hq_tokens
+      FROM per_doc GROUP BY source
+    ),
+    pre AS (
+      SELECT 'pretrain' AS phase, source, n_tokens,
+             n_tokens AS eligible_tokens,
+             round(pow(CAST(n_tokens AS DOUBLE), {_ANNEAL_ALPHA})
+                   / SUM(pow(CAST(n_tokens AS DOUBLE), {_ANNEAL_ALPHA}))
+                       OVER (), 6) AS share,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      FROM per_src
+    ),
+    ann AS (
+      SELECT 'anneal' AS phase, source, n_tokens,
+             hq_tokens AS eligible_tokens,
+             CASE WHEN SUM(hq_tokens) OVER () = 0 THEN 0.0
+                  ELSE CAST((2 * hq_tokens * 1000000
+                             + SUM(hq_tokens) OVER ())
+                            // (2 * SUM(hq_tokens) OVER ())
+                            AS DOUBLE) / 1000000.0 END AS share,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      FROM per_src
+    ),
+    u AS (SELECT * FROM pre UNION ALL SELECT * FROM ann)
+    SELECT phase, source, n_tokens, eligible_tokens, share,
+           CASE WHEN eligible_tokens = 0 THEN 0.0
+                ELSE round(CASE WHEN phase = 'pretrain'
+                                THEN {_ANNEAL_SPLIT} ELSE {1 - _ANNEAL_SPLIT}
+                           END * CAST(total AS DOUBLE) * share
+                           / CAST(eligible_tokens AS DOUBLE), 6)
+           END AS effective_epochs
+    FROM u ORDER BY phase, source
+    """,
+    tags=("curation", "mixture", "schedule", "llm-pipeline", "decision"),
+    doc="Two-phase anneal schedule — the pretrain->anneal data plan "
+        "(the end-of-training high-quality upweight of Llama-3/"
+        "MiniCPM-style recipes): phase 'pretrain' spends "
+        f"{_ANNEAL_SPLIT:.0%} of the token budget with temperature-"
+        f"{_ANNEAL_ALPHA} source smoothing (the mBERT rule, same lane "
+        "as curation_temperature_mixture); phase 'anneal' spends the "
+        "rest proportionally to each source's HIGH-QUALITY token mass "
+        f"(docs with >= {_ANNEAL_MIN_WORDS} words and TTR >= "
+        f"{_ANNEAL_TTR_FLOOR} — a deterministic stand-in for the "
+        "quality-classifier gate). effective_epochs = phase budget x "
+        "share / eligible tokens is the number the curator actually "
+        "checks: an anneal source seeing >> 1 epoch is being memorized. "
+        "Anneal shares are exact integer micro-unit ratios; the pow() "
+        "smoothing rides the 6-dp round lane; normalizers are windows "
+        "over the |sources|-row relation (no 1-row attach, no BNLJ). "
+        "Scale: one map-side-combinable pass over the corpus, then "
+        "|sources| x 2 rows.",
+)
+def curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    nw = F.size(toks)
+    dw = F.size(F.array_distinct(toks))
+    hq = (nw >= _ANNEAL_MIN_WORDS) & (
+        dw.cast("double") / nw >= _ANNEAL_TTR_FLOOR
+    )
+    per_src = docs.select(
+        "source", nw.alias("nw"), F.when(hq, nw).otherwise(0).alias("hqw")
+    ).groupBy("source").agg(
+        F.sum("nw").cast("long").alias("n_tokens"),
+        F.sum("hqw").cast("long").alias("hq_tokens"),
+    )
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(_ANNEAL_ALPHA))
+    pre = per_src.select(
+        F.lit("pretrain").alias("phase"), "source", "n_tokens",
+        F.col("n_tokens").alias("eligible_tokens"),
+        F.round(pw / F.sum(pw).over(w_all), 6).alias("share"),
+        F.sum("n_tokens").over(w_all).cast("long").alias("total"),
+    )
+    hq_sum = F.sum("hq_tokens").over(w_all)
+    ann = per_src.select(
+        F.lit("anneal").alias("phase"), "source", "n_tokens",
+        F.col("hq_tokens").alias("eligible_tokens"),
+        F.when(hq_sum == 0, F.lit(0.0)).otherwise(
+            F.expr(
+                "cast((2 * hq_tokens * 1000000 + sum(hq_tokens) over ())"
+                " div (2 * sum(hq_tokens) over ()) as double) / 1000000.0"
+            )
+        ).alias("share"),
+        F.sum("n_tokens").over(w_all).cast("long").alias("total"),
+    )
+    u = pre.unionByName(ann)
+    frac = F.when(
+        F.col("phase") == "pretrain", F.lit(_ANNEAL_SPLIT)
+    ).otherwise(F.lit(1 - _ANNEAL_SPLIT))
+    return (
+        u.select(
+            "phase", "source", "n_tokens", "eligible_tokens", "share",
+            F.when(F.col("eligible_tokens") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    frac * F.col("total").cast("double") * F.col("share")
+                    / F.col("eligible_tokens").cast("double"), 6)
+            ).alias("effective_epochs"),
+        )
+        .orderBy("phase", "source")
     )

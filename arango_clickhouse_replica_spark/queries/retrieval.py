@@ -1158,3 +1158,176 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+# Self-retrieval query set: one query per sampled document (bounded by
+# a CONSTANT, the ANN Q_MAX discipline), 3 rarest terms per query doc.
+_MRR_Q_MOD = 40
+_MRR_Q_MAX = 128
+_MRR_N_TERMS = 3
+_MRR_K = 10
+
+
+@query(
+    "text_self_retrieval_mrr",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ({_DOC_WORDS_SQL}) GROUP BY doc_id, w
+    ),
+    cw AS ({_CORPUS_COUNTS_SQL}),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dw GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    qdocs AS (
+      SELECT doc_id AS q FROM documents WHERE doc_id % {_MRR_Q_MOD} = 0
+      ORDER BY doc_id LIMIT {_MRR_Q_MAX}
+    ),
+    qterms AS (
+      SELECT q, w FROM (
+        SELECT qd.q, dw.w,
+               ROW_NUMBER() OVER (PARTITION BY qd.q
+                                  ORDER BY cw.df_w ASC, dw.w) AS rn
+        FROM qdocs qd
+        JOIN dw ON dw.doc_id = qd.q
+        JOIN cw ON cw.w = dw.w
+      ) WHERE rn <= {_MRR_N_TERMS}
+    ),
+    idf AS (
+      SELECT w, {_LOG2_DEC_SQL.format(
+          x="(CAST(n_docs AS DOUBLE) - CAST(df_w AS DOUBLE) + 0.5)"
+            " / (CAST(df_w AS DOUBLE) + 0.5) + 1.0")} AS idf_w
+      FROM cw, stats
+      WHERE w IN (SELECT DISTINCT w FROM qterms)
+    ),
+    scores AS (
+      SELECT qt.q, dw.doc_id,
+             CAST(SUM(CAST(round(
+               CAST(idf.idf_w AS DOUBLE) * CAST(dw.tf AS DOUBLE) * ({_K1} + 1.0)
+               / (CAST(dw.tf AS DOUBLE) + {_K1} * (1.0 - {_B}
+                  + {_B} * CAST(dl.dl AS DOUBLE) * CAST(stats.n_docs AS DOUBLE)
+                        / CAST(stats.total_len AS DOUBLE))),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM qterms qt
+      JOIN dw ON dw.w = qt.w
+      JOIN idf ON idf.w = qt.w
+      JOIN dl ON dl.doc_id = dw.doc_id
+      CROSS JOIN stats
+      GROUP BY qt.q, dw.doc_id
+    ),
+    ranked AS (
+      SELECT q, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q
+                                ORDER BY bm25 DESC, doc_id) AS rnk
+      FROM scores
+    )
+    SELECT qd.q AS query_doc,
+           CAST(COALESCE(MAX(CASE WHEN r.doc_id = qd.q
+                              AND r.rnk <= {_MRR_K}
+                         THEN r.rnk END), 0) AS BIGINT) AS self_rank,
+           COALESCE(MAX(CASE WHEN r.doc_id = qd.q AND r.rnk <= {_MRR_K}
+                        THEN round(1.0 / r.rnk, 6) END), 0.0) AS rr
+    FROM qdocs qd LEFT JOIN ranked r ON r.q = qd.q
+    GROUP BY qd.q
+    ORDER BY query_doc
+    """,
+    tags=("text", "retrieval", "evaluation", "report", "llm-pipeline"),
+    doc="Self-retrieval MRR audit — the index sanity check a RAG/"
+        "retrieval pipeline runs before trusting its chunking+scoring "
+        "stack (each sampled document queried by its own 3 RAREST terms "
+        "must rank itself highly; a drop flags tokenizer, dedup-rewrite "
+        "or index corruption): per query document (doc_id % 40 slice "
+        "capped at a CONSTANT 128 — the ANN Q_MAX discipline), BM25-"
+        "score the 3 lowest-document-frequency terms (word-asc "
+        "tiebreak) against the corpus and report the document's own "
+        "rank (0 if outside top-10) and reciprocal rank. Per-term "
+        "scores ride the 6-dp decimal lane; idf uses the verified "
+        "round+DECIMAL log2 lane; ranks tiebreak on doc_id. Scale: the "
+        "query-term relation is <= 3*128 rows (broadcast); the scoring "
+        "join hits only documents containing a query term (rare terms "
+        "-> small df postings, the inverted-index access path); one "
+        "groupBy (q, doc) + a q-partitioned rank window over those "
+        "postings.",
+)
+def text_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = _doc_words(spark, sf_dir)
+    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    cw = dw.groupBy("w").agg(
+        F.count("*").alias("df_w"), F.sum("tf").alias("c_w")
+    )
+    dl = dw.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qdocs = (
+        docs.filter(F.col("doc_id") % _MRR_Q_MOD == 0)
+        .orderBy("doc_id")
+        .limit(_MRR_Q_MAX)
+        .select(F.col("doc_id").alias("q"))
+    )
+    w_rare = Window.partitionBy("q").orderBy(F.asc("df_w"), F.asc("w"))
+    qterms = (
+        F.broadcast(qdocs)
+        .join(dw, F.col("doc_id") == F.col("q"))
+        .join(cw, "w")
+        .withColumn("rn", F.row_number().over(w_rare))
+        .filter(F.col("rn") <= _MRR_N_TERMS)
+        .select("q", "w")
+    )
+    idf = (
+        cw.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.expr(_LOG2_DEC.format(
+                x="(cast(n_docs as double) - cast(df_w as double) + 0.5)"
+                  " / (cast(df_w as double) + 0.5) + 1.0")).alias("idf_w"),
+        )
+    )
+    scores = (
+        dw.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q", "doc_id",
+            F.round(
+                F.col("idf_w").cast("double") * F.col("tf").cast("double")
+                * F.lit(_K1 + 1.0)
+                / (F.col("tf").cast("double") + F.lit(_K1)
+                   * (F.lit(1.0 - _B) + F.lit(_B)
+                      * F.col("dl").cast("double")
+                      * F.col("n_docs").cast("double")
+                      / F.col("total_len").cast("double"))),
+                6,
+            ).cast("decimal(18,6)").alias("term_score"),
+        )
+        .groupBy("q", "doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
+    )
+    w_rank = Window.partitionBy("q").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    ranked = scores.withColumn("rnk", F.row_number().over(w_rank))
+    hit = F.when(
+        (F.col("doc_id") == F.col("q")) & (F.col("rnk") <= _MRR_K),
+        F.col("rnk"),
+    )
+    return (
+        F.broadcast(qdocs)
+        .join(ranked, "q", "left")
+        .groupBy("q")
+        .agg(
+            F.coalesce(F.max(hit), F.lit(0)).cast("long").alias("self_rank"),
+            F.coalesce(
+                F.max(F.when(hit.isNotNull(), F.round(F.lit(1.0) / F.col("rnk"), 6))),
+                F.lit(0.0),
+            ).alias("rr"),
+        )
+        .select(F.col("q").alias("query_doc"), "self_rank", "rr")
+        .orderBy("query_doc")
+    )

@@ -48,4 +48,11 @@ def get_spark(app_name: str = "arango-clickhouse-replica-spark") -> SparkSession
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # Optional connector jars for the live-backend harness
+    # (tests/test_live_backends.py): e.g. the Kafka source and the
+    # ClickHouse JDBC driver. Must be set BEFORE the first session in
+    # the process — jars cannot join a running JVM.
+    packages = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     return builder.getOrCreate()

@@ -383,3 +383,85 @@ def streaming_anomaly_zscore(
     return df.groupBy("user_id").applyInPandasWithState(
         score, _ANOM_SCHEMA, _ANOM_STATE, "append", timeout
     )
+
+
+_LATE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_rows", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("worst_lateness_us", T.LongType()),
+        T.StructField("running_n_rows", T.LongType()),
+        T.StructField("running_n_late", T.LongType()),
+        T.StructField("running_worst_us", T.LongType()),
+        T.StructField("hw_us", T.LongType()),
+    ]
+)
+_LATE_STATE = "hw long, n_rows long, n_late long, worst_us long"
+
+
+def streaming_late_arrival_monitor(
+    df: DataFrame, *, arrival_col: str = "_ver", ts_col: str = "ts"
+) -> DataFrame:
+    """Live twin of the batch ``cdc_watermark_sizing`` census (VERDICT
+    r8 item 6 follow-through): carries the GLOBAL running max event
+    time across micro-batches in the state store and emits, per batch,
+    how many rows arrived behind it and the worst observed lateness —
+    the live signal an operator compares against the deployed
+    ``withWatermark`` delay to catch disorder drifting past the sized
+    bound BEFORE the window silently drops rows. Parity with the batch
+    census is exact (tests/test_streaming_stateful.py): rows sort by
+    ``arrival_col`` after concatenating all Arrow chunks, lateness is
+    integer microseconds against the pre-batch high-water mark updated
+    row by row — the same fold the batch window computes.
+
+    Scale: the running max needs ONE global key (the same single total
+    order the batch census needs); the state is four longs. Feed this a
+    per-partition PRE-aggregated or sampled stream when row volume is
+    high — the monitor's value is the scalar trend, not per-row rows.
+    """
+
+    def census(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+               ) -> Iterable[pd.DataFrame]:
+        hw, n_rows, n_late, worst = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((hw, n_rows, n_late, worst))
+            return
+        batch = pd.concat(chunks).sort_values(arrival_col)
+        b_late = 0
+        b_worst = 0
+        for t in batch[ts_col]:
+            t_us = int(t.value // 1000)  # pandas Timestamp ns -> us
+            if hw is not None and t_us < hw:
+                b_late += 1
+                lateness = hw - t_us
+                if lateness > b_worst:
+                    b_worst = lateness
+            if hw is None or t_us > hw:
+                hw = t_us
+        n_rows += len(batch)
+        n_late += b_late
+        worst = max(worst, b_worst)
+        state.update((hw, n_rows, n_late, worst))
+        yield pd.DataFrame(
+            {
+                "batch_rows": [len(batch)],
+                "n_late": [b_late],
+                "worst_lateness_us": [b_worst],
+                "running_n_rows": [n_rows],
+                "running_n_late": [n_late],
+                "running_worst_us": [worst],
+                "hw_us": [hw],
+            }
+        )
+
+    return (
+        df.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandasWithState(
+            census, _LATE_SCHEMA, _LATE_STATE, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

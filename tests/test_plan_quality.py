@@ -175,6 +175,16 @@ BNLJ_ALLOWED = {
         "(the same allowlisted O(N*16) narrow pass as "
         "embed_kmeans_lloyd); top-2 selection is a bounded map-side "
         "aggregate, never a window over the crossed relation",
+    "text_self_retrieval_mrr":
+        "the only BNLJs are 1-row corpus-stats broadcast attaches onto "
+        "the idf relation and the posting scores (O(V*1)/O(N*1) literal "
+        "attaches, the text_bm25_topk shape); the scoring join is a "
+        "hash equi-join on the <=384-row broadcast query-term relation",
+    "embed_recall_at_k_curve":
+        "inherits ann_cosine_topk_bruteforce's allowlisted bounded-Q "
+        "broadcast loop for the exact baseline plus ann_ivf_probed/"
+        "ann_pq_adc_rerank's allowlisted constant-size assignment "
+        "loops; the k axis is a 3-row broadcast attach",
     "dedup_minhash_band_sweep":
         "the only BNLJ is the 1-row union-true-total broadcast attach "
         "onto the 3-row per-config relation (O(3x1)); every candidate "

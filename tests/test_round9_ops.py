@@ -95,3 +95,93 @@ def test_bruteforce_query_side_is_bounded(spark, sf_dir):
     df = QUERIES["ann_cosine_topk_bruteforce"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert f"GlobalLimit {Q_MAX}" in plan or f"limit={Q_MAX}" in plan, plan
+
+
+def test_jpeg_dc_stats_match_full_decode_on_flat_blocks():
+    """The DC-image fast path (decode_jpeg_gray8_dc_stats) must be
+    bit-equal to the full decoder's pixel moments on flat-block frames
+    — the property that lets mm_video_frame_dedup skip the IDCT."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        decode_jpeg_gray8_dc_stats,
+        encode_jpeg_gray8,
+    )
+
+    # flat 8x8 blocks at assorted levels, 16x16 image = 4 blocks
+    for levels in ([16, 254, 17, 128], [0, 255, 77, 78], [200, 200, 1, 99]):
+        px = bytearray(16 * 16)
+        for bi, lv in enumerate(levels):
+            by, bx = divmod(bi, 2)
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * 16 + bx * 8 + x] = lv
+        payload = encode_jpeg_gray8(bytes(px), 16, 16)
+        full = decode_jpeg_gray8(payload)
+        fp = full["pixels"]
+        dc = decode_jpeg_gray8_dc_stats(payload)
+        assert dc["width"] == 16 and dc["height"] == 16
+        assert dc["sum_pixels"] == sum(fp)
+        assert dc["px_min"] == min(fp)
+        assert dc["px_max"] == max(fp)
+
+
+def test_jpeg_dc_stats_general_content_is_dc_image():
+    """On NON-flat content the DC path returns block-mean statistics
+    (the documented Yeo-Liu DC image), bounded by the true pixel
+    range — never an error."""
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_jpeg_gray8,
+        decode_jpeg_gray8_dc_stats,
+        encode_jpeg_gray8,
+    )
+
+    px = bytes((7 * x + 13 * y) % 256 for y in range(16) for x in range(16))
+    payload = encode_jpeg_gray8(px, 16, 16)
+    full = decode_jpeg_gray8(payload)["pixels"]
+    dc = decode_jpeg_gray8_dc_stats(payload)
+    assert dc["n_blocks"] == 4
+    # block means sit inside the decoded pixel range
+    assert min(full) <= dc["px_min"] <= dc["px_max"] <= max(full)
+    # total mass within one quantization step per block of the truth
+    assert abs(dc["sum_pixels"] - sum(full)) <= 64 * 4 * 8
+
+
+def test_watermark_helper_matches_sized_relation(spark, sf_dir):
+    """streaming/windows.size_watermark_from_lateness must agree with
+    the oracle-checked cdc_watermark_sizing relation (one policy, one
+    number)."""
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.streaming.windows import (
+        size_watermark_from_lateness,
+    )
+
+    row = QUERIES["cdc_watermark_sizing"].build(spark, sf_dir).collect()[0]
+    assert size_watermark_from_lateness(spark, sf_dir) == (
+        f"{row.sized_delay_s} seconds"
+    )
+    # the natural fixture is in order: the floor dominates
+    assert row.n_late == 0 and row.sized_delay_s == 60
+
+
+def test_anneal_mixture_invariants(spark, sf_dir):
+    """Shares sum to ~1 per phase, the anneal phase upweights
+    high-quality sources relative to raw mass, and effective epochs
+    are consistent with the declared budget split."""
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    rows = QUERIES["curation_anneal_mixture"].build(spark, sf_dir).collect()
+    phases = {}
+    for r in rows:
+        phases.setdefault(r.phase, []).append(r)
+    assert set(phases) == {"pretrain", "anneal"}
+    for ph, rs in phases.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-3, ph
+        for r in rs:
+            if r.eligible_tokens:
+                total = sum(x.n_tokens for x in rs)
+                frac = 0.9 if ph == "pretrain" else 0.1
+                want = frac * total * r.share / r.eligible_tokens
+                assert abs(r.effective_epochs - want) < 1e-5
+    # the gate must actually split the corpus (non-degenerate anneal)
+    ann = phases["anneal"]
+    assert 0 < sum(r.eligible_tokens for r in ann) < sum(r.n_tokens for r in ann)

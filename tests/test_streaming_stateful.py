@@ -345,3 +345,64 @@ def test_micro6_matches_spark_round(spark):
     for row in df.collect():
         want = int(row.r.scaleb(6))
         assert _micro6(row.v) == want, (row.v, _micro6(row.v), want)
+
+
+def test_streaming_late_arrival_monitor_parity(spark, tmp_path):
+    """The live lateness census must fold the same global running-max
+    as the batch cdc_watermark_sizing relation, across a micro-batch
+    boundary (state carries the high-water mark)."""
+    import datetime
+
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_late_arrival_monitor,
+    )
+
+    t0 = datetime.datetime(2026, 4, 1)
+    sec = datetime.timedelta(seconds=1)
+    # batch 1: in order; batch 2: opens 2940 s behind the b1 high-water
+    # mark (10 rows), then resumes on time
+    b1 = [(i, t0 + 60 * i * sec) for i in range(100)]
+    b2 = [(100 + j, t0 + (3000 + j) * sec) for j in range(10)] + [
+        (110 + j, t0 + (6000 + 60 * j) * sec) for j in range(10)
+    ]
+
+    # independent python fold = the expected census
+    hw, n_late, worst = None, 0, 0
+    for _, ts in b1 + b2:
+        t_us = int(ts.timestamp() * 1_000_000)
+        if hw is not None and t_us < hw:
+            n_late += 1
+            worst = max(worst, hw - t_us)
+        hw = t_us if hw is None else max(hw, t_us)
+
+    schema = "_ver long, ts timestamp"
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        q = (
+            streaming_late_arrival_monitor(
+                spark.readStream.schema(
+                    spark.createDataFrame(rows, schema).schema
+                ).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.running_n_rows
+    )
+    assert len(got) == 2
+    final = got[-1]
+    assert final.running_n_rows == 120
+    assert final.running_n_late == n_late and n_late == 10
+    assert final.running_worst_us == worst
+    assert final.hw_us == hw
+    # batch-1 row saw no disorder
+    assert got[0].n_late == 0 and got[0].worst_lateness_us == 0

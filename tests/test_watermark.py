@@ -76,3 +76,83 @@ def test_in_order_stream_matches_batch(spark, sf_dir, tmp_path):
     g = {(r.window_start, r.event_type): (r.n, r.total_value) for r in got.collect()}
     w = {(r.window_start, r.event_type): (r.n, r.total_value) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def _disordered_rows(spark):
+    """Arrival-ordered rows with KNOWN cross-batch event-time disorder:
+    run 1 covers t0..t0+99min in order; run 2 opens with 10 events
+    whose event time is ~49 minutes behind the run-1 high-water mark,
+    then continues on time. Returns (run1_df, run2_df, full_df)."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 3, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "arr long, ts timestamp, event_type string, value double"
+        )
+
+    sec = datetime.timedelta(seconds=1)
+    r1 = [(i, t0 + 60 * i * sec, "click" if i % 2 else "view", float(i % 7))
+          for i in range(100)]
+    late = [(100 + j, t0 + (3000 + j) * sec, "late", 1.0) for j in range(10)]
+    tail = [(110 + j, t0 + (6000 + 60 * j) * sec, "view", 2.0)
+            for j in range(10)]
+    return mk(r1), mk(late + tail), mk(r1 + late + tail)
+
+
+def test_sized_watermark_admits_measured_late_events(spark, tmp_path):
+    """VERDICT r8 item 6 end to end: the delay sized from the global
+    lateness measurement admits every late event across a checkpointed
+    watermark advance, while a zero delay provably drops them."""
+    from arango_clickhouse_replica_spark.streaming.windows import (
+        global_lateness_seconds,
+    )
+
+    run1, run2, full = _disordered_rows(spark)
+    worst = global_lateness_seconds(full, ts_col="ts", arrival_col="arr")
+    assert 2930 <= worst <= 2950  # the constructed ~49 min disorder
+    import math
+    delay = f"{max(60, math.ceil((worst + 1) * 1.25))} seconds"
+
+    import datetime
+    flush = spark.createDataFrame(
+        [(10_000, datetime.datetime(2026, 3, 3), "flush", 0.0)],
+        "arr long, ts timestamp, event_type string, value double",
+    )
+
+    def drive(wm, tag):
+        src, out, ckpt = (str(tmp_path / f"{tag}_{d}")
+                          for d in ("src", "out", "ckpt"))
+        os.makedirs(src)
+        ev_schema = run1.drop("arr").schema
+        for batch in (run1, run2, flush):
+            batch.drop("arr").coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(ev_schema).parquet(src)
+            q = (
+                tumbling_counts(stream, watermark=wm)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return {
+            (r.window_start, r.event_type): r.n
+            for r in spark.read.parquet(out).collect()
+            if r.event_type != "flush"
+        }
+
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in full.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert drive(delay, "sized") == want
+    dropped = drive("0 seconds", "zero")
+    assert sum(dropped.values()) < sum(want.values())
+    assert not any(et == "late" for _, et in dropped)

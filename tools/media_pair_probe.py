@@ -60,7 +60,7 @@ def candidate_count(spark, sf_dir: str, op: str) -> int:
     from arango_clickhouse_replica_spark.operators.multimodal import (
         extract_ahash,
         extract_phash,
-        sample_mjpeg_frames,
+        sample_mjpeg_dc_signatures,
         synth_group_rgb_png_media,
         synth_mjpeg_group_media,
         synth_phash_group_media,
@@ -76,7 +76,7 @@ def candidate_count(spark, sf_dir: str, op: str) -> int:
 
     if op == "mm_video_frame_dedup":
         occ_cap = frame_sig_occupancy_cap(n_docs)
-        sig = sample_mjpeg_frames(
+        sig = sample_mjpeg_dc_signatures(
             synth_mjpeg_group_media(docs), every_n=1
         ).select(
             F.col("media_id").alias("doc_id"),

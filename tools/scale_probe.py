@@ -156,6 +156,12 @@ PROBES = [
     "curation_filter_agreement",
     "mm_media_dataset_card",
     "q_rolling_tukey_outliers",
+    "cdc_watermark_sizing",
+    "dedup_winnowing_fingerprints",
+    "text_self_retrieval_mrr",
+    "embed_recall_at_k_curve",
+    "mm_audio_snr_estimate",
+    "curation_anneal_mixture",
 ]
 
 
