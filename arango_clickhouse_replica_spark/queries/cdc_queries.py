@@ -521,6 +521,37 @@ def cdc_compaction_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ONE exchange keyed by collection feeds the distinct, the "
         "lag-window sort, and the final aggregate.",
 )
+def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    n_env = env.groupBy("cuid").agg(
+        F.count("*").cast("long").alias("n_envelopes")
+    )
+    ticks = env.select("cuid", "tick").distinct()
+    w = Window.partitionBy("cuid").orderBy("tick")
+    gaps = ticks.withColumn(
+        "gap", F.col("tick") - F.lag("tick").over(w) - 1
+    )
+    return (
+        gaps.groupBy("cuid")
+        .agg(
+            F.count("*").cast("long").alias("n_ticks"),
+            F.min("tick").cast("long").alias("min_tick"),
+            F.max("tick").cast("long").alias("max_tick"),
+            (F.max("tick") - F.min("tick") + 1 - F.count("*"))
+            .cast("long").alias("n_missing"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .join(F.broadcast(n_env), "cuid")
+        .select(
+            "cuid", "n_envelopes", "n_ticks", "min_tick", "max_tick",
+            "n_missing", "max_gap",
+        )
+        .orderBy("cuid")
+    )
+
+
 @query(
     "cdc_watermark_sizing",
     oracle=f"""
@@ -598,32 +629,3 @@ def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    env = synthetic_event_envelopes(spark, sf_dir)
-    n_env = env.groupBy("cuid").agg(
-        F.count("*").cast("long").alias("n_envelopes")
-    )
-    ticks = env.select("cuid", "tick").distinct()
-    w = Window.partitionBy("cuid").orderBy("tick")
-    gaps = ticks.withColumn(
-        "gap", F.col("tick") - F.lag("tick").over(w) - 1
-    )
-    return (
-        gaps.groupBy("cuid")
-        .agg(
-            F.count("*").cast("long").alias("n_ticks"),
-            F.min("tick").cast("long").alias("min_tick"),
-            F.max("tick").cast("long").alias("max_tick"),
-            (F.max("tick") - F.min("tick") + 1 - F.count("*"))
-            .cast("long").alias("n_missing"),
-            F.max("gap").cast("long").alias("max_gap"),
-        )
-        .join(F.broadcast(n_env), "cuid")
-        .select(
-            "cuid", "n_envelopes", "n_ticks", "min_tick", "max_tick",
-            "n_missing", "max_gap",
-        )
-        .orderBy("cuid")
-    )
