@@ -74,7 +74,6 @@ ROTATION_EXEMPT = frozenset({
     "q_unpivot_order_metrics",        # stack(): mm_ahash_near_dup bands
     "q_pct_of_total_by_nation",       # share-of-total: q_mom_revenue_growth
     "q_weighted_avg_discount",        # weighted agg: q1_pricing_summary
-    "q_sliding_hourly_30m",           # sliding window: q_tumbling_hourly
     # Grown r7 alongside the 3 color-codec registrations (each pick has
     # 6 green driver rounds r1-r6):
     "q_rollup_revenue_by_year_status",  # ROLLUP: q_grouping_sets_revenue superset
@@ -83,7 +82,7 @@ ROTATION_EXEMPT = frozenset({
     # Grown r7 alongside the 4 retrieval/LM/curation registrations
     # (rrf, bigram LM, matryoshka, DSIR); each pick has 4-6 green
     # driver rounds plus the r7 full-registry record:
-    "q_json_extract_props",           # JSON paths: q_variant_schemaless
+    "q_json_extract_props",           # JSON paths: cdc_schema_drift_census (rotating) parses real JSON key sets end-to-end
     "q_explode_token_counts",         # explode+count: every text_* explode query
     "q_argmax_latest_order",          # argmax: q_asof_join_latest_order, cdc_latest_state
     "q_top_customers",                # global top-N: every *_topk TakeOrdered query
@@ -121,7 +120,7 @@ ROTATION_EXEMPT = frozenset({
     "dedup_simhash_fingerprints",     # fingerprint build: dedup_simhash_hamming_pairs builds the same signatures AND the band join
     "mm_payload_stats",               # raw byte stats: subsumed by the real codec decode family (mm_wav/png/jpeg_decode_features)
     "mm_frame_sample",                # fake-decode frame sampling: mm_mjpeg_frame_sample is the real demux path
-    "text_token_stats",               # basic token counts: text_doc_length_percentiles + text_c4_heuristics cover the family
+    "text_token_stats",               # basic token counts: text_doc_length_percentiles + text_c4_line_cleaning cover the family
     # Grown r8 alongside embed_ood_mahalanobis + curation_coreset_kcenter
     # (each pick has 7 green driver rounds r1-r7 plus the r7 and r8
     # full-registry records):
@@ -159,6 +158,27 @@ ROTATION_EXEMPT = frozenset({
     # Grown r9 alongside mm_audio_snr_estimate + curation_anneal_mixture:
     "mm_wav_decode_features",         # whole-file WAV moments: mm_audio_snr_estimate + mm_audio_clipping_report + mm_audio_fingerprint_dedup re-prove the WAV decoder every round
     "curation_source_mixing",         # static source weights: curation_anneal_mixture (rotating) supersets the shape with the two-phase schedule; curation_domain_mixture_weights keeps the single-phase lane
+    # Grown r9 alongside q_distinct_minvalue_sketch (pick has 8 green
+    # driver rounds r1-r8 incl. the r7/r8 full-registry records):
+    "q_approx_distinct_customers",    # HLL++ within-5pct boolean: q_distinct_sketch_merge (rotating) keeps a sketch lane rotating whose estimates themselves hash-match the oracle (strictly stronger check)
+    # Grown r9 alongside cdc_schema_drift_census, cdc_txn_boundary_report,
+    # text_c4_line_cleaning, mm_aspect_bucket_census (each pick has 8
+    # green driver rounds r1-r8 incl. the r9 211/211 full-registry
+    # record):
+    "text_c4_heuristics",             # whole-doc C4 pass flags: text_c4_line_cleaning (rotating) applies the same four rules per LINE and proves the reassembled text by checksum — strict superset of the rule surface
+    "q_variant_schemaless",           # JSON-path extraction over schemaless props: cdc_schema_drift_census (rotating) parses real variant payload key sets end-to-end (json_object_keys over three producer versions)
+    "dedup_minhash_lsh_candidates",   # raw LSH candidate listing: dedup_minhash_band_sweep (rotating) rebuilds the same shingle->lane-min->band-bucket join across three layouts with exact-Jaccard verification every round
+    "text_bpe_merge_pairs",           # single merge-pair count: text_bpe_train_steps (rotating) re-runs the pair counting inside every training step
+    # Grown r9 alongside decontam_bloom_prefilter, q_heavy_hitters_countmin,
+    # mm_aspect_resize_plan (each pick has 8 green driver rounds r1-r8
+    # incl. the r9 211/211 full-registry record):
+    "decontam_ngram_overlap",         # exact eval-shingle overlap: decontam_bloom_prefilter (rotating) re-runs the same exact-overlap truth lane INSIDE its false-positive audit every round
+    "q_approx_percentile_sketch",     # tolerance-checked percentile sketch: q_distinct_sketch_merge + q_heavy_hitters_countmin keep hash-exact sketch lanes rotating; exact-quantile lanes stay via q_rolling_tukey_outliers + text_doc_length_percentiles
+    "mm_rgb_png_decode_features",     # color PNG decode moments: mm_color_ahash_near_dup consumes the same RGB decode and mm_color_jpeg_decode_features keeps the color-codec lane rotating
+    # Grown r9 alongside q_distinct_sketch_merge + curation_pack_waste_report:
+    "q_distinct_minvalue_sketch",     # registered earlier THIS round (driver-green at sf0.001+sf0.01 in-round): q_distinct_sketch_merge (rotating) rebuilds the identical bucket-min sketch per shard AND merged with the same exact-distinct comparison every round — strict superset
+    "curation_importance_sample",     # hash-threshold importance draw: curation_stratified_sample (rotating) keeps the deterministic-sampling lane and curation_dsir_weights (rotating) keeps the importance-weight lane
+    "embed_pair_sim_histogram",       # blocked cosine-pair distribution: dedup_embedding_cosine_blocked (rotating) exercises the same blocked cosine-pair kernel with a threshold decision; embed_recall_at_k_curve keeps the exact-cosine lane
 })
 
 

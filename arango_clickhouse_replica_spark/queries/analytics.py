@@ -857,3 +857,112 @@ def q_rolling_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_CMS_D = 4     # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(col: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR) || '#r{i}'), 1, 8)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket(col, i: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"#r{i}"))), 1, 8
+            ), 16, 10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@query(
+    "q_heavy_hitters_countmin",
+    oracle=f"""
+    WITH rows_i AS (SELECT unnest([1, 2, 3, 4]) AS i),
+    cms AS (
+      SELECT i,
+             CASE i WHEN 1 THEN {_cms_bucket_sql('user_id', 1)}
+                    WHEN 2 THEN {_cms_bucket_sql('user_id', 2)}
+                    WHEN 3 THEN {_cms_bucket_sql('user_id', 3)}
+                    ELSE {_cms_bucket_sql('user_id', 4)} END AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, rows_i GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT user_id, exact_cnt, i,
+             CASE i WHEN 1 THEN {_cms_bucket_sql('user_id', 1)}
+                    WHEN 2 THEN {_cms_bucket_sql('user_id', 2)}
+                    WHEN 3 THEN {_cms_bucket_sql('user_id', 3)}
+                    ELSE {_cms_bucket_sql('user_id', 4)} END AS b
+      FROM exact, rows_i
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN cms c ON p.i = c.i AND p.b = c.b
+    GROUP BY p.user_id, p.exact_cnt
+    ORDER BY p.exact_cnt DESC, p.user_id
+    """,
+    tags=("agg", "sketch", "heavy-hitters"),
+    doc="Count-Min heavy-hitter audit: a deterministic CMS "
+        f"({_CMS_D} salted md5 rows x {_CMS_W} counters) built over the "
+        "event stream's user activity, probed at the exact top-"
+        f"{_CMS_TOPK} users — estimate, exact count, and the "
+        "overestimate (never negative by construction: CMS admits only "
+        "one-sided error, which the driver hash re-proves on every "
+        "row). The sketch table hash-matches the oracle because every "
+        "lane is integer and the hash is replayed md5-prefix "
+        "arithmetic. Scale: the CMS build collapses the corpus into a "
+        f"bounded {_CMS_D}x{_CMS_W} map-side-combinable aggregate that "
+        "merges across shards/streams — the frequency table you can "
+        "keep when per-key exact counts need an unbounded shuffle; the "
+        "probe side is a broadcast of top-k x d rows.",
+)
+def q_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    uid = F.col("user_id")
+    bucket_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cms_bucket(uid, i).alias("b")
+            )
+            for i in range(1, _CMS_D + 1)
+        ]
+    )
+    hashed = ev.select(F.explode(bucket_arr).alias("ib")).select(
+        F.col("ib.i").alias("i"), F.col("ib.b").alias("b")
+    )
+    cms = hashed.groupBy("i", "b").agg(F.count("*").cast("long").alias("c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id", "exact_cnt", F.explode(bucket_arr.alias("x")).alias("ib")
+    ).select(
+        "user_id", "exact_cnt",
+        F.col("ib.i").alias("i"), F.col("ib.b").alias("b"),
+    )
+    return (
+        probes.join(cms, ["i", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .withColumn(
+            "overestimate", F.col("cms_estimate") - F.col("exact_cnt")
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )

@@ -629,3 +629,147 @@ def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "cdc_schema_drift_census",
+    oracle="""
+    WITH src AS (
+      SELECT event_id % 3 AS schema_v,
+             CASE event_id % 3
+               WHEN 0 THEN to_json(struct_pack(
+                 event_id := event_id, value := COALESCE(value, 0.0)))
+               WHEN 1 THEN to_json(struct_pack(
+                 event_id := event_id, value := COALESCE(value, 0.0),
+                 session := COALESCE(user_id, 0)))
+               ELSE to_json(struct_pack(
+                 event_id := event_id, val := COALESCE(value, 0.0),
+                 session := COALESCE(user_id, 0)))
+             END AS payload
+      FROM events
+    ),
+    ks AS (
+      SELECT schema_v, unnest(json_keys(payload)) AS json_key FROM src
+    )
+    SELECT json_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT schema_v) AS BIGINT) AS n_versions,
+           CAST(MIN(schema_v) AS BIGINT) AS first_version,
+           CAST(MAX(schema_v) AS BIGINT) AS last_version,
+           CASE WHEN MIN(schema_v) > 0 THEN 'added'
+                WHEN MAX(schema_v) < 2 THEN 'retired'
+                ELSE 'stable' END AS status
+    FROM ks GROUP BY json_key ORDER BY json_key
+    """,
+    tags=("cdc", "schema", "drift", "json"),
+    doc="Schemaless-payload drift census over the WAL document stream: "
+        "the producing app ships three schema versions (v1 adds a "
+        "'session' field, v2 renames 'value' to 'val'), and the census "
+        "parses every document's ACTUAL JSON key set (json_object_keys — "
+        "no schema assumed, exactly the situation the reference's field "
+        "mapping DSL + dead-letter path face when the upstream Arango "
+        "collection drifts) into per-key presence spans and an "
+        "added/retired/stable verdict — the report that tells the "
+        "operator which DSL mappings to extend BEFORE the strict-cast "
+        "dead-letter queue fills. Payload fields are coalesced so a "
+        "null never drops a key on one engine only. Scale: one narrow "
+        "projection explodes to <= 4 key rows per doc and folds into a "
+        "|keys|-bounded map-side-combinable aggregate — the exchange "
+        "carries partitions x |schema keys| rows at any WAL size.",
+)
+def cdc_schema_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = (F.col("event_id") % 3).cast("long")
+    val = F.coalesce(F.col("value"), F.lit(0.0))
+    uid = F.coalesce(F.col("user_id"), F.lit(0))
+    j0 = F.to_json(F.struct(F.col("event_id"), val.alias("value")))
+    j1 = F.to_json(
+        F.struct(F.col("event_id"), val.alias("value"), uid.alias("session"))
+    )
+    j2 = F.to_json(
+        F.struct(F.col("event_id"), val.alias("val"), uid.alias("session"))
+    )
+    payload = F.when(v == 0, j0).when(v == 1, j1).otherwise(j2)
+    ks = ev.select(
+        v.alias("schema_v"),
+        F.explode(F.json_object_keys(payload)).alias("json_key"),
+    )
+    return (
+        ks.groupBy("json_key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("schema_v").cast("long").alias("n_versions"),
+            F.min("schema_v").cast("long").alias("first_version"),
+            F.max("schema_v").cast("long").alias("last_version"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("first_version") > 0, F.lit("added"))
+            .when(F.col("last_version") < 2, F.lit("retired"))
+            .otherwise(F.lit("stable")),
+        )
+        .orderBy("json_key")
+    )
+
+
+@query(
+    "cdc_txn_boundary_report",
+    oracle="""
+    WITH ops AS (
+      SELECT event_id // 5 AS tid,
+             2 * event_id AS tick,
+             CASE WHEN event_id % 20 = 7 THEN 1 ELSE 0 END AS is_delete
+      FROM events
+      WHERE event_id % 7 <> 3 AND event_id % 3 <> 1
+    ),
+    txns AS (
+      SELECT tid,
+             CAST(COUNT(*) AS BIGINT) AS n_ops,
+             CAST(MAX(tick) - MIN(tick) AS BIGINT) AS tick_span,
+             CAST(MAX(is_delete) AS BIGINT) AS has_delete
+      FROM ops GROUP BY tid
+    )
+    SELECT n_ops,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(MAX(tick_span) AS BIGINT) AS max_tick_span,
+           CAST(SUM(has_delete) AS BIGINT) AS txns_with_delete
+    FROM txns GROUP BY n_ops ORDER BY n_ops
+    """,
+    tags=("cdc", "transactions", "wal"),
+    doc="Transaction-boundary reconstruction over the WAL: envelopes "
+        "carry a transaction id (`tid` on the reference wire, "
+        "test/test_consumer.py envelope shape), and a transactional "
+        "apply needs the size/extent profile of multi-op transactions "
+        "before choosing batch boundaries (a micro-batch that splits a "
+        "transaction breaks atomicity on the target). Groups the "
+        "change stream by tid into per-txn op count / tick span / "
+        "delete flag, then reports the txn-size histogram with the "
+        "worst tick extent per size. The fixture drops two residue "
+        "classes so txn sizes genuinely vary (2-5 ops). Scale: one "
+        "tid-keyed aggregate (map-side combinable pre-shuffle like any "
+        "per-entity rollup) collapsing into a histogram bounded by the "
+        "max transaction size.",
+)
+def cdc_txn_boundary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    ops = ev.filter(
+        (F.col("event_id") % 7 != 3) & (F.col("event_id") % 3 != 1)
+    ).select(
+        F.expr("event_id div 5").alias("tid"),
+        (F.col("event_id") * 2).alias("tick"),
+        F.when(F.col("event_id") % 20 == 7, 1).otherwise(0).alias("is_delete"),
+    )
+    txns = ops.groupBy("tid").agg(
+        F.count("*").cast("long").alias("n_ops"),
+        (F.max("tick") - F.min("tick")).cast("long").alias("tick_span"),
+        F.max("is_delete").cast("long").alias("has_delete"),
+    )
+    return (
+        txns.groupBy("n_ops")
+        .agg(
+            F.count("*").cast("long").alias("n_txns"),
+            F.max("tick_span").cast("long").alias("max_tick_span"),
+            F.sum("has_delete").cast("long").alias("txns_with_delete"),
+        )
+        .orderBy("n_ops")
+    )

@@ -430,6 +430,145 @@ def decontam_ngram_overlap(
     )
 
 
+_BLOOM_M = 65536  # bit-space
+_BLOOM_K = 4      # salted hash functions
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5({col} || '#{i}'), 1, 8) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos(col, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "decontam_bloom_prefilter",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql('s', 1)} AS p FROM eval_sh
+      UNION SELECT DISTINCT {_bloom_pos_sql('s', 2)} FROM eval_sh
+      UNION SELECT DISTINCT {_bloom_pos_sql('s', 3)} FROM eval_sh
+      UNION SELECT DISTINCT {_bloom_pos_sql('s', 4)} FROM eval_sh
+    ),
+    tp AS (
+      SELECT doc_id, s, {_bloom_pos_sql('s', 1)} AS p FROM train
+      UNION ALL SELECT doc_id, s, {_bloom_pos_sql('s', 2)} FROM train
+      UNION ALL SELECT doc_id, s, {_bloom_pos_sql('s', 3)} FROM train
+      UNION ALL SELECT doc_id, s, {_bloom_pos_sql('s', 4)} FROM train
+    ),
+    sh_hit AS (
+      SELECT doc_id, s FROM tp JOIN bits USING (p)
+      GROUP BY doc_id, s HAVING COUNT(*) = {_BLOOM_K}
+    ),
+    sh_true AS (SELECT t.doc_id, t.s FROM train t JOIN eval_sh e USING (s)),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_sh,
+             COUNT(h.s) AS n_hit,
+             COUNT(x.s) AS n_true
+      FROM train t
+      LEFT JOIN sh_hit h ON t.doc_id = h.doc_id AND t.s = h.s
+      LEFT JOIN sh_true x ON t.doc_id = x.doc_id AND t.s = x.s
+      GROUP BY t.doc_id
+    ),
+    rep AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+             CAST(SUM(n_sh) AS BIGINT) AS n_train_shingles,
+             CAST(SUM(n_hit) AS BIGINT) AS n_hit_shingles,
+             CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_candidate_docs,
+             CAST(SUM(CASE WHEN n_true > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_docs,
+             CAST(SUM(CASE WHEN n_hit > 0 AND n_true = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos_docs
+      FROM per_doc
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT rep.*, nb.bits_set,
+           bits_set * 1000 // {_BLOOM_M} AS fill_per_mille
+    FROM rep, nb
+    """,
+    tags=("text", "decontamination", "sketch", "llm-pipeline"),
+    doc="Bloom-filter decontamination PRE-FILTER audit — the scale path "
+        "for decontam_ngram_overlap: instead of broadcasting the full "
+        f"eval shingle set, broadcast a {_BLOOM_M}-bit Bloom filter "
+        f"({_BLOOM_K} salted md5 hashes) and only exact-check the "
+        "candidates it passes. The report proves the mechanism on data: "
+        "shingle and doc-level candidate volume, true contamination, "
+        "false-positive count (false NEGATIVES are impossible by "
+        "construction — the driver hash asserts candidates >= true on "
+        "every row), and the filter's fill factor. Deterministic "
+        "integer lanes end to end (bit positions are md5-prefix mod "
+        "arithmetic replayed identically by the oracle). Scale: the "
+        "bits relation is <= min(4|eval|, 65536) rows -> broadcast "
+        "hash probes; the corpus never shuffles — at 100 TB the exact "
+        "join runs on the (tiny) candidate set only, which is the "
+        "entire point of the pre-filter.",
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+
+    pos_arr = F.array(
+        *[_bloom_pos(F.col("s"), i) for i in range(1, _BLOOM_K + 1)]
+    )
+    bits = eval_sh.select(F.explode(pos_arr).alias("p")).distinct()
+    tp = train.select("doc_id", "s", F.explode(pos_arr).alias("p"))
+    sh_hit = (
+        tp.join(F.broadcast(bits), "p")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == _BLOOM_K)
+        .select("doc_id", "s")
+    )
+    sh_true = train.join(F.broadcast(eval_sh), "s").select("doc_id", "s")
+    per_doc = (
+        train.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .join(
+            sh_hit.groupBy("doc_id").agg(F.count("*").alias("n_hit")),
+            "doc_id", "left",
+        )
+        .join(
+            sh_true.groupBy("doc_id").agg(F.count("*").alias("n_true")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id", "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        )
+    )
+    rep = per_doc.agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum("n_sh").cast("long").alias("n_train_shingles"),
+        F.sum("n_hit").cast("long").alias("n_hit_shingles"),
+        F.sum((F.col("n_hit") > 0).cast("int")).cast("long")
+        .alias("n_bloom_candidate_docs"),
+        F.sum((F.col("n_true") > 0).cast("int")).cast("long")
+        .alias("n_contaminated_docs"),
+        F.sum(((F.col("n_hit") > 0) & (F.col("n_true") == 0)).cast("int"))
+        .cast("long").alias("n_false_pos_docs"),
+    )
+    nb = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    return rep.crossJoin(nb).withColumn(
+        "fill_per_mille", F.expr(f"(bits_set * 1000) div {_BLOOM_M}")
+    )
+
+
 @query(
     "text_token_rarity",
     oracle="""
@@ -4289,4 +4428,81 @@ def curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_epochs"),
         )
         .orderBy("phase", "source")
+    )
+
+
+_PACK_CONTEXTS = (512, 2048, 8192)
+
+
+@query(
+    "curation_pack_waste_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CAST(GREATEST(1, n_chars // 4) AS BIGINT) AS est
+      FROM documents
+    ),
+    ctx AS (SELECT unnest([{", ".join(map(str, _PACK_CONTEXTS))}]) AS c),
+    x AS (SELECT CAST(c AS BIGINT) AS c, est FROM toks, ctx),
+    agg AS (
+      SELECT c AS context_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN est > c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+             CAST(SUM(est) AS BIGINT) AS total_tokens,
+             CAST(SUM(LEAST(est, c)) AS BIGINT) AS effective_tokens
+      FROM x GROUP BY c
+    )
+    SELECT context_len, n_docs, n_truncated, total_tokens, effective_tokens,
+           (effective_tokens + context_len - 1) // context_len
+             AS bins_lower_bound,
+           effective_tokens * 1000 //
+             (((effective_tokens + context_len - 1) // context_len)
+              * context_len) AS utilization_per_mille
+    FROM agg ORDER BY context_len
+    """,
+    tags=("curation", "packing", "llm-pipeline"),
+    doc="Context-length decision table for sequence packing — the "
+        "ACROSS-C companion of curation_token_pack_bins' per-doc bin "
+        "assignment: for each candidate context length, how many "
+        "documents truncate, how many tokens survive, the bin-count "
+        "lower bound (ceil(effective/C) — no packing can beat it), and "
+        "the best-case utilization. This is the table that picks C "
+        "before a training run commits to it (truncation loss vs "
+        "padding waste trade). All-integer lanes with engine-identical "
+        "ceil-div. Scale: one narrow per-doc token estimate exploded "
+        f"by the {len(_PACK_CONTEXTS)}-value context axis into a "
+        "3-key map-side aggregate — no joins, no windows.",
+)
+def curation_pack_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    est = F.greatest(F.lit(1), F.expr("n_chars div 4")).cast("long")
+    x = docs.select(est.alias("est")).select(
+        "est",
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in _PACK_CONTEXTS])
+        ).alias("c"),
+    )
+    agg = x.groupBy(F.col("c").alias("context_len")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("est") > F.col("c")).cast("int")).cast("long")
+        .alias("n_truncated"),
+        F.sum("est").cast("long").alias("total_tokens"),
+        F.sum(F.least(F.col("est"), F.col("c"))).cast("long")
+        .alias("effective_tokens"),
+    )
+    return (
+        agg.withColumn(
+            "bins_lower_bound",
+            F.expr(
+                "(effective_tokens + context_len - 1) div context_len"
+            ),
+        )
+        .withColumn(
+            "utilization_per_mille",
+            F.expr(
+                "(effective_tokens * 1000)"
+                " div (bins_lower_bound * context_len)"
+            ),
+        )
+        .orderBy("context_len")
     )

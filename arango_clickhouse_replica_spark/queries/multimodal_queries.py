@@ -2056,3 +2056,223 @@ def mm_audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# aspect-bucket targets in micro units: 1e6 * w/h, integer-truncated —
+# the SAME truncation on both engines, so assignment is exact
+_ASPECT_BUCKETS = (
+    ("1:1", 1_000_000),
+    ("4:3", 4_000_000 // 3),
+    ("3:4", 750_000),
+    ("16:9", 16_000_000 // 9),
+    ("9:16", 562_500),
+)
+
+
+def _aspect_case_sql() -> str:
+    costs = [f"ABS(am - {t})" for _, t in _ASPECT_BUCKETS]
+    least = "LEAST(" + ", ".join(costs) + ")"
+    whens = "\n           ".join(
+        f"WHEN ABS(am - {t}) = {least} THEN '{nm}'"
+        for nm, t in _ASPECT_BUCKETS
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "mm_aspect_bucket_census",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      FROM documents
+    ),
+    am AS (
+      SELECT w, h, (w * 1000000) // h AS am FROM params
+    ),
+    assigned AS (
+      SELECT w, h, am, {_aspect_case_sql()} AS bucket FROM am
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS n_pixels,
+           CAST(MIN(am) AS BIGINT) AS min_aspect_micro,
+           CAST(MAX(am) AS BIGINT) AS max_aspect_micro,
+           CAST(SUM(am) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+             AS mean_aspect_micro
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal", "image", "aspect", "bucketing"),
+    doc="Aspect-ratio bucketing census — the batch-shape planning table "
+        "for resolution-bucketed image training (NovelAI/SDXL-style "
+        "aspect bucketing groups images into fixed-ratio buckets so a "
+        "batch never mixes shapes): every PNG is assigned to the "
+        "nearest of 1:1 / 4:3 / 3:4 / 16:9 / 9:16 and the census "
+        "reports per-bucket image count, pixel mass, and aspect "
+        "spread. The width/height come from a HEADER-ONLY JVM parse "
+        "(substring+hex+conv over the IHDR bytes — zero pixel decode, "
+        "zero Python in the scan), which is the only honest way to "
+        "census a 100 TB image corpus; the oracle replays the fixture "
+        "closed-form so the byte-level parse itself is hash-verified. "
+        "Assignment is exact integer arithmetic: micro-unit aspect "
+        "with engine-identical truncation, nearest-target argmin as a "
+        "LEAST + first-match CASE. Scale: one narrow binary-column "
+        "projection into a 5-key map-side aggregate.",
+)
+def mm_aspect_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synth_png_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = synth_png_media(docs)
+    w = F.conv(F.hex(F.expr("substring(payload, 17, 4)")), 16, 10).cast("long")
+    h = F.conv(F.hex(F.expr("substring(payload, 21, 4)")), 16, 10).cast("long")
+    dims = media.select(w.alias("w"), h.alias("h")).withColumn(
+        "am", F.expr("(w * 1000000) div h")
+    )
+    costs = [F.abs(F.col("am") - F.lit(t)) for _, t in _ASPECT_BUCKETS]
+    least = F.least(*costs)
+    expr = None
+    for (nm, t), c in zip(_ASPECT_BUCKETS, costs):
+        expr = (
+            F.when(c == least, F.lit(nm)) if expr is None
+            else expr.when(c == least, F.lit(nm))
+        )
+    assigned = dims.withColumn("bucket", expr)
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.col("w") * F.col("h")).cast("long").alias("n_pixels"),
+            F.min("am").cast("long").alias("min_aspect_micro"),
+            F.max("am").cast("long").alias("max_aspect_micro"),
+            F.expr("sum(am) div count(*)").cast("long")
+            .alias("mean_aspect_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# fixed target box per aspect bucket (w, h) — the shapes a bucketed
+# image-training batch would actually allocate
+_ASPECT_TARGETS = {
+    "1:1": (48, 48),
+    "4:3": (48, 36),
+    "3:4": (36, 48),
+    "16:9": (48, 27),
+    "9:16": (27, 48),
+}
+
+
+def _aspect_target_case_sql(field: int) -> str:
+    whens = " ".join(
+        f"WHEN bucket = '{nm}' THEN {tw if field == 0 else th}"
+        for nm, (tw, th) in _ASPECT_TARGETS.items()
+    )
+    return f"CASE {whens} END"
+
+
+@query(
+    "mm_aspect_resize_plan",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h
+      FROM documents
+    ),
+    am AS (SELECT w, h, (w * 1000000) // h AS am FROM params),
+    assigned AS (
+      SELECT w, h, am, {_aspect_case_sql()} AS bucket FROM am
+    ),
+    tgt AS (
+      SELECT w, h, bucket,
+             CAST({_aspect_target_case_sql(0)} AS BIGINT) AS tw,
+             CAST({_aspect_target_case_sql(1)} AS BIGINT) AS th
+      FROM assigned
+    ),
+    plan AS (
+      SELECT bucket, tw, th,
+             LEAST((tw * 1000000) // w, (th * 1000000) // h) AS scale_micro,
+             (w * LEAST((tw * 1000000) // w, (th * 1000000) // h)) // 1000000
+               AS out_w,
+             (h * LEAST((tw * 1000000) // w, (th * 1000000) // h)) // 1000000
+               AS out_h
+      FROM tgt
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(scale_micro) AS BIGINT) AS min_scale_micro,
+           CAST(MAX(scale_micro) AS BIGINT) AS max_scale_micro,
+           CAST(SUM(tw * th - out_w * out_h) AS BIGINT) AS pad_pixels,
+           CAST(SUM(out_w * out_h) AS BIGINT) AS content_pixels
+    FROM plan GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("multimodal", "image", "aspect", "resize"),
+    doc="Aspect-bucket resize/pad plan — the transform decision table "
+        "mm_aspect_bucket_census's assignment feeds: every image gets "
+        "its bucket's fixed target box, the largest aspect-preserving "
+        "integer micro-scale that fits, the resized dims, and the "
+        "padding debt; the census reports per-bucket pad mass vs "
+        "content mass (the wasted-FLOPs number that decides whether a "
+        "bucket's target box is right for the corpus). Same header-only "
+        "JVM parse as the census — planning a 100 TB resize never "
+        "touches a pixel. All-integer micro-unit arithmetic with "
+        "engine-identical truncation. Scale: narrow binary projection "
+        "-> 5-key map-side aggregate.",
+)
+def mm_aspect_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synth_png_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = synth_png_media(docs)
+    w = F.conv(F.hex(F.expr("substring(payload, 17, 4)")), 16, 10).cast("long")
+    h = F.conv(F.hex(F.expr("substring(payload, 21, 4)")), 16, 10).cast("long")
+    dims = media.select(w.alias("w"), h.alias("h")).withColumn(
+        "am", F.expr("(w * 1000000) div h")
+    )
+    costs = [F.abs(F.col("am") - F.lit(t)) for _, t in _ASPECT_BUCKETS]
+    least = F.least(*costs)
+    expr = None
+    for (nm, t), c in zip(_ASPECT_BUCKETS, costs):
+        expr = (
+            F.when(c == least, F.lit(nm)) if expr is None
+            else expr.when(c == least, F.lit(nm))
+        )
+    tw = th = None
+    for nm, (tw_v, th_v) in _ASPECT_TARGETS.items():
+        tw = (
+            F.when(F.col("bucket") == nm, F.lit(tw_v)) if tw is None
+            else tw.when(F.col("bucket") == nm, F.lit(tw_v))
+        )
+        th = (
+            F.when(F.col("bucket") == nm, F.lit(th_v)) if th is None
+            else th.when(F.col("bucket") == nm, F.lit(th_v))
+        )
+    plan = (
+        dims.withColumn("bucket", expr)
+        .withColumn("tw", tw.cast("long"))
+        .withColumn("th", th.cast("long"))
+        .withColumn(
+            "scale_micro",
+            F.least(
+                F.expr("(tw * 1000000) div w"), F.expr("(th * 1000000) div h")
+            ),
+        )
+        .withColumn("out_w", F.expr("(w * scale_micro) div 1000000"))
+        .withColumn("out_h", F.expr("(h * scale_micro) div 1000000"))
+    )
+    return (
+        plan.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("scale_micro").cast("long").alias("min_scale_micro"),
+            F.max("scale_micro").cast("long").alias("max_scale_micro"),
+            F.sum(
+                F.col("tw") * F.col("th") - F.col("out_w") * F.col("out_h")
+            ).cast("long").alias("pad_pixels"),
+            F.sum(F.col("out_w") * F.col("out_h")).cast("long")
+            .alias("content_pixels"),
+        )
+        .orderBy("bucket")
+    )

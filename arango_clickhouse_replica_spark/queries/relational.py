@@ -455,6 +455,107 @@ def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_M = 1024  # stochastic-averaging buckets
+_KMV_TWO52 = 1 << 52  # hash domain: 13 md5 hex chars = 52 bits
+# m * m * 2^52 — exactly representable as a double (power-of-two mantissa)
+_KMV_NUM = float(_KMV_M * _KMV_M * _KMV_TWO52)
+
+
+@query(
+    "q_distinct_minvalue_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    mins AS (SELECT h % {_KMV_M} AS b, MIN(h) AS u FROM h GROUP BY b),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+             CAST(SUM(u) AS BIGINT) AS sum_hit
+      FROM mins
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events
+    ),
+    est AS (
+      SELECT n_buckets_hit,
+             sum_hit + ({_KMV_M} - n_buckets_hit) * {_KMV_TWO52} AS sum_u,
+             CAST(FLOOR({_KMV_NUM!r} / CAST(
+               sum_hit + ({_KMV_M} - n_buckets_hit) * {_KMV_TWO52} AS DOUBLE))
+               AS BIGINT) - {_KMV_M} AS est_distinct
+      FROM agg
+    )
+    SELECT CAST({_KMV_M} AS BIGINT) AS m, n_buckets_hit, sum_u, est_distinct,
+           exact_distinct,
+           ABS(est_distinct - exact_distinct) * 1000 // exact_distinct
+             AS err_per_mille
+    FROM est, ex
+    """,
+    tags=("agg", "sketch", "distinct"),
+    doc="Deterministic minimum-value distinct sketch (KMV with stochastic "
+        "averaging: one minimum per md5 % m bucket, Bar-Yossef et al. 2002 "
+        "/ Flajolet-Martin shape) beside the exact count and the per-mille "
+        "error — unlike HLL++ the sketch itself hash-matches the DuckDB "
+        "oracle because every lane is exact: 52-bit integer hash minima, "
+        "empty buckets folded in as the domain max, and the single "
+        "estimator division is IEEE-exact on both engines (power-of-two "
+        "numerator, floor to BIGINT). Scale: the per-bucket MIN is fully "
+        "map-side combinable, so the exchange carries at most partitions "
+        f"x {_KMV_M} rows at ANY cardinality — this is the distinct-count "
+        "shape that still works when COUNT(DISTINCT) needs a terabyte "
+        "shuffle; the estimator state is mergeable across shards/streams.",
+)
+def q_distinct_minvalue_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    mins = (
+        ev.select((h % _KMV_M).alias("b"), h.alias("h"))
+        .groupBy("b")
+        .agg(F.min("h").alias("u"))
+    )
+    agg = mins.agg(
+        F.count("*").cast("long").alias("n_buckets_hit"),
+        F.sum("u").cast("long").alias("sum_hit"),
+    )
+    exact = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    sum_u = (
+        F.col("sum_hit")
+        + (F.lit(_KMV_M).cast("long") - F.col("n_buckets_hit"))
+        * F.lit(_KMV_TWO52)
+    )
+    est = (
+        F.floor(F.lit(_KMV_NUM) / sum_u.cast("double")).cast("long")
+        - F.lit(_KMV_M).cast("long")
+    )
+    # 1-row x 1-row attach (allowlisted single-row BNLJ shape)
+    return (
+        agg.crossJoin(exact)
+        .select(
+            F.lit(_KMV_M).cast("long").alias("m"),
+            "n_buckets_hit",
+            sum_u.alias("sum_u"),
+            est.alias("est_distinct"),
+            "exact_distinct",
+        )
+        # integer div on BOTH engines (DuckDB // == Spark `div` on
+        # positive longs) — a double division could round up across an
+        # integer boundary and diverge from the oracle
+        .withColumn(
+            "err_per_mille",
+            F.expr(
+                "(abs(est_distinct - exact_distinct) * 1000)"
+                " div exact_distinct"
+            ),
+        )
+    )
+
+
 # --- multi-way join with mixed dimensions -----------------------------------
 
 
@@ -482,4 +583,116 @@ def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("s_name", "p_brand")
         .agg(money_sum("l_quantity", "total_qty"), F.count("*").alias("shipments"))
+    )
+
+
+@query(
+    "q_distinct_sketch_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    shard_mins AS (
+      SELECT event_type, h % {_KMV_M} AS b, MIN(h) AS u
+      FROM h GROUP BY event_type, h % {_KMV_M}
+    ),
+    shard_est AS (
+      SELECT event_type AS scope,
+             CAST(FLOOR({_KMV_NUM!r} / CAST(
+               SUM(u) + ({_KMV_M} - COUNT(*)) * {_KMV_TWO52} AS DOUBLE))
+               AS BIGINT) - {_KMV_M} AS est_distinct
+      FROM shard_mins GROUP BY event_type
+    ),
+    merged_mins AS (
+      SELECT b, MIN(u) AS u FROM shard_mins GROUP BY b
+    ),
+    merged_est AS (
+      SELECT '__merged__' AS scope,
+             CAST(FLOOR({_KMV_NUM!r} / CAST(
+               SUM(u) + ({_KMV_M} - COUNT(*)) * {_KMV_TWO52} AS DOUBLE))
+               AS BIGINT) - {_KMV_M} AS est_distinct
+      FROM merged_mins
+    ),
+    ex AS (
+      SELECT event_type AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__merged__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      FROM events
+    )
+    SELECT s.scope, s.est_distinct, ex.exact_distinct
+    FROM (SELECT * FROM shard_est UNION ALL SELECT * FROM merged_est) s
+    JOIN ex USING (scope)
+    ORDER BY s.scope
+    """,
+    tags=("agg", "sketch", "distinct", "merge"),
+    doc="Sketch MERGEABILITY as data — the property that makes "
+        "q_distinct_minvalue_sketch deployable at 100 TB: one KMV "
+        "bucket-min sketch per event-type shard (the per-shard/"
+        "per-day sketch table you would actually materialize), then "
+        "the global estimate computed by FOLDING the shard sketches "
+        "(MIN of mins per bucket) — never re-touching the raw data. "
+        "Emits each shard's estimate and the merged estimate beside "
+        "exact distinct counts; the merged row hash-matching the "
+        "oracle proves merge(sketch(A), sketch(B)) == sketch(A u B) "
+        "bit-for-bit. Scale: the shard sketch table is |shards| x "
+        f"{_KMV_M} rows (map-side combinable MIN), the merge is an "
+        "aggregate over THAT table only — distinct counting over any "
+        "shard combination becomes a metadata query.",
+)
+def q_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    shard_mins = (
+        ev.select("event_type", (h % _KMV_M).alias("b"), h.alias("h"))
+        .groupBy("event_type", "b")
+        .agg(F.min("h").alias("u"))
+    )
+
+    def _est(df: DataFrame, keys: list) -> DataFrame:
+        agg = df.groupBy(*keys).agg(
+            F.count("*").alias("n_hit"), F.sum("u").alias("sum_hit")
+        ) if keys else df.agg(
+            F.count("*").alias("n_hit"), F.sum("u").alias("sum_hit")
+        )
+        sum_u = (
+            F.col("sum_hit")
+            + (F.lit(_KMV_M).cast("long") - F.col("n_hit"))
+            * F.lit(_KMV_TWO52)
+        )
+        return agg.withColumn(
+            "est_distinct",
+            (
+                F.floor(F.lit(_KMV_NUM) / sum_u.cast("double")).cast("long")
+                - F.lit(_KMV_M).cast("long")
+            ),
+        )
+
+    shard_est = _est(shard_mins, ["event_type"]).select(
+        F.col("event_type").alias("scope"), "est_distinct"
+    )
+    merged_mins = shard_mins.groupBy("b").agg(F.min("u").alias("u"))
+    merged_est = _est(merged_mins, []).select(
+        F.lit("__merged__").alias("scope"), "est_distinct"
+    )
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.count_distinct("user_id").cast("long")
+                .alias("exact_distinct")
+            ).select(F.lit("__merged__").alias("scope"), "exact_distinct")
+        )
+    )
+    return (
+        shard_est.unionByName(merged_est)
+        .join(exact, "scope")
+        .orderBy("scope")
     )

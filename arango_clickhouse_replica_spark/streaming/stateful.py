@@ -465,3 +465,121 @@ def streaming_late_arrival_monitor(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("b", T.LongType()),
+        T.StructField("u", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_KMV_STATE = "u long, n_seen long"
+
+
+def streaming_kmv_distinct_monitor(
+    df: DataFrame, key_col: str, *, m: int = 1024
+) -> DataFrame:
+    """Live twin of the batch ``q_distinct_minvalue_sketch``: carries one
+    running 52-bit hash minimum per ``md5 % m`` bucket in the state store
+    and emits each touched bucket's (min, seen-count) every micro-batch —
+    the mergeable distinct-cardinality sketch as a stream. A consumer
+    folds the latest emission per bucket into the same estimator the
+    batch query registers (empty buckets count as the domain max), so
+    the live estimate is bit-identical to running the batch sketch over
+    everything ingested so far — proven in
+    tests/test_streaming_stateful.py.
+
+    The hash lane is computed JVM-side BEFORE the stateful operator
+    (md5 -> 13 hex chars -> conv, the exact batch lane); Python only
+    folds per-bucket minima, so a micro-batch's Python work is
+    O(buckets present), not O(rows).
+
+    Scale: state is one long per bucket — m longs TOTAL regardless of
+    stream cardinality (the whole point of the sketch: the batch
+    COUNT(DISTINCT) needs unbounded state on a stream, this needs 8 KB).
+    Buckets hash-partition across executors like any keyed state.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    hashed = df.select((h % m).alias("b"), h.alias("h"))
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        u, n_seen = state.get if state.exists else (None, 0)
+        lo, n = u, 0
+        for p in pdfs:
+            if not len(p):
+                continue
+            bm = int(p["h"].min())
+            n += len(p)
+            if lo is None or bm < lo:
+                lo = bm
+        if n == 0:
+            if state.exists:
+                state.update((u, n_seen))
+            return
+        n_seen += n
+        state.update((lo, n_seen))
+        yield pd.DataFrame(
+            {"b": [int(key[0])], "u": [lo], "n_seen": [n_seen]}
+        )
+
+    return hashed.groupBy("b").applyInPandasWithState(
+        fold, _KMV_SCHEMA, _KMV_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_schema_drift_monitor(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Live twin of the batch ``cdc_schema_drift_census``: explodes each
+    streamed document's ACTUAL JSON key set (``json_object_keys``,
+    JVM-side) and emits a key the FIRST time it is ever observed on the
+    stream — the alarm that a producer deploy started shipping a field
+    no DSL mapping covers, raised on the first drifted document instead
+    of at the next batch census (and long before the strict-cast
+    dead-letter queue fills). Built on ``streaming_first_seen`` keyed by
+    the JSON key name, so state is one flag per DISTINCT schema key —
+    bounded by the schema vocabulary, not the stream.
+
+    Scale: the explode adds <= |keys| narrow rows per document before
+    the state shuffle; keys hash-partition across executors and each
+    micro-batch touches only the keys it contains.
+    """
+    ks = df.select(
+        F.explode(F.json_object_keys(F.col(payload_col))).alias("json_key")
+    )
+    return streaming_first_seen(ks, "json_key")
+
+
+def streaming_countmin_monitor(df: DataFrame, key_col: str) -> DataFrame:
+    """Live twin of the batch ``q_heavy_hitters_countmin``: maintains the
+    same deterministic 4x1024 Count-Min cells as streaming state (one
+    running count per touched cell, re-emitted every batch) — the
+    mergeable frequency table kept warm while the stream runs, so a
+    heavy-hitter probe is a 4-cell lookup instead of a per-key exact
+    aggregation with unbounded state. The hash lane (salted md5 prefix
+    -> row bucket) is computed JVM-side and is byte-identical to the
+    batch query's, so the final emitted cells equal the batch CMS built
+    over everything ingested — proven in
+    tests/test_streaming_stateful.py.
+
+    Scale: state is bounded by the 4096 cells regardless of stream
+    cardinality; cells hash-partition like any keyed state. Output
+    ``cell`` packs (row, bucket) as (row-1)*1024 + bucket.
+    """
+    from ..queries.analytics import _CMS_D, _CMS_W, _cms_bucket
+
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            (F.lit((i - 1) * _CMS_W) + _cms_bucket(key, i)).alias(f"c{i}")
+            for i in range(1, _CMS_D + 1)
+        ]
+    )
+    hashed = df.select(F.explode(cells).alias("cell")).withColumn(
+        "one", F.lit(1.0)
+    )
+    return streaming_running_totals(hashed, "cell", "one")

@@ -190,6 +190,16 @@ BNLJ_ALLOWED = {
         "onto the 3-row per-config relation (O(3x1)); every candidate "
         "join is an occupancy-capped (band, sig) hash equi-join and "
         "verification is union-candidate-bounded",
+    "q_distinct_minvalue_sketch":
+        "the only BNLJ is the 1-row sketch aggregate crossJoined with "
+        "the 1-row exact-distinct aggregate (O(1x1) attach); the "
+        "sketch itself is a map-side-combinable per-bucket MIN whose "
+        "exchange is bounded by the constant bucket count",
+    "decontam_bloom_prefilter":
+        "the only BNLJ is the 1-row report aggregate crossJoined with "
+        "the 1-row bits-set count (O(1x1) attach); the bloom probe and "
+        "the exact truth lane are broadcast hash equi-joins on the "
+        "bounded (<= 4|eval| <= 65536-row) bits/eval relations",
 }
 
 ALL_NAMES = sorted(QUERIES)

@@ -406,3 +406,159 @@ def test_streaming_late_arrival_monitor_parity(spark, tmp_path):
     assert final.hw_us == hw
     # batch-1 row saw no disorder
     assert got[0].n_late == 0 and got[0].worst_lateness_us == 0
+
+
+def test_streaming_kmv_monitor_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Folding the KMV monitor's final per-bucket minima through the
+    estimator must reproduce the batch q_distinct_minvalue_sketch row
+    exactly, across micro-batch boundaries (state carries each bucket's
+    running min)."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_kmv_distinct_monitor,
+    )
+
+    M, TWO52 = 1024, 1 << 52
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    src = str(tmp_path / "src")
+    # two files -> maxFilesPerTrigger=1 forces >= 2 micro-batches.
+    # limit() is order-free, so part 1 is cache()-pinned: re-evaluating
+    # it in the subtract could otherwise pick other rows and lose a
+    # distinct user_id from the stream entirely
+    half = ev.count() // 2
+    part1 = ev.limit(half).cache()
+    part1.count()
+    part1.coalesce(1).write.mode("append").parquet(src)
+    ev.subtract(part1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_kmv_distinct_monitor(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "user_id",
+            m=M,
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql(
+        """SELECT b, u FROM (
+             SELECT b, u, ROW_NUMBER() OVER (
+               PARTITION BY b ORDER BY n_seen DESC) AS rn FROM kmv_t
+           ) WHERE rn = 1"""
+    ).collect()
+    assert len(rows) >= 1
+    sum_u = sum(r.u for r in rows) + (M - len(rows)) * TWO52
+    est = int(float(M * M * TWO52) / float(sum_u)) - M
+
+    batch = QUERIES["q_distinct_minvalue_sketch"].build(
+        spark, sf_dir
+    ).collect()[0]
+    assert len(rows) == batch.n_buckets_hit
+    assert sum_u == batch.sum_u
+    assert est == batch.est_distinct
+
+
+def test_streaming_schema_drift_monitor_emits_new_key_once(spark, tmp_path):
+    """A producer deploy that adds a JSON field must surface that key
+    exactly once, in the micro-batch where it first appears."""
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_schema_drift_monitor,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "payload string"
+    b1 = [(f'{{"event_id": {i}, "value": {i}.5}}',) for i in range(20)]
+    b2 = [
+        (f'{{"event_id": {i}, "value": {i}.5, "session": {i}}}',)
+        for i in range(20, 30)
+    ]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    q = (
+        streaming_schema_drift_monitor(
+            spark.readStream.schema("payload string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("drift_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        r.json_key for r in spark.sql("SELECT json_key FROM drift_t").collect()
+    )
+    # every key exactly once, 'session' included despite arriving late
+    assert got == ["event_id", "session", "value"]
+
+
+def test_streaming_countmin_monitor_matches_batch_cms(spark, sf_dir, tmp_path):
+    """The monitor's final cell counts must equal the batch CMS built
+    over the full stream, across micro-batch boundaries."""
+    from arango_clickhouse_replica_spark.queries.analytics import (
+        _CMS_W, _cms_bucket,
+    )
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_countmin_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    src = str(tmp_path / "src")
+    half = ev.count() // 2
+    part1 = ev.limit(half).cache()
+    part1.count()
+    part1.coalesce(1).write.mode("append").parquet(src)
+    ev.subtract(part1).coalesce(1).write.mode("append").parquet(src)
+    # the batch CMS must count the EXACT multiset the stream ingested
+    streamed = spark.read.parquet(src)
+
+    q = (
+        streaming_countmin_monitor(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "user_id",
+        )
+        .writeStream.format("memory")
+        .queryName("cms_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.cell: int(r.n)
+        for r in spark.sql(
+            """SELECT cell, n FROM (
+                 SELECT cell, n, ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY n DESC) AS rn FROM cms_t
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+
+    import pyspark.sql.functions as SF
+    cells = SF.array(
+        *[
+            SF.lit((i - 1) * _CMS_W) + _cms_bucket(SF.col("user_id"), i)
+            for i in range(1, 5)
+        ]
+    )
+    want = {
+        r.cell: int(r.c)
+        for r in streamed.select(SF.explode(cells).alias("cell"))
+        .groupBy("cell").agg(SF.count("*").alias("c")).collect()
+    }
+    assert got == want

@@ -162,6 +162,16 @@ PROBES = [
     "embed_recall_at_k_curve",
     "mm_audio_snr_estimate",
     "curation_anneal_mixture",
+    "q_distinct_minvalue_sketch",
+    "cdc_schema_drift_census",
+    "cdc_txn_boundary_report",
+    "text_c4_line_cleaning",
+    "mm_aspect_bucket_census",
+    "decontam_bloom_prefilter",
+    "q_heavy_hitters_countmin",
+    "mm_aspect_resize_plan",
+    "q_distinct_sketch_merge",
+    "curation_pack_waste_report",
 ]
 
 
