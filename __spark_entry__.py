@@ -72,7 +72,7 @@ ROTATION_EXEMPT = frozenset({
     "q_array_functions",              # array HOFs: every embed_*/ann_* kernel
     "q_set_ops_all_multiset",         # set ops: q_set_ops_nation_segments
     "q_unpivot_order_metrics",        # stack(): mm_ahash_near_dup bands
-    "q_pct_of_total_by_nation",       # share-of-total: q_mom_revenue_growth
+    "q_pct_of_total_by_nation",       # share-of-total: curation_domain_mixture_weights (rotating) computes the same share-of-total shape
     "q_weighted_avg_discount",        # weighted agg: q1_pricing_summary
     # Grown r7 alongside the 3 color-codec registrations (each pick has
     # 6 green driver rounds r1-r6):
@@ -127,7 +127,7 @@ ROTATION_EXEMPT = frozenset({
     "q_exists_high_value_order",      # EXISTS semi-join: q_scalar_subquery_above_avg keeps the correlated-subquery surface
     "q_mode_ship_priority",           # mode(): q_argmax_latest_order + text_doc_length_percentiles (rotating) cover the order-statistic family
     # Grown r8 alongside mm_video_frame_dedup:
-    "mm_mjpeg_frame_sample",          # every-2nd-frame demux: mm_mjpeg_scene_cuts + mm_video_frame_dedup decode the full frame stream
+    "mm_mjpeg_frame_sample",          # every-2nd-frame demux: mm_scene_keyframes + mm_video_frame_dedup decode the full frame stream
     # Grown r8 alongside text_length_outlier_mad + q_event_anomaly_zscore:
     "text_word_entropy",              # unigram entropy: text_char_entropy + text_zipf_slope keep the distribution-shape surface
     "mm_wav_frame_features",          # framed energy/ZCR build: mm_audio_vad_segments consumes the same framed primitives end-to-end
@@ -179,6 +179,15 @@ ROTATION_EXEMPT = frozenset({
     "q_distinct_minvalue_sketch",     # registered earlier THIS round (driver-green at sf0.001+sf0.01 in-round): q_distinct_sketch_merge (rotating) rebuilds the identical bucket-min sketch per shard AND merged with the same exact-distinct comparison every round — strict superset
     "curation_importance_sample",     # hash-threshold importance draw: curation_stratified_sample (rotating) keeps the deterministic-sampling lane and curation_dsir_weights (rotating) keeps the importance-weight lane
     "embed_pair_sim_histogram",       # blocked cosine-pair distribution: dedup_embedding_cosine_blocked (rotating) exercises the same blocked cosine-pair kernel with a threshold decision; embed_recall_at_k_curve keeps the exact-cosine lane
+    # Grown r9 alongside mm_scene_keyframes + embed_ivf_balance_report:
+    "mm_mjpeg_scene_cuts",            # scene spans/means: mm_scene_keyframes (rotating) re-runs the IDENTICAL demux+decode+cut+island construction (_scene_frames) every round — a defect anywhere in that chain breaks its hash too; the span/mean lane stays in the per-round full-registry record
+    "embed_centroid_outliers",        # distance-to-centroid outliers: embed_ood_mahalanobis (rotating) keeps the distance-to-profile outlier lane and embed_ivf_balance_report (rotating) re-runs the same centroid assignment
+    # Grown r9 alongside curation_quality_decile_calibration +
+    # q_time_weighted_average:
+    "text_gopher_quality_flags",      # Gopher rule gate: the identical gate predicate is re-evaluated INSIDE curation_filter_agreement AND curation_quality_decile_calibration (both rotating) every round
+    "text_quality_score",             # heuristic length/punct/stopword score: curation_quality_decile_calibration (rotating) keeps the quality-scoring lane with the stronger classifier-vs-gate check; text_length_outlier_mad keeps the robust length lane
+    # Grown r9 alongside q_pagerank_handoff_graph:
+    "q_mom_revenue_growth",           # month-over-month lag on a calendar aggregate: q_gap_fill_daily_revenue keeps the calendar-aggregate lane; the rolling z-score/Tukey windows keep the lag-delta lane
 })
 
 

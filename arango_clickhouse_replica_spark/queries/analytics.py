@@ -966,3 +966,224 @@ def q_heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
     )
+
+
+@query(
+    "q_time_weighted_average",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) AS ts_us,
+             CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS v_micro,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_us, v_micro,
+             (LEAD(ts_us) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) - ts_us)
+               // 1000000 AS dur_s
+      FROM e
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT)
+               AS span_s,
+             CAST(SUM(dur_s) AS BIGINT) AS sum_w,
+             CAST(SUM(v_micro * dur_s) AS BIGINT) AS sum_wv
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_s,
+           sum_wv // sum_w AS twa_micro
+    FROM per_user WHERE sum_w > 0
+    ORDER BY user_id
+    """,
+    tags=("window", "timeseries", "agg"),
+    doc="Time-weighted average for irregularly sampled telemetry — the "
+        "correct mean when events arrive unevenly (a plain AVG "
+        "overweights bursts; TWA holds each value until the next "
+        "observation, the standard gauge-metric/sensor semantics): per "
+        "user, each value is weighted by the whole seconds until that "
+        "user's next event (the last observation carries no weight) "
+        "and the weighted mean lands in exact integer micro-units. Sum "
+        "magnitudes are bounded by value_max x observation SPAN (the "
+        "durations telescope), so the integer lane never overflows "
+        "regardless of event count. Users whose events all fall within "
+        "one second carry no weight and are excluded (documented). "
+        "Scale: ONE user_id exchange feeds the lead window and the "
+        "aggregate — the same single-shuffle shape as the z-score and "
+        "Tukey windows.",
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (
+            F.round(F.col("value"), 6).cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("long").alias("v_micro"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.withColumn(
+        "dur_s", F.lead("ts_us").over(w) - F.col("ts_us")
+    ).withColumn("dur_s", F.expr("dur_s div 1000000"))
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").cast("long")
+        .alias("span_s"),
+        F.sum("dur_s").cast("long").alias("sum_w"),
+        F.sum(F.col("v_micro") * F.col("dur_s")).cast("long")
+        .alias("sum_wv"),
+    )
+    return (
+        per_user.filter(F.col("sum_w") > 0)
+        .withColumn("twa_micro", F.expr("sum_wv div sum_w"))
+        .select("user_id", "n_events", "span_s", "twa_micro")
+        .orderBy("user_id")
+    )
+
+
+_PR_ITERS = 3
+_PR_BASE = 1_000_000
+
+
+def _pagerank_oracle() -> str:
+    graph = """
+    WITH seq AS (
+      SELECT user_id,
+             LEAD(user_id) OVER (ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    edges AS (
+      SELECT user_id AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id
+      GROUP BY user_id, nxt
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+               FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST({base} // cnt.n AS BIGINT) AS rank
+      FROM nodes, cnt
+    )""".format(base=_PR_BASE)
+    step = """,
+    r{k} AS (
+      SELECT nd.node,
+             CAST((15 * {base}) // (100 * cnt.n)
+                  + (85 * COALESCE(SUM((r.rank * e.w) // od.wout), 0))
+                    // 100 AS BIGINT) AS rank
+      FROM nodes nd
+      CROSS JOIN cnt
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN r{p} r ON r.node = e.src
+      LEFT JOIN outdeg od ON od.src = e.src
+      GROUP BY nd.node, cnt.n
+    )"""
+    body = "".join(
+        step.format(k=k, p=k - 1, base=_PR_BASE)
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return graph + body + f"""
+    SELECT r.node AS user_id, r.rank AS rank_micro,
+           CAST(COALESCE(outd.wout, 0) AS BIGINT) AS out_weight,
+           CAST(COALESCE(ind.win, 0) AS BIGINT) AS in_weight
+    FROM r{_PR_ITERS} r
+    LEFT JOIN outdeg outd ON outd.src = r.node
+    LEFT JOIN (SELECT dst, CAST(SUM(w) AS BIGINT) AS win
+               FROM edges GROUP BY dst) ind ON ind.dst = r.node
+    ORDER BY rank_micro DESC, user_id
+    """
+
+
+@query(
+    "q_pagerank_handoff_graph",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+    doc="PageRank over the temporal handoff graph — the engine's graph "
+        "lane: an edge u->v with weight w counts how often v produced "
+        "the event immediately after u (the interaction-sequence graph "
+        "mined from any event log), and three damped PageRank "
+        "iterations (d=0.85) run as UNROLLED dataflow — each iteration "
+        "is one broadcast join of the rank vector against the edge "
+        "list plus a grouped sum, exactly how iterative graph "
+        "algorithms compile onto a relational engine when the "
+        "iteration count is fixed. Every lane is integer micro-units "
+        "with engine-identical truncation order (per-edge share = "
+        "rank*w div wout, then the damping blend), so all three "
+        "iterations hash-match the oracle. Dangling-mass is dropped, "
+        "not redistributed (the common SQL variant; ordering signal "
+        "is preserved, documented). Scale: the edge BUILD is the only "
+        "corpus-sized stage (one lead window over the WAL's native "
+        "time order; at scale, sessionize per shard and stitch "
+        "boundaries); iterations touch the |nodes|+|edges| graph "
+        "relations only, broadcast when they fit and hash-partitioned "
+        "when they don't.",
+)
+def q_pagerank_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_seq = Window.orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.lead("user_id").over(w_seq).alias("nxt")
+    )
+    edges = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
+        .groupBy(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cnt = nodes.agg(F.count("*").cast("long").alias("n"))
+    outdeg = edges.groupBy("src").agg(
+        F.sum("w").cast("long").alias("wout")
+    )
+    # iteration 0: uniform mass
+    r = nodes.crossJoin(cnt).select(
+        "node", F.expr(f"{_PR_BASE} div n").cast("long").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank * w) div wout").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("long").alias("incoming"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(cnt)
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * {_PR_BASE}) div (100 * n)")
+                    + F.expr(
+                        "(85 * coalesce(incoming, 0)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    ind = edges.groupBy("dst").agg(F.sum("w").cast("long").alias("win"))
+    return (
+        r.join(outdeg, r.node == outdeg.src, "left")
+        .join(ind, r.node == ind.dst, "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("rank").alias("rank_micro"),
+            F.coalesce("wout", F.lit(0)).cast("long").alias("out_weight"),
+            F.coalesce("win", F.lit(0)).cast("long").alias("in_weight"),
+        )
+        .orderBy(F.desc("rank_micro"), F.asc("user_id"))
+    )

@@ -2478,3 +2478,100 @@ def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, _micro6(d) / 10**6) for r, v, d, _ in centers],
         "round int, vec_id bigint, radius2 double",
     )
+
+
+@query(
+    "embed_ivf_balance_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             {_NORM_SQL.format(a='embedding')} AS nrm
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % 16
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY ({_DOT_SQL.format(a='embedding', b='c_emb')}
+                         / (nrm * {_NORM_SQL.format(a='c_emb')})) DESC,
+                        cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM assign WHERE c_rank = 1 GROUP BY cell
+    )
+    SELECT cell, n_vectors,
+           CAST(n_vectors * 16000 // SUM(n_vectors) OVER () AS BIGINT)
+             AS load_per_mille,
+           n_vectors * 16000 // SUM(n_vectors) OVER () > 2000 AS hot,
+           CAST(MAX(n_vectors) OVER () * 16000 // SUM(n_vectors) OVER ()
+                AS BIGINT) AS max_load_per_mille
+    FROM occ ORDER BY cell
+    """,
+    tags=("embedding", "ann", "ivf", "balance"),
+    doc="IVF cell-occupancy balance report — the ANN-index pre-flight "
+        "that decides whether the cell seeding needs re-training before "
+        "routing queries (a hot cell makes every probe that touches it "
+        "pay its full occupancy; the ANN twin of the shard-balance "
+        "straggler check): per cell, the vector count and its load "
+        "factor in per-mille of the uniform share (1000 = perfectly "
+        "balanced, >2000 flagged hot), plus the worst cell's load "
+        "attached to every row. Uses exactly ann_ivf_probed's "
+        "deterministic assignment (same centroids, same argmin), so "
+        "the report audits the index the recall queries actually "
+        "probe. All-integer division lanes. Scale: one allowlisted "
+        "O(N x 16) broadcast assignment pass (shared shape) into a "
+        "16-row aggregate; the balance windows run over 16 rows.",
+)
+def embed_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    n_cells = 16
+    w_seed = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select((F.col("vec_id") % n_cells).cast("int").alias("cell"),
+                F.col("embedding").alias("c_emb"))
+    )
+    d = emb.crossJoin(F.broadcast(centroids))
+    sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    occ = (
+        d.withColumn("c_sim", sim)
+        .withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") == 1)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+    w_all = Window.partitionBy()
+    load = F.expr(
+        f"(n_vectors * {n_cells}000) div total"
+    )
+    return (
+        occ.withColumn("total", F.sum("n_vectors").over(w_all))
+        .withColumn("mx", F.max("n_vectors").over(w_all))
+        .withColumn("load_per_mille", load)
+        .withColumn("hot", F.col("load_per_mille") > 2000)
+        .withColumn(
+            "max_load_per_mille",
+            F.expr(f"(mx * {n_cells}000) div total").cast("long"),
+        )
+        .select(
+            "cell", "n_vectors", "load_per_mille", "hot",
+            "max_load_per_mille",
+        )
+        .orderBy("cell")
+    )

@@ -1135,7 +1135,11 @@ def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounded, so no skew), and per-frame work is numpy DCT math — "
         "scan/IO-bound at 100 TB.",
 )
-def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scene_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cut-detection relation: decoded per-frame pixel sums over
+    the cached scene-clip frames with the gaps-and-islands scene id
+    (the mm_mjpeg_scene_cuts construction, reused by the keyframe
+    selector so the decode pass and the exchange are shared)."""
     from pyspark.sql.window import Window
 
     from ..operators.multimodal import (
@@ -1158,7 +1162,7 @@ def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) > 2000,
         1,
     ).otherwise(0)
-    scenes = frames.select(
+    return frames.select(
         "media_id", "frame_no", "sum_pixels"
     ).withColumn(
         "scene_id",
@@ -1166,6 +1170,10 @@ def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("int"),
     )
+
+
+def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scenes = _scene_frames(spark, sf_dir)
     return (
         scenes.groupBy("media_id", "scene_id")
         .agg(
@@ -2275,4 +2283,89 @@ def mm_aspect_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_pixels"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "mm_scene_keyframes",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 3 + doc_id % 2 AS seg, 6 + doc_id % 4 AS n
+      FROM documents
+    ),
+    fr AS (
+      SELECT p.doc_id, p.seg, CAST(u.f AS INT) AS f
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(f)
+    ),
+    px AS (
+      SELECT doc_id, f, CAST(f // seg AS INT) AS scene_id,
+             128 * (16 + 60 * (f // seg) + 7 * (f % seg)) + 576
+               AS sum_pixels
+      FROM fr
+    ),
+    st AS (
+      SELECT doc_id, scene_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(sum_pixels) AS BIGINT) AS total
+      FROM px GROUP BY doc_id, scene_id
+    ),
+    ranked AS (
+      SELECT px.doc_id, px.scene_id, st.n_frames, px.f, px.sum_pixels,
+             ABS(st.n_frames * px.sum_pixels - st.total) AS cost,
+             ROW_NUMBER() OVER (
+               PARTITION BY px.doc_id, px.scene_id
+               ORDER BY ABS(st.n_frames * px.sum_pixels - st.total), px.f
+             ) AS rn
+      FROM px JOIN st USING (doc_id, scene_id)
+    )
+    SELECT doc_id AS media_id, scene_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(f AS INT) AS keyframe,
+           CAST(sum_pixels AS BIGINT) AS keyframe_luma_sum,
+           CAST(cost AS BIGINT) AS medoid_cost
+    FROM ranked WHERE rn = 1
+    ORDER BY media_id, scene_id
+    """,
+    tags=("multimodal", "video", "keyframe", "pandas-udf"),
+    doc="Per-scene keyframe selection over the REAL decoded frame "
+        "stream — the captioning/sampling step after shot detection "
+        "(one representative frame per scene feeds the image captioner "
+        "instead of every frame): picks the medoid-by-luma frame, the "
+        "one whose decoded pixel sum is nearest the scene mean, as "
+        "exact integers (|n*sum_f - total|, no division) with the "
+        "earliest frame breaking ties. Shares mm_mjpeg_scene_cuts' "
+        "cached decode AND its scene-id construction (_scene_frames), "
+        "so selection costs one extra aggregate + rank window on the "
+        "SAME media_id exchange. The closed-form oracle replays the "
+        "ground-truth segmentation and the medoid argmin. Scale: "
+        "bounded frames-per-clip keeps the rank window frame O(clip); "
+        "nothing wider than (media, frame) rows ever shuffles.",
+)
+def mm_scene_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scenes = _scene_frames(spark, sf_dir)
+    st = scenes.groupBy("media_id", "scene_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("sum_pixels").cast("long").alias("total"),
+    )
+    cost = F.abs(
+        F.col("n_frames") * F.col("sum_pixels") - F.col("total")
+    )
+    w = Window.partitionBy("media_id", "scene_id").orderBy(
+        cost.asc(), F.col("frame_no").asc()
+    )
+    return (
+        scenes.join(st, ["media_id", "scene_id"])
+        .withColumn("medoid_cost", cost)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "media_id", "scene_id",
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.col("frame_no").cast("int").alias("keyframe"),
+            F.col("sum_pixels").cast("long").alias("keyframe_luma_sum"),
+            F.col("medoid_cost").cast("long").alias("medoid_cost"),
+        )
+        .orderBy("media_id", "scene_id")
     )

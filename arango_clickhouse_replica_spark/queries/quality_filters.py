@@ -1011,3 +1011,126 @@ def curation_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("agreement"),
         F.round(kappa, 6).alias("kappa"),
     ).orderBy("source")
+
+
+@query(
+    "curation_quality_decile_calibration",
+    oracle=None,  # installed below: composes the classifier's stored SQL
+    tags=("curation", "quality", "calibration", "llm-pipeline"),
+    doc="Classifier-score calibration against the Gopher rule gate — the "
+        "table that decides whether the learned keep-score can REPLACE "
+        "the rules (curation_filter_agreement's kappa says how much "
+        "they agree overall; this says WHERE they disagree): documents "
+        "rank into exact deciles of the per-feature average classifier "
+        "score and each decile reports its rule-gate pass rate. A "
+        "monotone pass curve means the score orders quality the same "
+        "way the rules do and a threshold can be read off the table; a "
+        "flat or folded curve means the classifier learned something "
+        "else. Integer lanes throughout (milli-score per feature with "
+        "engine-identical truncation, rank-based deciles, per-mille "
+        "rates). Scale: one global sort-window builds the decile "
+        "boundary — the same single total order ANY exact decile table "
+        "needs; at 100 TB swap in pre-computed percentile boundaries "
+        "broadcast from a sample, the shape downstream stays identical.",
+)
+def curation_quality_decile_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .gopher_filters import gopher_doc_stats, gopher_pass_predicate
+
+    docs = load_table(spark, "documents", sf_dir)
+    clf = text_hashed_ngram_classifier(spark, sf_dir).select(
+        "doc_id", "n_features", "score_milli_sum"
+    )
+    rules = gopher_doc_stats(docs).select(
+        "doc_id",
+        F.when(gopher_pass_predicate(), 1).otherwise(0).alias("kr"),
+    )
+    j = clf.join(rules, "doc_id").select(
+        "doc_id", "kr",
+        F.expr("(score_milli_sum * 1000) div n_features")
+        .alias("avg_milli"),
+    )
+    w = Window.orderBy("avg_milli", "doc_id")
+    ranked = j.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    dec = ranked.select(
+        F.expr("((rnk - 1) * 10) div n").cast("long").alias("decile"),
+        "avg_milli", "kr",
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("avg_milli").cast("long").alias("min_avg_milli"),
+            F.max("avg_milli").cast("long").alias("max_avg_milli"),
+            F.sum("kr").cast("long").alias("gate_pass"),
+        )
+        .withColumn(
+            "pass_per_mille", F.expr("(gate_pass * 1000) div n_docs")
+        )
+        .orderBy("decile")
+    )
+
+
+def _install_calibration_oracle() -> None:
+    from dataclasses import replace
+
+    from .gopher_filters import _STOPWORDS, _WC_HI, _WC_LO, _ngrams_sql
+    from .registry import QUERIES as _Q
+
+    clf_sql = _Q["text_hashed_ngram_classifier"].oracle
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    oracle = f"""
+    WITH clf AS ({clf_sql}),
+    w AS ({_ngrams_sql(1)}),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(g)) AS BIGINT) AS n_word_chars,
+             CAST(COUNT(*) FILTER (WHERE len(g) <= 2) AS BIGINT) AS n_short,
+             CAST(COUNT(DISTINCT g) FILTER (WHERE g IN ({stop_list}))
+                  AS BIGINT) AS n_stop
+      FROM w GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT doc_id,
+             CASE WHEN n_words BETWEEN {_WC_LO} AND {_WC_HI}
+                   AND n_word_chars >= 3 * n_words
+                   AND n_word_chars <= 10 * n_words
+                   AND 5 * n_short <= n_words
+                   AND n_stop >= 2 THEN 1 ELSE 0 END AS kr
+      FROM per_doc
+    ),
+    j AS (
+      SELECT clf.doc_id, r.kr,
+             (clf.score_milli_sum * 1000) // clf.n_features AS avg_milli
+      FROM clf JOIN rules r ON r.doc_id = clf.doc_id
+    ),
+    ranked AS (
+      SELECT avg_milli, kr,
+             ROW_NUMBER() OVER (ORDER BY avg_milli, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM j
+    ),
+    dec AS (
+      SELECT ((rnk - 1) * 10) // n AS decile, avg_milli, kr FROM ranked
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(avg_milli) AS BIGINT) AS min_avg_milli,
+           CAST(MAX(avg_milli) AS BIGINT) AS max_avg_milli,
+           CAST(SUM(kr) AS BIGINT) AS gate_pass,
+           CAST(SUM(kr) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+             AS pass_per_mille
+    FROM dec GROUP BY decile ORDER BY decile
+    """
+    _Q["curation_quality_decile_calibration"] = replace(
+        _Q["curation_quality_decile_calibration"], oracle=oracle
+    )
+
+
+_install_calibration_oracle()

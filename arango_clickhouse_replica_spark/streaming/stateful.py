@@ -583,3 +583,83 @@ def streaming_countmin_monitor(df: DataFrame, key_col: str) -> DataFrame:
         "one", F.lit(1.0)
     )
     return streaming_running_totals(hashed, "cell", "one")
+
+
+_TWA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("span_s", T.LongType()),
+        T.StructField("twa_micro", T.LongType()),
+    ]
+)
+_TWA_STATE = (
+    "first_us long, last_us long, last_v long, n_events long,"
+    " sum_w long, sum_wv long"
+)
+
+
+def streaming_twa_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``q_time_weighted_average``: per user, the
+    state carries (first/last event time, last value, count, weighted
+    sum) and every micro-batch re-emits the user's lifetime
+    time-weighted average — the gauge-metric mean kept correct while
+    samples stream in unevenly. Matches the batch lane exactly: each
+    value is weighted by the WHOLE SECONDS until the user's next
+    observation (computed when that next observation arrives, so the
+    running result after batch K equals the batch query over rows
+    1..K's closed intervals — proven in
+    tests/test_streaming_stateful.py).
+
+    Expects columns ``user_id``, ``ts_us`` (epoch micros, LONG),
+    ``v_micro`` (micro-unit value, LONG) and ``event_id`` (tie-break) —
+    decimal lanes computed JVM-side upstream, as with the other
+    monitors. Assumes per-user event-time-ordered delivery ACROSS
+    micro-batches (the WAL tail's native order); rows within a batch
+    are sorted here, and cross-batch disorder is what
+    ``streaming_late_arrival_monitor`` exists to alarm on.
+
+    Scale: state is six longs per user; users hash-partition across
+    executors like any keyed state.
+    """
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        first_us, last_us, last_v, n_events, sum_w, sum_wv = (
+            state.get if state.exists else (None, None, None, 0, 0, 0)
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(
+                    (first_us, last_us, last_v, n_events, sum_w, sum_wv)
+                )
+            return
+        batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+        for ts_us, v in zip(batch["ts_us"], batch["v_micro"]):
+            ts_us, v = int(ts_us), int(v)
+            if first_us is None:
+                first_us = ts_us
+            else:
+                # close the previous observation's interval — the SAME
+                # per-gap whole-second truncation as the batch lane
+                # (truncated gaps do NOT telescope to the span)
+                dur_s = (ts_us - last_us) // 1_000_000
+                sum_w += dur_s
+                sum_wv += last_v * dur_s
+            last_us, last_v = ts_us, v
+            n_events += 1
+        state.update((first_us, last_us, last_v, n_events, sum_w, sum_wv))
+        if sum_w > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n_events],
+                    "span_s": [(last_us - first_us) // 1_000_000],
+                    "twa_micro": [sum_wv // sum_w],
+                }
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold, _TWA_SCHEMA, _TWA_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -195,6 +195,16 @@ BNLJ_ALLOWED = {
         "the 1-row exact-distinct aggregate (O(1x1) attach); the "
         "sketch itself is a map-side-combinable per-bucket MIN whose "
         "exchange is bounded by the constant bucket count",
+    "q_pagerank_handoff_graph":
+        "the only BNLJs are the 1-row node-count broadcast attached to "
+        "the |nodes| relation (O(nodes x 1)) in the seed and in each "
+        "unrolled iteration's damping blend; rank propagation itself "
+        "is a hash equi-join of the rank vector against the edge list",
+    "embed_ivf_balance_report":
+        "the shared 16-centroid broadcast assignment (same allowlisted "
+        "O(N*16) narrow pass as ann_ivf_probed/embed_label_purity); "
+        "the occupancy aggregate and the balance windows run over 16 "
+        "rows",
     "decontam_bloom_prefilter":
         "the only BNLJ is the 1-row report aggregate crossJoined with "
         "the 1-row bits-set count (O(1x1) attach); the bloom probe and "

@@ -562,3 +562,61 @@ def test_streaming_countmin_monitor_matches_batch_cms(spark, sf_dir, tmp_path):
         .groupBy("cell").agg(SF.count("*").alias("c")).collect()
     }
     assert got == want
+
+
+def test_streaming_twa_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """After draining the full stream, each user's live TWA must equal
+    the batch q_time_weighted_average row, across micro-batch
+    boundaries (state carries the open interval)."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_twa_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        (F.round(F.col("value"), 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("long").alias("v_micro"),
+        "event_id",
+    )
+    src = str(tmp_path / "src")
+    # split on event TIME so cross-batch delivery stays per-user ordered
+    # (the monitor's documented contract — the WAL tail's native order)
+    mid = ev.agg(F.expr("percentile_approx(ts_us, 0.5)")).collect()[0][0]
+    ev.filter(F.col("ts_us") <= mid).coalesce(1).write.mode(
+        "append").parquet(src)
+    ev.filter(F.col("ts_us") > mid).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    q = (
+        streaming_twa_monitor(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("twa_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (int(r.n_events), int(r.span_s), int(r.twa_micro))
+        for r in spark.sql(
+            """SELECT user_id, n_events, span_s, twa_micro FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM twa_t
+               ) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (int(r.n_events), int(r.span_s), int(r.twa_micro))
+        for r in QUERIES["q_time_weighted_average"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want

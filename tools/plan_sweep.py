@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Plan-stability sweep: replay tests/test_plan_quality.py's scale
+antipattern assertions (no cartesian product, no un-allowlisted
+BroadcastNestedLoopJoin, no row-at-a-time Python UDF) over EVERY
+registered query built against a larger scale factor (default sf0.1,
+100x the CI fixture) with AQE on.
+
+AQE and the broadcast threshold can legally pick DIFFERENT physical
+plans when the optimizer sees bigger statistics; this sweep proves no
+query's plan degrades into a scale antipattern when they do. Was a
+one-off snippet in round 8 (docs/SCALING.md "Plan stability across
+scale factors"); now repeatable per round.
+
+Usage: python tools/plan_sweep.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from test_plan_quality import BNLJ_ALLOWED
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name].build(spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — report, don't abort sweep
+            bad.append((name, f"build failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "cartesian product"))
+        if name not in BNLJ_ALLOWED and "BroadcastNestedLoopJoin" in plan:
+            bad.append((name, "nested-loop join"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time Python UDF"))
+
+    n = len(QUERIES)
+    for name, why in bad:
+        print(f"VIOLATION {name}: {why}")
+    print(f"{n - len(bad)}/{n} clean at {args.sf}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

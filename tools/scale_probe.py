@@ -172,6 +172,11 @@ PROBES = [
     "mm_aspect_resize_plan",
     "q_distinct_sketch_merge",
     "curation_pack_waste_report",
+    "mm_scene_keyframes",
+    "embed_ivf_balance_report",
+    "curation_quality_decile_calibration",
+    "q_time_weighted_average",
+    "q_pagerank_handoff_graph",
 ]
 
 
