@@ -108,12 +108,12 @@ ROTATION_EXEMPT = frozenset({
     # (each pick has 7 green driver rounds r1-r7 incl. the full-registry
     # record):
     "q_stat_moments_by_segment",      # per-segment distribution stats: q_rolling_tukey_outliers (rotating) + q_weighted_avg_discount cover the family
-    "q_funnel_conversion",            # event-sequence analytics: q_click_purchase_attribution + q_cohort_retention cover the family
+    "q_funnel_conversion",            # event-sequence analytics: q_clickhouse_window_funnel (rotating) runs the stricter windowed ordered chain; q_clickhouse_retention keeps the cohort-flag lane
     "text_bigram_heavy_hitters",      # raw pair-count top-k: text_cooccurrence_pmi + text_bigram_logprob are the kept pair-statistics siblings
     "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (kept) + dsl_deadletter_split (kept) on another table
     # Grown r8 alongside cdc_churn_report + curation_dedup_survivorship_bias:
     "q_salted_skew_agg",              # salting demo: the production salting lives in operators/blocking.py + AQE (DESIGN.md §3); cdc_churn_report now measures the skew itself
-    "q_cohort_retention",             # event-sequence analytics: q_click_purchase_attribution + q_event_transitions cover the family
+    "q_cohort_retention",             # cohort-offset matrix: q_clickhouse_retention (rotating) keeps the retention lane (CH-function scalar shape); q_event_transitions keeps sequence pairs
     # Grown r8 alongside the interval-merge/late-arrival/temperature/
     # fertility registrations (each pick has 2-3 green driver rounds
     # plus the r7 AND r8 full-registry records):
@@ -188,6 +188,9 @@ ROTATION_EXEMPT = frozenset({
     "text_quality_score",             # heuristic length/punct/stopword score: curation_quality_decile_calibration (rotating) keeps the quality-scoring lane with the stronger classifier-vs-gate check; text_length_outlier_mad keeps the robust length lane
     # Grown r9 alongside q_pagerank_handoff_graph:
     "q_mom_revenue_growth",           # month-over-month lag on a calendar aggregate: q_gap_fill_daily_revenue keeps the calendar-aggregate lane; the rolling z-score/Tukey windows keep the lag-delta lane
+    # Grown r9 alongside q_clickhouse_window_funnel + q_clickhouse_retention:
+    "q_click_purchase_attribution",   # last-touch attribution join: q_clickhouse_window_funnel (rotating) runs the stricter windowed ordered-sequence semantics over the same event chain
+    "dedup_cluster_size_histogram",   # cluster-size distribution: dedup_near_dup_clusters (rotating) builds the same clusters and curation_funnel_report (rotating) reports the same mass reduction
 })
 
 

@@ -1187,3 +1187,179 @@ def q_pagerank_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_micro"), F.asc("user_id"))
     )
+
+
+_WF_WINDOW_S = 3600  # windowFunnel window
+
+
+@query(
+    "q_clickhouse_window_funnel",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        AND epoch_us(e.ts) <= t1.t1 + {_WF_WINDOW_S * 1000000}
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        AND epoch_us(e.ts) <= t1.t1 + {_WF_WINDOW_S * 1000000}
+      GROUP BY e.user_id
+    ),
+    levels AS (
+      SELECT u.user_id,
+             CASE WHEN t3.t3 IS NOT NULL THEN 3
+                  WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS level,
+             t3.t3 - t1.t1 AS complete_us
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 ON t1.user_id = u.user_id
+      LEFT JOIN t2 ON t2.user_id = u.user_id
+      LEFT JOIN t3 ON t3.user_id = u.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COALESCE(MAX(complete_us) // 1000000, 0) AS BIGINT)
+             AS max_complete_s
+    FROM levels GROUP BY level ORDER BY level
+    """,
+    tags=("analytics", "funnel", "clickhouse-parity"),
+    doc="ClickHouse windowFunnel parity — the reference replicates INTO "
+        "ClickHouse precisely so users can run its parametric analytics "
+        "functions; this is windowFunnel(3600)(ts, view, click, "
+        "purchase) re-expressed as Spark dataflow: per user, the "
+        "longest strictly-ordered prefix of the condition chain whose "
+        "every step lands within the window opened by the FIRST step "
+        "(q_funnel_conversion is the unwindowed cousin; the deadline "
+        "anchored at t1 is the ClickHouse-specific semantics), "
+        "aggregated into the level histogram with the worst completion "
+        "time. Exact epoch-microsecond lanes. Scale: three per-user "
+        "conditional minima (users << events, map-side combinable) and "
+        "user-cardinality joins — never event x event.",
+)
+def q_clickhouse_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    win = _WF_WINDOW_S * 1_000_000
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id").join(t2, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    levels = (
+        ev.select("user_id").distinct()
+        .join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0).cast("long").alias("level"),
+            (F.col("t3") - F.col("t1")).alias("complete_us"),
+        )
+    )
+    return (
+        levels.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.coalesce(
+                F.expr("max(complete_us) div 1000000"), F.lit(0)
+            ).cast("long").alias("max_complete_s"),
+        )
+        .orderBy("level")
+    )
+
+
+@query(
+    "q_clickhouse_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events
+      GROUP BY user_id
+    ),
+    flags AS (
+      SELECT f.user_id,
+             MAX(CASE WHEN CAST(e.ts AS DATE) = f.d0
+                      THEN 1 ELSE 0 END) AS r0,
+             MAX(CASE WHEN CAST(e.ts AS DATE) = f.d0 + 1
+                      THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN CAST(e.ts AS DATE) = f.d0 + 7
+                      THEN 1 ELSE 0 END) AS r7
+      FROM events e JOIN f ON f.user_id = e.user_id
+      GROUP BY f.user_id
+    )
+    SELECT CAST(SUM(r0) AS BIGINT) AS day0,
+           CAST(SUM(r0 * r1) AS BIGINT) AS day0_and_1,
+           CAST(SUM(r0 * r7) AS BIGINT) AS day0_and_7,
+           CAST(SUM(r0 * r1) * 1000 // SUM(r0) AS BIGINT)
+             AS d1_retention_per_mille,
+           CAST(SUM(r0 * r7) * 1000 // SUM(r0) AS BIGINT)
+             AS d7_retention_per_mille
+    FROM flags
+    """,
+    tags=("analytics", "retention", "clickhouse-parity"),
+    doc="ClickHouse retention() parity — retention(date = d0, date = "
+        "d0+1, date = d0+7) over each user's first-seen day: the "
+        "canonical D1/D7 product-retention numbers as conditional "
+        "per-user flags ANDed against the baseline condition (the "
+        "ClickHouse semantics: later conditions only count where the "
+        "first holds), then one global rollup with per-mille rates. "
+        "q_cohort_retention is the full (cohort x offset) matrix; this "
+        "is the CH-function-shaped scalar summary. Scale: one per-user "
+        "flag aggregate (map-side combinable) + a 1-row rollup.",
+)
+def q_clickhouse_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    f = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    flags = (
+        ev.join(f, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+            .alias("r0"),
+            F.max(
+                F.when(F.col("d") == F.date_add(F.col("d0"), 1), 1)
+                .otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("d") == F.date_add(F.col("d0"), 7), 1)
+                .otherwise(0)
+            ).alias("r7"),
+        )
+    )
+    return flags.agg(
+        F.sum("r0").cast("long").alias("day0"),
+        F.sum(F.col("r0") * F.col("r1")).cast("long").alias("day0_and_1"),
+        F.sum(F.col("r0") * F.col("r7")).cast("long").alias("day0_and_7"),
+    ).select(
+        "day0", "day0_and_1", "day0_and_7",
+        F.expr("(day0_and_1 * 1000) div day0").cast("long")
+        .alias("d1_retention_per_mille"),
+        F.expr("(day0_and_7 * 1000) div day0").cast("long")
+        .alias("d7_retention_per_mille"),
+    )

@@ -1086,6 +1086,44 @@ def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scene_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cut-detection relation: decoded per-frame pixel sums over
+    the cached scene-clip frames with the gaps-and-islands scene id
+    (the mm_mjpeg_scene_cuts construction, reused by the keyframe
+    selector so the decode pass and the exchange are shared)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import (
+        sample_mjpeg_frames,
+        synth_mjpeg_scene_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = _cached_media(
+        spark, sf_dir, "mjpeg_frames",
+        lambda: sample_mjpeg_frames(
+            synth_mjpeg_scene_media(docs), every_n=1
+        ),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    cut = F.when(
+        F.abs(
+            F.col("sum_pixels")
+            - F.lag("sum_pixels").over(w)
+        ) > 2000,
+        1,
+    ).otherwise(0)
+    return frames.select(
+        "media_id", "frame_no", "sum_pixels"
+    ).withColumn(
+        "scene_id",
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+
+
+
 @query(
     "mm_mjpeg_scene_cuts",
     oracle="""
@@ -1135,43 +1173,6 @@ def mm_color_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounded, so no skew), and per-frame work is numpy DCT math — "
         "scan/IO-bound at 100 TB.",
 )
-def _scene_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared cut-detection relation: decoded per-frame pixel sums over
-    the cached scene-clip frames with the gaps-and-islands scene id
-    (the mm_mjpeg_scene_cuts construction, reused by the keyframe
-    selector so the decode pass and the exchange are shared)."""
-    from pyspark.sql.window import Window
-
-    from ..operators.multimodal import (
-        sample_mjpeg_frames,
-        synth_mjpeg_scene_media,
-    )
-
-    docs = load_table(spark, "documents", sf_dir)
-    frames = _cached_media(
-        spark, sf_dir, "mjpeg_frames",
-        lambda: sample_mjpeg_frames(
-            synth_mjpeg_scene_media(docs), every_n=1
-        ),
-    )
-    w = Window.partitionBy("media_id").orderBy("frame_no")
-    cut = F.when(
-        F.abs(
-            F.col("sum_pixels")
-            - F.lag("sum_pixels").over(w)
-        ) > 2000,
-        1,
-    ).otherwise(0)
-    return frames.select(
-        "media_id", "frame_no", "sum_pixels"
-    ).withColumn(
-        "scene_id",
-        F.sum(cut).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("int"),
-    )
-
-
 def mm_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scenes = _scene_frames(spark, sf_dir)
     return (

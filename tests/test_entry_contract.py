@@ -146,3 +146,20 @@ def test_design_doc_counts_match_registry():
         f"DESIGN.md says '{m and m.group(0)}' but bench.HEADLINE has "
         f"{len(bench.HEADLINE)} — update docs/DESIGN.md"
     )
+
+
+def test_registered_builder_names_match_registry_keys():
+    """The @query decorator binds to the first def BELOW it — inserting
+    a helper or a new query between an existing decorator and its def
+    silently registers the wrong builder under the old name (bit us
+    twice in round 9: a query inserted mid-file, then a helper
+    extraction). The plan-quality suite can't catch it (the wrong
+    relation still plans clean); this one-liner does, instantly."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+
+    bad = {
+        name: q.build.__name__
+        for name, q in QUERIES.items()
+        if q.build.__name__ != name
+    }
+    assert not bad, f"registry name != builder __name__: {bad}"

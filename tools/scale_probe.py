@@ -177,6 +177,8 @@ PROBES = [
     "curation_quality_decile_calibration",
     "q_time_weighted_average",
     "q_pagerank_handoff_graph",
+    "q_clickhouse_window_funnel",
+    "q_clickhouse_retention",
 ]
 
 
