@@ -191,6 +191,10 @@ ROTATION_EXEMPT = frozenset({
     # Grown r9 alongside q_clickhouse_window_funnel + q_clickhouse_retention:
     "q_click_purchase_attribution",   # last-touch attribution join: q_clickhouse_window_funnel (rotating) runs the stricter windowed ordered-sequence semantics over the same event chain
     "dedup_cluster_size_histogram",   # cluster-size distribution: dedup_near_dup_clusters (rotating) builds the same clusters and curation_funnel_report (rotating) reports the same mass reduction
+    # Grown r9 alongside curation_benchmark_overlap_matrix +
+    # embed_matryoshka_route_drift:
+    "decontam_substring_spans",       # eval-substring spans: curation_benchmark_overlap_matrix + decontam_bloom_prefilter (both rotating) keep the shingle-decontam lanes; dedup_substring_spans keeps the span machinery itself rotating
+    "embed_quantize_int8",            # int8 quantize build: ann_topk_int8_rerank (rotating) re-runs the same quantizer inside its rerank and embed_quantization_error_report keeps the width-sweep lane
 })
 
 

@@ -2575,3 +2575,131 @@ def embed_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+_ROUTE_PREFIX_DIMS = 16
+
+
+@query(
+    "embed_matryoshka_route_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             embedding[1:{_ROUTE_PREFIX_DIMS}] AS pref,
+             {_NORM_SQL.format(a='embedding')} AS nrm,
+             {_NORM_SQL.format(a=f'embedding[1:{_ROUTE_PREFIX_DIMS}]')}
+               AS pnrm
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cell,
+             embedding AS c_emb,
+             embedding[1:{_ROUTE_PREFIX_DIMS}] AS c_pref
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % 16
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    afull AS (
+      SELECT vec_id, cell FROM (
+        SELECT b.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_DOT_SQL.format(a='b.embedding', b='c.c_emb')}
+                           / (b.nrm * {_NORM_SQL.format(a='c.c_emb')}))
+                          DESC, c.cell) AS r
+        FROM base b CROSS JOIN centroids c
+      ) WHERE r = 1
+    ),
+    apref AS (
+      SELECT vec_id, cell AS pcell FROM (
+        SELECT b.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY ({_DOT_SQL.format(a='b.pref', b='c.c_pref')}
+                           / (b.pnrm * {_NORM_SQL.format(a='c.c_pref')}))
+                          DESC, c.cell) AS r
+        FROM base b CROSS JOIN centroids c
+      ) WHERE r = 1
+    )
+    SELECT f.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN f.cell = p.pcell THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_route,
+           CAST(SUM(CASE WHEN f.cell = p.pcell THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS agreement_per_mille
+    FROM afull f JOIN apref p USING (vec_id)
+    GROUP BY f.cell ORDER BY f.cell
+    """,
+    tags=("embedding", "ann", "matryoshka", "routing"),
+    doc="Matryoshka routing-drift audit — before serving ANN on "
+        f"truncated {_ROUTE_PREFIX_DIMS}-dim prefixes "
+        "(embed_matryoshka_recall measures SCORING loss; this measures "
+        "ROUTING loss, the part a cell-probing index actually feels): "
+        "every vector is assigned to its nearest centroid twice, once "
+        "on full vectors and once on the shared prefix slice of the "
+        "SAME centroids, and each full-assignment cell reports how "
+        "often the cheap route lands in the same cell. Low agreement "
+        "in a cell means prefix-routed queries need a higher nprobe "
+        "there, read straight off this table. Same deterministic "
+        "seeds/argmin as ann_ivf_probed (sequential-fold dot products, "
+        "bit-identical ordering). Scale: two allowlisted O(N x 16) "
+        "broadcast assignment passes over one base scan, a vec_id "
+        "equi-join, and a 16-row aggregate.",
+)
+def embed_matryoshka_route_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    k = _ROUTE_PREFIX_DIMS
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .withColumn("pref", F.slice("embedding", 1, k))
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .withColumn("pnrm", _norm(F.col("pref")))
+    )
+    n_cells = 16
+    w_seed = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    centroids = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("vec_id") % n_cells).cast("int").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("pref").alias("c_pref"),
+        )
+    )
+
+    def assign(vec_col: str, nrm_col: str, c_col: str) -> DataFrame:
+        d = emb.crossJoin(F.broadcast(centroids))
+        sim = _dot(F.col(vec_col), F.col(c_col)) / (
+            F.col(nrm_col) * _norm(F.col(c_col))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_sim"), F.asc("cell")
+        )
+        return (
+            d.withColumn("c_sim", sim)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cell")
+        )
+
+    afull = assign("embedding", "nrm", "c_emb")
+    apref = assign("pref", "pnrm", "c_pref").withColumnRenamed(
+        "cell", "pcell"
+    )
+    same = F.when(F.col("cell") == F.col("pcell"), 1).otherwise(0)
+    return (
+        afull.join(apref, "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(same).cast("long").alias("n_same_route"),
+        )
+        .withColumn(
+            "agreement_per_mille",
+            F.expr("(n_same_route * 1000) div n_vectors"),
+        )
+        .orderBy("cell")
+    )

@@ -4506,3 +4506,88 @@ def curation_pack_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("context_len")
     )
+
+
+@query(
+    "curation_benchmark_overlap_matrix",
+    oracle=f"""
+    WITH sh AS ({_DOC_SHINGLES_SQL}),
+    eval_sh AS (
+      SELECT DISTINCT (doc_id // 97) % 3 AS suite, s
+      FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (
+      SELECT t.doc_id, d.source, t.s
+      FROM sh t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE t.doc_id % 97 <> 0
+    ),
+    sz AS (
+      SELECT doc_id, source, COUNT(*) AS n_shingles
+      FROM train GROUP BY doc_id, source
+    ),
+    ov AS (
+      SELECT t.doc_id, e.suite, COUNT(*) AS n_overlap
+      FROM train t JOIN eval_sh e USING (s)
+      GROUP BY t.doc_id, e.suite
+    ),
+    flags AS (
+      SELECT sz.source, ov.suite,
+             CASE WHEN 2 * ov.n_overlap >= sz.n_shingles
+                  THEN 1 ELSE 0 END AS contaminated
+      FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+    )
+    SELECT source, CAST(suite AS BIGINT) AS suite,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_overlapping,
+           CAST(SUM(contaminated) AS BIGINT) AS n_contaminated
+    FROM flags GROUP BY source, suite ORDER BY source, suite
+    """,
+    tags=("text", "decontamination", "llm-pipeline"),
+    doc="Multi-benchmark contamination matrix — real decontamination "
+        "runs against MANY eval suites at once, and the release "
+        "decision needs the (source x suite) breakdown, not one "
+        "scalar: the held-out docs split into three suites, and every "
+        "(training source, suite) cell reports how many docs share "
+        "any shingle with that suite and how many cross the 50% "
+        "contamination threshold (decontam_ngram_overlap's exact "
+        "integer rule, per suite). Scale: the eval shingle set stays "
+        "tiny and broadcasts with its suite tag attached — the matrix "
+        "costs the SAME single corpus probe as the scalar report, "
+        "just keyed one column wider.",
+)
+def curation_benchmark_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            (F.expr("doc_id div 97") % 3).alias("suite"), "s"
+        )
+        .distinct()
+    )
+    train = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    sz = train.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_shingles")
+    )
+    ov = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id", "suite")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    flags = ov.join(sz, "doc_id").select(
+        "source", "suite",
+        F.when(2 * F.col("n_overlap") >= F.col("n_shingles"), 1)
+        .otherwise(0).alias("contaminated"),
+    )
+    return (
+        flags.groupBy("source", F.col("suite").cast("long").alias("suite"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs_overlapping"),
+            F.sum("contaminated").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source", "suite")
+    )

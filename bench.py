@@ -185,6 +185,8 @@ HEADLINE = [
     "q_pagerank_handoff_graph",
     "q_clickhouse_window_funnel",
     "q_clickhouse_retention",
+    "curation_benchmark_overlap_matrix",
+    "embed_matryoshka_route_drift",
 ]
 
 

@@ -200,6 +200,11 @@ BNLJ_ALLOWED = {
         "the |nodes| relation (O(nodes x 1)) in the seed and in each "
         "unrolled iteration's damping blend; rank propagation itself "
         "is a hash equi-join of the rank vector against the edge list",
+    "embed_matryoshka_route_drift":
+        "two instances of the shared 16-centroid broadcast assignment "
+        "(the allowlisted O(N*16) narrow pass), one on full vectors "
+        "and one on prefix slices; everything downstream is a vec_id "
+        "hash equi-join and a 16-row aggregate",
     "embed_ivf_balance_report":
         "the shared 16-centroid broadcast assignment (same allowlisted "
         "O(N*16) narrow pass as ann_ivf_probed/embed_label_purity); "
