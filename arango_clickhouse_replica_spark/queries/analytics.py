@@ -1120,18 +1120,53 @@ def _pagerank_oracle() -> str:
         "rank*w div wout, then the damping blend), so all three "
         "iterations hash-match the oracle. Dangling-mass is dropped, "
         "not redistributed (the common SQL variant; ordering signal "
-        "is preserved, documented). Scale: the edge BUILD is the only "
-        "corpus-sized stage (one lead window over the WAL's native "
-        "time order; at scale, sessionize per shard and stitch "
-        "boundaries); iterations touch the |nodes|+|edges| graph "
+        "is preserved, documented). Scale: the edge BUILD range-shards "
+        "the global (ts,event_id) order, leads within each shard, and "
+        "stitches the one boundary row per shard against a broadcast "
+        "shard-firsts relation (r10: no corpus-sized single-partition "
+        "window — the only global window left runs over the <= "
+        "shuffle-partition-count shard-firsts rows); iterations touch "
+        "the |nodes|+|edges| graph "
         "relations only, broadcast when they fit and hash-partitioned "
         "when they don't.",
 )
 def q_pagerank_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    w_seq = Window.orderBy("ts", "event_id")
-    seq = ev.select(
-        "user_id", F.lead("user_id").over(w_seq).alias("nxt")
+    # Edge build WITHOUT a global single-partition window: range-shard the
+    # events on the global (ts, event_id) order (range partitions are
+    # contiguous and ordered, so shard i's keys all precede shard i+1's),
+    # take the lead WITHIN each shard, then stitch the one boundary row
+    # per shard against the next non-empty shard's first user — a
+    # shard-count-sized relation. Same rows as a global lead, no
+    # corpus-sized Exchange SinglePartition.
+    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    sharded = (
+        ev.select("user_id", "ts", "event_id")
+        .repartitionByRange(n_shards, "ts", "event_id")
+        .withColumn("shard", F.spark_partition_id())
+    )
+    w_shard = Window.partitionBy("shard").orderBy("ts", "event_id")
+    seq = sharded.select(
+        "user_id", "shard", "ts", "event_id",
+        F.lead("user_id").over(w_shard).alias("nxt_in_shard"),
+    )
+    # first row of each non-empty shard, in shard (== global) order;
+    # bounded by construction: one row per shard (<= shuffle partitions)
+    firsts = sharded.groupBy("shard").agg(
+        F.min_by("user_id", F.struct("ts", "event_id")).alias("first_user")
+    )
+    w_firsts = Window.orderBy("shard")  # over <= n_shards rows
+    stitch = firsts.select(
+        "shard", F.lead("first_user").over(w_firsts).alias("next_first")
+    )
+    seq = (
+        seq.join(F.broadcast(stitch), "shard", "left")
+        .select(
+            "user_id",
+            F.coalesce("nxt_in_shard", "next_first").alias("nxt"),
+            # only the shard's LAST row may borrow next_first; rows with
+            # an in-shard lead keep it (coalesce picks in-shard first)
+        )
     )
     edges = (
         seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))

@@ -552,16 +552,23 @@ def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIZING_SLICE_VERS = 100_000  # in-plan bound: last N _ver positions only
+
+
 @query(
     "cdc_watermark_sizing",
     oracle=f"""
     WITH changes AS ({CHANGES_SQL}),
+    bounded AS (
+      SELECT * FROM changes
+      WHERE _ver > (SELECT MAX(_ver) FROM changes) - {_SIZING_SLICE_VERS}
+    ),
     seq AS (
       SELECT epoch_us(ts) AS t,
              MAX(epoch_us(ts)) OVER (
                ORDER BY _ver
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
-      FROM changes
+      FROM bounded
     ),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -594,9 +601,11 @@ def cdc_tick_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tests/test_watermark.py proves end to end that a window using "
         "sized_delay_s admits every late event the census saw while a "
         "zero delay drops them. Scale: the running max needs a single "
-        "total order, so run it over a bounded sample/time-slice of "
-        "the stream (as the helper documents), never the full 100 TB "
-        "history; the aggregate itself is one pass.",
+        "total order, so the REGISTERED plan bounds it in-plan to the "
+        "last _SIZING_SLICE_VERS arrival positions (r10 — the "
+        "docstring's promise is now the plan's shape); the "
+        "single-partition window input is a constant-size slice at any "
+        "WAL history size, and the aggregate itself is one pass.",
 )
 def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -604,6 +613,16 @@ def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = synthetic_event_envelopes(spark, sf_dir)
     rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
                                 initial_tick=0)
+    # in-plan bound (r10): the running max needs one total order, so the
+    # registered plan slices to the LAST _SIZING_SLICE_VERS arrival
+    # positions before the window — the single-partition window input is
+    # bounded by a constant regardless of WAL history size
+    vmax = rows.agg(F.max("_ver").alias("__vmax"))
+    rows = (
+        rows.crossJoin(F.broadcast(vmax))
+        .filter(F.col("_ver") > F.col("__vmax") - _SIZING_SLICE_VERS)
+        .drop("__vmax")
+    )
     ts_us = F.unix_micros("ts")
     w = Window.orderBy("_ver").rowsBetween(Window.unboundedPreceding, -1)
     seq = rows.select(

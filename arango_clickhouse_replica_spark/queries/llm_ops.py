@@ -2263,10 +2263,13 @@ def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vocabulary construction for tokenizer training: corpus-wide "
         "token counts (one map-side-combinable hash aggregate over the "
         "exploded tokens — the 100 TB wordcount) followed by rank "
-        "assignment ordered by frequency then token. The global "
-        "row_number sorts only the AGGREGATED vocabulary (millions of "
-        "rows, not the corpus), the standard shape; ties break on the "
-        "token string so ids are deterministic across engines and runs.",
+        "assignment ordered by frequency then token. Web-scale distinct "
+        "tokens are billions of rows, so the id assignment is a "
+        "distributed two-pass rank (r10): range-shard the vocab on the "
+        "(freq DESC, token) total order, row_number within each shard, "
+        "add broadcast per-shard cumulative offsets — never a global "
+        "single-partition sort of the whole vocabulary. Ties break on "
+        "the token string so ids are deterministic across engines/runs.",
 )
 def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2277,9 +2280,32 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return counts.select(
-        "token", "freq", F.row_number().over(w).alias("token_id")
+    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    sharded = counts.repartitionByRange(
+        n_shards, F.desc("freq"), F.asc("token")
+    ).withColumn("shard", F.spark_partition_id())
+    w_in = Window.partitionBy("shard").orderBy(
+        F.desc("freq"), F.asc("token")
+    )
+    ranked_in = sharded.withColumn("rnk_in", F.row_number().over(w_in))
+    cnts = sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over <= n_shards rows
+    offsets = cnts.select(
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    return (
+        ranked_in.join(F.broadcast(offsets), "shard")
+        .select(
+            "token", "freq",
+            (F.col("offset") + F.col("rnk_in")).cast("int")
+            .alias("token_id"),
+        )
     )
 
 

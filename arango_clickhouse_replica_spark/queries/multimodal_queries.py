@@ -2007,9 +2007,8 @@ def mm_media_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_frames AS BIGINT) AS n_frames,
            CAST(p10_energy AS BIGINT) AS p10_energy,
            CAST(p90_energy AS BIGINT) AS p90_energy,
-           CAST(round(10.0 * log10(CAST(1 + p90_energy AS DOUBLE)
-                                   / CAST(1 + p10_energy AS DOUBLE)), 6)
-                AS DECIMAL(18,6)) AS snr_db
+           CAST(((1 + p90_energy) * 1000000) // (1 + p10_energy)
+                AS BIGINT) AS snr_micro_ratio
     FROM pick ORDER BY media_id
     """,
     tags=("multimodal", "audio", "quality", "report", "pandas-udf"),
@@ -2020,8 +2019,14 @@ def mm_media_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame (16-sample, the VAD primitives), take the exact type-1 "
         "rank-based 10th/90th percentile frame energies (row_number == "
         "ceil(q*n), energy+frame tiebreak — never percentile_cont), "
-        "and report 10*log10((1+p90)/(1+p10)) dB through the verified "
-        "round+DECIMAL log lane. Complements mm_audio_clipping_report "
+        "and report the exact integer micro-ratio "
+        "((1+p90)*1e6 div (1+p10)) — the monotone proxy for "
+        "10*log10((1+p90)/(1+p10)) dB. The r9 driver red proved the "
+        "float log10/round lane is environment-sensitive (libm-vs-JVM "
+        "last-bit drift under Spark's shortest-repr rounding), so no "
+        "transcendental feeds the hashed value: thresholding in dB is "
+        "just thresholding the ratio at 10^(dB/10), exact on both "
+        "engines. Complements mm_audio_clipping_report "
         "(too loud) and mm_audio_vad_segments (silence runs) with the "
         "dynamic-range axis. Scale: the decode is the same narrow 1:N "
         "Arrow stage; percentile selection is a per-media window over "
@@ -2056,12 +2061,12 @@ def mm_audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pick.select(
             "media_id", "n_frames", "p10_energy", "p90_energy",
-            F.round(
-                10.0 * F.log10(
-                    (F.lit(1) + F.col("p90_energy")).cast("double")
-                    / (F.lit(1) + F.col("p10_energy")).cast("double")
-                ), 6,
-            ).cast("decimal(18,6)").alias("snr_db"),
+            # exact integer lane: (1+p90)*1e6 div (1+p10); energies are
+            # sums of squares (>= 0) so truncation == floor on both engines
+            F.expr(
+                "CAST(((1 + p90_energy) * 1000000L) DIV (1 + p10_energy)"
+                " AS BIGINT)"
+            ).alias("snr_micro_ratio"),
         )
         .orderBy("media_id")
     )

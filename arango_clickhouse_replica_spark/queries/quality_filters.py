@@ -1028,10 +1028,12 @@ def curation_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flat or folded curve means the classifier learned something "
         "else. Integer lanes throughout (milli-score per feature with "
         "engine-identical truncation, rank-based deciles, per-mille "
-        "rates). Scale: one global sort-window builds the decile "
-        "boundary — the same single total order ANY exact decile table "
-        "needs; at 100 TB swap in pre-computed percentile boundaries "
-        "broadcast from a sample, the shape downstream stays identical.",
+        "rates). Scale: the exact global rank is a distributed two-pass "
+        "— range-shard on (avg_milli, doc_id), row_number within each "
+        "shard, add the broadcast per-shard cumulative offsets (the "
+        "zipWithIndex shape; r10 replaced the global single-partition "
+        "window). Every corpus-sized stage is shard-parallel; the only "
+        "global window runs over the shard-counts relation.",
 )
 def curation_quality_decile_calibration(
     spark: SparkSession, sf_dir: str
@@ -1053,9 +1055,33 @@ def curation_quality_decile_calibration(
         F.expr("(score_milli_sum * 1000) div n_features")
         .alias("avg_milli"),
     )
-    w = Window.orderBy("avg_milli", "doc_id")
-    ranked = j.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
+    # Distributed two-pass rank (r10): range-shard on the total order
+    # (avg_milli, doc_id), row_number WITHIN each shard, then add the
+    # broadcast per-shard cumulative offset — global rank without a
+    # corpus-sized single-partition window. The only global window left
+    # runs over the <= shuffle-partition-count shard-counts relation.
+    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    sharded = j.repartitionByRange(
+        n_shards, "avg_milli", "doc_id"
+    ).withColumn("shard", F.spark_partition_id())
+    w_in = Window.partitionBy("shard").orderBy("avg_milli", "doc_id")
+    ranked_in = sharded.withColumn("rnk_in", F.row_number().over(w_in))
+    cnts = sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_off = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over <= n_shards rows
+    offsets = cnts.select(
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    total = cnts.agg(F.sum("cnt").cast("long").alias("n"))
+    ranked = (
+        ranked_in.join(F.broadcast(offsets), "shard")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("offset") + F.col("rnk_in"))
     )
     dec = ranked.select(
         F.expr("((rnk - 1) * 10) div n").cast("long").alias("decile"),

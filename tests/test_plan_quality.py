@@ -13,6 +13,15 @@ from arango_clickhouse_replica_spark.queries import QUERIES
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
+    "cdc_watermark_sizing":
+        "the only BNLJ is the 1-row max-_ver aggregate broadcast-attached "
+        "to slice the stream to the last _SIZING_SLICE_VERS arrival "
+        "positions (the r10 in-plan bound) — O(N*1), and it is what makes "
+        "the downstream running-max window constant-size at any WAL size",
+    "curation_quality_decile_calibration":
+        "the only BNLJ is the 1-row total-count aggregate broadcast-"
+        "attached for the decile divisor in the r10 distributed two-pass "
+        "rank (the per-shard offsets ride a broadcast hash equi-join)",
     "ann_cosine_topk_bruteforce":
         "the brute-force baseline IS all-pairs by definition; since r9 the "
         "query set is a CONSTANT (orderBy+limit Q_MAX=4096, llm_ops.Q_MAX) "
