@@ -2,14 +2,115 @@
 
 Every registered query's physical plan is checked for the things that
 break at 100 TB regardless of correctness: cartesian products,
-broadcast-nested-loop joins, and row-at-a-time Python UDFs. Queries
-whose SEMANTICS are all-pairs keep an explicit allowlist entry with the
-reason — additions must be deliberate.
+broadcast-nested-loop joins, row-at-a-time Python UDFs, and (since r10)
+windows over an Exchange SinglePartition whose input is not
+limit-bounded in-plan — one task sorting a corpus-sized relation is the
+quietest scale-killer of all. Queries whose SEMANTICS are all-pairs, or
+whose single-partition window provably runs over a bounded relation
+(shard counts, |sources|/|languages|/|months| aggregates), keep an
+explicit allowlist entry with the reason — additions must be deliberate.
 """
 
 import pytest
 
 from arango_clickhouse_replica_spark.queries import QUERIES
+
+_PLAN_MARKERS = ("+- ", ":- ")
+_SPW_PLUMBING = ("Sort ", "*(", "InputAdapter", "AQEShuffleRead",
+                 "ShuffleQueryStage", "ReusedExchange")
+
+
+def _plan_nodes(plan: str):
+    """Parse Spark's plan-tree text into (depth, node-text) pairs."""
+    out = []
+    for raw in plan.splitlines():
+        idx, found = None, None
+        for m in _PLAN_MARKERS:
+            j = raw.find(m)
+            if j != -1 and set(raw[:j]) <= set(" :") and (
+                idx is None or j < idx
+            ):
+                idx, found = j, m
+        if idx is None:
+            if raw.strip() and not raw[:1].isspace():
+                out.append((-1, raw.strip()))
+            continue
+        out.append((idx, raw[idx + len(found):].strip()))
+    return out
+
+
+def unbounded_single_partition_windows(plan: str):
+    """Window operators fed by an Exchange SinglePartition whose subtree
+    carries no Limit/TakeOrderedAndProject — i.e. one task sees the whole
+    relation. Returns the offending Window node texts (deduplicated —
+    plan-tree reuse prints a shared subtree once per consumer)."""
+    nodes = _plan_nodes(plan)
+    hits = []
+    for i, (d, text) in enumerate(nodes):
+        if "Exchange SinglePartition" not in text:
+            continue
+        win, cur = None, d
+        for j in range(i - 1, -1, -1):
+            dj, tj = nodes[j]
+            if dj >= cur:
+                continue
+            cur = dj
+            if "Window" in tj.split("[")[0]:
+                win = tj
+                break
+            if any(p in tj for p in _SPW_PLUMBING):
+                continue
+            break
+        if win is None:
+            continue
+        sub = []
+        for j in range(i + 1, len(nodes)):
+            dj, tj = nodes[j]
+            if dj <= d:
+                break
+            sub.append(tj)
+        if any("Limit" in t or "TakeOrderedAndProject" in t for t in sub):
+            continue
+        key = win.split(", [plan_id")[0][:120]
+        if key not in hits:
+            hits.append(key)
+    return hits
+
+
+# name -> reason a Window over Exchange SinglePartition is the intended
+# plan: in every entry the window input is BOUNDED by construction (the
+# guard can't see cardinality, only shape)
+SP_WINDOW_ALLOWED = {
+    "cdc_watermark_sizing":
+        "the running-max window's input is the in-plan slice of the last "
+        "_SIZING_SLICE_VERS arrival positions (r10 bound) — constant-size "
+        "at any WAL history length",
+    "curation_anneal_mixture":
+        "both normalizer windows run over the |sources| x 2 phase-share "
+        "relation (an aggregate bounded by the source taxonomy), never "
+        "the corpus",
+    "curation_quality_decile_calibration":
+        "the cumulative-offset window of the r10 distributed two-pass "
+        "rank runs over the shard-counts relation (<= shuffle "
+        "partitions rows)",
+    "curation_unimax_budget":
+        "the UniMax waterfilling rank runs over the per-language token "
+        "totals (|languages| rows, bounded by the language taxonomy)",
+    "q_mom_revenue_growth":
+        "the lag window runs over the per-month revenue aggregate "
+        "(|months| rows, bounded by the calendar span)",
+    "q_pagerank_handoff_graph":
+        "the boundary-stitch lead window of the r10 sharded edge build "
+        "runs over the shard-firsts relation (<= shuffle partitions "
+        "rows; repeated in-plan once per unrolled iteration consumer)",
+    "q_pct_of_total_by_nation":
+        "the share normalizer window runs over the per-nation revenue "
+        "aggregate (|nations| = 25 rows)",
+    "text_vocab_build":
+        "the cumulative-offset window of the r10 distributed two-pass "
+        "rank runs over the shard-counts relation (<= shuffle "
+        "partitions rows)",
+}
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
@@ -241,6 +342,13 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
     # row-at-a-time Python UDFs never belong in the hot path; Arrow-batched
     # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are fine
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in SP_WINDOW_ALLOWED:
+        spw = unbounded_single_partition_windows(plan)
+        assert not spw, (
+            f"{name}: window over Exchange SinglePartition on "
+            f"non-limit-bounded input (one task sorts the whole "
+            f"relation at scale): {spw}"
+        )
 
 
 def test_fact_scans_prune_columns(spark, sf_dir):
@@ -313,3 +421,41 @@ def test_sampling_scans_skip_text_column(spark, sf_dir):
             assert "text" not in read_schema, (
                 f"{name}: text column read: {read_schema}"
             )
+
+
+def test_sp_window_detector_red_on_global_window(spark, sf_dir):
+    """The r10 detector must flag the exact shape items the r9 verdict
+    called out (a corpus-sized relation through Window over Exchange
+    SinglePartition) and must NOT flag the limit-bounded or
+    hash-partitioned variants."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    # red: the old text_vocab_build / decile-calibration shape
+    w = Window.orderBy("doc_id")
+    bad = docs.select("doc_id", F.row_number().over(w).alias("rnk"))
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert unbounded_single_partition_windows(plan), (
+        "detector missed a global row_number over a table scan"
+    )
+
+    # green: same window over a limit-bounded relation
+    capped = docs.orderBy("doc_id").limit(100).select(
+        "doc_id", F.row_number().over(w).alias("rnk")
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_windows(plan), (
+        "detector flagged a limit-bounded window"
+    )
+
+    # green: partitioned window (no SinglePartition exchange)
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    part = docs.select("doc_id", F.row_number().over(wp).alias("rnk"))
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert not unbounded_single_partition_windows(plan), (
+        "detector flagged a hash-partitioned window"
+    )

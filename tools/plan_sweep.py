@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Plan-stability sweep: replay tests/test_plan_quality.py's scale
 antipattern assertions (no cartesian product, no un-allowlisted
-BroadcastNestedLoopJoin, no row-at-a-time Python UDF) over EVERY
-registered query built against a larger scale factor (default sf0.1,
+BroadcastNestedLoopJoin, no row-at-a-time Python UDF, no un-allowlisted
+window over Exchange SinglePartition on non-limit-bounded input) over
+EVERY registered query built against a larger scale factor (default sf0.1,
 100x the CI fixture) with AQE on.
 
 AQE and the broadcast threshold can legally pick DIFFERENT physical
@@ -33,7 +34,11 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from arango_clickhouse_replica_spark.queries import QUERIES
-    from test_plan_quality import BNLJ_ALLOWED
+    from test_plan_quality import (
+        BNLJ_ALLOWED,
+        SP_WINDOW_ALLOWED,
+        unbounded_single_partition_windows,
+    )
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -58,6 +63,10 @@ def main() -> int:
             bad.append((name, "nested-loop join"))
         if "BatchEvalPython" in plan:
             bad.append((name, "row-at-a-time Python UDF"))
+        if name not in SP_WINDOW_ALLOWED:
+            spw = unbounded_single_partition_windows(plan)
+            if spw:
+                bad.append((name, f"single-partition window: {spw[0]}"))
 
     n = len(QUERIES)
     for name, why in bad:
