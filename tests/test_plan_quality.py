@@ -112,6 +112,77 @@ SP_WINDOW_ALLOWED = {
         "partitions rows)",
 }
 
+import re
+
+_TRANSCENDENTAL = re.compile(
+    r"(?<![A-Za-z_$.])(log|log2|log10|ln|exp|power|pow|sqrt|cbrt|sin|cos|tan)\(",
+    re.I,
+)
+_TOP_SKIP = ("Sort ", "GlobalLimit", "LocalLimit", "Repartition", "Window ")
+
+
+def _top_output_node(plan: str) -> str:
+    """The first Project/Aggregate under any Sort/Limit wrappers — the
+    node whose (fully inlined) expression strings define the query's
+    hashed output columns."""
+    for raw in plan.splitlines():
+        s = raw.strip()
+        for m in _PLAN_MARKERS:
+            if s.startswith(m):
+                s = s[len(m):]
+        if not s or any(s.startswith(k) for k in _TOP_SKIP):
+            continue
+        return s
+    return ""
+
+
+def transcendentals_in_output(plan: str):
+    """Transcendental function tokens in the top output node's
+    expressions. Every registered query's output is value-hashed against
+    the DuckDB oracle, and transcendentals are the one expression class
+    that is environment-sensitive (libm vs JVM last-bit drift under
+    Spark's shortest-decimal-repr round) — the r9 driver red
+    (mm_audio_snr_estimate) was exactly this. round() over
+    integer-operand division is NOT flagged: IEEE division of exact
+    operands is bit-identical everywhere, so any cross-engine rounding
+    mismatch reproduces in-sandbox where driver_check catches it."""
+    top = _top_output_node(plan)
+    return sorted({m.group(1).lower() for m in _TRANSCENDENTAL.finditer(top)})
+
+
+# name -> why a transcendental in hashed output is accepted: each entry
+# rides the repo's verified round(x, 6) -> DECIMAL(18,6) lane with the
+# IDENTICAL expression tree on both engines, and has been driver-green
+# since registration. New queries must prefer exact integer/decimal
+# proxies (log2 bins, micro-ratios — see mm_audio_snr_estimate r10).
+TRANSCENDENTAL_ALLOWED = {
+    "embed_dim_stats":
+        "per-dim std IS the deliverable (sqrt of variance over exact "
+        "decimal-lane sums); round+decimal lane",
+    "embed_whitening_check":
+        "post-whitening std per dim; same sqrt-of-variance shape as "
+        "embed_dim_stats; round+decimal lane",
+    "mm_wav_decode_features":
+        "RMS amplitude is sqrt(sum_sq/n) over exact integer sums; "
+        "round+decimal lane",
+    "mm_wav_resample_features":
+        "same RMS shape as mm_wav_decode_features on the resampled "
+        "stream; round+decimal lane",
+    "text_char_entropy":
+        "Shannon entropy in bits is the deliverable; log2 over exact "
+        "integer counts, round+decimal lane",
+    "text_word_entropy":
+        "entropy + max-entropy (log2 n) in bits; exact integer counts "
+        "under the log, round+decimal lane",
+    "text_cooccurrence_pmi":
+        "PMI is log2 of an exact count ratio by definition; "
+        "round+decimal lane",
+    "text_source_kl_mixture":
+        "KL divergence in bits over exact count ratios; round+decimal "
+        "lane",
+}
+
+
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
     "cdc_watermark_sizing":
@@ -349,6 +420,15 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
             f"non-limit-bounded input (one task sorts the whole "
             f"relation at scale): {spw}"
         )
+    if name not in TRANSCENDENTAL_ALLOWED:
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        toks = transcendentals_in_output(opt)
+        assert not toks, (
+            f"{name}: transcendental {toks} feeds the hashed output — "
+            f"environment-sensitive (the r9 mm_audio_snr_estimate driver "
+            f"red); use an exact integer/decimal proxy or add a "
+            f"justified TRANSCENDENTAL_ALLOWED entry"
+        )
 
 
 def test_fact_scans_prune_columns(spark, sf_dir):
@@ -458,4 +538,39 @@ def test_sp_window_detector_red_on_global_window(spark, sf_dir):
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert not unbounded_single_partition_windows(plan), (
         "detector flagged a hash-partitioned window"
+    )
+
+
+def test_exactness_lint_red_on_old_snr_shape(spark, sf_dir):
+    """The lint must flag the exact expression that drew the r9 driver
+    red — round(10*log10(ratio), 6) cast to decimal in hashed output —
+    and must NOT flag its r10 replacement (integer micro-ratio) or
+    round over integer-operand division."""
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    old = docs.select(
+        "doc_id",
+        F.round(
+            10.0 * F.log10((F.col("doc_id") + 2).cast("double")
+                           / (F.col("doc_id") + 1).cast("double")), 6
+        ).cast("decimal(18,6)").alias("snr_db"),
+    )
+    plan = old._jdf.queryExecution().optimizedPlan().toString()
+    assert transcendentals_in_output(plan) == ["log10"], (
+        "lint missed the r9 red shape"
+    )
+
+    new = docs.select(
+        "doc_id",
+        F.expr("((doc_id + 2) * 1000000L) DIV (doc_id + 1)")
+        .alias("snr_micro_ratio"),
+        F.round(F.col("doc_id").cast("double") / 7, 6).alias("mean_ish"),
+    )
+    plan = new._jdf.queryExecution().optimizedPlan().toString()
+    assert transcendentals_in_output(plan) == [], (
+        "lint flagged an exact integer/round-of-division lane"
     )
