@@ -194,6 +194,18 @@ def main() -> None:
     from arango_clickhouse_replica_spark.queries import QUERIES
     from arango_clickhouse_replica_spark.session import get_spark
 
+    # SPARK_GRAFT_ONLY=a,b,c runs an isolated subset (fresh JVM, no
+    # in-suite neighbors) — the instrument for confirming whether a
+    # full-suite regression is contention or real. Subset runs never
+    # touch BENCH_SELF.json and skip the regression guard.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = HEADLINE
+    subset_run = False
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        headline = [n for n in HEADLINE if n in wanted] or wanted
+        subset_run = True
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -210,7 +222,7 @@ def main() -> None:
     # pass records as a phantom regression (observed 2-3x inflation on a
     # query 40 deep into the run).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         QUERIES[name].build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
@@ -228,7 +240,10 @@ def main() -> None:
     # recording came back "parsed": null for three rounds). Emit totals +
     # the worst-3 queries here; the COMPLETE per-query timings are
     # persisted to BENCH_SELF.json by the regression guard below.
-    worst3 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    worst3 = (
+        dict(timings) if subset_run
+        else dict(sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+    )
     print(
         json.dumps(
             {
@@ -253,7 +268,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    _check_regressions(timings, sf, rerun)
+    if not subset_run:
+        _check_regressions(timings, sf, rerun)
 
 
 SELF_RECORDING = "BENCH_SELF.json"
