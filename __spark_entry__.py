@@ -195,6 +195,17 @@ ROTATION_EXEMPT = frozenset({
     # embed_matryoshka_route_drift:
     "decontam_substring_spans",       # eval-substring spans: curation_benchmark_overlap_matrix + decontam_bloom_prefilter (both rotating) keep the shingle-decontam lanes; dedup_substring_spans keeps the span machinery itself rotating
     "embed_quantize_int8",            # int8 quantize build: ann_topk_int8_rerank (rotating) re-runs the same quantizer inside its rerank and embed_quantization_error_report keeps the width-sweep lane
+    # Grown r10 alongside q_event_path_topk, q_bitmap_segment_census,
+    # text_readability_report, dedup_url_canonical_groups,
+    # q_sketch_intersection_estimate, curation_excess_surprisal_reweight
+    # (each pick has 9 green driver rounds r1-r9 incl. the r7/r8/r9
+    # full-registry records):
+    "q_event_transitions",            # pairwise LAG transitions: q_event_path_topk (rotating) builds the full K-prefix ordered path through the same per-user (ts, event_id) window; q_pagerank_handoff_graph keeps the transition-edge lane
+    "dedup_exact_union_self",         # exact hash-groupBy dedup: dedup_url_canonical_groups (rotating) runs the same exact group-dedup shape with the canonicalization stage on top; dedup_winnowing_fingerprints keeps the content-fingerprint lane
+    "text_ttr_chunked",               # chunked lexical diversity: text_vocab_coverage_curve keeps the vocabulary-growth lane and text_readability_report (rotating) keeps the per-doc lexical-statistics census
+    "text_oov_rate",                  # vocab-head OOV rate: curation_excess_surprisal_reweight (rotating) re-runs the same wordcount + rarity-bin machinery; text_vocab_coverage_curve + text_subword_fertility keep the coverage lanes
+    "q_set_ops_nation_segments",      # INTERSECT/EXCEPT listing: q_bitmap_segment_census (rotating) computes the same set algebra as exact AND/OR/XOR cardinalities with integer lanes
+    "q_distinct_sketch_merge",        # KMV shard-merge: q_sketch_intersection_estimate (rotating) re-runs the identical bucket-min fold for every pair's union sketch AND keeps the exact-comparison lane; q_distinct_minvalue_sketch stays the single-sketch reference
 })
 
 

@@ -1398,3 +1398,138 @@ def q_clickhouse_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(day0_and_7 * 1000) div day0").cast("long")
         .alias("d7_retention_per_mille"),
     )
+
+
+_PATH_K = 5  # journey prefix length
+
+
+@query(
+    "q_event_path_topk",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             CAST(COUNT(*) AS INT) AS path_len
+      FROM r WHERE rn <= {_PATH_K} GROUP BY user_id
+    )
+    SELECT path, CAST(MAX(path_len) AS INT) AS path_len,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path ORDER BY n_users DESC, path
+    """,
+    tags=("analytics", "paths", "journey", "clickhouse-parity"),
+    doc="User-journey path census — ClickHouse's sequence-analytics "
+        "staple (the ordered groupArray -> arrayStringConcat shape that "
+        "powers 'top paths to conversion' dashboards over a replicated "
+        "event stream; the reference delegates exactly this class of "
+        "query to ClickHouse, reference clickhouse/connect.py:25-26): "
+        "each user's FIRST K=5 events in (ts, event_id) order collapse "
+        "into a '>'-joined path string, and paths aggregate into a "
+        "frequency table. Exact string lanes; per-user order comes from "
+        "a user-partitioned row_number (one key shuffle), never a "
+        "global sort. Scale: the path aggregate's exchange is bounded "
+        "by |event_types|^K distinct paths regardless of user count; "
+        "per-user state is K rows. The collect_list rides the same "
+        "user-partitioned exchange the window already paid for.",
+)
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.select(
+            "user_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _PATH_K)
+    )
+    per_user = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").cast("int").alias("path_len"),
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(
+            F.max("path_len").cast("int").alias("path_len"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("path"))
+    )
+
+
+@query(
+    "q_bitmap_segment_census",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+    c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_and
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pr.type_a, pr.type_b, ca.n AS n_a, cb.n AS n_b, pr.n_and,
+           ca.n + cb.n - pr.n_and AS n_or,
+           ca.n + cb.n - 2 * pr.n_and AS n_xor,
+           (pr.n_and * 1000) // (ca.n + cb.n - pr.n_and)
+             AS jaccard_per_mille
+    FROM pairs pr
+    JOIN c ca ON ca.event_type = pr.type_a
+    JOIN c cb ON cb.event_type = pr.type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("analytics", "bitmap", "segments", "clickhouse-parity"),
+    doc="Audience-segment overlap census — ClickHouse groupBitmapAnd/"
+        "Or/Xor parity (the bitmap-intersection functions a replica "
+        "user runs to size 'users who did A and B' segments; the "
+        "reference's whole purpose is feeding ClickHouse exactly these, "
+        "reference clickhouse/connect.py:25-26): per event-type pair, "
+        "the exact AND / OR / XOR user cardinalities plus the Jaccard "
+        "per-mille. The bitmap semantics compile to relational algebra: "
+        "one DISTINCT (user, type) projection (|users| x |types| rows, "
+        "users << events), a user-keyed hash self-join for AND, and "
+        "inclusion-exclusion for OR/XOR — never bitmap blobs shipped "
+        "around, never event x event. Scale: every join key is user_id "
+        "or the |types|-bounded census row; map-side combinable "
+        "throughout.",
+)
+def q_bitmap_segment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.select("user_id", "event_type").distinct()
+    c = p.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = p.select("user_id", F.col("event_type").alias("type_a"))
+    b = p.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_and"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_and",
+            (F.col("n_a") + F.col("n_b") - F.col("n_and")).alias("n_or"),
+            (F.col("n_a") + F.col("n_b") - 2 * F.col("n_and")).alias("n_xor"),
+            F.expr("(n_and * 1000) div (n_a + n_b - n_and)")
+            .alias("jaccard_per_mille"),
+        )
+        .orderBy("type_a", "type_b")
+    )

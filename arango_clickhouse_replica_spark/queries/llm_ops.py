@@ -4617,3 +4617,184 @@ def curation_benchmark_overlap_matrix(
         )
         .orderBy("source", "suite")
     )
+
+
+# Synthetic URL lane: a deterministic per-doc URL exercising every
+# canonicalization hazard (scheme variants, www, utm query params,
+# fragments, trailing slash) — same closed form in both engines.
+_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || "
+    "'ex' || CAST(doc_id % 7 AS STRING) || '.com/p/' || "
+    "CAST(doc_id % 40 AS STRING) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || "
+    "CAST(doc_id % 40 AS STRING) ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END"
+)
+
+_CANON_STEPS_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{u}, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/+$', '')"
+)
+
+
+@query(
+    "dedup_url_canonical_groups",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, url,
+             {_CANON_STEPS_SQL.format(u="url")} AS canonical
+      FROM u
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM c GROUP BY canonical HAVING COUNT(*) >= 2
+    ORDER BY canonical
+    """,
+    tags=("dedup", "url", "canonicalization", "llm-pipeline"),
+    doc="URL-canonicalization dedup — the FIRST dedup pass every "
+        "web-crawl pipeline runs, before any content hashing (CCNet/C4/"
+        "RefinedWeb all group by canonical URL to collapse recrawls): "
+        "scheme and www. stripped, query string and fragment dropped "
+        "(tracking params like utm_* never distinguish documents), "
+        "trailing slashes trimmed — then group, count raw variants, "
+        "and elect the min-doc_id keeper. URLs are synthesized "
+        "closed-form per doc_id (the parquet schema carries no URL "
+        "column) with every variant class represented, so the "
+        "canonicalizer's whole rule set is exercised and "
+        "hash-checked. All string ops are anchored regexes that "
+        "behave identically in Spark and DuckDB. Scale: one narrow "
+        "projection and one hash aggregate on the canonical key — "
+        "map-side combinable, no joins, no windows; the classic "
+        "hash-groupBy dedup shape at any corpus size.",
+)
+def dedup_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select("doc_id", F.expr(_URL_SQL).alias("url"))
+    c = u.select(
+        "doc_id", "url",
+        F.expr(_CANON_STEPS_SQL.format(u="url")).alias("canonical"),
+    )
+    return (
+        c.groupBy("canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canonical")
+    )
+
+
+@query(
+    "curation_excess_surprisal_reweight",
+    oracle="""
+    WITH t AS (
+      SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    binned AS (
+      SELECT c.tok,
+             CAST(length(bin(n.n // c.c)) - 1 AS BIGINT) AS sbin
+      FROM c, n
+    ),
+    per_src AS (
+      SELECT t.source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(b.sbin) * 1000 // COUNT(*) AS BIGINT)
+               AS mean_sbin_milli
+      FROM t JOIN binned b ON b.tok = t.tok
+      GROUP BY t.source
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n_tokens * mean_sbin_milli) // SUM(n_tokens)
+                  AS BIGINT) AS corpus_milli
+      FROM per_src
+    ),
+    scored AS (
+      SELECT p.source, p.n_tokens, p.mean_sbin_milli,
+             p.mean_sbin_milli - c.corpus_milli AS excess_milli,
+             GREATEST(p.mean_sbin_milli - c.corpus_milli, 0) + 1000
+               AS score
+      FROM per_src p, corpus c
+    ),
+    tot AS (SELECT CAST(SUM(score) AS BIGINT) AS tot FROM scored)
+    SELECT s.source, s.n_tokens, s.mean_sbin_milli, s.excess_milli,
+           CAST(s.score * 1000 // t.tot AS BIGINT) AS weight_per_mille
+    FROM scored s, tot t
+    ORDER BY s.source
+    """,
+    tags=("curation", "mixture", "lm", "llm-pipeline"),
+    doc="Excess-surprisal domain reweighting — the DoReMi idea (Xie et "
+        "al. 2023: upweight domains whose data the reference model "
+        "finds harder than average) with a deterministic proxy and a "
+        "linear update so every lane is exact: per-token surprisal is "
+        "the INTEGER log2 bin floor(log2(N/c)) computed via binary "
+        "string length (no transcendental anywhere — the same "
+        "log2-bin proxy as text_token_rarity), per-source mean in "
+        "milli-units, excess vs the corpus mean, and weights "
+        "proportional to max(excess,0)+baseline normalized per-mille. "
+        "Documented deviation: DoReMi's exponentiated-gradient update "
+        "is replaced by one linear reweight step (exactness-lane "
+        "policy); the ORDERING of domains — what the table is read "
+        "for — is identical. Scale: one wordcount aggregate, one "
+        "broadcast token-bin join back onto the occurrence stream "
+        "folding straight into |sources| rows; the 1-row corpus/total "
+        "attaches are the allowlisted O(S x 1) broadcast shape.",
+)
+def curation_excess_surprisal_reweight(spark: SparkSession, sf_dir: str
+                                       ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("tok")
+    )
+    c = t.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    n = c.agg(F.sum("c").cast("long").alias("n"))
+    binned = c.crossJoin(F.broadcast(n)).select(
+        "tok",
+        (F.length(F.bin(F.expr("n div c"))) - 1).cast("long").alias("sbin"),
+    )
+    per_src = (
+        t.join(binned, "tok")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.expr("sum(sbin) * 1000 div count(*)").cast("long")
+            .alias("mean_sbin_milli"),
+        )
+    )
+    corpus = per_src.agg(
+        F.expr("sum(n_tokens * mean_sbin_milli) div sum(n_tokens)")
+        .cast("long").alias("corpus_milli")
+    )
+    scored = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source", "n_tokens", "mean_sbin_milli",
+        (F.col("mean_sbin_milli") - F.col("corpus_milli"))
+        .alias("excess_milli"),
+        (
+            F.greatest(
+                F.col("mean_sbin_milli") - F.col("corpus_milli"), F.lit(0)
+            ) + 1000
+        ).alias("score"),
+    )
+    tot = scored.agg(F.sum("score").cast("long").alias("tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_tokens", "mean_sbin_milli", "excess_milli",
+            F.expr("(score * 1000) div tot").cast("long")
+            .alias("weight_per_mille"),
+        )
+        .orderBy("source")
+    )

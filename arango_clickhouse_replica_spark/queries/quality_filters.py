@@ -1160,3 +1160,109 @@ def _install_calibration_oracle() -> None:
 
 
 _install_calibration_oracle()
+
+
+@query(
+    "text_readability_report",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    syl AS (
+      SELECT doc_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(GREATEST(
+               len(string_split_regex(lower(tok), '[aeiouy]+')) - 1, 1))
+               AS BIGINT) AS n_syll
+      FROM w GROUP BY 1, 2
+    ),
+    sen AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(string_split_regex(text, '[.!?]+')) - 1, 1)
+                  AS BIGINT) AS n_sent
+      FROM documents
+    ),
+    f AS (
+      SELECT s.source,
+             206835 - (1015 * ((s.n_words * 1000) // x.n_sent)) // 1000
+                    - (84600 * ((s.n_syll * 1000) // s.n_words)) // 1000
+               AS flesch_milli,
+             (390 * ((s.n_words * 1000) // x.n_sent)) // 1000
+               + (11800 * ((s.n_syll * 1000) // s.n_words)) // 1000
+               - 15590 AS fk_milli
+      FROM syl s JOIN sen x ON x.doc_id = s.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(flesch_milli) // COUNT(*) AS BIGINT)
+             AS mean_flesch_milli,
+           CAST(SUM(fk_milli) // COUNT(*) AS BIGINT) AS mean_fk_milli,
+           CAST(COUNT(*) FILTER (WHERE flesch_milli >= 70000) AS BIGINT)
+             AS n_easy,
+           CAST(COUNT(*) FILTER (WHERE flesch_milli < 50000) AS BIGINT)
+             AS n_difficult
+    FROM f GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "readability", "llm-pipeline"),
+    doc="Readability census per source — the Flesch reading-ease / "
+        "Flesch-Kincaid grade axis of corpus quality (used to balance "
+        "training mixtures between simple and complex prose, and the "
+        "standard knob behind 'textbook-quality' subset selection): "
+        "words from the corpus whitespace convention, sentences from "
+        "[.!?]+ runs, syllables from the deterministic vowel-group "
+        "heuristic (count of [aeiouy]+ runs, floor 1 — verified to "
+        "split identically in Spark and DuckDB including empty-token "
+        "edges). Both scores ride exact integer milli-unit lanes "
+        "(trunc-toward-zero div is identical in both engines even on "
+        "the negative Flesch sums long docs produce) — no float "
+        "anywhere. Scale: one explode -> per-doc aggregate (map-side "
+        "combinable) joined to a narrow per-doc sentence count on "
+        "doc_id, folding to |sources| rows; no windows, no self-joins.",
+)
+def text_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split("text", r"\s+")).alias("tok"),
+    )
+    syl = toks.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.lower("tok"), "[aeiouy]+")) - 1, F.lit(1)
+            )
+        ).cast("long").alias("n_syll"),
+    )
+    sen = docs.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", "[.!?]+")) - 1, F.lit(1))
+        .cast("long").alias("n_sent"),
+    )
+    f = syl.join(sen, "doc_id").select(
+        "source",
+        F.expr(
+            "206835 - (1015 * ((n_words * 1000) div n_sent)) div 1000"
+            " - (84600 * ((n_syll * 1000) div n_words)) div 1000"
+        ).alias("flesch_milli"),
+        F.expr(
+            "(390 * ((n_words * 1000) div n_sent)) div 1000"
+            " + (11800 * ((n_syll * 1000) div n_words)) div 1000 - 15590"
+        ).alias("fk_milli"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(flesch_milli) div count(*)").cast("long")
+            .alias("mean_flesch_milli"),
+            F.expr("sum(fk_milli) div count(*)").cast("long")
+            .alias("mean_fk_milli"),
+            F.sum(F.when(F.col("flesch_milli") >= 70000, 1).otherwise(0))
+            .cast("long").alias("n_easy"),
+            F.sum(F.when(F.col("flesch_milli") < 50000, 1).otherwise(0))
+            .cast("long").alias("n_difficult"),
+        )
+        .orderBy("source")
+    )

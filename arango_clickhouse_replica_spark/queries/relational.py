@@ -696,3 +696,174 @@ def q_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "scope")
         .orderBy("scope")
     )
+
+
+@query(
+    "q_sketch_intersection_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT source,
+             CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS h,
+             tok
+      FROM t
+    ),
+    mins AS (
+      SELECT source, h % {_KMV_M} AS b, MIN(h) AS u
+      FROM h GROUP BY source, h % {_KMV_M}
+    ),
+    est_src AS (
+      SELECT source,
+             CAST(FLOOR({_KMV_NUM!r} / CAST(
+               SUM(u) + ({_KMV_M} - COUNT(*)) * {_KMV_TWO52} AS DOUBLE))
+               AS BIGINT) - {_KMV_M} AS est
+      FROM mins GROUP BY source
+    ),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b
+        ON a.source < b.source
+    ),
+    umins AS (
+      SELECT p.source_a, p.source_b, m.b, MIN(m.u) AS u
+      FROM pr p JOIN mins m
+        ON m.source = p.source_a OR m.source = p.source_b
+      GROUP BY 1, 2, 3
+    ),
+    est_union AS (
+      SELECT source_a, source_b,
+             CAST(FLOOR({_KMV_NUM!r} / CAST(
+               SUM(u) + ({_KMV_M} - COUNT(*)) * {_KMV_TWO52} AS DOUBLE))
+               AS BIGINT) - {_KMV_M} AS est_u
+      FROM umins GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT u.source_a, u.source_b,
+           ea.est AS est_a, eb.est AS est_b, u.est_u AS est_union,
+           GREATEST(ea.est + eb.est - u.est_u, 0) AS est_intersection,
+           COALESCE(ex.exact_intersection, 0) AS exact_intersection,
+           ABS(GREATEST(ea.est + eb.est - u.est_u, 0)
+               - COALESCE(ex.exact_intersection, 0)) * 1000
+             // GREATEST(COALESCE(ex.exact_intersection, 0), 1)
+             AS err_per_mille
+    FROM est_union u
+    JOIN est_src ea ON ea.source = u.source_a
+    JOIN est_src eb ON eb.source = u.source_b
+    LEFT JOIN ex ON ex.source_a = u.source_a AND ex.source_b = u.source_b
+    ORDER BY u.source_a, u.source_b
+    """,
+    tags=("agg", "sketch", "distinct", "setop"),
+    doc="Sketch SET ALGEBRA — vocabulary overlap between every source "
+        "pair by KMV inclusion-exclusion (|A n B| ~ est(A) + est(B) - "
+        "est(A u B), the union estimated by folding the two bucket-min "
+        "sketches — the ClickHouse uniqCombined-intersection idiom and "
+        "the standard way cross-corpus contamination/overlap matrices "
+        "are sized when exact distinct joins are too big): per-source "
+        "KMV sketches on the md5 token hash, pairwise merged, estimates "
+        "beside the exact intersection and per-mille error. Every lane "
+        "is exact (52-bit integer minima, power-of-two estimator "
+        "numerator, floor to BIGINT, trunc-div error), so the "
+        "ESTIMATES themselves hash-match the oracle. Scale: sketches "
+        f"are |sources| x {_KMV_M} rows built map-side-combinably in "
+        "one corpus pass; the pair algebra touches only that sketch "
+        "table (a metadata query for any pair set) — the exact lane is "
+        "the test-SF truth, the sketch is the 100 TB path.",
+)
+def q_sketch_intersection_estimate(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = (
+        docs.select(
+            "source", F.explode(F.split("text", r"\s+")).alias("tok")
+        )
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long")
+    mins = (
+        t.select("source", (h % _KMV_M).alias("b"), h.alias("h"))
+        .groupBy("source", "b")
+        .agg(F.min("h").alias("u"))
+    )
+
+    def _est_cols(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+        agg = df.groupBy(*keys).agg(
+            F.count("*").alias("n_hit"), F.sum("u").alias("sum_hit")
+        )
+        sum_u = (
+            F.col("sum_hit")
+            + (F.lit(_KMV_M).cast("long") - F.col("n_hit"))
+            * F.lit(_KMV_TWO52)
+        )
+        return agg.select(
+            *keys,
+            (
+                F.floor(F.lit(_KMV_NUM) / sum_u.cast("double")).cast("long")
+                - F.lit(_KMV_M).cast("long")
+            ).alias(out),
+        )
+
+    est_src = _est_cols(mins, ["source"], "est")
+    srcs = docs.select("source").distinct()
+    pr = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    side_a = pr.join(
+        mins.withColumnRenamed("source", "source_a"), "source_a"
+    ).select("source_a", "source_b", "b", "u")
+    side_b = pr.join(
+        mins.withColumnRenamed("source", "source_b"), "source_b"
+    ).select("source_a", "source_b", "b", "u")
+    umins = (
+        side_a.unionByName(side_b)
+        .groupBy("source_a", "source_b", "b")
+        .agg(F.min("u").alias("u"))
+    )
+    est_union = _est_cols(umins, ["source_a", "source_b"], "est_u")
+    ex = (
+        t.select(F.col("source").alias("source_a"), "tok")
+        .join(t.select(F.col("source").alias("source_b"), "tok"), "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    ea = est_src.select(
+        F.col("source").alias("source_a"), F.col("est").alias("est_a")
+    )
+    eb = est_src.select(
+        F.col("source").alias("source_b"), F.col("est").alias("est_b")
+    )
+    est_i = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    return (
+        est_union.withColumnRenamed("est_u", "est_union")
+        .join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .join(ex, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "est_a", "est_b", "est_union",
+            est_i.alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).cast("long")
+            .alias("exact_intersection"),
+            F.expr(
+                "(abs(greatest(est_a + est_b - est_union, 0)"
+                " - coalesce(exact_intersection, 0)) * 1000)"
+                " div greatest(coalesce(exact_intersection, 0), 1)"
+            ).alias("err_per_mille"),
+        )
+        .orderBy("source_a", "source_b")
+    )

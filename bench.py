@@ -187,6 +187,12 @@ HEADLINE = [
     "q_clickhouse_retention",
     "curation_benchmark_overlap_matrix",
     "embed_matryoshka_route_drift",
+    "q_event_path_topk",
+    "q_bitmap_segment_census",
+    "text_readability_report",
+    "dedup_url_canonical_groups",
+    "q_sketch_intersection_estimate",
+    "curation_excess_surprisal_reweight",
 ]
 
 

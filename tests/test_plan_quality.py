@@ -194,6 +194,16 @@ BNLJ_ALLOWED = {
         "the only BNLJ is the 1-row total-count aggregate broadcast-"
         "attached for the decile divisor in the r10 distributed two-pass "
         "rank (the per-shard offsets ride a broadcast hash equi-join)",
+    "q_sketch_intersection_estimate":
+        "the only BNLJs are the |sources| x |sources| source-pair "
+        "enumeration (a taxonomy-bounded dim x dim, never data-sized) and "
+        "the broadcast per-source estimate attaches; all corpus-sized "
+        "stages are hash aggregates and tok/b equi-joins",
+    "curation_excess_surprisal_reweight":
+        "the only BNLJs are 1-row broadcast attaches (corpus token total "
+        "onto the vocab for binning, corpus mean onto |sources| rows, "
+        "weight total onto |sources| rows) — O(V x 1)/O(S x 1); the "
+        "occurrence-stream join is a hash equi-join on the token",
     "ann_cosine_topk_bruteforce":
         "the brute-force baseline IS all-pairs by definition; since r9 the "
         "query set is a CONSTANT (orderBy+limit Q_MAX=4096, llm_ops.Q_MAX) "

@@ -1,0 +1,142 @@
+"""Round-10 semantics tests: crafted-input edge coverage for the new
+operators (the driver oracle proves engine parity at the fixture SFs;
+these prove the SEMANTICS on inputs the fixtures don't contain)."""
+
+from pyspark.sql import functions as F
+
+from arango_clickhouse_replica_spark.queries.llm_ops import (
+    _CANON_STEPS_SQL,
+    _URL_SQL,
+)
+from arango_clickhouse_replica_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_canonicalizer_rules(spark):
+    """Every canonicalization rule fires: scheme, www, query, fragment,
+    trailing slash — and plain URLs pass through untouched."""
+    cases = [
+        ("https://www.ex1.com/p/9?utm_source=feed#sec", "ex1.com/p/9"),
+        ("http://ex2.com/p/3/", "ex2.com/p/3"),
+        ("https://ex3.com/p/4", "ex3.com/p/4"),
+        ("http://www.ex4.com/p/5#frag", "ex4.com/p/5"),
+        ("https://ex5.com/p/6?id=6", "ex5.com/p/6"),
+        ("https://ex6.com/p/7///", "ex6.com/p/7"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"]).select(
+        "want", F.expr(_CANON_STEPS_SQL.format(u="url")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.want, r.got)
+
+
+def test_url_synth_produces_collidable_variants(spark):
+    """The synthetic URL lane must actually produce groups where raw
+    URLs differ but canonicals collide — otherwise the dedup tests
+    nothing."""
+    df = spark.range(600).select(F.col("id").alias("doc_id")).select(
+        "doc_id", F.expr(_URL_SQL).alias("url")
+    ).select(
+        "url", F.expr(_CANON_STEPS_SQL.format(u="url")).alias("canonical")
+    )
+    g = df.groupBy("canonical").agg(
+        F.count_distinct("url").alias("variants")
+    )
+    assert g.filter(F.col("variants") >= 2).count() > 0
+
+
+def test_event_path_order_and_tiebreak(spark, tmp_path):
+    """Path order follows (ts, event_id) including the event_id
+    tiebreak on equal timestamps; users with < K events keep short
+    paths."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 6 events, two sharing a timestamp (ids 3 < 4 break it)
+        (1, t0, 1, "view"), (1, t0.replace(minute=1), 2, "click"),
+        (1, t0.replace(minute=2), 3, "view"),
+        (1, t0.replace(minute=2), 4, "purchase"),
+        (1, t0.replace(minute=3), 5, "error"),
+        (1, t0.replace(minute=4), 6, "signup"),
+        # user 2: only 2 events
+        (2, t0, 7, "signup"), (2, t0.replace(minute=9), 8, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    d = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(d)
+    # the query loads <sf_dir>/events.parquet
+    out = {
+        r.path: (r.path_len, r.n_users)
+        for r in QUERIES["q_event_path_topk"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["view>click>view>purchase>error"] == (5, 1)
+    assert out["signup>view"] == (2, 1)
+
+
+def test_bitmap_census_inclusion_exclusion(spark):
+    """AND + XOR == OR on every pair, and OR never exceeds the user
+    universe."""
+    rows = QUERIES["q_bitmap_segment_census"].build(spark, SF).collect()
+    assert rows, "no pairs"
+    for r in rows:
+        assert r.n_and + r.n_xor == r.n_or
+        assert r.n_and <= min(r.n_a, r.n_b)
+        assert r.n_or >= max(r.n_a, r.n_b)
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """One crafted doc checked against hand-computed milli-values."""
+    text = "The cat sat. The dog ran away!"
+    # words: The cat sat. The dog ran away!  -> 7 words
+    # sentences: [.!?]+ runs -> 2
+    # syllables (vowel groups, floor 1): the=1 cat=1 sat.=1 the=1 dog=1
+    #   ran=1 away!=2  -> 8
+    wps = 7 * 1000 // 2          # 3500
+    spw = 8 * 1000 // 7          # 1142
+    flesch = 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+    fk = (390 * wps) // 1000 + (11800 * spw) // 1000 - 15590
+    df = spark.createDataFrame(
+        [(1, text, "en", "srcX", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(d)
+    row = QUERIES["text_readability_report"].build(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert row.n_docs == 1
+    assert row.mean_flesch_milli == flesch
+    assert row.mean_fk_milli == fk
+
+
+def test_surprisal_weights_normalized_and_ordered(spark):
+    rows = QUERIES["curation_excess_surprisal_reweight"].build(
+        spark, SF
+    ).collect()
+    assert rows
+    total = sum(r.weight_per_mille for r in rows)
+    assert total <= 1000  # trunc-div normalization never overshoots
+    assert total >= 1000 - len(rows)  # and loses at most 1 per source
+    # weight is a monotone function of the CLAMPED excess (negative
+    # excesses share the baseline score; trunc-div can tie neighbors)
+    for a in rows:
+        for b in rows:
+            if max(a.excess_milli, 0) > max(b.excess_milli, 0):
+                assert a.weight_per_mille >= b.weight_per_mille, (a, b)
+
+
+def test_sketch_intersection_algebra(spark):
+    rows = QUERIES["q_sketch_intersection_estimate"].build(
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.est_union <= r.est_a + r.est_b
+        assert r.est_union >= max(r.est_a, r.est_b) - 1  # fold is a min
+        assert r.est_intersection >= 0
