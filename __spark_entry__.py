@@ -206,6 +206,8 @@ ROTATION_EXEMPT = frozenset({
     "text_oov_rate",                  # vocab-head OOV rate: curation_excess_surprisal_reweight (rotating) re-runs the same wordcount + rarity-bin machinery; text_vocab_coverage_curve + text_subword_fertility keep the coverage lanes
     "q_set_ops_nation_segments",      # INTERSECT/EXCEPT listing: q_bitmap_segment_census (rotating) computes the same set algebra as exact AND/OR/XOR cardinalities with integer lanes
     "q_distinct_sketch_merge",        # KMV shard-merge: q_sketch_intersection_estimate (rotating) re-runs the identical bucket-min fold for every pair's union sketch AND keeps the exact-comparison lane; q_distinct_minvalue_sketch stays the single-sketch reference
+    # Grown r10 alongside mm_bmp_decode_features:
+    "mm_aspect_bucket_census",        # aspect bucket assignment: mm_aspect_resize_plan (rotating) computes the same bucket election plus the resize decision — strict superset of the census
 })
 
 

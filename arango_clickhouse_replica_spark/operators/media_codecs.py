@@ -1101,3 +1101,78 @@ def decode_mjpeg(payload: bytes) -> list:
     if pos != len(payload):
         raise ValueError("trailing bytes after MJPG frames")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+# Public spec: Windows BMP v3 — 14-byte file header ('BM', file size,
+# pixel-data offset), 40-byte BITMAPINFOHEADER (width, signed height:
+# positive = bottom-up rows, negative = top-down), 24 bpp uncompressed
+# (BI_RGB), each row padded to a 4-byte boundary, pixels stored BGR.
+
+
+def encode_bmp_gray8(pixels, width: int, height: int) -> bytes:
+    """Serialize ``width*height`` 8-bit grayscale pixels (row-major,
+    top-down iterable) as a real 24-bit BI_RGB BMP (gray written as
+    B=G=R, bottom-up row order, 4-byte row padding) — any external
+    viewer opens it."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    row_raw = 3 * width
+    pad = (4 - row_raw % 4) % 4
+    stride = row_raw + pad
+    img_size = stride * height
+    off = 14 + 40
+    fh = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        r = px[y * width:(y + 1) * width]
+        rows.append(bytes(v for p in r for v in (p, p, p)) + b"\x00" * pad)
+    return fh + ih + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a 24-bit BI_RGB BMP: magic + header validation, pixel-data
+    offset honored, signed-height orientation (bottom-up vs top-down),
+    4-byte row padding stripped. Returns top-down row-major integer luma
+    pixels (ITU-R 601 milli-weights 299/587/114, exact integer div —
+    for gray payloads where B=G=R this reduces to the source byte)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height_s = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported (planes={planes} bpp={bpp} "
+            f"compression={compression})"
+        )
+    top_down = height_s < 0
+    height = -height_s if top_down else height_s
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (3 * width + 3) & ~3
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    luma = []
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        base = data_off + y * stride
+        for x in range(width):
+            b = payload[base + 3 * x]
+            g = payload[base + 3 * x + 1]
+            r = payload[base + 3 * x + 2]
+            luma.append((299 * r + 587 * g + 114 * b) // 1000)
+    return {"width": width, "height": height, "pixels": luma,
+            "top_down": top_down}

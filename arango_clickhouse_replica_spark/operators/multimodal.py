@@ -1356,3 +1356,78 @@ def synth_group_wav_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def synth_bmp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP payloads: doc_id seeds width/height and the
+    grayscale gradient ``p(x,y) = (doc_id*11 + 5x + 3y) % 256``, encoded
+    with the real 24-bit BI_RGB BMP encoder (bottom-up rows, 4-byte row
+    padding — operators/media_codecs.encode_bmp_gray8)."""
+    from .media_codecs import encode_bmp_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 9 + d % 8, 7 + d % 6
+                px = bytes(
+                    (d * 11 + 5 * x + 3 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                bmp = encode_bmp_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(bmp)
+                metas.append(
+                    {"mime": "image/bmp", "n_bytes": len(bmp),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+BMP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_pixels", T.LongType(), True),
+        T.StructField("px_min", T.IntegerType(), True),
+        T.StructField("px_max", T.IntegerType(), True),
+        T.StructField("file_bytes", T.LongType(), True),
+    ]
+)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL BMP decode over binary payloads: magic/header validation,
+    data-offset honored, bottom-up row reassembly, padding stripped —
+    features come from the DECODED pixels (exact integer moments) plus
+    the on-disk file size so the oracle cross-checks the encoder's
+    stride/padding layout in closed form."""
+    from .media_codecs import decode_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_pixels",
+                     "sum_pixels", "px_min", "px_max", "file_bytes")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(raw)
+                img = decode_bmp(data)
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+                rows["file_bytes"].append(len(data))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)

@@ -2375,3 +2375,59 @@ def mm_scene_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "scene_id")
     )
+
+
+@query(
+    "mm_bmp_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 11 + 5 * (u.k % p.w) + 3 * (u.k // p.w)) % 256 AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max,
+           CAST(54 + (3 * w + ((4 - (3 * w) % 4) % 4)) * h AS BIGINT)
+             AS file_bytes
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL BMP decode end to end — widens the genuine codec surface "
+        "(WAV/PNG/JPEG/MJPG, now BMP): deterministic grayscale "
+        "gradients are encoded as genuine 24-bit BI_RGB BMP files "
+        "(bottom-up rows, 4-byte padding, BGR order — "
+        "operators/media_codecs.encode_bmp_gray8), cross Arrow as "
+        "binary, and are re-parsed by the pure-stdlib BMP decoder "
+        "(magic + header validation, data offset honored, signed-height "
+        "orientation, padding stripped, ITU-R 601 integer luma). "
+        "Features are exact integer moments of the DECODED pixels plus "
+        "the on-disk byte size, hash-matched against a closed-form "
+        "oracle that never sees the bytes — the file_bytes column "
+        "verifies the stride/padding layout arithmetic in SQL. "
+        "Orientation and top-down negative-height parsing are covered "
+        "byte-level in tests. Scale: the same narrow 1:1 Arrow decode "
+        "stage as the PNG family — embarrassingly parallel, no shuffle "
+        "until the |docs|-row feature aggregate.",
+)
+def mm_bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_bmp_features, synth_bmp_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_bmp_features(synth_bmp_media(docs))
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_pixels",
+            "px_min", "px_max", "file_bytes",
+        )
+        .orderBy("media_id")
+    )

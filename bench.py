@@ -193,6 +193,7 @@ HEADLINE = [
     "dedup_url_canonical_groups",
     "q_sketch_intersection_estimate",
     "curation_excess_surprisal_reweight",
+    "mm_bmp_decode_features",
 ]
 
 

@@ -140,3 +140,70 @@ def test_sketch_intersection_algebra(spark):
         assert r.est_union <= r.est_a + r.est_b
         assert r.est_union >= max(r.est_a, r.est_b) - 1  # fold is a min
         assert r.est_intersection >= 0
+
+
+def test_bmp_codec_byte_level():
+    """Round-trip, top-down orientation, padding, and error paths of
+    the pure-stdlib BMP codec."""
+    import struct
+
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_bmp,
+        encode_bmp_gray8,
+    )
+
+    # round-trip at a width whose raw stride (3*13=39) needs 1 pad byte
+    px = bytes((11 * d) % 256 for d in range(13 * 5))
+    bmp = encode_bmp_gray8(px, 13, 5)
+    out = decode_bmp(bmp)
+    assert (out["width"], out["height"]) == (13, 5)
+    assert bytes(out["pixels"]) == px
+    assert not out["top_down"]
+    # declared file size matches layout arithmetic: 54 + stride*h
+    assert len(bmp) == 54 + ((3 * 13 + 3) & ~3) * 5
+    assert struct.unpack_from("<I", bmp, 2)[0] == len(bmp)
+
+    # top-down variant (negative height): rows must come back reversed
+    td = bytearray(bmp)
+    struct.pack_into("<i", td, 22, -5)
+    out2 = decode_bmp(bytes(td))
+    assert out2["top_down"] and out2["height"] == 5
+    rows = [px[y * 13:(y + 1) * 13] for y in range(5)]
+    flipped = b"".join(reversed(rows))
+    assert bytes(out2["pixels"]) == flipped
+
+    # zero-pad width (3*16=48 already 4-aligned)
+    px16 = bytes(range(16 * 2))
+    assert bytes(decode_bmp(encode_bmp_gray8(px16, 16, 2))["pixels"]) == px16
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG" + bmp[3:])
+    with pytest.raises(ValueError):
+        decode_bmp(bmp[:53])
+    bad = bytearray(bmp)
+    struct.pack_into("<H", bad, 28, 8)  # 8 bpp unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_bmp(bmp[:-4])  # truncated pixel data
+
+
+def test_bmp_luma_is_itu601_for_color():
+    """Hand-built color BMP: the decoder's integer luma must follow the
+    299/587/114 milli-weights, not just pass gray through."""
+    import struct
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_bmp,
+    )
+
+    # 1x1, pixel B=10 G=20 R=30 -> luma (299*30+587*20+114*10)//1000 = 21
+    stride = 4  # 3 bytes + 1 pad
+    fh = b"BM" + struct.pack("<IHHI", 54 + stride, 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, stride,
+                     2835, 2835, 0, 0)
+    payload = fh + ih + bytes([10, 20, 30, 0])
+    out = decode_bmp(payload)
+    assert out["pixels"] == [(299 * 30 + 587 * 20 + 114 * 10) // 1000]

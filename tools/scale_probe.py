@@ -187,6 +187,7 @@ PROBES = [
     "dedup_url_canonical_groups",
     "q_sketch_intersection_estimate",
     "curation_excess_surprisal_reweight",
+    "mm_bmp_decode_features",
 ]
 
 
