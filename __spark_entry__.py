@@ -208,6 +208,11 @@ ROTATION_EXEMPT = frozenset({
     "q_distinct_sketch_merge",        # KMV shard-merge: q_sketch_intersection_estimate (rotating) re-runs the identical bucket-min fold for every pair's union sketch AND keeps the exact-comparison lane; q_distinct_minvalue_sketch stays the single-sketch reference
     # Grown r10 alongside mm_bmp_decode_features:
     "mm_aspect_bucket_census",        # aspect bucket assignment: mm_aspect_resize_plan (rotating) computes the same bucket election plus the resize decision — strict superset of the census
+    # Grown r10 alongside q_clickhouse_sequence_count +
+    # cdc_integrity_checksum (each pick has 9 green driver rounds
+    # r1-r9 incl. the r7/r8/r9 full-registry records):
+    "q_forward_fill_purchase",        # per-user ordered window nav (IGNORE NULLS): q_clickhouse_sequence_count (rotating) walks the same per-user (ts, event_id) order through stricter cross-engine machinery; q_gap_fill_daily_revenue keeps the fill lane
+    "cdc_snapshot_overlap",           # snapshot ∪ CDC merge: its oracle IS _LATEST_ALIVE_SQL (identical to cdc_latest_state, emitted every round); the merge_upsert path stays proven by cdc_snapshot_diff (rotating) and tests/test_cdc.py
 })
 
 

@@ -792,3 +792,114 @@ def cdc_txn_boundary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_ops")
     )
+
+
+_CKSUM_BUCKETS = 64
+
+
+@query(
+    "cdc_integrity_checksum",
+    oracle=f"""
+    WITH src AS ({_LATEST_ALIVE_SQL}),
+    rep AS (
+      SELECT event_id,
+             CASE WHEN event_id % 101 = 0 THEN user_id + 1
+                  ELSE user_id END AS user_id,
+             event_type
+      FROM src WHERE event_id % 97 <> 0
+    ),
+    sh AS (
+      SELECT event_id % {_CKSUM_BUCKETS} AS bucket,
+             CAST('0x' || substr(md5(concat_ws('|', event_id, user_id,
+                                               event_type)), 1, 13)
+                  AS BIGINT) AS h
+      FROM src
+    ),
+    rh AS (
+      SELECT event_id % {_CKSUM_BUCKETS} AS bucket,
+             CAST('0x' || substr(md5(concat_ws('|', event_id, user_id,
+                                               event_type)), 1, 13)
+                  AS BIGINT) AS h
+      FROM rep
+    ),
+    sa AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_source,
+                  CAST(BIT_XOR(h) AS BIGINT) AS src_digest
+           FROM sh GROUP BY bucket),
+    ra AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_replica,
+                  CAST(BIT_XOR(h) AS BIGINT) AS rep_digest
+           FROM rh GROUP BY bucket)
+    SELECT sa.bucket,
+           sa.n_source,
+           COALESCE(ra.n_replica, 0) AS n_replica,
+           sa.n_source - COALESCE(ra.n_replica, 0) AS rows_delta,
+           CAST(sa.src_digest = COALESCE(ra.rep_digest, 0) AS BOOLEAN)
+             AS digest_match
+    FROM sa LEFT JOIN ra ON ra.bucket = sa.bucket
+    ORDER BY sa.bucket
+    """,
+    tags=("cdc", "validation", "checksum"),
+    doc="Replica integrity checksum — the pt-table-checksum shape for "
+        "'does the ClickHouse side equal the Arango side' WITHOUT "
+        "shipping rows (cdc_snapshot_diff lists per-key differences; "
+        "this is the cheap first pass that localizes them): both sides "
+        "fold into per-key-bucket digests (BIT_XOR of a 52-bit md5 row "
+        "hash over the key + replicated columns — order-independent, "
+        "overflow-free at any bucket size, and keys are unique within "
+        "a bucket so XOR cancellation cannot hide a diff) and only bucket-level (count, "
+        "digest) pairs are compared. The replica side carries two "
+        "INJECTED deterministic corruptions (every 97th key lost, "
+        "every 101st key's payload drifted) so the report proves it "
+        "localizes both loss (rows_delta) and silent drift "
+        "(digest_match false with equal counts). Exact integer lanes "
+        "throughout; the float value column is deliberately excluded "
+        "from the digest (double-to-string rendering is not "
+        "cross-engine-stable — digest decimals or integers instead). "
+        f"Scale: each side is one map-side-combinable aggregate to "
+        f"{_CKSUM_BUCKETS} rows; the comparison join moves "
+        f"{_CKSUM_BUCKETS} rows however large the replica is.",
+)
+def cdc_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _apply_pipeline(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    rep = (
+        src.filter(F.col("event_id") % 97 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 101 == 0, F.col("user_id") + 1)
+            .otherwise(F.col("user_id")).alias("user_id"),
+            "event_type",
+        )
+    )
+
+    def digests(df: DataFrame, n_col: str, d_col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "event_id", "user_id", "event_type")),
+                1, 13,
+            ), 16, 10,
+        ).cast("long")
+        return (
+            df.select((F.col("event_id") % _CKSUM_BUCKETS).alias("bucket"),
+                      h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias(n_col),
+                F.expr("bit_xor(h)").cast("long").alias(d_col),
+            )
+        )
+
+    sa = digests(src, "n_source", "src_digest")
+    ra = digests(rep, "n_replica", "rep_digest")
+    return (
+        sa.join(ra, "bucket", "left")
+        .select(
+            "bucket", "n_source",
+            F.coalesce("n_replica", F.lit(0)).cast("long").alias("n_replica"),
+            (F.col("n_source") - F.coalesce("n_replica", F.lit(0)))
+            .cast("long").alias("rows_delta"),
+            (F.col("src_digest") == F.coalesce("rep_digest", F.lit(0)))
+            .alias("digest_match"),
+        )
+        .orderBy("bucket")
+    )

@@ -663,3 +663,75 @@ def streaming_twa_monitor(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").applyInPandasWithState(
         fold, _TWA_SCHEMA, _TWA_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_SEQC_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("seq_count_vc", T.LongType()),
+        T.StructField("seq_count_vcp", T.LongType()),
+    ]
+)
+_SEQC_STATE = "st_vc int, cnt_vc long, st_vcp int, cnt_vcp long, n long"
+
+
+def streaming_sequence_count_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``q_clickhouse_sequence_count``: the greedy
+    non-overlapping sequenceCount state machines (view->click and
+    view->click->purchase) carried per user across micro-batches — the
+    live funnel counter ClickHouse users read from a replicated event
+    stream, kept exact while events arrive. Every micro-batch re-emits
+    the user's running counts; after the stream drains, each user's
+    last emission equals the batch query's row exactly (proven in
+    tests/test_streaming_stateful.py).
+
+    State per user is four ints and a count; rows within a batch sort
+    by (ts, event_id) and cross-batch parity holds whenever batch
+    boundaries respect per-user event-time order (the WAL tail's
+    native delivery, same contract as the z-score/TWA monitors).
+
+    Expects columns ``user_id``, ``ts``, ``event_id``, ``event_type``.
+    Scale: one user-keyed state shuffle per batch; state is O(1) per
+    user; Arrow-batched transfer."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        st_vc, cnt_vc, st_vcp, cnt_vcp, n = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update((st_vc, cnt_vc, st_vcp, cnt_vcp, n))
+            return
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for t in batch["event_type"]:
+            if t == "view":
+                st_vc = 1
+                if st_vcp == 0:
+                    st_vcp = 1
+            elif t == "click":
+                if st_vc == 1:
+                    st_vc = 0
+                    cnt_vc += 1
+                if st_vcp == 1:
+                    st_vcp = 2
+            elif t == "purchase":
+                if st_vcp == 2:
+                    st_vcp = 0
+                    cnt_vcp += 1
+            n += 1
+        state.update((st_vc, cnt_vc, st_vcp, cnt_vcp, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n],
+                "seq_count_vc": [cnt_vc],
+                "seq_count_vcp": [cnt_vcp],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold, _SEQC_SCHEMA, _SEQC_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -194,6 +194,8 @@ HEADLINE = [
     "q_sketch_intersection_estimate",
     "curation_excess_surprisal_reweight",
     "mm_bmp_decode_features",
+    "q_clickhouse_sequence_count",
+    "cdc_integrity_checksum",
 ]
 
 

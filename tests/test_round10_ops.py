@@ -207,3 +207,37 @@ def test_bmp_luma_is_itu601_for_color():
     payload = fh + ih + bytes([10, 20, 30, 0])
     out = decode_bmp(payload)
     assert out["pixels"] == [(299 * 30 + 587 * 20 + 114 * 10) // 1000]
+
+
+def test_sequence_count_greedy_semantics(spark, tmp_path):
+    """Greedy non-overlapping matching pinned against hand-run cases:
+    a second view never stacks, steps are consumed in order, and the
+    3-step pattern resets only on completion."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    types = [
+        # v v c c  -> vc: first v arms, first c fires (1); second c idle
+        # v c v c  would be 2 — covered by user 2
+        "view", "view", "click", "click",        # user 1: vc=1
+    ]
+    rows = [(1, t0.replace(minute=i), i + 1, t) for i, t in enumerate(types)]
+    types2 = ["view", "click", "error", "view", "purchase", "click",
+              "purchase"]
+    # user 2: vc greedy: v c (1) ... v ... c (2)        -> 2
+    # vcp: v->c->p completes at first purchase (1); then click purchase
+    #      lacks a new view                              -> 1
+    rows += [(2, t0.replace(minute=i), 100 + i, t)
+             for i, t in enumerate(types2)]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.seq_count_vc, r.seq_count_vcp)
+        for r in QUERIES["q_clickhouse_sequence_count"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1] == (1, 0)
+    assert out[2] == (2, 1)

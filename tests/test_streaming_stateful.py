@@ -620,3 +620,60 @@ def test_streaming_twa_monitor_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_sequence_count_matches_batch(spark, sf_dir, tmp_path):
+    """After draining a time-split two-batch stream, each user's last
+    emission must equal the batch q_clickhouse_sequence_count row —
+    the greedy state machines survive the micro-batch boundary."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_sequence_count_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first().c
+    src = str(tmp_path / "src")
+    # time-split (NOT row-split): cross-batch parity requires batch
+    # boundaries to respect per-user event-time order
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        streaming_sequence_count_monitor(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("seqc_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.user_id: (r.n_events, r.seq_count_vc, r.seq_count_vcp)
+        for r in spark.sql(
+            """SELECT user_id, n_events, seq_count_vc, seq_count_vcp
+               FROM (SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                     FROM seqc_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.seq_count_vc, r.seq_count_vcp)
+        for r in QUERIES["q_clickhouse_sequence_count"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch
