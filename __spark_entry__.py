@@ -213,6 +213,11 @@ ROTATION_EXEMPT = frozenset({
     # r1-r9 incl. the r7/r8/r9 full-registry records):
     "q_forward_fill_purchase",        # per-user ordered window nav (IGNORE NULLS): q_clickhouse_sequence_count (rotating) walks the same per-user (ts, event_id) order through stricter cross-engine machinery; q_gap_fill_daily_revenue keeps the fill lane
     "cdc_snapshot_overlap",           # snapshot ∪ CDC merge: its oracle IS _LATEST_ALIVE_SQL (identical to cdc_latest_state, emitted every round); the merge_upsert path stays proven by cdc_snapshot_diff (rotating) and tests/test_cdc.py
+    # Grown r10 alongside q_event_rate_cusum + mm_ulaw_transcode_report
+    # (each pick has 9 green driver rounds r1-r9 incl. the full-registry
+    # records):
+    "q_gap_fill_daily_revenue",       # calendar-bucket series + fill: q_event_rate_cusum (rotating) builds the same calendar aggregate series (hourly) with stricter fold machinery on top; sequence()/explode stays covered by curation_chunk_windows
+    "mm_audio_clipping_report",       # decoded-sample magnitude census: mm_ulaw_transcode_report (rotating) re-proves the WAV decode + abs/max magnitude lanes inside the codec chain; mm_audio_vad_segments + mm_audio_snr_estimate keep the frame-energy QA lanes
 })
 
 

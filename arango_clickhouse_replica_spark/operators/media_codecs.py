@@ -1176,3 +1176,41 @@ def decode_bmp(payload: bytes) -> dict:
             luma.append((299 * r + 587 * g + 114 * b) // 1000)
     return {"width": width, "height": height, "pixels": luma,
             "top_down": top_down}
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (public CCITT spec; the Sun/audioop-compatible variant)
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84   # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples) -> bytes:
+    """Compress int16 PCM samples to 8-bit G.711 mu-law codewords
+    (sign | exponent<<4 | mantissa, ones-complemented): the telephony
+    codec every speech corpus eventually passes through."""
+    out = bytearray()
+    for s in samples:
+        s = int(s)
+        sign = 0x80 if s < 0 else 0
+        if s < 0:
+            s = -s
+        if s > _ULAW_CLIP:
+            s = _ULAW_CLIP
+        s += _ULAW_BIAS
+        e = s.bit_length() - 8          # floor(log2(s)) - 7, s >= 132
+        m = (s >> (e + 3)) & 0x0F
+        out.append(~(sign | (e << 4) | m) & 0xFF)
+    return bytes(out)
+
+
+def ulaw_decode(payload: bytes) -> list:
+    """Expand 8-bit mu-law codewords back to int16 PCM (exact inverse
+    of the encoder's quantizer: ((mant<<3)+BIAS)<<exp - BIAS)."""
+    out = []
+    for u in payload:
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
+        out.append(_ULAW_BIAS - t if u & 0x80 else t - _ULAW_BIAS)
+    return out

@@ -1431,3 +1431,75 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=BMP_FEATURE_SCHEMA)
+
+
+def synth_telephony_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads with WIDE dynamic range
+    (+-30000 — all eight mu-law segments exercised, unlike the small
+    VAD-range synth): ``s(i) = ((doc_id*13 + i*11) % 60001) - 30000``,
+    ``n = 24 + doc_id % 13`` samples at 8 kHz."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 24 + d % 13
+                s = [((d * 13 + i * 11) % 60001) - 30000 for i in range(n)]
+                wav = encode_wav_pcm16(s, sample_rate=8000)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+ULAW_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_abs_in", T.LongType(), True),
+        T.StructField("sum_abs_out", T.LongType(), True),
+        T.StructField("sum_sq_err", T.LongType(), True),
+        T.StructField("max_abs_err", T.LongType(), True),
+    ]
+)
+
+
+def extract_ulaw_transcode_features(media: DataFrame) -> DataFrame:
+    """REAL G.711 transcode over binary payloads: RIFF/PCM16 decode ->
+    mu-law compress (8 bits/sample) -> expand back to PCM16 — the
+    telephony round trip every speech-corpus ingest survives. Features
+    are exact integer moments of input, output, and the quantization
+    error, so the oracle can recompute the codec's exact quantizer in
+    closed form and hash-match the whole chain."""
+    from .media_codecs import decode_wav, ulaw_decode, ulaw_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "sum_abs_in", "sum_abs_out",
+                     "sum_sq_err", "max_abs_err")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                x = decode_wav(bytes(raw))["samples"]
+                y = ulaw_decode(ulaw_encode(x))
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(x))
+                rows["sum_abs_in"].append(sum(abs(v) for v in x))
+                rows["sum_abs_out"].append(sum(abs(v) for v in y))
+                rows["sum_sq_err"].append(
+                    sum((a - b) * (a - b) for a, b in zip(x, y))
+                )
+                rows["max_abs_err"].append(
+                    max(abs(a - b) for a, b in zip(x, y))
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=ULAW_FEATURE_SCHEMA)

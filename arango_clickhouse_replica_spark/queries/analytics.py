@@ -1647,3 +1647,105 @@ def q_clickhouse_sequence_count(spark: SparkSession, sf_dir: str
         (F.aggregate("codes", zero, fold_vcp) % m).cast("long")
         .alias("seq_count_vcp"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_event_rate_cusum",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT hour_us, n_events,
+             ROW_NUMBER() OVER (ORDER BY hour_us) AS rn
+      FROM hourly
+    ),
+    stats AS (
+      SELECT CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly
+    ),
+    walk AS (
+      SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s
+      UNION ALL
+      SELECT w.rn + 1,
+             GREATEST(0, w.s + i.n_events * 1000
+                          - st.mean_milli - st.mean_milli // 10)
+      FROM walk w
+      JOIN idx i ON i.rn = w.rn + 1
+      CROSS JOIN stats st
+    )
+    SELECT i.hour_us, i.n_events,
+           w.s AS cusum_milli,
+           CAST(w.s > 5 * st.mean_milli AS BOOLEAN) AS alarm
+    FROM idx i
+    JOIN walk w ON w.rn = i.rn
+    CROSS JOIN stats st
+    ORDER BY i.hour_us
+    """,
+    tags=("analytics", "anomaly", "changepoint", "streaming-shape"),
+    doc="CUSUM changepoint detection over the hourly event rate — the "
+        "Page (1954) cumulative-sum control chart, the standard "
+        "sustained-rate-shift detector that complements "
+        "q_event_anomaly_zscore's single-spike flags (a 20% rate creep "
+        "never trips a z-score but accumulates in the CUSUM): "
+        "S_t = max(0, S_{t-1} + (x_t - mean - k)) in exact integer "
+        "milli-units with slack k = mean/10, alarming at 5x mean. The "
+        "recursion folds over the CALENDAR-BOUNDED hourly series "
+        "(hours in the retention window, never event-cardinality) via "
+        "one F.aggregate scan whose accumulator carries the full S "
+        "prefix; the oracle replays it as a recursive CTE (exact "
+        "integer lanes, engine-identical max/trunc-div). Scale: the "
+        "per-hour counts are ONE map-side-combinable aggregate over "
+        "any event volume; everything after runs on |hours| rows in a "
+        "single bounded task.",
+)
+def q_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us")
+        )
+        .groupBy("hour_us")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    one = hourly.agg(
+        F.sort_array(F.collect_list(F.struct("hour_us", "n_events")))
+        .alias("series")
+    )
+    mean_milli = F.expr(
+        "aggregate(series, 0L, (a, x) -> a + x.n_events) * 1000"
+        " div size(series)"
+    )
+    prefixed = one.select(
+        "series", mean_milli.alias("mean_milli")
+    ).select(
+        "series", "mean_milli",
+        F.expr(
+            "aggregate(series,"
+            " struct(cast(0 as bigint) as s,"
+            "        cast(array() as array<bigint>) as acc),"
+            " (a, x) -> struct("
+            "   greatest(0L, a.s + x.n_events * 1000"
+            "            - mean_milli - mean_milli div 10) as s,"
+            "   concat(a.acc, array(greatest(0L,"
+            "     a.s + x.n_events * 1000"
+            "     - mean_milli - mean_milli div 10))) as acc),"
+            " a -> a.acc)"
+        ).alias("cusum"),
+    )
+    return (
+        prefixed.select(
+            "mean_milli",
+            F.explode(F.arrays_zip("series", "cusum")).alias("z"),
+        )
+        .select(
+            F.col("z.series.hour_us").alias("hour_us"),
+            F.col("z.series.n_events").alias("n_events"),
+            F.col("z.cusum").alias("cusum_milli"),
+            (F.col("z.cusum") > 5 * F.col("mean_milli")).alias("alarm"),
+        )
+        .orderBy("hour_us")
+    )

@@ -2431,3 +2431,66 @@ def mm_bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_ulaw_transcode_report",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 24 + doc_id % 13 AS n FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, p.n,
+             ((p.doc_id * 13 + u.i * 11) % 60001) - 30000 AS x
+      FROM params p, unnest(range(0, CAST(p.n AS INT))) AS u(i)
+    ),
+    biased AS (
+      SELECT doc_id, n, x, LEAST(ABS(x), 32635) + 132 AS b FROM s
+    ),
+    seg AS (
+      SELECT *, length(bin(b >> 7)) - 1 AS ex FROM biased
+    ),
+    dec AS (
+      SELECT doc_id, n, x,
+             (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+             * ((((((b >> (ex + 3)) & 15) << 3) + 132) << ex) - 132) AS y
+      FROM seg
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs_in,
+           CAST(SUM(ABS(y)) AS BIGINT) AS sum_abs_out,
+           CAST(SUM((x - y) * (x - y)) AS BIGINT) AS sum_sq_err,
+           CAST(MAX(ABS(x - y)) AS BIGINT) AS max_abs_err
+    FROM dec GROUP BY doc_id ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "codec", "transcode", "pandas-udf"),
+    doc="REAL G.711 mu-law transcode end to end — the telephony round "
+        "trip (PCM16 -> 8-bit mu-law -> PCM16) every call-center/speech "
+        "corpus survives before training, and the second genuine audio "
+        "codec beside RIFF/WAV: wide-range synth WAVs (+-30000, all "
+        "eight mu-law segments) decode, compress through the real "
+        "encoder (sign|exponent|mantissa, ones-complement — "
+        "operators/media_codecs.ulaw_encode), expand back, and report "
+        "exact integer moments of input, output, and quantization "
+        "error. The oracle replays the quantizer in closed form with "
+        "SQL bit ops (bin-length exponent, shift/mask mantissa) — a "
+        "single wrong bit anywhere in the codec breaks the hash. "
+        "Scale: the same narrow 1:1 Arrow decode stage as the WAV "
+        "family; no shuffle until the |docs|-row aggregate.",
+)
+def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_ulaw_transcode_features,
+        synth_telephony_wav_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_ulaw_transcode_features(synth_telephony_wav_media(docs))
+        .select(
+            "media_id", "n_samples", "sum_abs_in", "sum_abs_out",
+            "sum_sq_err", "max_abs_err",
+        )
+        .orderBy("media_id")
+    )

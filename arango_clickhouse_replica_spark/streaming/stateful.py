@@ -735,3 +735,58 @@ def streaming_sequence_count_monitor(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").applyInPandasWithState(
         fold, _SEQC_SCHEMA, _SEQC_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_CKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("digest", T.LongType()),
+    ]
+)
+_CKSUM_STATE = "n long, d long"
+
+
+def streaming_integrity_checksum_monitor(
+    df: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """Live twin of the batch ``cdc_integrity_checksum`` source side:
+    per key-bucket running (count, BIT_XOR digest) maintained as
+    streaming state — the replica-side ledger a verifier diffs against
+    the source's bucket digests WITHOUT ever rescanning the replica
+    (XOR folds incrementally and is order/batch-boundary insensitive,
+    so no delivery-order caveat applies, unlike the sequence/TWA
+    monitors). After the stream drains, each bucket's last emission
+    equals the batch digest exactly.
+
+    Expects ``event_id``, ``user_id``, ``event_type``. Scale: state is
+    two longs per bucket (constant 64 keys); the digest hash is
+    computed JVM-side before the state shuffle."""
+    hashed = df.select(
+        (F.col("event_id") % n_buckets).alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "event_id", "user_id", "event_type")),
+                1, 13,
+            ), 16, 10,
+        ).cast("long").alias("h"),
+    )
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        n, d = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            for h in pdf["h"]:
+                d ^= int(h)
+        state.update((n, d))
+        yield pd.DataFrame(
+            {"bucket": [int(key[0])], "n_rows": [n], "digest": [d]}
+        )
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        fold, _CKSUM_SCHEMA, _CKSUM_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -196,6 +196,8 @@ HEADLINE = [
     "mm_bmp_decode_features",
     "q_clickhouse_sequence_count",
     "cdc_integrity_checksum",
+    "q_event_rate_cusum",
+    "mm_ulaw_transcode_report",
 ]
 
 

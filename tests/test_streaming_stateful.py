@@ -677,3 +677,78 @@ def test_streaming_sequence_count_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert live == batch
+
+
+def test_streaming_checksum_matches_batch_digests(spark, sf_dir, tmp_path):
+    """The running XOR digests after draining a two-batch stream must
+    equal the batch cdc_integrity_checksum source-side columns — split
+    arbitrarily (XOR needs no delivery-order contract)."""
+    from arango_clickhouse_replica_spark.queries.cdc_queries import (
+        _apply_pipeline,
+    )
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_integrity_checksum_monitor,
+    )
+
+    src_rel = _apply_pipeline(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    half = src_rel.count() // 2
+    part1 = src_rel.limit(half).cache()
+    part1.count()
+    src = str(tmp_path / "src")
+    part1.coalesce(1).write.mode("append").parquet(src)
+    src_rel.subtract(part1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_integrity_checksum_monitor(
+            spark.readStream.schema(src_rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("cksum_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.bucket: (r.n_rows, r.digest)
+        for r in spark.sql(
+            """SELECT bucket, n_rows, digest FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket ORDER BY n_rows DESC) AS rn
+                 FROM cksum_t) WHERE rn = 1"""
+        ).collect()
+    }
+    # batch side: recompute source digests directly (the registered
+    # query's src columns)
+    from pyspark.sql import functions as SF
+    h = SF.conv(
+        SF.substring(
+            SF.md5(SF.concat_ws("|", "event_id", "user_id", "event_type")),
+            1, 13,
+        ), 16, 10,
+    ).cast("long")
+    batch = {
+        r.bucket: (r.n, r.d)
+        for r in src_rel.select(
+            (SF.col("event_id") % 64).alias("bucket"), h.alias("h")
+        ).groupBy("bucket").agg(
+            SF.count("*").cast("long").alias("n"),
+            SF.expr("bit_xor(h)").cast("long").alias("d"),
+        ).collect()
+    }
+    assert live == batch
+    # and those equal the registered query's source-side columns
+    reg = {
+        r.bucket: (r.n_source,)
+        for r in QUERIES["cdc_integrity_checksum"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    for b, (n,) in reg.items():
+        assert live[b][0] == n

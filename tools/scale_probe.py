@@ -190,6 +190,8 @@ PROBES = [
     "mm_bmp_decode_features",
     "q_clickhouse_sequence_count",
     "cdc_integrity_checksum",
+    "q_event_rate_cusum",
+    "mm_ulaw_transcode_report",
 ]
 
 
