@@ -218,6 +218,12 @@ ROTATION_EXEMPT = frozenset({
     # records):
     "q_gap_fill_daily_revenue",       # calendar-bucket series + fill: q_event_rate_cusum (rotating) builds the same calendar aggregate series (hourly) with stricter fold machinery on top; sequence()/explode stays covered by curation_chunk_windows
     "mm_audio_clipping_report",       # decoded-sample magnitude census: mm_ulaw_transcode_report (rotating) re-proves the WAV decode + abs/max magnitude lanes inside the codec chain; mm_audio_vad_segments + mm_audio_snr_estimate keep the frame-energy QA lanes
+    # Grown r10 alongside embed_binary_hamming_topk, cdc_time_travel_read,
+    # text_instruction_format_census (each pick has 9 green driver
+    # rounds r1-r9 incl. the full-registry records):
+    "embed_quantization_error_report",  # quantizer width sweep: ann_topk_int8_rerank re-runs the int8 quantizer inside its rerank; embed_pq_codebooks + ann_pq_adc_rerank keep the PQ lane; embed_binary_hamming_topk (rotating) adds the 1-bit extreme of the same axis
+    "cdc_replay_idempotent",          # its oracle IS _LATEST_ALIVE_SQL (identical to cdc_latest_state, emitted every round); replay idempotence stays pytest-proven (checkpoint-restart tests) and cdc_time_travel_read (rotating) runs the same preprocess -> top-1 machinery with a version bound
+    "text_repetition_filter",         # duplicate-run filter: text_gopher_repetition (rotating) measures the same repeated-n-gram surface inside the full Gopher rule set; text_c4_line_cleaning keeps the rewrite lane
 })
 
 

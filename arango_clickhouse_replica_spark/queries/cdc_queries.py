@@ -903,3 +903,56 @@ def cdc_integrity_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "cdc_time_travel_read",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    asof_v AS (
+      SELECT CAST(MAX(_ver) // 2 AS BIGINT) AS t FROM changes
+    ),
+    bounded AS (
+      SELECT c.* FROM changes c, asof_v WHERE c._ver <= asof_v.t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY _ver DESC, _deleted DESC) AS rn
+      FROM bounded
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           CAST(_ver AS BIGINT) AS as_of_ver
+    FROM ranked WHERE rn = 1 AND _deleted = 0
+    """,
+    tags=("cdc", "time-travel", "history"),
+    doc="Time-travel read over the replicated history — 'the table AS "
+        "OF version T' (the read mode ReplacingMergeTree(_ver) destroys "
+        "on merge and cdc_scd2_history's interval table exists to "
+        "serve; this query reads it the way a user actually asks: one "
+        "bounded latest-state query): version-bound the change stream "
+        "to _ver <= T (T = half the max version, computed in-plan so "
+        "the read point scales with the fixture), then the standard "
+        "per-key top-1. Updates and deletes AFTER T correctly vanish — "
+        "keys whose only post-T change was a delete reappear, exactly "
+        "the audit/debug semantics time travel exists for. Scale: the "
+        "version filter pushes into the scan; the top-1 window rides "
+        "the same event_id-keyed exchange as cdc_latest_state; the "
+        "1-row as-of bound is the allowlisted broadcast attach.",
+)
+def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(env, tracked_cuids=["c_events"],
+                                initial_tick=0)
+    t = rows.agg(F.expr("max(_ver) div 2").cast("long").alias("__t"))
+    bounded = (
+        rows.crossJoin(F.broadcast(t))
+        .filter(F.col("_ver") <= F.col("__t"))
+        .drop("__t")
+    )
+    state = latest_state(bounded, keys=["event_id"])
+    return state.filter(F.col("_deleted") == 0).select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("_ver").cast("long").alias("as_of_ver"),
+    )

@@ -4798,3 +4798,129 @@ def curation_excess_surprisal_reweight(spark: SparkSession, sf_dir: str
         )
         .orderBy("source")
     )
+
+
+# Synthetic instruction-format lane: wrap each doc's text in one of four
+# deterministic formats so the detector/extractor logic is exercised
+# end to end (the parquet corpus is plain prose) — same closed form on
+# both engines.
+_SFT_WRAP_SQL = (
+    "CASE doc_id % 4"
+    " WHEN 0 THEN '```' || chr(10) || text || chr(10) || '```'"
+    " WHEN 1 THEN 'Q: ' || substr(text, 1, 60) || chr(10)"
+    "   || 'A: ' || substr(text, 61, 120)"
+    " WHEN 2 THEN 'User: ' || substr(text, 1, 50) || chr(10)"
+    "   || 'Assistant: ' || substr(text, 51, 150)"
+    " ELSE text END"
+)
+
+
+@query(
+    "text_instruction_format_census",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SFT_WRAP_SQL} AS body FROM documents
+    ),
+    det AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'code' WHEN 1 THEN 'qa'
+                  WHEN 2 THEN 'chat' ELSE 'plain' END AS expected,
+             CASE
+               WHEN body LIKE '```%' THEN 'code'
+               WHEN regexp_matches(body, '(^|\n)Q: ')
+                    AND regexp_matches(body, '\nA: ') THEN 'qa'
+               WHEN body LIKE 'User: %'
+                    AND regexp_matches(body, '\nAssistant: ') THEN 'chat'
+               ELSE 'plain' END AS detected,
+             COALESCE(
+               NULLIF(regexp_extract(body, '\nA: (.*)$', 1), ''),
+               NULLIF(regexp_extract(body, '\nAssistant: (.*)$', 1), ''))
+               AS answer
+      FROM s
+    )
+    SELECT detected AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN detected = expected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_as_constructed,
+           CAST(SUM(CASE WHEN answer IS NOT NULL AND answer <> ''
+                    THEN length(answer) ELSE 0 END) AS BIGINT)
+             AS sum_answer_chars,
+           CAST(BIT_XOR(CASE WHEN answer IS NOT NULL AND answer <> ''
+                THEN CAST('0x' || substr(md5(answer), 1, 13) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS answers_digest
+    FROM det GROUP BY detected ORDER BY format
+    """,
+    tags=("text", "sft", "instruction", "llm-pipeline"),
+    doc="Instruction-format census + extraction — the SFT-data audit "
+        "pass (before instruction tuning you must know HOW MUCH of a "
+        "corpus is chat transcripts, Q/A pairs, or fenced code, and "
+        "whether the response side extracts cleanly): documents wrap "
+        "in four deterministic formats (code fence / Q-A / User-"
+        "Assistant / plain — the corpus itself is prose, so the lane "
+        "is synthesized closed-form, same policy as the URL-dedup "
+        "synth), the detector classifies by anchored markers, and the "
+        "RESPONSE side is regexp-extracted and folded into an "
+        "order-independent XOR digest of per-answer 52-bit hashes — a "
+        "single mis-extracted character anywhere breaks the hash. "
+        "n_as_constructed == n_docs per class proves detector and "
+        "constructor agree. Scale: one narrow projection and one "
+        "4-row hash aggregate; regex work is JVM-side per row, no "
+        "shuffle beyond the census.",
+)
+def text_instruction_format_census(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select("doc_id", F.expr(_SFT_WRAP_SQL).alias("body"))
+    expected = (
+        F.when(F.col("doc_id") % 4 == 0, "code")
+        .when(F.col("doc_id") % 4 == 1, "qa")
+        .when(F.col("doc_id") % 4 == 2, "chat")
+        .otherwise("plain")
+    )
+    detected = (
+        F.when(F.col("body").startswith("```"), "code")
+        .when(
+            F.col("body").rlike("(^|\n)Q: ") & F.col("body").rlike("\nA: "),
+            "qa",
+        )
+        .when(
+            F.col("body").startswith("User: ")
+            & F.col("body").rlike("\nAssistant: "),
+            "chat",
+        )
+        .otherwise("plain")
+    )
+    qa_ans = F.regexp_extract("body", "\nA: (.*)$", 1)
+    chat_ans = F.regexp_extract("body", "\nAssistant: (.*)$", 1)
+    # Spark's regexp_extract yields '' (not NULL) on no-match — coalesce
+    # of the two '' results stays '', matching the oracle's empty check
+    answer = F.when(qa_ans != "", qa_ans).otherwise(chat_ans)
+    det = s.select(
+        expected.alias("expected"), detected.alias("detected"),
+        answer.alias("answer"),
+    )
+    h = F.when(
+        F.col("answer").isNotNull() & (F.col("answer") != ""),
+        F.conv(F.substring(F.md5("answer"), 1, 13), 16, 10).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        det.groupBy(F.col("detected").alias("format"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("detected") == F.col("expected"), 1).otherwise(0)
+            ).cast("long").alias("n_as_constructed"),
+            F.sum(
+                F.when(
+                    F.col("answer").isNotNull() & (F.col("answer") != ""),
+                    F.length("answer"),
+                ).otherwise(0)
+            ).cast("long").alias("sum_answer_chars"),
+            F.expr(
+                "bit_xor(CASE WHEN answer IS NOT NULL AND answer <> ''"
+                " THEN conv(substring(md5(answer), 1, 13), 16, 10)"
+                " ELSE 0 END)"
+            ).cast("long").alias("answers_digest"),
+        )
+        .orderBy("format")
+    )

@@ -194,6 +194,15 @@ BNLJ_ALLOWED = {
         "the only BNLJ is the 1-row total-count aggregate broadcast-"
         "attached for the decile divisor in the r10 distributed two-pass "
         "rank (the per-shard offsets ride a broadcast hash equi-join)",
+    "embed_binary_hamming_topk":
+        "stage 1 deliberately flat-scans every candidate's two packed "
+        "sign words against the broadcast bounded query set (orderBy+"
+        "limit 512) — the FAISS IndexBinaryFlat shape at 16 bytes/row, "
+        "32x less bandwidth than float32; O(N x Q) with constant Q",
+    "cdc_time_travel_read":
+        "the only BNLJ is the 1-row as-of version bound broadcast-"
+        "attached to filter the change stream (O(N x 1)); the top-1 "
+        "read is the same event_id-keyed window as cdc_latest_state",
     "q_sketch_intersection_estimate":
         "the only BNLJs are the |sources| x |sources| source-pair "
         "enumeration (a taxonomy-bounded dim x dim, never data-sized) and "

@@ -192,6 +192,9 @@ PROBES = [
     "cdc_integrity_checksum",
     "q_event_rate_cusum",
     "mm_ulaw_transcode_report",
+    "embed_binary_hamming_topk",
+    "cdc_time_travel_read",
+    "text_instruction_format_census",
 ]
 
 
