@@ -1132,18 +1132,31 @@ def _pagerank_oracle() -> str:
 )
 def q_pagerank_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    # Edge build WITHOUT a global single-partition window: range-shard the
-    # events on the global (ts, event_id) order (range partitions are
-    # contiguous and ordered, so shard i's keys all precede shard i+1's),
+    # Edge build WITHOUT a global single-partition window: shard the
+    # events by a TIME-DERIVED key monotone in the global (ts, event_id)
+    # order (shard i's timestamps all precede shard i+1's — a plain hash
+    # exchange on the computed shard, no range-partitioner sampling
+    # scan, which the bench guard measured as the r10 rewrite's cost),
     # take the lead WITHIN each shard, then stitch the one boundary row
     # per shard against the next non-empty shard's first user — a
     # shard-count-sized relation. Same rows as a global lead, no
     # corpus-sized Exchange SinglePartition.
     n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("__t0"),
+        F.max(F.unix_micros("ts")).alias("__t1"),
+    )
     sharded = (
         ev.select("user_id", "ts", "event_id")
-        .repartitionByRange(n_shards, "ts", "event_id")
-        .withColumn("shard", F.spark_partition_id())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"cast(((unix_micros(ts) - __t0) * {n_shards})"
+                " div (__t1 - __t0 + 1) as int)"
+            ),
+        )
+        .drop("__t0", "__t1")
     )
     w_shard = Window.partitionBy("shard").orderBy("ts", "event_id")
     seq = sharded.select(
@@ -1172,6 +1185,10 @@ def q_pagerank_handoff_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id")))
         .groupBy(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count("*").cast("long").alias("w"))
+        # the unrolled iterations repeat this subtree once per consumer
+        # in the plan tree, but AQE's ReusedExchange dedups the actual
+        # work — measured FASTER than localCheckpoint pinning (1.9s vs
+        # 2.2s at sf0.1), so no checkpoint here
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -1748,4 +1765,126 @@ def q_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z.cusum") > 5 * F.col("mean_milli")).alias("alarm"),
         )
         .orderBy("hour_us")
+    )
+
+
+@query(
+    "q_window_funnel_strict",
+    oracle=f"""
+    WITH RECURSIVE seqd AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    nmax AS (
+      SELECT user_id, MAX(rn) AS mx FROM seqd GROUP BY user_id
+    ),
+    walk AS (
+      SELECT user_id, 0 AS rn, 0 AS best, 0 AS lvl,
+             CAST(0 AS BIGINT) AS t1
+      FROM nmax
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             GREATEST(w.best, nxt.lvl2), nxt.lvl2, nxt.t12
+      FROM walk w
+      JOIN seqd s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE
+            WHEN s.event_type = 'view' THEN 1
+            WHEN w.lvl = 1 AND s.event_type = 'click'
+                 AND s.t_us <= w.t1 + {_WF_WINDOW_S * 1_000_000} THEN 2
+            WHEN w.lvl = 2 AND s.event_type = 'purchase'
+                 AND s.t_us <= w.t1 + {_WF_WINDOW_S * 1_000_000} THEN 3
+            ELSE 0 END AS lvl2,
+          CASE WHEN s.event_type = 'view' THEN s.t_us
+               WHEN (w.lvl = 1 AND s.event_type = 'click'
+                     AND s.t_us <= w.t1 + {_WF_WINDOW_S * 1_000_000})
+                 OR (w.lvl = 2 AND s.event_type = 'purchase'
+                     AND s.t_us <= w.t1 + {_WF_WINDOW_S * 1_000_000})
+               THEN w.t1 ELSE CAST(0 AS BIGINT) END AS t12
+      ) nxt
+    ),
+    final AS (
+      SELECT w.user_id, GREATEST(w.best, w.lvl) AS level
+      FROM walk w JOIN nmax n
+        ON n.user_id = w.user_id AND w.rn = n.mx
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM final GROUP BY level ORDER BY level
+    """,
+    tags=("analytics", "funnel", "sequence", "clickhouse-parity"),
+    doc="windowFunnel STRICT_ORDER mode — the ClickHouse variant where "
+        "any interleaving event ABORTS the chain (windowFunnel(3600, "
+        "'strict_order')(ts, view, click, purchase)): a per-user scan "
+        "where a view always (re)opens a chain anchored at its "
+        "timestamp, the expected next step within the window advances "
+        "it, and ANY other event kills it (the non-strict cousin "
+        "q_clickhouse_window_funnel skips interlopers instead); the "
+        "histogram reports each user's best level. Exact integer "
+        "lanes; Spark folds the per-user ordered stream through a "
+        "(best, lvl, t1) struct accumulator via F.aggregate, the "
+        "oracle replays the identical machine as a recursive CTE "
+        "(never list_reduce — see q_clickhouse_sequence_count's note). "
+        "Scale: per-user state is three ints on the user-keyed "
+        "exchange; the histogram is a |levels|-row aggregate.",
+)
+def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    win = _WF_WINDOW_S * 1_000_000
+    ord_ = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t_us"),
+                        "event_id",
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["t_us"].alias("t_us"), s["et"].alias("et")
+            ),
+        ).alias("evs")
+    )
+    init = F.expr(
+        "struct(0 as best, 0 as lvl, cast(0 as bigint) as t1)"
+    )
+    step = (
+        "(a, x) -> struct("
+        " greatest(a.best, CASE"
+        "   WHEN x.et = 'view' THEN 1"
+        f"  WHEN a.lvl = 1 AND x.et = 'click' AND x.t_us <= a.t1 + {win}"
+        "     THEN 2"
+        f"  WHEN a.lvl = 2 AND x.et = 'purchase' AND x.t_us <= a.t1 + {win}"
+        "     THEN 3"
+        "   ELSE 0 END) as best,"
+        " CASE"
+        "   WHEN x.et = 'view' THEN 1"
+        f"  WHEN a.lvl = 1 AND x.et = 'click' AND x.t_us <= a.t1 + {win}"
+        "     THEN 2"
+        f"  WHEN a.lvl = 2 AND x.et = 'purchase' AND x.t_us <= a.t1 + {win}"
+        "     THEN 3"
+        "   ELSE 0 END as lvl,"
+        " CASE WHEN x.et = 'view' THEN x.t_us"
+        f"      WHEN (a.lvl = 1 AND x.et = 'click' AND x.t_us <= a.t1 + {win})"
+        f"        OR (a.lvl = 2 AND x.et = 'purchase'"
+        f"            AND x.t_us <= a.t1 + {win})"
+        "       THEN a.t1 ELSE cast(0 as bigint) END as t1)"
+    )
+    folded = ord_.select(
+        F.expr(
+            "aggregate(evs, struct(0 as best, 0 as lvl,"
+            " cast(0 as bigint) as t1), "
+            + step
+            + ", a -> greatest(a.best, a.lvl))"
+        ).alias("level")
+    )
+    return (
+        folded.groupBy("level")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.col("level").cast("long").alias("level"), "n_users")
+        .orderBy("level")
     )
