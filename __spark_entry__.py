@@ -224,6 +224,11 @@ ROTATION_EXEMPT = frozenset({
     "embed_quantization_error_report",  # quantizer width sweep: ann_topk_int8_rerank re-runs the int8 quantizer inside its rerank; embed_pq_codebooks + ann_pq_adc_rerank keep the PQ lane; embed_binary_hamming_topk (rotating) adds the 1-bit extreme of the same axis
     "cdc_replay_idempotent",          # its oracle IS _LATEST_ALIVE_SQL (identical to cdc_latest_state, emitted every round); replay idempotence stays pytest-proven (checkpoint-restart tests) and cdc_time_travel_read (rotating) runs the same preprocess -> top-1 machinery with a version bound
     "text_repetition_filter",         # duplicate-run filter: text_gopher_repetition (rotating) measures the same repeated-n-gram surface inside the full Gopher rule set; text_c4_line_cleaning keeps the rewrite lane
+    # Grown r10 alongside q_window_funnel_strict +
+    # curation_dataset_diff_card (each pick has 9 green driver rounds
+    # r1-r9 incl. the full-registry records):
+    "q_event_anomaly_zscore",         # per-user rolling z-score: its streaming twin re-proves the identical micro-unit lanes cross-batch in pytest every run; q_rolling_tukey_outliers keeps the robust rolling-window lane and q_event_rate_cusum (rotating) keeps the anomaly family rotating
+    "curation_dataset_card",          # single-version card: curation_dataset_diff_card (rotating) reports the same per-source doc/token/char census for BOTH corpus versions plus retention — strict superset; mm_media_dataset_card keeps the card shape for media
 })
 
 

@@ -1266,3 +1266,92 @@ def text_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_dataset_diff_card",
+    oracle=None,  # composed below from the clusters oracle at import time
+    tags=("curation", "report", "versioning", "llm-pipeline"),
+    doc="Dataset-version diff card — the before/after table a curation "
+        "run publishes when a new dedup pass ships (dataset cards "
+        "describe ONE version; what reviewers actually ask for is the "
+        "DELTA): per source, document/token/char counts of the raw "
+        "corpus vs the keep-list survivors (non-canonical near-dup "
+        "cluster members dropped), with per-mille token retention. "
+        "Token counts use the corpus whitespace convention; every lane "
+        "is an exact integer. Composes the shared cluster relation "
+        "(dedup_near_dup_clusters) exactly like the keep-list/funnel "
+        "family, so the diff card costs one broadcast-able left join "
+        "and one narrow per-doc token count beyond the cluster "
+        "pipeline. Scale: |sources| output rows; the token count is "
+        "a map-side-combinable per-doc aggregate.",
+)
+def curation_dataset_diff_card(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    from .llm_ops import dedup_near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    clusters = dedup_near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    kept = F.coalesce(F.col("is_canonical"), F.lit(1)) == 1
+    flagged = docs.join(clusters, "doc_id", "left").select(
+        "source", "n_tokens", "n_chars", kept.cast("long").alias("kept")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("docs_before"),
+            F.sum("kept").cast("long").alias("docs_after"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            F.sum(F.col("n_tokens") * F.col("kept")).cast("long")
+            .alias("tokens_after"),
+            F.sum("n_chars").cast("long").alias("chars_before"),
+            F.sum(F.col("n_chars") * F.col("kept")).cast("long")
+            .alias("chars_after"),
+        )
+        .withColumn(
+            "token_keep_per_mille",
+            F.expr("(tokens_after * 1000) div tokens_before"),
+        )
+        .orderBy("source")
+    )
+
+
+def _install_diff_card_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    clusters = _Q["dedup_near_dup_clusters"].oracle
+    oracle = f"""
+    WITH clusters AS ({clusters}),
+    sized AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(d.text) AS BIGINT) AS n_chars,
+             CASE WHEN c.is_canonical = 0 THEN 0 ELSE 1 END AS kept
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(kept) AS BIGINT) AS docs_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_tokens * kept) AS BIGINT) AS tokens_after,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+           CAST(SUM(n_chars * kept) AS BIGINT) AS chars_after,
+           CAST(SUM(n_tokens * kept) * 1000 // SUM(n_tokens) AS BIGINT)
+             AS token_keep_per_mille
+    FROM sized GROUP BY source ORDER BY source
+    """
+    _Q["curation_dataset_diff_card"] = replace(
+        _Q["curation_dataset_diff_card"], oracle=oracle
+    )
+
+
+_install_diff_card_oracle()

@@ -790,3 +790,60 @@ def streaming_integrity_checksum_monitor(
         fold, _CKSUM_SCHEMA, _CKSUM_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_PATH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("path_len", T.IntegerType()),
+    ]
+)
+_PATH_STATE = "types array<string>, n long"
+
+
+def streaming_event_path_monitor(df: DataFrame, k: int = 5) -> DataFrame:
+    """Live twin of the batch ``q_event_path_topk`` per-user stage: the
+    first-K event-type journey prefix accumulated across micro-batches
+    — the live 'what do new users do first' feed a product-analytics
+    dashboard tails. State per user is at most K type strings plus a
+    count; once the prefix is full the user's state stops growing (and
+    stops being emitted — the path is final). After the stream drains,
+    grouping the final per-user emissions reproduces the batch path
+    census exactly (proven in tests/test_streaming_stateful.py).
+
+    Rows within a batch sort by (ts, event_id); cross-batch parity
+    holds whenever batch boundaries respect per-user event-time order
+    (the WAL tail's native delivery — same contract as the other
+    order-sensitive monitors).
+
+    Scale: O(K) strings per user on the user-keyed exchange."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        types, n = (state.get if state.exists else ([], 0))
+        types = list(types)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update((types, n))
+            return
+        before = len(types)
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for t in batch["event_type"]:
+            n += 1
+            if len(types) < k:
+                types.append(str(t))
+        state.update((types, n))
+        if len(types) != before:  # prefix grew this batch
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "path": [">".join(types)],
+                    "path_len": [len(types)],
+                }
+            )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold, _PATH_SCHEMA, _PATH_STATE, "update", GroupStateTimeout.NoTimeout
+    )

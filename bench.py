@@ -201,6 +201,8 @@ HEADLINE = [
     "embed_binary_hamming_topk",
     "cdc_time_travel_read",
     "text_instruction_format_census",
+    "q_window_funnel_strict",
+    "curation_dataset_diff_card",
 ]
 
 

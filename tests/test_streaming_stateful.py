@@ -752,3 +752,56 @@ def test_streaming_checksum_matches_batch_digests(spark, sf_dir, tmp_path):
     }
     for b, (n,) in reg.items():
         assert live[b][0] == n
+
+
+def test_streaming_path_monitor_matches_batch_census(spark, sf_dir,
+                                                     tmp_path):
+    """Grouping the drained per-user path emissions must reproduce the
+    batch q_event_path_topk census exactly (time-split batches)."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_event_path_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)").alias("c")
+    ).first().c
+    src = str(tmp_path / "src")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = (
+        streaming_event_path_monitor(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("path_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {}
+    for r in spark.sql(
+        """SELECT user_id, path, path_len FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY path_len DESC) AS rn
+             FROM path_t) WHERE rn = 1"""
+    ).collect():
+        key = (r.path, r.path_len)
+        live[key] = live.get(key, 0) + 1
+    batch = {
+        (r.path, r.path_len): r.n_users
+        for r in QUERIES["q_event_path_topk"].build(spark, sf_dir).collect()
+    }
+    assert live == batch

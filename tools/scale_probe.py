@@ -195,6 +195,8 @@ PROBES = [
     "embed_binary_hamming_topk",
     "cdc_time_travel_read",
     "text_instruction_format_census",
+    "q_window_funnel_strict",
+    "curation_dataset_diff_card",
 ]
 
 
