@@ -229,6 +229,8 @@ ROTATION_EXEMPT = frozenset({
     # r1-r9 incl. the full-registry records):
     "q_event_anomaly_zscore",         # per-user rolling z-score: its streaming twin re-proves the identical micro-unit lanes cross-batch in pytest every run; q_rolling_tukey_outliers keeps the robust rolling-window lane and q_event_rate_cusum (rotating) keeps the anomaly family rotating
     "curation_dataset_card",          # single-version card: curation_dataset_diff_card (rotating) reports the same per-source doc/token/char census for BOTH corpus versions plus retention — strict superset; mm_media_dataset_card keeps the card shape for media
+    # Grown r10 alongside cdc_resync_catchup_plan:
+    "cdc_late_arrival_report",        # per-user lateness census: cdc_watermark_sizing (rotating) keeps the global lateness/decision lane with the in-plan bound; the streaming late-arrival monitor re-proves the census machinery in pytest every run
 })
 
 

@@ -956,3 +956,116 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.col("_ver").cast("long").alias("as_of_ver"),
     )
+
+
+_RESYNC_SHARDS = 8
+# loss simulation per shard: shard k drops every P_k-th tick; two shards
+# also lose one large contiguous page. Primes chosen so per-mille loss
+# spans healthy (<1), catchup-able, and resync-worthy (>50) regimes.
+_RESYNC_DROP = {0: 0, 1: 997, 2: 211, 3: 97, 4: 41, 5: 17, 6: 7, 7: 3}
+
+
+def _resync_env_sql() -> str:
+    cases_drop = " ".join(
+        f"WHEN {k} THEN (CASE WHEN tick % {p} = 0 THEN 1 ELSE 0 END)"
+        for k, p in _RESYNC_DROP.items() if p
+    )
+    return f"""
+      SELECT 'c_' || CAST(event_id % {_RESYNC_SHARDS} AS STRING) AS cuid,
+             2 * event_id AS tick
+      FROM events
+      WHERE NOT (
+        CASE event_id % {_RESYNC_SHARDS} {cases_drop} ELSE 0 END = 1
+        OR (event_id % {_RESYNC_SHARDS} = 6
+            AND 2 * event_id BETWEEN 1000 AND 1999)
+      )
+    """
+
+
+@query(
+    "cdc_resync_catchup_plan",
+    oracle=f"""
+    WITH env AS ({_resync_env_sql()}),
+    gaps AS (
+      SELECT cuid, tick,
+             tick - LAG(tick) OVER (PARTITION BY cuid ORDER BY tick) - 2
+               AS gap
+      FROM env
+    ),
+    census AS (
+      SELECT cuid,
+             CAST(COUNT(*) AS BIGINT) AS n_ticks,
+             CAST((MAX(tick) - MIN(tick)) // 2 + 1 - COUNT(*) AS BIGINT)
+               AS n_missing,
+             CAST(((MAX(tick) - MIN(tick)) // 2 + 1 - COUNT(*)) * 1000
+                  // ((MAX(tick) - MIN(tick)) // 2 + 1) AS BIGINT)
+               AS missing_per_mille,
+             CAST(COALESCE(MAX(gap), 0) // 2 AS BIGINT) AS max_gap
+      FROM gaps GROUP BY cuid
+    )
+    SELECT cuid, n_ticks, n_missing, missing_per_mille, max_gap,
+           CASE WHEN missing_per_mille > 50 OR max_gap > 100
+                  THEN 'resync'
+                WHEN n_missing > 0 THEN 'catchup'
+                ELSE 'healthy' END AS decision
+    FROM census ORDER BY missing_per_mille DESC, cuid
+    """,
+    tags=("cdc", "ops", "resync", "decision"),
+    doc="Resync-vs-catchup plan — the reference's resync orchestration "
+        "(C1-C3: the manager decides per collection whether to replay "
+        "the missed WAL range or drop the table and full-resync) as a "
+        "data-driven oracle-checked DECISION over a per-collection "
+        "loss census: eight simulated collection shards lose ticks at "
+        "rates spanning healthy, steady-drip, and dropped-page regimes "
+        "(a deterministic per-shard drop pattern plus one large "
+        "contiguous hole), and each shard gets missing-per-mille + "
+        "worst-hole numbers and the rule verdict (resync when loss "
+        ">5% or one hole >100 positions; catchup when any loss; "
+        "healthy otherwise) — thresholds the reference operator tunes, "
+        "here exact integer lanes. Scale: one cuid-keyed exchange "
+        "feeds the lag window and the |cuids|-row census; the plan is "
+        "a metadata query at any WAL size.",
+)
+def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    shard = F.col("event_id") % _RESYNC_SHARDS
+    drop = F.lit(False)
+    for k, p in _RESYNC_DROP.items():
+        if p:
+            drop = drop | ((shard == k) & (F.col("event_id") * 2 % p == 0))
+    drop = drop | (
+        (shard == 6) & (F.col("event_id") * 2).between(1000, 1999)
+    )
+    env = ev.filter(~drop).select(
+        F.concat(F.lit("c_"), shard.cast("string")).alias("cuid"),
+        (F.col("event_id") * 2).cast("long").alias("tick"),
+    )
+    w = Window.partitionBy("cuid").orderBy("tick")
+    gaps = env.withColumn(
+        "gap", F.col("tick") - F.lag("tick").over(w) - 2
+    )
+    census = gaps.groupBy("cuid").agg(
+        F.count("*").cast("long").alias("n_ticks"),
+        F.expr("(max(tick) - min(tick)) div 2 + 1 - count(*)")
+        .cast("long").alias("n_missing"),
+        F.expr(
+            "(((max(tick) - min(tick)) div 2 + 1 - count(*)) * 1000)"
+            " div ((max(tick) - min(tick)) div 2 + 1)"
+        ).cast("long").alias("missing_per_mille"),
+        F.expr("coalesce(max(gap), 0) div 2").cast("long")
+        .alias("max_gap"),
+    )
+    decision = (
+        F.when(
+            (F.col("missing_per_mille") > 50) | (F.col("max_gap") > 100),
+            "resync",
+        )
+        .when(F.col("n_missing") > 0, "catchup")
+        .otherwise("healthy")
+    )
+    return census.select(
+        "cuid", "n_ticks", "n_missing", "missing_per_mille", "max_gap",
+        decision.alias("decision"),
+    ).orderBy(F.desc("missing_per_mille"), F.asc("cuid"))

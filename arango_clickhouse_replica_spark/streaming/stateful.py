@@ -847,3 +847,79 @@ def streaming_event_path_monitor(df: DataFrame, k: int = 5) -> DataFrame:
     return df.groupBy("user_id").applyInPandasWithState(
         fold, _PATH_SCHEMA, _PATH_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_IVF_MON_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("n_vectors", T.LongType()),
+    ]
+)
+_IVF_MON_STATE = "n long"
+
+
+def streaming_ivf_assignment_monitor(df: DataFrame, centroids) -> DataFrame:
+    """Live twin of the batch ``embed_ivf_balance_report`` occupancy
+    stage: streamed embeddings assign to their nearest of the broadcast
+    centroids and each cell's running count is streaming state — the
+    index-balance gauge that tells an ANN service a cell is going hot
+    BEFORE recall degrades. ``centroids`` is the [(cell, embedding)]
+    list (16 rows — collected once from the same deterministic seed
+    relation the batch report uses).
+
+    Exact parity with the batch assignment: cosine is computed with the
+    IDENTICAL sequential op order as the JVM fold (left-to-right float64
+    multiply-adds, sqrt and divide are IEEE-exact), so the (sim DESC,
+    cell ASC) argmax can never disagree. After the stream drains, the
+    per-cell counts equal the batch occupancy exactly (proven in
+    tests/test_streaming_stateful.py).
+
+    Scale: state is ONE long per cell (constant 16 keys); the heavy
+    work (per-vector assignment) is stateless and embarrassingly
+    parallel before the tiny keyed shuffle."""
+    import math
+
+    cents = [(int(c), [float(x) for x in e]) for c, e in centroids]
+
+    def _nrm(v):
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    c_nrms = [(_c, _e, _nrm(_e)) for _c, _e in cents]
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        cells = []
+        for emb in pdf["embedding"]:
+            v = [float(x) for x in emb]
+            n1 = _nrm(v)
+            best_cell, best_sim = None, None
+            for cell, ce, n2 in c_nrms:
+                d = 0.0
+                for a, b in zip(v, ce):
+                    d += a * b
+                sim = d / (n1 * n2)
+                if best_sim is None or sim > best_sim or (
+                    sim == best_sim and cell < best_cell
+                ):
+                    best_cell, best_sim = cell, sim
+            cells.append(best_cell)
+        return pd.DataFrame({"cell": cells})
+
+    assigned = df.mapInPandas(
+        lambda it: (assign(p) for p in it if len(p)), "cell int"
+    )
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"cell": [int(key[0])], "n_vectors": [n]})
+
+    return assigned.groupBy("cell").applyInPandasWithState(
+        fold, _IVF_MON_SCHEMA, _IVF_MON_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

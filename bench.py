@@ -203,6 +203,7 @@ HEADLINE = [
     "text_instruction_format_census",
     "q_window_funnel_strict",
     "curation_dataset_diff_card",
+    "cdc_resync_catchup_plan",
 ]
 
 

@@ -805,3 +805,68 @@ def test_streaming_path_monitor_matches_batch_census(spark, sf_dir,
         for r in QUERIES["q_event_path_topk"].build(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+def test_streaming_ivf_monitor_matches_batch_occupancy(spark, sf_dir,
+                                                       tmp_path):
+    """Drained per-cell counts must equal embed_ivf_balance_report's
+    batch occupancy column exactly — the python sequential cosine
+    mirrors the JVM fold bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_ivf_assignment_monitor,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    # the same deterministic seed-centroid relation the batch uses
+    w_seed = Window.partitionBy(F.col("vec_id") % 16).orderBy("vec_id")
+    cents = [
+        (r.cell, r.c_emb)
+        for r in emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select((F.col("vec_id") % 16).cast("int").alias("cell"),
+                F.col("embedding").alias("c_emb"))
+        .collect()
+    ]
+    src = str(tmp_path / "src")
+    half = emb.count() // 2
+    part1 = emb.limit(half).cache()
+    part1.count()
+    part1.coalesce(1).write.mode("append").parquet(src)
+    emb.subtract(part1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_ivf_assignment_monitor(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            cents,
+        )
+        .writeStream.format("memory")
+        .queryName("ivfmon_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.cell: r.n_vectors
+        for r in spark.sql(
+            """SELECT cell, n_vectors FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY n_vectors DESC) AS rn
+                 FROM ivfmon_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.cell: r.n_vectors
+        for r in QUERIES["embed_ivf_balance_report"].build(
+            spark, sf_dir
+        ).select("cell", "n_vectors").collect()
+    }
+    assert live == batch

@@ -197,6 +197,7 @@ PROBES = [
     "text_instruction_format_census",
     "q_window_funnel_strict",
     "curation_dataset_diff_card",
+    "cdc_resync_catchup_plan",
 ]
 
 
