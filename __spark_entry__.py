@@ -231,6 +231,8 @@ ROTATION_EXEMPT = frozenset({
     "curation_dataset_card",          # single-version card: curation_dataset_diff_card (rotating) reports the same per-source doc/token/char census for BOTH corpus versions plus retention — strict superset; mm_media_dataset_card keeps the card shape for media
     # Grown r10 alongside cdc_resync_catchup_plan:
     "cdc_late_arrival_report",        # per-user lateness census: cdc_watermark_sizing (rotating) keeps the global lateness/decision lane with the in-plan bound; the streaming late-arrival monitor re-proves the census machinery in pytest every run
+    # Grown r10 alongside cdc_schema_migration_plan:
+    "cdc_schema_drift_census",        # drift census: cdc_schema_migration_plan (rotating) re-runs the identical key-span census and extends it with type inference + the emitted ALTER text — strict superset
 })
 
 

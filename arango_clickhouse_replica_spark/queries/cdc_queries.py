@@ -1069,3 +1069,141 @@ def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cuid", "n_ticks", "n_missing", "missing_per_mille", "max_gap",
         decision.alias("decision"),
     ).orderBy(F.desc("missing_per_mille"), F.asc("cuid"))
+
+
+@query(
+    "cdc_schema_migration_plan",
+    oracle="""
+    WITH src AS (
+      SELECT event_id % 3 AS schema_v,
+             CASE event_id % 3
+               WHEN 0 THEN to_json(struct_pack(
+                 event_id := event_id, value := COALESCE(value, 0.0)))
+               WHEN 1 THEN to_json(struct_pack(
+                 event_id := event_id, value := COALESCE(value, 0.0),
+                 session := COALESCE(user_id, 0)))
+               ELSE to_json(struct_pack(
+                 event_id := event_id, val := COALESCE(value, 0.0),
+                 session := COALESCE(user_id, 0)))
+             END AS payload
+      FROM events
+    ),
+    kv AS (
+      SELECT schema_v, u.json_key,
+             json_extract_string(payload, '$.' || u.json_key) AS raw
+      FROM src, unnest(json_keys(payload)) AS u(json_key)
+    ),
+    census AS (
+      SELECT json_key,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(schema_v) AS BIGINT) AS first_version,
+             CAST(MAX(schema_v) AS BIGINT) AS last_version,
+             CAST(SUM(CASE WHEN regexp_matches(raw, '^-?[0-9.]+$')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+      FROM kv GROUP BY json_key
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN first_version > 0 THEN 'added'
+                  WHEN last_version < 2 THEN 'retired'
+                  ELSE 'stable' END AS status,
+             CASE WHEN n_numeric = n_docs THEN 'Float64'
+                  ELSE 'String' END AS inferred_type
+      FROM census
+    )
+    SELECT json_key, status, n_docs, inferred_type,
+           CASE status
+             WHEN 'added' THEN 'ALTER TABLE events_rmt ADD COLUMN IF '
+               || 'NOT EXISTS `' || json_key || '` ' || inferred_type
+               || ' -- first seen in producer v'
+               || CAST(first_version AS STRING)
+             WHEN 'retired' THEN '-- retire mapping `' || json_key
+               || '`: absent since producer v'
+               || CAST(last_version + 1 AS STRING)
+               || ' (keep the column; stop strict-casting it)'
+             ELSE '-- `' || json_key || '`: stable, no action'
+           END AS migration_sql
+    FROM typed ORDER BY json_key
+    """,
+    tags=("cdc", "schema", "ddl", "ops"),
+    doc="Schema-migration plan — the action the drift census "
+        "(cdc_schema_drift_census) exists to trigger, mirroring the "
+        "reference's DDL generation duty (its schema helper builds the "
+        "ReplacingMergeTree target DDL; when the upstream producer "
+        "drifts, the operator must ALTER before the strict-cast "
+        "dead-letter queue fills): per drifted JSON key, infer the "
+        "ClickHouse column type from the ACTUAL extracted values "
+        "(all-numeric -> Float64, else String — a deterministic regex "
+        "census, no engine type oracle involved) and emit the exact "
+        "ALTER/retire statement text. The DDL strings themselves are "
+        "value-hashed — the oracle builds them character-identically. "
+        "Scale: one payload projection explodes to <= |keys| rows per "
+        "doc and folds map-side-combinably into a |keys|-row plan.",
+)
+def cdc_schema_migration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = (F.col("event_id") % 3).cast("long")
+    val = F.coalesce(F.col("value"), F.lit(0.0))
+    uid = F.coalesce(F.col("user_id"), F.lit(0))
+    j0 = F.to_json(F.struct(F.col("event_id"), val.alias("value")))
+    j1 = F.to_json(
+        F.struct(F.col("event_id"), val.alias("value"), uid.alias("session"))
+    )
+    j2 = F.to_json(
+        F.struct(F.col("event_id"), val.alias("val"), uid.alias("session"))
+    )
+    payload = F.when(v == 0, j0).when(v == 1, j1).otherwise(j2)
+    kv = ev.select(
+        v.alias("schema_v"), payload.alias("payload"),
+        F.explode(F.json_object_keys(payload)).alias("json_key"),
+    ).select(
+        "schema_v", "json_key",
+        F.expr("get_json_object(payload, '$.' || json_key)").alias("raw"),
+    )
+    census = kv.groupBy("json_key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("schema_v").cast("long").alias("first_version"),
+        F.max("schema_v").cast("long").alias("last_version"),
+        F.sum(
+            F.when(F.col("raw").rlike("^-?[0-9.]+$"), 1).otherwise(0)
+        ).cast("long").alias("n_numeric"),
+    )
+    status = (
+        F.when(F.col("first_version") > 0, "added")
+        .when(F.col("last_version") < 2, "retired")
+        .otherwise("stable")
+    )
+    inferred = F.when(
+        F.col("n_numeric") == F.col("n_docs"), "Float64"
+    ).otherwise("String")
+    typed = census.withColumn("status", status).withColumn(
+        "inferred_type", inferred
+    )
+    mig = (
+        F.when(
+            F.col("status") == "added",
+            F.concat(
+                F.lit("ALTER TABLE events_rmt ADD COLUMN IF NOT EXISTS `"),
+                F.col("json_key"), F.lit("` "), F.col("inferred_type"),
+                F.lit(" -- first seen in producer v"),
+                F.col("first_version").cast("string"),
+            ),
+        )
+        .when(
+            F.col("status") == "retired",
+            F.concat(
+                F.lit("-- retire mapping `"), F.col("json_key"),
+                F.lit("`: absent since producer v"),
+                (F.col("last_version") + 1).cast("string"),
+                F.lit(" (keep the column; stop strict-casting it)"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("-- `"), F.col("json_key"),
+                     F.lit("`: stable, no action"))
+        )
+    )
+    return typed.select(
+        "json_key", "status", "n_docs", "inferred_type",
+        mig.alias("migration_sql"),
+    ).orderBy("json_key")

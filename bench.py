@@ -204,6 +204,7 @@ HEADLINE = [
     "q_window_funnel_strict",
     "curation_dataset_diff_card",
     "cdc_resync_catchup_plan",
+    "cdc_schema_migration_plan",
 ]
 
 
