@@ -233,6 +233,10 @@ ROTATION_EXEMPT = frozenset({
     "cdc_late_arrival_report",        # per-user lateness census: cdc_watermark_sizing (rotating) keeps the global lateness/decision lane with the in-plan bound; the streaming late-arrival monitor re-proves the census machinery in pytest every run
     # Grown r10 alongside cdc_schema_migration_plan:
     "cdc_schema_drift_census",        # drift census: cdc_schema_migration_plan (rotating) re-runs the identical key-span census and extends it with type inference + the emitted ALTER text — strict superset
+    # Grown r10 alongside curation_split_leakage_audit +
+    # mm_cross_container_dedup:
+    "curation_train_val_test_split",  # hash split: curation_split_leakage_audit (rotating) re-runs the identical split rule inside the leakage rollup; curation_stratified_sample keeps the deterministic-sampling lane
+    "mm_png_resize_features",         # PNG resize kernel: mm_aspect_resize_plan keeps the resize-decision lane; the PNG decoder is re-proven by mm_cross_container_dedup (rotating, bit-exact pixel digests) plus the phash/entropy consumers
 })
 
 

@@ -1503,3 +1503,90 @@ def extract_ulaw_transcode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=ULAW_FEATURE_SCHEMA)
+
+
+def synth_mixed_container_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media where the SAME pixel content ships in two
+    containers: content seed ``g = doc_id div 2`` draws the gradient
+    ``(g*7 + 3x + 5y) % 256`` at ``(8+g%9) x (8+g%7)``, encoded as a
+    real PNG for even doc_ids and a real 24-bit BMP for odd ones — the
+    cross-container duplicate every crawled image corpus contains
+    (same photo re-hosted as a different file type)."""
+    from .media_codecs import encode_bmp_gray8, encode_png_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                g = d // 2
+                w, h = 8 + g % 9, 8 + g % 7
+                px = bytes(
+                    (g * 7 + 3 * x + 5 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                if d % 2 == 0:
+                    data = encode_png_gray8(px, w, h)
+                    mime = "image/png"
+                else:
+                    data = encode_bmp_gray8(px, w, h)
+                    mime = "image/bmp"
+                ids.append(d)
+                payloads.append(data)
+                metas.append(
+                    {"mime": mime, "n_bytes": len(data), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+CONTENT_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+    ]
+)
+
+
+def extract_content_signatures(media: DataFrame) -> DataFrame:
+    """Container-SNIFFING decode: each payload's magic bytes pick the
+    real decoder (PNG signature vs 'BM'), and the signature is the md5
+    of the canonical 'w:h:v1,v2,...' DECODED-pixel string — identical
+    however the bytes were containerized, which is the whole point."""
+    import hashlib
+
+    from .media_codecs import decode_bmp, decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height",
+                     "content_md5")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(raw)
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    img, fmt = decode_png(data), "png"
+                elif data[:2] == b"BM":
+                    img, fmt = decode_bmp(data), "bmp"
+                else:
+                    raise ValueError("unknown container magic")
+                canon = (
+                    f"{img['width']}:{img['height']}:"
+                    + ",".join(str(v) for v in img["pixels"])
+                )
+                rows["media_id"].append(mid)
+                rows["container"].append(fmt)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["content_md5"].append(
+                    hashlib.md5(canon.encode()).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=CONTENT_SIG_SCHEMA)

@@ -2494,3 +2494,70 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_cross_container_dedup",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, doc_id // 2 AS g,
+             8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.g, p.w, p.h, u.k,
+             (p.g * 7 + 3 * (u.k % p.w) + 5 * (u.k // p.w)) % 256 AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+               AS container,
+             md5(CAST(w AS STRING) || ':' || CAST(h AS STRING) || ':'
+                 || string_agg(CAST(v AS STRING), ',' ORDER BY k))
+               AS content_md5
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT content_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list_distinct(list(container))), '+')
+             AS containers,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM sigs GROUP BY content_md5 HAVING COUNT(*) >= 2
+    ORDER BY keeper_doc_id
+    """,
+    tags=("multimodal", "image", "dedup", "codec", "pandas-udf"),
+    doc="Cross-container image dedup — the duplicate class byte-hash "
+        "dedup can NEVER catch (the same photo re-hosted as a "
+        "different file type has zero bytes in common): payloads carry "
+        "identical pixel content in real PNG and real BMP containers, "
+        "a magic-byte-sniffing Arrow stage picks the right genuine "
+        "decoder per file, and the dedup key is the md5 of the "
+        "canonical decoded-pixel string — so the groups this query "
+        "finds prove BOTH decoders reconstruct bit-identical pixels "
+        "from their own container formats. The oracle computes the "
+        "same canonical digest from the closed-form gradient without "
+        "ever seeing a byte of either container. Scale: the decode is "
+        "the standard narrow 1:1 Arrow stage; dedup is one hash "
+        "aggregate on the 32-char digest — the exact-dedup shape.",
+)
+def mm_cross_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_content_signatures,
+        synth_mixed_container_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = extract_content_signatures(synth_mixed_container_media(docs))
+    return (
+        sigs.groupBy("content_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_set("container")), "+"
+            ).alias("containers"),
+            F.min("media_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("keeper_doc_id")
+    )

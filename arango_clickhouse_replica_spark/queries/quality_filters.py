@@ -1355,3 +1355,103 @@ def _install_diff_card_oracle() -> None:
 
 
 _install_diff_card_oracle()
+
+
+@query(
+    "curation_split_leakage_audit",
+    oracle=None,  # composed below from the clusters oracle at import time
+    tags=("curation", "split", "dedup", "leakage", "llm-pipeline"),
+    doc="Split-leakage audit — the integrity check naive pipelines skip: "
+        "a doc-level hash split (curation_train_val_test_split's exact "
+        "rule) can place NEAR-DUPLICATES of a training document in the "
+        "eval split, silently inflating every benchmark number (the "
+        "reason dedup-aware splitting exists; the fix is splitting by "
+        "CLUSTER, not by doc). Per near-dup cluster: the set of splits "
+        "its members land in, and the audit rolls up to one row per "
+        "observed split-combination with cluster/doc counts — any row "
+        "whose combination spans train AND a holdout is quantified "
+        "leakage. Exact string lanes (sorted '+'-joined split sets). "
+        "Composes the shared cluster relation like the keep-list "
+        "family; costs one broadcast-able join and two small "
+        "aggregates beyond the cluster pipeline. Scale: clusters are "
+        "the small relation; the rollup is |split-combinations| rows.",
+)
+def curation_split_leakage_audit(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    from .llm_ops import dedup_near_dup_clusters
+
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        1, 2,
+    )
+    split = (
+        F.when(h < "cc", F.lit("train"))
+        .when(h < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    clusters = dedup_near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    member_splits = clusters.select(
+        "cluster_id", "doc_id", split.alias("split")
+    )
+    per_cluster = member_splits.groupBy("cluster_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("split")), "+"
+        ).alias("split_set"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return (
+        per_cluster.groupBy("split_set")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .withColumn(
+            "leaks_holdout",
+            F.col("split_set").contains("train")
+            & (F.col("split_set").contains("val")
+               | F.col("split_set").contains("test")),
+        )
+        .orderBy("split_set")
+    )
+
+
+def _install_leakage_oracle() -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES as _Q
+
+    clusters = _Q["dedup_near_dup_clusters"].oracle
+    oracle = f"""
+    WITH clusters AS ({clusters}),
+    ms AS (
+      SELECT cluster_id, doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                              1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                              1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters
+    ),
+    pc AS (
+      SELECT cluster_id,
+             array_to_string(list_sort(list_distinct(list(split))), '+')
+               AS split_set,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM ms GROUP BY cluster_id
+    )
+    SELECT split_set,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           (split_set LIKE '%train%' AND
+            (split_set LIKE '%val%' OR split_set LIKE '%test%'))
+             AS leaks_holdout
+    FROM pc GROUP BY split_set ORDER BY split_set
+    """
+    _Q["curation_split_leakage_audit"] = replace(
+        _Q["curation_split_leakage_audit"], oracle=oracle
+    )
+
+
+_install_leakage_oracle()

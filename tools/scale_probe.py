@@ -199,6 +199,8 @@ PROBES = [
     "curation_dataset_diff_card",
     "cdc_resync_catchup_plan",
     "cdc_schema_migration_plan",
+    "curation_split_leakage_audit",
+    "mm_cross_container_dedup",
 ]
 
 
