@@ -237,6 +237,8 @@ ROTATION_EXEMPT = frozenset({
     # mm_cross_container_dedup:
     "curation_train_val_test_split",  # hash split: curation_split_leakage_audit (rotating) re-runs the identical split rule inside the leakage rollup; curation_stratified_sample keeps the deterministic-sampling lane
     "mm_png_resize_features",         # PNG resize kernel: mm_aspect_resize_plan keeps the resize-decision lane; the PNG decoder is re-proven by mm_cross_container_dedup (rotating, bit-exact pixel digests) plus the phash/entropy consumers
+    # Grown r10 alongside q_funnel_latency_histogram:
+    "q_interval_merge_coverage",      # interval union/coverage: q_scd2_event_intervals (exempt) + cdc_scd2_history keep interval assembly; the windowed funnel family (q_clickhouse_window_funnel + q_funnel_latency_histogram, both rotating) keeps the time-bounded sequence lanes
 })
 
 

@@ -1888,3 +1888,103 @@ def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("level").cast("long").alias("level"), "n_users")
         .orderBy("level")
     )
+
+
+@query(
+    "q_funnel_latency_histogram",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        AND epoch_us(e.ts) <= t1.t1 + {_WF_WINDOW_S * 1_000_000}
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        AND epoch_us(e.ts) <= t1.t1 + {_WF_WINDOW_S * 1_000_000}
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT t3.user_id,
+             GREATEST((t3.t3 - t1.t1) // 1000000, 1) AS secs
+      FROM t3 JOIN t1 ON t1.user_id = t3.user_id
+    ),
+    binned AS (
+      SELECT user_id, length(bin(secs)) - 1 AS log2_bin, secs FROM lat
+    )
+    SELECT CAST(log2_bin AS BIGINT) AS log2_secs_bin,
+           CAST(1 << CAST(log2_bin AS INT) AS BIGINT) AS bin_floor_s,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(secs) AS BIGINT) AS min_s,
+           CAST(MAX(secs) AS BIGINT) AS max_s
+    FROM binned GROUP BY log2_bin ORDER BY log2_secs_bin
+    """,
+    tags=("analytics", "funnel", "latency", "clickhouse-parity"),
+    doc="Funnel conversion-latency histogram — the time axis the level "
+        "histogram (q_clickhouse_window_funnel) hides: for every user "
+        "who completes view->click->purchase inside the window, the "
+        "view-to-purchase latency lands in an exact log2-second bin "
+        "(floor(log2(s)) via binary string length — the repo's "
+        "transcendental-free log lane), with per-bin min/max seconds. "
+        "Sub-second conversions clamp to the 1s bin so the bin index "
+        "is always defined. Same per-user minima chain as the funnel "
+        "(users << events, map-side combinable); the histogram is a "
+        "|bins|-row aggregate — at 100 TB the exchange carries "
+        "partitions x ~20 bins rows.",
+)
+def q_funnel_latency_histogram(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    win = _WF_WINDOW_S * 1_000_000
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("us") > F.col("t1"))
+                & (F.col("us") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id").join(t2, "user_id")
+        .filter((F.col("us") > F.col("t2"))
+                & (F.col("us") <= F.col("t1") + win))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    lat = t3.join(t1, "user_id").select(
+        "user_id",
+        F.greatest(F.expr("(t3 - t1) div 1000000"), F.lit(1).cast("long"))
+        .alias("secs"),
+    )
+    binned = lat.select(
+        "secs", (F.length(F.bin("secs")) - 1).cast("long").alias("b")
+    )
+    return (
+        binned.groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("secs").cast("long").alias("min_s"),
+            F.max("secs").cast("long").alias("max_s"),
+        )
+        .select(
+            F.col("b").alias("log2_secs_bin"),
+            F.expr("shiftleft(1L, cast(b as int))").cast("long")
+            .alias("bin_floor_s"),
+            "n_users", "min_s", "max_s",
+        )
+        .orderBy("log2_secs_bin")
+    )

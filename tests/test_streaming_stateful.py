@@ -870,3 +870,68 @@ def test_streaming_ivf_monitor_matches_batch_occupancy(spark, sf_dir,
         ).select("cell", "n_vectors").collect()
     }
     assert live == batch
+
+
+def test_streaming_hourly_counts_fold_to_batch_cusum(spark, sf_dir,
+                                                     tmp_path):
+    """The CUSUM changepoint lane's streaming evidence (same pattern as
+    the KMV twin: the stream maintains the distributed per-key state,
+    the consumer folds the drained states through the deterministic
+    recurrence): per-hour running counts from streaming_running_totals
+    keyed by the hour bucket, folded through the integer CUSUM
+    recurrence, must reproduce batch q_event_rate_cusum exactly."""
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        F.lit(1.0).alias("one"),
+    )
+    src = str(tmp_path / "src")
+    cut = ev.agg(F.expr("percentile_approx(hour_us, 0.5)").alias("c")
+                 ).first().c
+    ev.filter(F.col("hour_us") <= cut).coalesce(1).write.mode(
+        "append").parquet(src)
+    ev.filter(F.col("hour_us") > cut).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    q = (
+        streaming_running_totals(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "hour_us", "one",
+        )
+        .writeStream.format("memory")
+        .queryName("cusum_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    counts = {
+        r.hour_us: r.n
+        for r in spark.sql(
+            """SELECT hour_us, n FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY hour_us ORDER BY n DESC) AS rn
+                 FROM cusum_t) WHERE rn = 1"""
+        ).collect()
+    }
+    # deterministic CUSUM recurrence over the drained per-hour counts
+    hours = sorted(counts)
+    total = sum(counts.values())
+    mean_milli = total * 1000 // len(hours)
+    s, live = 0, []
+    for h in hours:
+        s = max(0, s + counts[h] * 1000 - mean_milli - mean_milli // 10)
+        live.append((h, counts[h], s, s > 5 * mean_milli))
+    batch = [
+        (r.hour_us, r.n_events, r.cusum_milli, r.alarm)
+        for r in QUERIES["q_event_rate_cusum"].build(spark, sf_dir)
+        .collect()
+    ]
+    assert live == batch

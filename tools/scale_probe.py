@@ -201,6 +201,7 @@ PROBES = [
     "cdc_schema_migration_plan",
     "curation_split_leakage_audit",
     "mm_cross_container_dedup",
+    "q_funnel_latency_histogram",
 ]
 
 
