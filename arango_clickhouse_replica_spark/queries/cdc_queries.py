@@ -959,25 +959,29 @@ def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESYNC_SHARDS = 8
-# loss simulation per shard: shard k drops every P_k-th tick; two shards
-# also lose one large contiguous page. Primes chosen so per-mille loss
-# spans healthy (<1), catchup-able, and resync-worthy (>50) regimes.
+# loss simulation per shard: shard k drops every P_k-th tick; shard 6
+# also loses one contiguous 250-position page (tick 600-1099 — interior
+# of the shard's dense tick range at sf0.01+ so the hole is observable,
+# not a truncated tail). Primes chosen so per-mille loss spans healthy
+# (<1), catchup-able, and resync-worthy (>50) regimes.
 _RESYNC_DROP = {0: 0, 1: 997, 2: 211, 3: 97, 4: 41, 5: 17, 6: 7, 7: 3}
 
 
 def _resync_env_sql() -> str:
     cases_drop = " ".join(
-        f"WHEN {k} THEN (CASE WHEN tick % {p} = 0 THEN 1 ELSE 0 END)"
+        f"WHEN {k} THEN (CASE WHEN (2 * (event_id // {_RESYNC_SHARDS}))"
+        f" % {p} = 0 THEN 1 ELSE 0 END)"
         for k, p in _RESYNC_DROP.items() if p
     )
     return f"""
       SELECT 'c_' || CAST(event_id % {_RESYNC_SHARDS} AS STRING) AS cuid,
-             2 * event_id AS tick
+             2 * (event_id // {_RESYNC_SHARDS}) AS tick
       FROM events
       WHERE NOT (
         CASE event_id % {_RESYNC_SHARDS} {cases_drop} ELSE 0 END = 1
         OR (event_id % {_RESYNC_SHARDS} = 6
-            AND 2 * event_id BETWEEN 1000 AND 1999)
+            AND 2 * (event_id // {_RESYNC_SHARDS})
+                BETWEEN 600 AND 1099)
       )
     """
 
@@ -1031,16 +1035,15 @@ def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     shard = F.col("event_id") % _RESYNC_SHARDS
+    tick = (F.expr(f"event_id div {_RESYNC_SHARDS}") * 2).cast("long")
     drop = F.lit(False)
     for k, p in _RESYNC_DROP.items():
         if p:
-            drop = drop | ((shard == k) & (F.col("event_id") * 2 % p == 0))
-    drop = drop | (
-        (shard == 6) & (F.col("event_id") * 2).between(1000, 1999)
-    )
+            drop = drop | ((shard == k) & (tick % p == 0))
+    drop = drop | ((shard == 6) & tick.between(600, 1099))
     env = ev.filter(~drop).select(
         F.concat(F.lit("c_"), shard.cast("string")).alias("cuid"),
-        (F.col("event_id") * 2).cast("long").alias("tick"),
+        tick.alias("tick"),
     )
     w = Window.partitionBy("cuid").orderBy("tick")
     gaps = env.withColumn(

@@ -241,3 +241,132 @@ def test_sequence_count_greedy_semantics(spark, tmp_path):
     }
     assert out[1] == (1, 0)
     assert out[2] == (2, 1)
+
+
+def test_time_travel_read_semantics(spark, tmp_path):
+    """Post-T updates are invisible and post-T deletes leave the key
+    visible at its pre-T value — the audit semantics time travel
+    exists for. Crafted so T = max_ver div 2 lands between the base
+    upserts and the late mutations."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # synthetic envelope scheme: base _ver = 2*id; id%10==0 gets an
+    # update at 2*id+1; id%20==7 gets a delete at 2*id+1.
+    # ids chosen so T = max_ver div 2 = 54 lands EXACTLY on key 27's
+    # base (delete at 55 is post-T -> the key reappears)
+    ids = [1, 7, 10, 27, 54]
+    rows = [(i, t0, i % 7, "view", float(i), "{}") for i in ids]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_id: (r.value, r.as_of_ver)
+        for r in QUERIES["cdc_time_travel_read"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # max_ver = 108 (base of id 54) -> T = 54
+    assert out[27] == (27.0, 54)      # delete (_ver 55) > T: REAPPEARS
+    assert out[10] == (1010.0, 21)    # update (_ver 21) <= T: visible
+    assert 7 not in out               # delete (_ver 15) <= T: gone
+    assert 54 not in out              # base (_ver 108) > T: not yet born
+    assert out[1] == (1.0, 2)
+
+
+def test_strict_funnel_abort_on_interloper(spark, tmp_path):
+    """An interleaving event aborts the strict chain where the
+    non-strict funnel would skip it."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view, error, click -> strict aborts at error (best 1)
+        (1, t0, 1, "view"), (1, t0.replace(minute=1), 2, "error"),
+        (1, t0.replace(minute=2), 3, "click"),
+        # user 2: clean view, click, purchase -> 3
+        (2, t0, 4, "view"), (2, t0.replace(minute=1), 5, "click"),
+        (2, t0.replace(minute=2), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    hist = {
+        r.level: r.n_users
+        for r in QUERIES["q_window_funnel_strict"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert hist == {1: 1, 3: 1}
+    # the non-strict funnel skips the interloper: user 1 reaches 2
+    loose = {
+        r.level: r.n_users
+        for r in QUERIES["q_clickhouse_window_funnel"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert loose == {2: 1, 3: 1}
+
+
+def test_migration_plan_ddl_text(spark):
+    rows = {
+        r.json_key: r
+        for r in QUERIES["cdc_schema_migration_plan"].build(
+            spark, SF
+        ).collect()
+    }
+    assert rows["val"].status == "added"
+    assert rows["val"].inferred_type == "Float64"
+    assert rows["val"].migration_sql == (
+        "ALTER TABLE events_rmt ADD COLUMN IF NOT EXISTS `val` Float64"
+        " -- first seen in producer v2"
+    )
+    assert rows["value"].status == "retired"
+    assert "stop strict-casting" in rows["value"].migration_sql
+    assert rows["event_id"].status == "stable"
+
+
+def test_funnel_latency_bins(spark, tmp_path):
+    """A 3-second conversion lands in log2 bin 1 (floor(log2 3)); a
+    sub-second one clamps to the 1s bin (bin 0)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"), (1, t0 + dt.timedelta(seconds=1), 2, "click"),
+        (1, t0 + dt.timedelta(seconds=3), 3, "purchase"),
+        (2, t0, 4, "view"),
+        (2, t0 + dt.timedelta(milliseconds=100), 5, "click"),
+        (2, t0 + dt.timedelta(milliseconds=300), 6, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type"]
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.log2_secs_bin: (r.bin_floor_s, r.n_users, r.min_s, r.max_s)
+        for r in QUERIES["q_funnel_latency_histogram"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[1] == (2, 1, 3, 3)
+    assert out[0] == (1, 1, 1, 1)  # sub-second clamps to 1s
+
+
+def test_resync_plan_regimes(spark):
+    # sf0.01: the simulated dropped page (dense ticks 1000-2999) sits
+    # in the interior of shard 6's tick range
+    rows = {
+        r.cuid: r
+        for r in QUERIES["cdc_resync_catchup_plan"].build(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert rows["c_0"].decision == "healthy" and rows["c_0"].n_missing == 0
+    assert rows["c_7"].decision == "resync"       # every 3rd tick lost
+    assert rows["c_6"].decision == "resync"       # dropped page
+    assert rows["c_6"].max_gap > 100
+    # some shard should be merely catchup-able
+    assert any(r.decision == "catchup" for r in rows.values())
