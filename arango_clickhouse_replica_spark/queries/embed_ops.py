@@ -617,8 +617,108 @@ from .registry import QUERIES as _REG  # populated by earlier imports
 
 
 # The three approximate scale paths the report grades, by name.
-_RECALL_METHODS = ("lsh", "ivf", "pq")
+_BH_K = 5
+_BH_QMAX = 512
+
+# sign-bit packing: two 32-bit words per 64-dim vector (bit 63 in one
+# BIGINT word would wrap negative and DuckDB's << overflow-checks it)
+_BH_WORD_SQL = (
+    "list_reduce(list_transform(range(0, 32), i -> CASE WHEN "
+    "embedding[i + 1 + {off}] > 0 THEN (1::BIGINT << CAST(i AS INT)) "
+    "ELSE 0::BIGINT END), (a, b) -> a + b)"
+)
+
+
+def _bh_word(off: int):
+    # SQL-expr form: shiftleft's Python wrapper requires a literal bit
+    # count, but the SQL function accepts the fold variable
+    return F.expr(
+        "aggregate(sequence(0, 31), 0L, (a, i) -> a + IF("
+        f"embedding[i + {off}] > 0, shiftleft(1L, i), 0L))"
+    )
+
+
+@query(
+    "embed_binary_hamming_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             {_BH_WORD_SQL.format(off=0)} AS w0,
+             {_BH_WORD_SQL.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+      FROM codes WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT {_BH_QMAX}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(c.w0, q.qw0))
+               + bit_count(xor(c.w1, q.qw1)) AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY bit_count(xor(c.w0, q.qw0))
+                        + bit_count(xor(c.w1, q.qw1)), c.vec_id) AS rn
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE rn <= {_BH_K}
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "binary", "hashing"),
+    doc="Binary-hash ANN — the sign-bit binarization family (FAISS "
+        "IndexBinaryFlat / ITQ-style retrieval: 64 dims collapse to 64 "
+        "BITS, a 32x bandwidth cut below even int8): each embedding "
+        "packs its sign pattern into two 32-bit words ENTIRELY "
+        "JVM-side (whole-stage-codegen fold, no Python anywhere), and "
+        "the bounded query set (orderBy+limit {qmax}, the Q_MAX "
+        "policy) flat-scans candidates by XOR + bit_count popcount — "
+        "exact integers, so the top-k selection can never disagree "
+        "with the oracle at a tie boundary (hamming, vec_id total "
+        "order). Complements the LSH (random hyperplane per band), "
+        "int8, and PQ families with the popcount lane. Scale: the "
+        "broadcast flat scan is O(N x Q) over 16-BYTE rows — the "
+        "documented FAISS-binary-flat shape (BNLJ allowlisted); the "
+        "rank window runs per query on the Q-keyed exchange.".format(
+            qmax=_BH_QMAX),
+)
+def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes = emb.select(
+        "vec_id", _bh_word(0).alias("w0"), _bh_word(32).alias("w1")
+    )
+    q = (
+        codes.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_BH_QMAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+        )
+    )
+    ham = (
+        F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BH_K)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+        .orderBy("query_id", "rank")
+    )
+
+
+_RECALL_METHODS = ("binary", "ivf", "lsh", "pq")
 _RECALL_SOURCES = {
+    "binary": "embed_binary_hamming_topk",  # r10: the popcount lane
     "lsh": "ann_lsh_bucketed",
     "ivf": "ann_ivf_probed",
     "pq": "ann_pq_adc_rerank",
@@ -652,7 +752,7 @@ def _ann_recall_oracle() -> str:
       SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
       FROM approx_topk GROUP BY method, query_id
     ),
-    m AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method)
+    m AS (SELECT unnest(['binary', 'ivf', 'lsh', 'pq']) AS method)
     SELECT m.method, ex.query_id, ex.n_exact,
            COALESCE(ap.n_approx, 0) AS n_approx,
            COALESCE(hits.n_hit, 0) AS n_hit,
@@ -669,7 +769,8 @@ def _ann_recall_oracle() -> str:
     "ann_recall_report",
     oracle=_ann_recall_oracle(),
     tags=("similarity", "ann", "quality"),
-    doc="Recall@5 of all three approximate ANN scale paths (LSH "
+    doc="Recall@5 of all four approximate ANN scale paths (binary "
+        "popcount (r10), LSH "
         "buckets, IVF probes, PQ ADC) against the exact brute-force "
         "baseline, per (method, query) — approximation quality as a "
         "first-class oracle-checked relation rather than a test-only "
@@ -756,7 +857,7 @@ def _recall_curve_oracle() -> str:
       FROM exact_topk CROSS JOIN ks WHERE rank <= ks.k
       GROUP BY ks.k, query_id
     ),
-    m AS (SELECT unnest(['lsh', 'ivf', 'pq']) AS method),
+    m AS (SELECT unnest(['binary', 'ivf', 'lsh', 'pq']) AS method),
     per AS (
       SELECT m.method, ex.k, ex.query_id,
              CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
@@ -777,7 +878,7 @@ def _recall_curve_oracle() -> str:
     "embed_recall_at_k_curve",
     oracle=_recall_curve_oracle(),
     tags=("similarity", "ann", "quality", "report"),
-    doc="Recall@k CURVE (k = 1/3/5) of the three approximate ANN scale "
+    doc="Recall@k CURVE (k = 1/3/5) of the four approximate ANN scale "
         "paths against the exact baseline — the depth axis "
         "ann_recall_report (recall@5 only) and ann_ivf_nprobe_sweep "
         "(the nprobe axis) do not measure: rank-1 recall is what a "
@@ -2704,101 +2805,3 @@ def embed_matryoshka_route_drift(
         .orderBy("cell")
     )
 
-
-_BH_K = 5
-_BH_QMAX = 512
-
-# sign-bit packing: two 32-bit words per 64-dim vector (bit 63 in one
-# BIGINT word would wrap negative and DuckDB's << overflow-checks it)
-_BH_WORD_SQL = (
-    "list_reduce(list_transform(range(0, 32), i -> CASE WHEN "
-    "embedding[i + 1 + {off}] > 0 THEN (1::BIGINT << CAST(i AS INT)) "
-    "ELSE 0::BIGINT END), (a, b) -> a + b)"
-)
-
-
-def _bh_word(off: int):
-    # SQL-expr form: shiftleft's Python wrapper requires a literal bit
-    # count, but the SQL function accepts the fold variable
-    return F.expr(
-        "aggregate(sequence(0, 31), 0L, (a, i) -> a + IF("
-        f"embedding[i + {off}] > 0, shiftleft(1L, i), 0L))"
-    )
-
-
-@query(
-    "embed_binary_hamming_topk",
-    oracle=f"""
-    WITH codes AS (
-      SELECT vec_id,
-             {_BH_WORD_SQL.format(off=0)} AS w0,
-             {_BH_WORD_SQL.format(off=32)} AS w1
-      FROM embeddings
-    ),
-    q AS (
-      SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
-      FROM codes WHERE vec_id % 100 = 0
-      ORDER BY vec_id LIMIT {_BH_QMAX}
-    ),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             bit_count(xor(c.w0, q.qw0))
-               + bit_count(xor(c.w1, q.qw1)) AS hamming,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.query_id
-               ORDER BY bit_count(xor(c.w0, q.qw0))
-                        + bit_count(xor(c.w1, q.qw1)), c.vec_id) AS rn
-      FROM q JOIN codes c ON c.vec_id <> q.query_id
-    )
-    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
-           CAST(hamming AS BIGINT) AS hamming
-    FROM scored WHERE rn <= {_BH_K}
-    ORDER BY query_id, rank
-    """,
-    tags=("similarity", "ann", "binary", "hashing"),
-    doc="Binary-hash ANN — the sign-bit binarization family (FAISS "
-        "IndexBinaryFlat / ITQ-style retrieval: 64 dims collapse to 64 "
-        "BITS, a 32x bandwidth cut below even int8): each embedding "
-        "packs its sign pattern into two 32-bit words ENTIRELY "
-        "JVM-side (whole-stage-codegen fold, no Python anywhere), and "
-        "the bounded query set (orderBy+limit {qmax}, the Q_MAX "
-        "policy) flat-scans candidates by XOR + bit_count popcount — "
-        "exact integers, so the top-k selection can never disagree "
-        "with the oracle at a tie boundary (hamming, vec_id total "
-        "order). Complements the LSH (random hyperplane per band), "
-        "int8, and PQ families with the popcount lane. Scale: the "
-        "broadcast flat scan is O(N x Q) over 16-BYTE rows — the "
-        "documented FAISS-binary-flat shape (BNLJ allowlisted); the "
-        "rank window runs per query on the Q-keyed exchange.".format(
-            qmax=_BH_QMAX),
-)
-def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    codes = emb.select(
-        "vec_id", _bh_word(0).alias("w0"), _bh_word(32).alias("w1")
-    )
-    q = (
-        codes.filter(F.col("vec_id") % 100 == 0)
-        .orderBy("vec_id")
-        .limit(_BH_QMAX)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
-        )
-    )
-    ham = (
-        F.bit_count(F.expr("w0 ^ qw0")) + F.bit_count(F.expr("w1 ^ qw1"))
-    ).cast("long")
-    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            ham.alias("hamming"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BH_K)
-        .select("query_id", "rank", "neighbor_id", "hamming")
-        .orderBy("query_id", "rank")
-    )
