@@ -657,12 +657,18 @@ def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id % 3 AS schema_v,
              CASE event_id % 3
                WHEN 0 THEN to_json(struct_pack(
-                 event_id := event_id, value := COALESCE(value, 0.0)))
+                 event_id := event_id,
+                 value := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                               AS BIGINT)))
                WHEN 1 THEN to_json(struct_pack(
-                 event_id := event_id, value := COALESCE(value, 0.0),
+                 event_id := event_id,
+                 value := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                               AS BIGINT),
                  session := COALESCE(user_id, 0)))
                ELSE to_json(struct_pack(
-                 event_id := event_id, val := COALESCE(value, 0.0),
+                 event_id := event_id,
+                 val := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                             AS BIGINT),
                  session := COALESCE(user_id, 0)))
              END AS payload
       FROM events
@@ -699,7 +705,13 @@ def cdc_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_schema_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     v = (F.col("event_id") % 3).cast("long")
-    val = F.coalesce(F.col("value"), F.lit(0.0))
+    # Integer milli-unit render: Spark's to_json writes large/small
+    # doubles in scientific notation ('1.0E7') while DuckDB writes
+    # '10000000.0', so a raw-double JSON lane flips the numeric-regex
+    # census at extreme magnitudes on one engine only. floor(x*1000)
+    # is a single exact fp op + exact floor on both engines, and BIGINT
+    # JSON rendering is magnitude-independent everywhere.
+    val = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
     uid = F.coalesce(F.col("user_id"), F.lit(0))
     j0 = F.to_json(F.struct(F.col("event_id"), val.alias("value")))
     j1 = F.to_json(
@@ -1081,12 +1093,18 @@ def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id % 3 AS schema_v,
              CASE event_id % 3
                WHEN 0 THEN to_json(struct_pack(
-                 event_id := event_id, value := COALESCE(value, 0.0)))
+                 event_id := event_id,
+                 value := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                               AS BIGINT)))
                WHEN 1 THEN to_json(struct_pack(
-                 event_id := event_id, value := COALESCE(value, 0.0),
+                 event_id := event_id,
+                 value := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                               AS BIGINT),
                  session := COALESCE(user_id, 0)))
                ELSE to_json(struct_pack(
-                 event_id := event_id, val := COALESCE(value, 0.0),
+                 event_id := event_id,
+                 val := CAST(FLOOR(COALESCE(value, 0.0) * 1000)
+                             AS BIGINT),
                  session := COALESCE(user_id, 0)))
              END AS payload
       FROM events
@@ -1146,7 +1164,13 @@ def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_schema_migration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     v = (F.col("event_id") % 3).cast("long")
-    val = F.coalesce(F.col("value"), F.lit(0.0))
+    # Integer milli-unit render: Spark's to_json writes large/small
+    # doubles in scientific notation ('1.0E7') while DuckDB writes
+    # '10000000.0', so a raw-double JSON lane flips the numeric-regex
+    # census at extreme magnitudes on one engine only. floor(x*1000)
+    # is a single exact fp op + exact floor on both engines, and BIGINT
+    # JSON rendering is magnitude-independent everywhere.
+    val = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
     uid = F.coalesce(F.col("user_id"), F.lit(0))
     j0 = F.to_json(F.struct(F.col("event_id"), val.alias("value")))
     j1 = F.to_json(

@@ -2255,7 +2255,7 @@ def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY token
     )
     SELECT token, freq,
-           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT)
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
                AS token_id
     FROM c
     """,
@@ -2303,7 +2303,10 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked_in.join(F.broadcast(offsets), "shard")
         .select(
             "token", "freq",
-            (F.col("offset") + F.col("rnk_in")).cast("int")
+            # long, not int: the distributed rank exists precisely
+            # because web-scale vocabularies exceed 2^31 distinct
+            # tokens — the id lane must survive that too.
+            (F.col("offset") + F.col("rnk_in")).cast("long")
             .alias("token_id"),
         )
     )
@@ -4833,8 +4836,8 @@ _SFT_WRAP_SQL = (
                     AND regexp_matches(body, '\nAssistant: ') THEN 'chat'
                ELSE 'plain' END AS detected,
              COALESCE(
-               NULLIF(regexp_extract(body, '\nA: (.*)$', 1), ''),
-               NULLIF(regexp_extract(body, '\nAssistant: (.*)$', 1), ''))
+               NULLIF(regexp_extract(body, '\nA: ([^\n]*)', 1), ''),
+               NULLIF(regexp_extract(body, '\nAssistant: ([^\n]*)', 1), ''))
                AS answer
       FROM s
     )
@@ -4890,8 +4893,12 @@ def text_instruction_format_census(spark: SparkSession, sf_dir: str
         )
         .otherwise("plain")
     )
-    qa_ans = F.regexp_extract("body", "\nA: (.*)$", 1)
-    chat_ans = F.regexp_extract("body", "\nAssistant: (.*)$", 1)
+    # anchor-free [^\n]* extraction: Java's '$' also matches just before
+    # a final trailing newline while DuckDB RE2's '$' is end-of-string
+    # only, so an anchored (.*)$ diverges whenever the wrapped body ends
+    # in '\n'. First-match [^\n]* is engine-agnostic.
+    qa_ans = F.regexp_extract("body", "\nA: ([^\n]*)", 1)
+    chat_ans = F.regexp_extract("body", "\nAssistant: ([^\n]*)", 1)
     # Spark's regexp_extract yields '' (not NULL) on no-match — coalesce
     # of the two '' results stays '', matching the oracle's empty check
     answer = F.when(qa_ans != "", qa_ans).otherwise(chat_ans)

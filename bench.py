@@ -224,7 +224,24 @@ def main() -> None:
     subset_run = False
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
-        headline = [n for n in HEADLINE if n in wanted] or wanted
+        # Fail fast on unknown names: the fallback path used to hand
+        # unvalidated names straight to QUERIES[name], so a typo raised
+        # a bare KeyError mid-run and a typo mixed with one valid
+        # headline name was silently dropped.
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown:
+            raise SystemExit(
+                "SPARK_GRAFT_ONLY: unknown query name(s): "
+                + ", ".join(sorted(unknown))
+            )
+        non_headline = [n for n in wanted if n not in HEADLINE]
+        if non_headline:
+            print(
+                "bench: note — not in HEADLINE (timed anyway): "
+                + ", ".join(sorted(non_headline)),
+                file=sys.stderr,
+            )
+        headline = wanted
         subset_run = True
 
     spark = get_spark("bench")
