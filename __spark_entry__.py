@@ -110,7 +110,7 @@ ROTATION_EXEMPT = frozenset({
     "q_stat_moments_by_segment",      # per-segment distribution stats: q_rolling_tukey_outliers (rotating) + q_weighted_avg_discount cover the family
     "q_funnel_conversion",            # event-sequence analytics: q_clickhouse_window_funnel (rotating) runs the stricter windowed ordered chain; q_clickhouse_retention keeps the cohort-flag lane
     "text_bigram_heavy_hitters",      # raw pair-count top-k: text_cooccurrence_pmi + text_bigram_logprob are the kept pair-statistics siblings
-    "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (kept) + dsl_deadletter_split (kept) on another table
+    "dsl_mapping_events",             # same cast kernel as dsl_mapping_documents (exempt since r11; the kernel rotates via cdc_migration_applied_deadletter) + dsl_deadletter_split (kept) on another table
     # Grown r8 alongside cdc_churn_report + curation_dedup_survivorship_bias:
     "q_salted_skew_agg",              # salting demo: the production salting lives in operators/blocking.py + AQE (DESIGN.md §3); cdc_churn_report now measures the skew itself
     "q_cohort_retention",             # cohort-offset matrix: q_clickhouse_retention (rotating) keeps the retention lane (CH-function scalar shape); q_event_transitions keeps sequence pairs
@@ -239,6 +239,9 @@ ROTATION_EXEMPT = frozenset({
     "mm_png_resize_features",         # PNG resize kernel: mm_aspect_resize_plan keeps the resize-decision lane; the PNG decoder is re-proven by mm_cross_container_dedup (rotating, bit-exact pixel digests) plus the phash/entropy consumers
     # Grown r10 alongside q_funnel_latency_histogram:
     "q_interval_merge_coverage",      # interval union/coverage: q_scd2_event_intervals (exempt) + cdc_scd2_history keep interval assembly; the windowed funnel family (q_clickhouse_window_funnel + q_funnel_latency_histogram, both rotating) keeps the time-bounded sequence lanes
+    # Grown r11 alongside cdc_migration_applied_deadletter (pick has 10
+    # green driver rounds r1-r10 incl. the full-registry records):
+    "dsl_mapping_documents",          # DSL valid path on documents: cdc_migration_applied_deadletter (rotating) compiles and applies the full cast kernel (int/float casts, required rejection, optional defaults) end-to-end on real JSON payloads each round, and dsl_deadletter_split keeps the rejection-census lane
 })
 
 

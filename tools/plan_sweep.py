@@ -2,8 +2,10 @@
 """Plan-stability sweep: replay tests/test_plan_quality.py's scale
 antipattern assertions (no cartesian product, no un-allowlisted
 BroadcastNestedLoopJoin, no row-at-a-time Python UDF, no un-allowlisted
-window over Exchange SinglePartition on non-limit-bounded input) over
-EVERY registered query built against a larger scale factor (default sf0.1,
+window over Exchange SinglePartition on non-limit-bounded input, and —
+since r11 — transcendental-triage totality over the FULL optimized plan
+plus no un-allowlisted raw-double-ranked rank window) over EVERY
+registered query built against a larger scale factor (default sf0.1,
 100x the CI fixture) with AQE on.
 
 AQE and the broadcast threshold can legally pick DIFFERENT physical
@@ -36,7 +38,11 @@ def main() -> int:
     from arango_clickhouse_replica_spark.queries import QUERIES
     from test_plan_quality import (
         BNLJ_ALLOWED,
+        RAW_RANK_ALLOWED,
         SP_WINDOW_ALLOWED,
+        TRANSCENDENTAL_TRIAGE,
+        raw_double_ranked_windows,
+        transcendentals_in_plan,
         unbounded_single_partition_windows,
     )
 
@@ -67,6 +73,22 @@ def main() -> int:
             spw = unbounded_single_partition_windows(plan)
             if spw:
                 bad.append((name, f"single-partition window: {spw[0]}"))
+        try:
+            opt = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"optimized plan failed: {e}"))
+            continue
+        # r11: transcendental triage totality (deep scan, both directions)
+        deep = transcendentals_in_plan(opt)
+        if deep and name not in TRANSCENDENTAL_TRIAGE:
+            bad.append((name, f"untriaged transcendental {deep} in plan"))
+        if not deep and name in TRANSCENDENTAL_TRIAGE:
+            bad.append((name, "stale TRANSCENDENTAL_TRIAGE row"))
+        # r11 fifth assertion: no raw-double-ranked hashed top-k
+        if name not in RAW_RANK_ALLOWED:
+            rr = raw_double_ranked_windows(opt)
+            if rr:
+                bad.append((name, f"raw-ranked window ({rr[0][1]}): {rr[0][2]}"))
 
     n = len(QUERIES)
     for name, why in bad:

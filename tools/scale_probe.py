@@ -202,6 +202,7 @@ PROBES = [
     "curation_split_leakage_audit",
     "mm_cross_container_dedup",
     "q_funnel_latency_histogram",
+    "cdc_migration_applied_deadletter",
 ]
 
 
