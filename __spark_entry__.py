@@ -242,6 +242,17 @@ ROTATION_EXEMPT = frozenset({
     # Grown r11 alongside cdc_migration_applied_deadletter (pick has 10
     # green driver rounds r1-r10 incl. the full-registry records):
     "dsl_mapping_documents",          # DSL valid path on documents: cdc_migration_applied_deadletter (rotating) compiles and applies the full cast kernel (int/float casts, required rejection, optional defaults) end-to-end on real JSON payloads each round, and dsl_deadletter_split keeps the rejection-census lane
+    # Grown r11 alongside the 5 other r11 registrations (summap parity,
+    # multimaster conflicts, domain census, data-constrained budget,
+    # mutual-kNN pairs, PCM silence census); each pick has 9-10 green
+    # driver rounds incl. the r7-r10 full-registry records, and every
+    # exempt name keeps per-round oracle evidence via the
+    # VERIFY_FULL_r{N} full-registry drive:
+    "dedup_passage_segments",         # stride-segment generator: curation_segment_dedup_rewrite (rotating) builds the same segment relation AND consumes it through the dedup rewrite — strict superset
+    "ann_topk_vectorized",            # BLAS-matmul exact top-k: shares ann_cosine_topk_bruteforce's (rotating) oracle lane verbatim; ann_topk_int8_rerank (rotating) keeps the guarded-matmul shortlist shape; stays a pinned bench query so its perf lane is still measured every round
+    "text_token_rarity",              # per-doc mean token rarity: text_unigram_logprob (rotating) scores the same mean -log p shape under the full bounded-vocab LM — strict superset
+    "text_bpe_regex_tokens",          # GPT-2-style regex pretokenizer census: text_bpe_train_steps (rotating) runs the same pretokenization inside every training step
+    "text_lang_char_ngram",           # char-ngram lang-ID scores: text_lang_confusion_matrix (rotating) evaluates the SAME classifier against truth labels end-to-end — strict superset
 })
 
 

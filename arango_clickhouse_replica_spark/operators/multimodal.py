@@ -1590,3 +1590,78 @@ def extract_content_signatures(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=CONTENT_SIG_SCHEMA)
+
+
+def synth_padded_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads with leading/trailing silence
+    pads: ``doc_id % 6`` zero samples, then the shared body signal
+    ``s_i = ((doc_id*31 + i*7) % 2001) - 1000`` (n = 32 + doc_id % 17),
+    then ``doc_id % 4`` zero samples — the shape the silence-trim census
+    (mm_pcm_silence_census) exists to measure, encoded with the real
+    RIFF encoder so a closed-form oracle replays every decoded sample."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 32 + d % 17
+                rate = 8000 + 100 * (d % 5)
+                body = [((d * 31 + i * 7) % 2001) - 1000 for i in range(n)]
+                samples = [0] * (d % 6) + body + [0] * (d % 4)
+                wav = encode_wav_pcm16(samples, sample_rate=rate)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("lead_silence", T.LongType(), True),
+        T.StructField("trail_silence", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_silence(media: DataFrame, *, threshold: int = 2) -> DataFrame:
+    """Silence/DC census over REAL decoded WAVs: maximal |x| <= threshold
+    runs from each end (the trim lengths), the exact integer sample sum
+    (DC offset numerator), and the peak amplitude — all exact integers
+    from the DECODED samples, so derived doubles compute JVM-side."""
+    from .media_codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "lead_silence",
+                     "trail_silence", "sum_samples", "peak_abs")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                s = decode_wav(bytes(raw))["samples"]
+                n = len(s)
+                lead = 0
+                while lead < n and abs(s[lead]) <= threshold:
+                    lead += 1
+                trail = 0
+                while trail < n - lead and abs(s[n - 1 - trail]) <= threshold:
+                    trail += 1
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["lead_silence"].append(lead)
+                rows["trail_silence"].append(trail)
+                rows["sum_samples"].append(sum(s))
+                rows["peak_abs"].append(max((abs(x) for x in s), default=0))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_SILENCE_SCHEMA)

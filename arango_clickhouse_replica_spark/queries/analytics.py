@@ -1988,3 +1988,65 @@ def q_funnel_latency_histogram(spark: SparkSession, sf_dir: str
         )
         .orderBy("log2_secs_bin")
     )
+
+
+@query(
+    "q_clickhouse_summap_parity",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT))
+                  AS BIGINT) AS v_milli,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(v_milli) AS BIGINT) AS total_milli,
+           string_agg(event_type || ':' || CAST(v_milli AS STRING)
+                      || ':' || CAST(n AS STRING),
+                      ',' ORDER BY event_type) AS summap
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "map-aggregate"),
+    doc="sumMap()/countMap parity (r11) — ClickHouse's map-valued "
+        "aggregate (sumMap(key, value) returns the per-key sums as one "
+        "map cell; the replica's users aggregate metric maps per entity "
+        "this way rather than pivoting unknown key sets into columns): "
+        "per user, every event type's exact milli-unit value sum and "
+        "count, rendered as the canonical 'k:v:n' map string sorted by "
+        "key — character-identical on both engines, so the whole map "
+        "CELL is value-hashed, not just its scalars. Value lane: "
+        "floor(value*1000) exact integer milli-units (the repo's "
+        "established JSON/event money lane). Scale: two map-side-"
+        "combinable hash aggregates ((user, type) then user) — the map "
+        "cardinality per user is bounded by |event types|, the classic "
+        "sumMap contract; no joins, no windows.",
+)
+def q_clickhouse_summap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v_milli = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.sum(v_milli.cast("long")).cast("long").alias("v_milli"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("v_milli").cast("long").alias("total_milli"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_type", "v_milli", "n"))
+                    ),
+                    lambda x: F.concat_ws(
+                        ":", x["event_type"],
+                        x["v_milli"].cast("string"), x["n"].cast("string"),
+                    ),
+                ),
+            ).alias("summap"),
+        )
+        .orderBy("user_id")
+    )

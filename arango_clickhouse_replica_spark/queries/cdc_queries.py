@@ -1335,3 +1335,91 @@ def cdc_migration_applied_deadletter(
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("mapping_state", "schema_v")
+
+
+@query(
+    "cdc_multimaster_conflicts",
+    oracle="""
+    WITH twin AS (
+      SELECT event_id,
+             CAST(user_id % 7 AS BIGINT) AS ver_a,
+             CAST(user_id % 5 AS BIGINT) AS ver_b,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS val_a,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT)
+               + CAST(event_id % 3 AS BIGINT) AS val_b
+      FROM events
+    ),
+    judged AS (
+      SELECT *,
+             CASE WHEN ver_a > ver_b THEN 'a_wins'
+                  WHEN ver_b > ver_a THEN 'b_wins'
+                  ELSE 'concurrent_conflict' END AS resolution,
+             CASE WHEN ver_a >= ver_b THEN val_a ELSE val_b END AS winner,
+             CASE WHEN ver_a >= ver_b THEN val_b ELSE val_a END AS loser
+      FROM twin
+    )
+    SELECT resolution,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN winner <> loser THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_value_divergent,
+           CAST(MAX(ABS(ver_a - ver_b)) AS BIGINT) AS max_ver_gap,
+           CAST(SUM(ABS(winner - loser)) AS BIGINT) AS sum_abs_divergence
+    FROM judged GROUP BY resolution ORDER BY resolution
+    """,
+    tags=("cdc", "replication", "conflict", "ops"),
+    doc="Multi-master conflict census (r11) — the detection report an "
+        "active-active replication topology needs before trusting "
+        "last-writer-wins (the reference replicates ONE Arango master "
+        "into ClickHouse; running two sites against the same key space "
+        "is the natural extension, and silent LWW over concurrent "
+        "writes is its classic data-loss mode): each key carries a "
+        "version from site A and site B (deterministic twin synth off "
+        "the event stream); higher version wins, EQUAL versions are "
+        "concurrent — the unresolvable class LWW papers over — and the "
+        "census reports, per resolution class, how many keys, how many "
+        "would silently diverge in value (winner != loser), the worst "
+        "version gap, and the total absolute value divergence in exact "
+        "milli-units. A nonzero n_value_divergent under "
+        "concurrent_conflict is the number an operator must alarm on. "
+        "Scale: one narrow projection into a 3-row map-side-combinable "
+        "census — no joins, no windows, no state.",
+)
+def cdc_multimaster_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    val = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
+    twin = ev.select(
+        "event_id",
+        (F.col("user_id") % 7).cast("long").alias("ver_a"),
+        (F.col("user_id") % 5).cast("long").alias("ver_b"),
+        val.alias("val_a"),
+        (val + (F.col("event_id") % 3).cast("long")).alias("val_b"),
+    )
+    resolution = (
+        F.when(F.col("ver_a") > F.col("ver_b"), "a_wins")
+        .when(F.col("ver_b") > F.col("ver_a"), "b_wins")
+        .otherwise("concurrent_conflict")
+    )
+    winner = F.when(
+        F.col("ver_a") >= F.col("ver_b"), F.col("val_a")
+    ).otherwise(F.col("val_b"))
+    loser = F.when(
+        F.col("ver_a") >= F.col("ver_b"), F.col("val_b")
+    ).otherwise(F.col("val_a"))
+    judged = twin.select(
+        resolution.alias("resolution"),
+        winner.alias("winner"), loser.alias("loser"),
+        F.abs(F.col("ver_a") - F.col("ver_b")).alias("gap"),
+    )
+    return (
+        judged.groupBy("resolution")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                F.when(F.col("winner") != F.col("loser"), 1).otherwise(0)
+            ).cast("long").alias("n_value_divergent"),
+            F.max("gap").cast("long").alias("max_ver_gap"),
+            F.sum(F.abs(F.col("winner") - F.col("loser")))
+            .cast("long").alias("sum_abs_divergence"),
+        )
+        .orderBy("resolution")
+    )

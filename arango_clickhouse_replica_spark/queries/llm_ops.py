@@ -4996,3 +4996,283 @@ def text_instruction_format_census(spark: SparkSession, sf_dir: str
         )
         .orderBy("format")
     )
+
+
+# Crawl-host synth for the domain census: richer than _URL_SQL's 7 hosts
+# — optional subdomain, 11 site names, and a suffix mix that includes a
+# two-label public suffix (co.uk), so the registered-domain extraction
+# rule (not just "last two labels") is actually exercised.
+_HOST_SQL = (
+    "CASE doc_id % 4 WHEN 0 THEN 'blog.' WHEN 1 THEN 'www.' ELSE '' END || "
+    "'site' || CAST(doc_id % 11 AS STRING) || "
+    "CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+    "ELSE '.org' END"
+)
+
+# Registered domain = last two labels, except under a multi-label public
+# suffix (co.uk here; a production pass ships the full PSL) where it is
+# the last three. Anchored regexes behave identically in Spark/DuckDB.
+_REG_DOMAIN_SQL = (
+    "CASE WHEN {h} LIKE '%.co.uk' "
+    "THEN regexp_extract({h}, '([^.]+\\\\.co\\\\.uk)$', 1) "
+    "ELSE regexp_extract({h}, '([^.]+\\\\.[^.]+)$', 1) END"
+)
+
+
+@query(
+    "text_url_domain_census",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, {_HOST_SQL} AS host FROM documents
+    ),
+    d AS (
+      SELECT doc_id, host,
+             {_REG_DOMAIN_SQL.format(h="host")} AS domain,
+             CAST(GREATEST(1, n_chars // 4) AS BIGINT) AS est_tokens
+      FROM h
+    ),
+    c AS (
+      SELECT domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+             CAST(SUM(est_tokens) AS BIGINT) AS est_tokens
+      FROM d GROUP BY domain
+    )
+    SELECT domain, n_docs, n_hosts, est_tokens,
+           CAST((2 * est_tokens * 1000 + SUM(est_tokens) OVER ())
+                // (2 * SUM(est_tokens) OVER ()) AS BIGINT)
+             AS token_share_per_mille
+    FROM c ORDER BY domain
+    """,
+    tags=("text", "url", "domain", "census", "llm-pipeline"),
+    doc="Registered-domain census (r11) — the per-domain mixing table "
+        "every web-corpus release publishes (Common Crawl / RefinedWeb / "
+        "FineWeb report token mass by registered domain; domain caps "
+        "and blocklists key on exactly this relation, one level above "
+        "dedup_url_canonical_groups' per-URL collapse): hosts are "
+        "synthesized closed-form per doc (subdomain x site x suffix mix "
+        "including the two-label public suffix co.uk), the registered "
+        "domain is extracted by the PSL rule (last two labels, last "
+        "three under a multi-label suffix), and the census reports docs, "
+        "distinct hosts, estimated token mass, and the exact integer "
+        "per-mille token share per domain. Scale: one narrow projection "
+        "into a |domains|-bounded map-side-combinable aggregate; the "
+        "share normalizer is a window over that bounded relation "
+        "(allowlisted shape).",
+)
+def text_url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id", "n_chars", F.expr(_HOST_SQL).alias("host")
+    )
+    d = h.select(
+        "host",
+        F.expr(_REG_DOMAIN_SQL.format(h="host")).alias("domain"),
+        F.greatest(F.lit(1), F.expr("n_chars div 4"))
+        .cast("long").alias("est_tokens"),
+    )
+    c = d.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("host").cast("long").alias("n_hosts"),
+        F.sum("est_tokens").cast("long").alias("est_tokens"),
+    )
+    return c.select(
+        "domain", "n_docs", "n_hosts", "est_tokens",
+        F.expr(
+            "cast((2 * est_tokens * 1000 + sum(est_tokens) over ())"
+            " div (2 * sum(est_tokens) over ()) as bigint)"
+        ).alias("token_share_per_mille"),
+    ).orderBy("domain")
+
+
+@query(
+    "curation_data_constrained_budget",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS unique_tokens
+      FROM documents GROUP BY source
+    ),
+    grid AS (
+      SELECT source, unique_tokens, k.epochs
+      FROM per_src, (SELECT unnest([1, 2, 4, 8]) AS epochs) k
+    )
+    SELECT source, CAST(epochs AS BIGINT) AS epochs, unique_tokens,
+           CAST(epochs * unique_tokens AS BIGINT) AS raw_tokens,
+           CAST(unique_tokens * ((CAST(1 AS BIGINT) << epochs) - 1)
+                // (CAST(1 AS BIGINT) << (epochs - 1)) AS BIGINT)
+             AS effective_tokens,
+           CAST((unique_tokens * ((CAST(1 AS BIGINT) << epochs) - 1)
+                 // (CAST(1 AS BIGINT) << (epochs - 1))) * 1000
+                // (epochs * unique_tokens) AS BIGINT)
+             AS utilization_per_mille
+    FROM grid ORDER BY source, epochs
+    """,
+    tags=("curation", "budget", "scaling", "decision", "llm-pipeline"),
+    doc="Data-constrained repetition budget (r11) — the decision table "
+        "behind 'repeat this source k epochs or go crawl more' "
+        "(Muennighoff et al. 2023, Scaling Data-Constrained Language "
+        "Models: repeated tokens decay in value; ~4 epochs is near-free, "
+        "beyond that returns collapse): per (source, epochs in {1,2,4,"
+        "8}), the raw token spend k*U versus the EFFECTIVE tokens under "
+        "an exact halving-decay model (epoch i contributes U/2^(i-1); "
+        "effective(k) = U*(2^k - 1)/2^(k-1) -> 1.0x, 1.5x, 1.875x, "
+        "1.99x of U) and the utilization per-mille a budget owner reads "
+        "off directly (8 epochs burns 4x the compute of 2 epochs for "
+        "+33% effective data). Exactness: the decay is a power-of-two "
+        "rational, so every lane is exact BIGINT arithmetic — no "
+        "exp/pow, no floats anywhere. Scale: one map-side-combinable "
+        "corpus aggregate, then a |sources| x 4 literal grid.",
+)
+def curation_data_constrained_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long")
+        .alias("unique_tokens")
+    )
+    grid = per_src.select(
+        "source", "unique_tokens",
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8)]))
+        .cast("long").alias("epochs"),
+    )
+    effective = F.expr(
+        "unique_tokens * (shiftleft(1L, cast(epochs as int)) - 1)"
+        " div shiftleft(1L, cast(epochs as int) - 1)"
+    )
+    return grid.select(
+        "source", "epochs", "unique_tokens",
+        (F.col("epochs") * F.col("unique_tokens")).cast("long")
+        .alias("raw_tokens"),
+        effective.cast("long").alias("effective_tokens"),
+        F.expr(
+            "(unique_tokens * (shiftleft(1L, cast(epochs as int)) - 1)"
+            " div shiftleft(1L, cast(epochs as int) - 1)) * 1000"
+            " div (epochs * unique_tokens)"
+        ).cast("long").alias("utilization_per_mille"),
+    ).orderBy("source", "epochs")
+
+
+def _mutual_knn_oracle(n_cells: int = 16) -> str:
+    norm = _NORM_SQL.format(a="embedding")
+    c_sim = (f"({_DOT_SQL.format(a='embedding', b='c_emb')}"
+             f" / (nrm * {_NORM_SQL.format(a='c_emb')}))")
+    pair_sim = (f"({_DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+                f" / (a.nrm * b.nrm))")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    centroids AS (
+      SELECT CAST(vec_id % {n_cells} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {n_cells}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {c_sim} DESC, cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    members AS (SELECT vec_id, embedding, nrm, cell
+                FROM assign WHERE c_rank = 1),
+    cand AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, a.cell AS cell,
+             round({pair_sim}, 4) AS sim
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    best AS (
+      SELECT src, dst, cell, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY sim DESC, dst) AS rn
+        FROM cand) WHERE rn = 1
+    )
+    SELECT x.src AS vec_a, x.dst AS vec_b, x.cell AS cell,
+           x.sim AS cos_sim
+    FROM best x JOIN best y ON x.dst = y.src AND y.dst = x.src
+    WHERE x.src < x.dst
+    ORDER BY vec_a
+    """
+
+
+@query(
+    "embed_mutual_knn_pairs",
+    oracle=_mutual_knn_oracle(),
+    tags=("dedup", "embedding", "similarity", "knn-graph"),
+    doc="Reciprocal-nearest-neighbor pairs (r11) — the high-confidence "
+        "tier of embedding dedup and the edge set of a mutual-kNN graph "
+        "(RNN pairs are the standard 'definitely the same item' "
+        "criterion in image dedup and re-ID, and mutual-kNN graphs feed "
+        "connected-component clustering): within each SemDeDup cell, "
+        "every vector's single best partner (rounded-4dp cosine, "
+        "partner-id tiebreak — the established rank lane), then the "
+        "pairs where the choice is MUTUAL (a's best is b AND b's best "
+        "is a). Asymmetric best-of pairs (a loves b, b loves c) are "
+        "exactly the ambiguous tier a pipeline routes to verification "
+        "instead of auto-collapse. Reuses ann_ivf_probed's "
+        "deterministic cell seeding and dedup_semdedup_dropped's "
+        "occupancy discipline (with_sub_block cap 500 — inactive at "
+        "fixture scale so the oracle replays exactly). Scale: the pair "
+        "search is cell-local and sub-block-capped, never global; the "
+        "mutuality check is one self-equi-join of the |N|-row best "
+        "relation on (src, dst).",
+)
+def embed_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.blocking import with_sub_block
+    from .embed_ops import _assign, _seed_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    centroids = _seed_centroids(emb)
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
+    ).select("vec_id", "embedding", "nrm", "cell")
+    members = with_sub_block(members, label_col="cell", label_cap=500)
+    a, b = members.alias("a"), members.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.cell").alias("cell"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cell", "sim")
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.dst") == F.col("y.src"))
+            & (F.col("y.dst") == F.col("x.src")),
+        )
+        .filter(F.col("x.src") < F.col("x.dst"))
+        .select(
+            F.col("x.src").alias("vec_a"),
+            F.col("x.dst").alias("vec_b"),
+            F.col("x.cell").alias("cell"),
+            F.col("x.sim").alias("cos_sim"),
+        )
+        .orderBy("vec_a")
+    )

@@ -2561,3 +2561,71 @@ def mm_cross_container_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("keeper_doc_id")
     )
+
+
+@query(
+    "mm_pcm_silence_census",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 32 + doc_id % 17 AS n, doc_id % 6 AS lead_pad,
+             doc_id % 4 AS trail_pad
+      FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, p.n + p.lead_pad + p.trail_pad AS total, u.j AS j,
+             CASE WHEN u.j < p.lead_pad OR u.j >= p.lead_pad + p.n THEN 0
+                  ELSE ((p.doc_id * 31 + (u.j - p.lead_pad) * 7) % 2001)
+                       - 1000
+             END AS smp
+      FROM params p,
+           unnest(range(0, CAST(p.n + p.lead_pad + p.trail_pad AS INT)))
+             AS u(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MAX(total) AS BIGINT) AS n_samples,
+           CAST(COALESCE(MIN(CASE WHEN ABS(smp) > 2 THEN j END),
+                         MAX(total)) AS BIGINT) AS lead_silence,
+           CAST(CASE WHEN MAX(CASE WHEN ABS(smp) > 2 THEN j END) IS NULL
+                     THEN 0
+                     ELSE MAX(total) - 1
+                          - MAX(CASE WHEN ABS(smp) > 2 THEN j END)
+                END AS BIGINT) AS trail_silence,
+           CAST(SUM(smp) AS BIGINT) AS sum_samples,
+           CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+           CAST(FLOOR(CAST(SUM(smp) AS DOUBLE) * 1000000 / MAX(total))
+                AS BIGINT) AS dc_micro
+    FROM s GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "codec", "silence", "pandas-udf"),
+    doc="PCM silence/DC census (r11) — the trim-and-health pass an audio "
+        "training pipeline runs before feature extraction (leading/"
+        "trailing silence wastes tokens in audio-LM training and skews "
+        "VAD statistics; a nonzero DC offset marks a bad recording "
+        "chain): signals are synthesized WITH deterministic zero pads "
+        "(doc_id % 6 leading, % 4 trailing), encoded as genuine RIFF/"
+        "WAVE by the real codec, re-DECODED in a second Arrow stage, and "
+        "censused — maximal |x| <= 2 runs from each end (the trim "
+        "lengths; the threshold also catches body samples that land "
+        "within +-2 of zero, which the oracle replays exactly), the "
+        "exact integer sample sum and peak, and the DC offset in "
+        "micro-units via FLOOR (not integer div — the sum can be "
+        "negative and DuckDB's // truncates toward zero). Any codec "
+        "header/endianness defect breaks the hash. Scale: two narrow "
+        "1:1 Arrow stages, no shuffle — scan-bound at 100 TB.",
+)
+def mm_pcm_silence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_audio_silence,
+        synth_padded_wav_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_audio_silence(synth_padded_wav_media(docs))
+    return feats.select(
+        "media_id", "n_samples", "lead_silence", "trail_silence",
+        "sum_samples", "peak_abs",
+        F.floor(
+            F.col("sum_samples").cast("double") * 1000000
+            / F.col("n_samples")
+        ).cast("long").alias("dc_micro"),
+    )

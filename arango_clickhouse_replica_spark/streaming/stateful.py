@@ -923,3 +923,68 @@ def streaming_ivf_assignment_monitor(df: DataFrame, centroids) -> DataFrame:
         fold, _IVF_MON_SCHEMA, _IVF_MON_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_CONFLICT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("resolution", T.StringType()),
+        T.StructField("winner", T.LongType()),
+        T.StructField("loser", T.LongType()),
+        T.StructField("gap", T.LongType()),
+    ]
+)
+_CONFLICT_STATE = "ver_a long, val_a long, ver_b long, val_b long"
+
+
+def streaming_conflict_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``cdc_multimaster_conflicts`` per-key
+    judgement: two replication sites stream versioned writes for the
+    same key space as rows ``(event_id, site, ver, val)``; state keeps
+    each site's highest-version write (LWW within a site) and, once both
+    sites have written the key, emits the cross-site resolution — higher
+    version wins, EQUAL versions are the concurrent-conflict class an
+    active-active operator must alarm on. Emission is keyed on the
+    CURRENT state, so batch boundaries and delivery interleavings don't
+    change the drained result (max-version per site is order-free).
+    State is four longs per key."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        ver_a, val_a, ver_b, val_b = (
+            state.get if state.exists else (-1, 0, -1, 0)
+        )
+        for pdf in pdfs:
+            for site, ver, val in zip(pdf["site"], pdf["ver"], pdf["val"]):
+                ver, val = int(ver), int(val)
+                if site == "a":
+                    if ver > ver_a:
+                        ver_a, val_a = ver, val
+                elif ver > ver_b:
+                    ver_b, val_b = ver, val
+        state.update((ver_a, val_a, ver_b, val_b))
+        if ver_a < 0 or ver_b < 0:
+            return  # pending: only one site has written this key so far
+        if ver_a > ver_b:
+            res = "a_wins"
+        elif ver_b > ver_a:
+            res = "b_wins"
+        else:
+            res = "concurrent_conflict"
+        winner, loser = (
+            (val_a, val_b) if ver_a >= ver_b else (val_b, val_a)
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": [int(key[0])],
+                "resolution": [res],
+                "winner": [winner],
+                "loser": [loser],
+                "gap": [abs(ver_a - ver_b)],
+            }
+        )
+
+    return df.groupBy("event_id").applyInPandasWithState(
+        fold, _CONFLICT_SCHEMA, _CONFLICT_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

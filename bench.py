@@ -209,6 +209,12 @@ HEADLINE = [
     "mm_cross_container_dedup",
     "q_funnel_latency_histogram",
     "cdc_migration_applied_deadletter",
+    "q_clickhouse_summap_parity",
+    "cdc_multimaster_conflicts",
+    "text_url_domain_census",
+    "curation_data_constrained_budget",
+    "embed_mutual_knn_pairs",
+    "mm_pcm_silence_census",
 ]
 
 
@@ -357,6 +363,64 @@ def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
     return None
 
 
+def _isolated_triage(offenders: list[str], sf) -> set[str]:
+    """Names cleared by the isolated re-run: one fresh-JVM subset bench
+    over the surviving offenders, compared against the ISOLATED per-query
+    anchors in bench_family_anchors.json (>1.5x anchor and >1s = real —
+    reproduces without suite contention). Offenders with no anchor stay
+    flagged. Returns the cleared subset; empty on any subprocess/parse
+    problem (fail-safe: never clears on error)."""
+    here = Path(__file__).resolve().parent
+    anchors_path = here / "bench_family_anchors.json"
+    if not anchors_path.exists():
+        return set()
+    try:
+        book = json.loads(anchors_path.read_text())
+        anchors = {n: float(s) for fam in book.get("families", {}).values()
+                   for n, s in fam.items()}
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return set()
+    if book.get("sf") not in (SF_DIR, None):
+        return set()
+    with_anchor = [n for n in offenders if n in anchors]
+    if not with_anchor:
+        return set()
+    import subprocess
+
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=",".join(with_anchor),
+               SPARK_GRAFT_NO_REGRESSION_CHECK="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, str(here / "bench.py")],
+            env=env, capture_output=True, text=True, check=True, timeout=900,
+        ).stdout
+        iso = None
+        for line in reversed(out.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                iso = {k: float(v)
+                       for k, v in json.loads(line)["queries"].items()}
+                break
+        if iso is None:
+            return set()
+    except (subprocess.SubprocessError, OSError, json.JSONDecodeError,
+            KeyError, ValueError):
+        return set()
+    cleared = set()
+    for n in with_anchor:
+        t, a = iso.get(n), anchors[n]
+        if t is None:
+            continue
+        real = t > 1.5 * a and t - a > 1.0
+        verdict = "REAL (reproduces isolated)" if real else "cleared (contention)"
+        print(f"BENCH ISOLATED {n}: {t:.2f}s vs isolated anchor "
+              f"{a:.2f}s -> {verdict}", file=sys.stderr)
+        if not real:
+            cleared.add(n)
+    return cleared
+
+
 def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     """Per-query regression guard vs the last clean recorded bench:
     >1.5x slower AND >1s absolute (run-to-run noise on a loaded box is
@@ -430,6 +494,19 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
             timings = dict(timings, **{name: confirm})
             if confirm > 1.5 * old[name] and confirm - old[name] > 1.0:
                 confirmed.append(name)
+        if not confirmed:
+            _persist_self_recording(timings, sf)
+            return
+        # r11 (VERDICT r10 item 5): the mechanical contention-vs-real
+        # triage. An in-suite confirm re-run still shares the loaded JVM
+        # (130+ accumulated plans, GC pressure); the r9->r10 drift was
+        # resolved by re-timing offenders ISOLATED — fresh JVM, family
+        # neighbors only — against isolated anchors. bench_family_anchors
+        # .json (tools/family_anchors.py refresh) records those anchors;
+        # when present, survivors get ONE isolated subset run compared
+        # apples-to-apples before the round fails.
+        iso_cleared = _isolated_triage(confirmed, sf)
+        confirmed = [n for n in confirmed if n not in iso_cleared]
         if not confirmed:
             _persist_self_recording(timings, sf)
             return

@@ -163,3 +163,32 @@ def test_registered_builder_names_match_registry_keys():
         if q.build.__name__ != name
     }
     assert not bad, f"registry name != builder __name__: {bad}"
+
+
+def test_emitted_names_green_age_within_rotation_bound():
+    """r11 (VERDICT r10 item 6): rotation staleness as data — every
+    emitted name with driver history must have a green row at most 3
+    rounds old (the 150-name budget = 3 driver rounds x 50-slot window).
+    Never-verified names (registered this round) are exempt: they are
+    emitted first and get their row next round. driver_check --json
+    records the same ages into VERIFY_FULL_r{N}.json."""
+    import re
+    from pathlib import Path
+
+    mod = _load()
+    repo = Path(mod.__file__).resolve().parent
+    rounds = [int(m.group(1)) for p in repo.glob("CORRECTNESS_r*.json")
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json", p.name))]
+    if not rounds:
+        return  # no driver history yet (fresh clone)
+    latest = max(rounds)
+    seen = mod._previously_verified()
+    over = {
+        n: latest - seen[n]
+        for n in mod.queries()
+        if n in seen and latest - seen[n] > 3
+    }
+    assert not over, (
+        f"emitted names with driver-green rows older than 3 rounds "
+        f"(rotation failed to cycle them): {over}"
+    )

@@ -110,6 +110,10 @@ SP_WINDOW_ALLOWED = {
         "the cumulative-offset window of the r10 distributed two-pass "
         "rank runs over the shard-counts relation (<= shuffle "
         "partitions rows)",
+    "text_url_domain_census":
+        "the token-share normalizer window runs over the per-domain "
+        "census (|registered domains| rows — bounded by the host "
+        "taxonomy, never the corpus)",
 }
 
 import re

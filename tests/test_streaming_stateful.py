@@ -935,3 +935,76 @@ def test_streaming_hourly_counts_fold_to_batch_cusum(spark, sf_dir,
         .collect()
     ]
     assert live == batch
+
+
+def test_streaming_conflict_monitor_matches_batch_census(spark, sf_dir,
+                                                         tmp_path):
+    """Grouping the drained per-key resolutions must reproduce the batch
+    cdc_multimaster_conflicts census exactly, with the two sites' writes
+    split across micro-batches in an arbitrary interleaving (max-version
+    per site is order-free)."""
+    from pyspark.sql import functions as SF
+
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_conflict_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    val = SF.floor(
+        SF.coalesce(SF.col("value"), SF.lit(0.0)) * 1000
+    ).cast("long")
+    site_a = ev.select(
+        "event_id", SF.lit("a").alias("site"),
+        (SF.col("user_id") % 7).cast("long").alias("ver"),
+        val.alias("val"),
+    )
+    site_b = ev.select(
+        "event_id", SF.lit("b").alias("site"),
+        (SF.col("user_id") % 5).cast("long").alias("ver"),
+        (val + (SF.col("event_id") % 3).cast("long")).alias("val"),
+    )
+    # interleave: half of A first, then all of B, then the rest of A —
+    # the monitor must not care
+    half_a = site_a.filter(SF.col("event_id") % 2 == 0).cache()
+    half_a.count()
+    src = str(tmp_path / "src")
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    site_b.coalesce(1).write.mode("append").parquet(src)
+    site_a.subtract(half_a).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_conflict_monitor(
+            spark.readStream.schema(site_a.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("conflict_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # final emission per key (the one with both sites seen and the
+    # highest-version state: last emitted resolution row)
+    live = spark.sql(
+        """SELECT resolution,
+                  CAST(COUNT(*) AS LONG) AS n_keys,
+                  CAST(SUM(CASE WHEN winner <> loser THEN 1 ELSE 0 END)
+                       AS LONG) AS n_value_divergent,
+                  CAST(MAX(gap) AS LONG) AS max_ver_gap,
+                  CAST(SUM(ABS(winner - loser)) AS LONG)
+                    AS sum_abs_divergence
+           FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_id
+               ORDER BY gap DESC, resolution) AS rn
+             FROM conflict_t) latest
+           WHERE rn = 1
+           GROUP BY resolution ORDER BY resolution"""
+    ).collect()
+    batch = QUERIES["cdc_multimaster_conflicts"].build(spark, sf_dir).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in batch]

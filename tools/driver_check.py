@@ -130,11 +130,31 @@ def main() -> int:
         print(f"  FAIL {name}: {msg[:500]}")
     if args.json:
         import json as _json
+        import re as _re
 
+        # r11 (VERDICT r10 item 6): surface rotation staleness as data —
+        # per query, the age in rounds of its newest driver-green row
+        # (relative to the newest CORRECTNESS_r*.json present; null =
+        # never driver-verified, i.e. registered this round). The
+        # rotation budget (150 = 3 x 50-slot window) guarantees <= 3
+        # for every emitted name; tests/test_entry_contract.py asserts
+        # it stays that way as the registry grows.
+        seen = mod._previously_verified()
+        rounds = [int(m.group(1)) for p in REPO.glob("CORRECTNESS_r*.json")
+                  if (m := _re.search(r"CORRECTNESS_r(\d+)\.json", p.name))]
+        latest = max(rounds, default=0)
+        emitted = list(mod.queries())
+        staleness = {
+            n: (None if n not in seen else latest - seen[n]) for n in emitted
+        }
+        ages = [a for a in staleness.values() if a is not None]
         Path(args.json).write_text(_json.dumps(
             {"sf": args.sf, "full_registry": bool(args.all),
              "n": len(names),
              "n_pass": len(names) - len(failures),
+             "staleness_vs_round": latest,
+             "staleness_max_emitted": max(ages, default=None),
+             "green_age_rounds": staleness,
              "queries": record},
             indent=1, sort_keys=True) + "\n")
     return 1 if failures else 0

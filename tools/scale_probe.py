@@ -203,6 +203,12 @@ PROBES = [
     "mm_cross_container_dedup",
     "q_funnel_latency_histogram",
     "cdc_migration_applied_deadletter",
+    "q_clickhouse_summap_parity",
+    "cdc_multimaster_conflicts",
+    "text_url_domain_census",
+    "curation_data_constrained_budget",
+    "embed_mutual_knn_pairs",
+    "mm_pcm_silence_census",
 ]
 
 
