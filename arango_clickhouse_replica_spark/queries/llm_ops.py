@@ -5013,9 +5013,13 @@ _HOST_SQL = (
 # suffix (co.uk here; a production pass ships the full PSL) where it is
 # the last three. Anchored regexes behave identically in Spark/DuckDB.
 _REG_DOMAIN_SQL = (
+    # [.] instead of backslash-dot: Spark SQL string literals process
+    # backslash escapes while DuckDB's do not, so any '\.' spelling
+    # means different regexes to the two engines; a character class is
+    # escape-free and identical everywhere.
     "CASE WHEN {h} LIKE '%.co.uk' "
-    "THEN regexp_extract({h}, '([^.]+\\\\.co\\\\.uk)$', 1) "
-    "ELSE regexp_extract({h}, '([^.]+\\\\.[^.]+)$', 1) END"
+    "THEN regexp_extract({h}, '([^.]+[.]co[.]uk)$', 1) "
+    "ELSE regexp_extract({h}, '([^.]+[.][^.]+)$', 1) END"
 )
 
 
@@ -5135,8 +5139,8 @@ def curation_data_constrained_budget(
     )
     grid = per_src.select(
         "source", "unique_tokens",
-        F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8)]))
-        .cast("long").alias("epochs"),
+        F.explode(F.array(*[F.lit(k).cast("long") for k in (1, 2, 4, 8)]))
+        .alias("epochs"),
     )
     effective = F.expr(
         "unique_tokens * (shiftleft(1L, cast(epochs as int)) - 1)"

@@ -254,6 +254,7 @@ TRANSCENDENTAL_TRIAGE = {
     "embed_pair_sim_histogram": "rounded-domain",
     "dedup_semdedup_dropped": "rounded-domain",
     "dedup_embedding_cosine_blocked": "rounded-domain",
+    "embed_mutual_knn_pairs": "rounded-domain",
     # --- moment/std family: sqrt of variance over exact decimal sums —
     # bit-identical; these also hash the value, hence their
     # TRANSCENDENTAL_ALLOWED rows.
@@ -611,6 +612,11 @@ BNLJ_ALLOWED = {
         "ann_ivf_probed's allowlisted assignment); the within-cell "
         "pair search is a hash equi-join on (cell, sub) with the "
         "with_sub_block occupancy guard, never a global pair join",
+    "embed_mutual_knn_pairs":
+        "inherits dedup_semdedup_dropped's allowlisted shapes verbatim: "
+        "the 16-centroid broadcast assignment (O(N*16) narrow pass) and "
+        "the (cell, sub)-keyed occupancy-capped pair join; the "
+        "mutuality check itself is a hash self-equi-join on (src, dst)",
     "embed_pair_sim_histogram":
         "same allowlisted shape as dedup_semdedup_dropped: the cell "
         "assignment broadcasts 16 centroids against every vector "
