@@ -253,6 +253,12 @@ ROTATION_EXEMPT = frozenset({
     "text_token_rarity",              # per-doc mean token rarity: text_unigram_logprob (rotating) scores the same mean -log p shape under the full bounded-vocab LM — strict superset
     "text_bpe_regex_tokens",          # GPT-2-style regex pretokenizer census: text_bpe_train_steps (rotating) runs the same pretokenization inside every training step
     "text_lang_char_ngram",           # char-ngram lang-ID scores: text_lang_confusion_matrix (rotating) evaluates the SAME classifier against truth labels end-to-end — strict superset
+    # Grown r11 alongside q_clickhouse_quantile_weighted_parity +
+    # q_event_sessionize_gap (each pick has 9-10 green driver rounds
+    # incl. the full-registry records; still driven every round by
+    # VERIFY_FULL_r{N}):
+    "q_session_windows_5m",           # event-time session windows: the streaming windows parity suite re-proves the event-time surface in pytest every run; q_event_sessionize_gap (rotating) keeps the sessionization lane oracle-checked via the LAG-gap formulation
+    "cdc_snapshot_diff",              # snapshot-vs-latest diff census: curation_dataset_diff_card (rotating) runs the same added/removed/changed census shape across corpus versions; cdc_integrity_checksum (rotating) keeps replica-vs-source divergence detection with bucket pinpointing; cdc_time_travel_read + cdc_scd2_history keep version reads
 })
 
 

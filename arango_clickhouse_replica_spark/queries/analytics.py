@@ -2050,3 +2050,169 @@ def q_clickhouse_summap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_clickhouse_quantile_weighted_parity",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v,
+             CAST(1 + user_id % 3 AS BIGINT) AS wt
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, v, CAST(SUM(wt) AS BIGINT) AS w
+      FROM w GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, v, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY v) AS c,
+             SUM(w) OVER (PARTITION BY event_type) AS wtot
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(MAX(wtot) AS BIGINT) AS w_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_values,
+           CAST(MIN(CASE WHEN c >= (wtot + 1) // 2 THEN v END) AS BIGINT)
+             AS p50_milli,
+           CAST(MIN(CASE WHEN c >= (9 * wtot + 9) // 10 THEN v END)
+                AS BIGINT) AS p90_milli,
+           CAST(MIN(CASE WHEN c >= (99 * wtot + 99) // 100 THEN v END)
+                AS BIGINT) AS p99_milli
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "clickhouse-parity", "quantile"),
+    doc="quantileExactWeighted parity (r11) — ClickHouse's exact "
+        "weighted quantile (the replica's users size latency/value SLOs "
+        "with quantileExactWeighted(0.5, 0.9, 0.99)(v, w)): per event "
+        "type, the type-1 weighted quantile — the smallest value whose "
+        "cumulative weight reaches ceil(q * W) — over exact milli-unit "
+        "values with weight 1 + user_id % 3. Computed on the HISTOGRAM, "
+        "not the rows: a (type, value) hash aggregate collapses the "
+        "corpus map-side-combinably first, so the per-type cumulative "
+        "window runs over |distinct quantized values| rows (bounded by "
+        "the milli-unit value domain, NOT the row count — the shape "
+        "that keeps exact weighted quantiles viable at 100 TB where a "
+        "row-ranked window would sort the corpus). All-integer lanes; "
+        "ceil via (q_num * W + q_den - 1-free) integer arithmetic "
+        "identical on both engines.",
+)
+def q_clickhouse_quantile_weighted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+            .cast("long").alias("v"),
+            (1 + F.col("user_id") % 3).cast("long").alias("wt"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.sum("wt").cast("long").alias("w"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v")
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "v", "w",
+        F.sum("w").over(w_cum).alias("c"),
+        F.sum("w").over(w_all).alias("wtot"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("wtot").cast("long").alias("w_total"),
+            F.count("*").cast("long").alias("n_distinct_values"),
+            F.min(
+                F.when(F.col("c") >= F.expr("(wtot + 1) div 2"), F.col("v"))
+            ).cast("long").alias("p50_milli"),
+            F.min(
+                F.when(F.col("c") >= F.expr("(9 * wtot + 9) div 10"),
+                       F.col("v"))
+            ).cast("long").alias("p90_milli"),
+            F.min(
+                F.when(F.col("c") >= F.expr("(99 * wtot + 99) div 100"),
+                       F.col("v"))
+            ).cast("long").alias("p99_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_event_sessionize_gap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN CAST(date_diff('second', LAG(ts) OVER w, ts)
+                       AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sess_id
+      FROM seq
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS span_s
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(MAX(span_s) AS BIGINT) AS max_session_span_s,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "sessionization", "clickhouse-parity"),
+    doc="Gap-based sessionization (r11) — the classic inactivity-cut "
+        "session assignment (a new session starts after a 30-minute "
+        "silence; ClickHouse users build this with runningDifference/"
+        "window funnels, web analytics defines sessions exactly this "
+        "way — it complements q_session_windows_5m's event-time window "
+        "sessions with the LAG-gap + running-sum formulation): per "
+        "user, LAG gap > 1800 s flags a session start, the running sum "
+        "of flags is the session id, and the census reports session "
+        "counts, the busiest session, and the longest span. Exact "
+        "integer second lanes; (ts, event_id) ordering makes ties "
+        "deterministic. Scale: ONE hash exchange on user_id feeds both "
+        "windows and the aggregates (per-user partitions, bounded by "
+        "per-user activity); no joins.",
+)
+def q_event_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_s > 1800), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts",
+        F.sum(new_sess).over(w).alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("long").alias("span_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+            F.max("span_s").cast("long").alias("max_session_span_s"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+        )
+        .orderBy("user_id")
+    )

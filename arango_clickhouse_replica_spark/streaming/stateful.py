@@ -988,3 +988,69 @@ def streaming_conflict_monitor(df: DataFrame) -> DataFrame:
         fold, _CONFLICT_SCHEMA, _CONFLICT_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_SUMMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),  # strictly monotone per
+        # emission (sum of counts) — the consumer's last-emission key;
+        # n_types/total_milli alone are not monotone (values can be
+        # negative)
+        T.StructField("n_types", T.LongType()),
+        T.StructField("total_milli", T.LongType()),
+        T.StructField("summap", T.StringType()),
+    ]
+)
+_SUMMAP_STATE = "types array<string>, sums array<long>, counts array<long>"
+
+
+def streaming_summap_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``q_clickhouse_summap_parity``: per user,
+    the running sumMap/countMap (event type -> exact milli-unit value
+    sum + count) maintained as streaming state and emitted as the SAME
+    canonical sorted ``k:v:n`` string the batch query hashes — the live
+    per-entity metric map a ClickHouse replica dashboard tails. Sums
+    and counts are order/batch-boundary insensitive (integer adds), so
+    the drained final emission per user equals the batch map exactly.
+    State per user is bounded by |event types| entries.
+
+    Expects ``user_id``, ``event_type``, ``v_milli`` (the caller
+    pre-computes ``floor(value*1000)`` JVM-side)."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        types, sums, counts = (
+            state.get if state.exists else ([], [], [])
+        )
+        types, sums, counts = list(types), list(sums), list(counts)
+        idx = {t: i for i, t in enumerate(types)}
+        for pdf in pdfs:
+            for t, v in zip(pdf["event_type"], pdf["v_milli"]):
+                i = idx.get(t)
+                if i is None:
+                    idx[t] = len(types)
+                    types.append(t)
+                    sums.append(int(v))
+                    counts.append(1)
+                else:
+                    sums[i] += int(v)
+                    counts[i] += 1
+        state.update((types, sums, counts))
+        order = sorted(range(len(types)), key=lambda i: types[i])
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [sum(counts)],
+                "n_types": [len(types)],
+                "total_milli": [sum(sums)],
+                "summap": [",".join(
+                    f"{types[i]}:{sums[i]}:{counts[i]}" for i in order
+                )],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold, _SUMMAP_SCHEMA, _SUMMAP_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1008,3 +1008,60 @@ def test_streaming_conflict_monitor_matches_batch_census(spark, sf_dir,
     ).collect()
     batch = QUERIES["cdc_multimaster_conflicts"].build(spark, sf_dir).collect()
     assert [tuple(r) for r in live] == [tuple(r) for r in batch]
+
+
+def test_streaming_summap_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The drained per-user sumMap emissions (last per user) must equal
+    the batch q_clickhouse_summap_parity rows exactly — canonical map
+    string included — with events split across micro-batches."""
+    from pyspark.sql import functions as SF
+
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_summap_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        SF.floor(SF.coalesce(SF.col("value"), SF.lit(0.0)) * 1000)
+        .cast("long").alias("v_milli"),
+        SF.col("event_id"),
+    )
+    half = ev.filter(SF.col("event_id") % 2 == 0).drop("event_id").cache()
+    half.count()
+    rest = ev.filter(SF.col("event_id") % 2 == 1).drop("event_id")
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_summap_monitor(
+            spark.readStream.schema(half.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("summap_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.user_id: (r.n_types, r.total_milli, r.summap)
+        for r in spark.sql(
+            """SELECT user_id, n_types, total_milli, summap FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM summap_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_types, r.total_milli, r.summap)
+        for r in QUERIES["q_clickhouse_summap_parity"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch

@@ -209,6 +209,8 @@ PROBES = [
     "curation_data_constrained_budget",
     "embed_mutual_knn_pairs",
     "mm_pcm_silence_census",
+    "q_clickhouse_quantile_weighted_parity",
+    "q_event_sessionize_gap",
 ]
 
 
