@@ -258,6 +258,7 @@ ROTATION_EXEMPT = frozenset({
     # incl. the full-registry records; still driven every round by
     # VERIFY_FULL_r{N}):
     "q_session_windows_5m",           # event-time session windows: the streaming windows parity suite re-proves the event-time surface in pytest every run; q_event_sessionize_gap (rotating) keeps the sessionization lane oracle-checked via the LAG-gap formulation
+    "mm_bmp_decode_features",         # BMP decode moments: mm_cross_container_dedup (rotating) re-proves the BMP decoder bit-exactly every round via canonical decoded-pixel digests (same policy as the r8 mm_png_decode_features exemption); the byte-level orientation/padding cases stay in pytest
     "cdc_snapshot_diff",              # snapshot-vs-latest diff census: curation_dataset_diff_card (rotating) runs the same added/removed/changed census shape across corpus versions; cdc_integrity_checksum (rotating) keeps replica-vs-source divergence detection with bucket pinpointing; cdc_time_travel_read + cdc_scd2_history keep version reads
 })
 

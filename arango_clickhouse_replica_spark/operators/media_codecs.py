@@ -1214,3 +1214,213 @@ def ulaw_decode(payload: bytes) -> list:
         t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u & 0x70) >> 4)
         out.append(_ULAW_BIAS - t if u & 0x80 else t - _ULAW_BIAS)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (public CompuServe spec) — real LZW compress/decompress
+# ---------------------------------------------------------------------------
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF's LZW bit order — the opposite of
+    JPEG's MSB-first `_BitWriter` above)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.cur |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur & 0xFF)
+            self.cur, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW: clear/EOI codes, code width grows from
+    min+1 to 12 bits as the dictionary fills, proactive CLEAR before the
+    table would overflow (always-valid GIF; decoders accept a clear at
+    any point)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbBitWriter()
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    w.put(clear, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        w.put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            w.put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        w.put(table[prefix], width)
+    w.put(eoi, width)
+    return w.flush()
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of ``_lzw_compress_gif`` (and of any conformant GIF
+    encoder): handles clear codes anywhere, the KwKwK self-reference
+    case, and the same width-growth schedule."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return eoi  # truncated stream: treat as end
+        byte0 = pos >> 3
+        shift = pos & 7
+        chunk = int.from_bytes(
+            data[byte0:byte0 + 3].ljust(3, b"\x00"), "little"
+        )
+        pos += width
+        return (chunk >> shift) & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"bad initial LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_gray8(pixels, width: int, height: int) -> bytes:
+    """Serialize 8-bit grayscale pixels (row-major, top-down) as a real
+    GIF87a: logical screen descriptor, 256-entry identity gray global
+    color table (palette index == luma), image descriptor, genuine
+    variable-width LZW image data in <=255-byte sub-blocks. Any external
+    viewer opens it."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    lzw = _lzw_compress_gif(px, 8)
+    return (b"GIF87a" + lsd + gct + img + bytes([8])
+            + _sub_blocks(lzw) + b"\x3B")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a: signature, logical screen descriptor, global
+    color table, extension blocks skipped (real 89a files carry them),
+    first image descriptor, optional local color table, LZW decompress,
+    palette lookup to ITU-R 601 integer luma. Interlaced images raise
+    (documented unsupported — the synth never interlaces)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    pal = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        pal = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF image without a color table")
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decompress_gif(bytes(lzw), min_code)
+    if len(idx) < w * h:
+        raise ValueError("truncated GIF image data")
+    luma = []
+    for i in idx[: w * h]:
+        r, g, b = pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]
+        luma.append((299 * r + 587 * g + 114 * b) // 1000)
+    return {"width": w, "height": h, "screen": (sw, sh), "pixels": luma}

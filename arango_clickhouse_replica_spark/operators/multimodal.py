@@ -1506,31 +1506,39 @@ def extract_ulaw_transcode_features(media: DataFrame) -> DataFrame:
 
 
 def synth_mixed_container_media(docs: DataFrame) -> DataFrame:
-    """Deterministic media where the SAME pixel content ships in two
-    containers: content seed ``g = doc_id div 2`` draws the gradient
+    """Deterministic media where the SAME pixel content ships in three
+    containers: content seed ``g = doc_id div 3`` draws the gradient
     ``(g*7 + 3x + 5y) % 256`` at ``(8+g%9) x (8+g%7)``, encoded as a
-    real PNG for even doc_ids and a real 24-bit BMP for odd ones — the
-    cross-container duplicate every crawled image corpus contains
-    (same photo re-hosted as a different file type)."""
-    from .media_codecs import encode_bmp_gray8, encode_png_gray8
+    real PNG (doc_id % 3 == 0), a real 24-bit BMP (== 1), or a real
+    GIF87a with genuine LZW (== 2, r11) — the cross-container duplicate
+    every crawled image corpus contains (same photo re-hosted as a
+    different file type)."""
+    from .media_codecs import (
+        encode_bmp_gray8,
+        encode_gif_gray8,
+        encode_png_gray8,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads, metas = [], [], []
             for did in pdf["doc_id"]:
                 d = int(did)
-                g = d // 2
+                g = d // 3
                 w, h = 8 + g % 9, 8 + g % 7
                 px = bytes(
                     (g * 7 + 3 * x + 5 * y) % 256
                     for y in range(h) for x in range(w)
                 )
-                if d % 2 == 0:
+                if d % 3 == 0:
                     data = encode_png_gray8(px, w, h)
                     mime = "image/png"
-                else:
+                elif d % 3 == 1:
                     data = encode_bmp_gray8(px, w, h)
                     mime = "image/bmp"
+                else:
+                    data = encode_gif_gray8(px, w, h)
+                    mime = "image/gif"
                 ids.append(d)
                 payloads.append(data)
                 metas.append(
@@ -1556,12 +1564,13 @@ CONTENT_SIG_SCHEMA = T.StructType(
 
 def extract_content_signatures(media: DataFrame) -> DataFrame:
     """Container-SNIFFING decode: each payload's magic bytes pick the
-    real decoder (PNG signature vs 'BM'), and the signature is the md5
-    of the canonical 'w:h:v1,v2,...' DECODED-pixel string — identical
-    however the bytes were containerized, which is the whole point."""
+    real decoder (PNG signature vs 'BM' vs 'GIF8'), and the signature is
+    the md5 of the canonical 'w:h:v1,v2,...' DECODED-pixel string —
+    identical however the bytes were containerized, which is the whole
+    point."""
     import hashlib
 
-    from .media_codecs import decode_bmp, decode_png
+    from .media_codecs import decode_bmp, decode_gif, decode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1574,6 +1583,8 @@ def extract_content_signatures(media: DataFrame) -> DataFrame:
                     img, fmt = decode_png(data), "png"
                 elif data[:2] == b"BM":
                     img, fmt = decode_bmp(data), "bmp"
+                elif data[:4] == b"GIF8":
+                    img, fmt = decode_gif(data), "gif"
                 else:
                     raise ValueError("unknown container magic")
                 canon = (
@@ -1665,3 +1676,61 @@ def extract_audio_silence(media: DataFrame, *, threshold: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=AUDIO_SILENCE_SCHEMA)
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF87a payloads: doc_id seeds width/height and
+    the grayscale gradient ``p(x,y) = (doc_id*13 + 2x + 7y) % 256``,
+    encoded with the real GIF encoder (identity gray global color
+    table, genuine variable-width LZW in sub-blocks —
+    media_codecs.encode_gif_gray8)."""
+    from .media_codecs import encode_gif_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 8, 8 + d % 5
+                px = bytes(
+                    (d * 13 + 2 * x + 7 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                gif = encode_gif_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(gif)
+                metas.append(
+                    {"mime": "image/gif", "n_bytes": len(gif),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over binary payloads: signature + descriptor
+    parsing, extension skip, genuine LZW decompression, palette lookup —
+    features are exact integer moments of the DECODED pixels."""
+    from .media_codecs import decode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_pixels",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_gif(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)

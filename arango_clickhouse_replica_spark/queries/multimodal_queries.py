@@ -2500,8 +2500,8 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_cross_container_dedup",
     oracle="""
     WITH params AS (
-      SELECT doc_id, doc_id // 2 AS g,
-             8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
+      SELECT doc_id, doc_id // 3 AS g,
+             8 + (doc_id // 3) % 9 AS w, 8 + (doc_id // 3) % 7 AS h
       FROM documents
     ),
     px AS (
@@ -2511,8 +2511,8 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sigs AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
-               AS container,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  ELSE 'gif' END AS container,
              md5(CAST(w AS STRING) || ':' || CAST(h AS STRING) || ':'
                  || string_agg(CAST(v AS STRING), ',' ORDER BY k))
                AS content_md5
@@ -2530,12 +2530,13 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cross-container image dedup — the duplicate class byte-hash "
         "dedup can NEVER catch (the same photo re-hosted as a "
         "different file type has zero bytes in common): payloads carry "
-        "identical pixel content in real PNG and real BMP containers, "
-        "a magic-byte-sniffing Arrow stage picks the right genuine "
-        "decoder per file, and the dedup key is the md5 of the "
-        "canonical decoded-pixel string — so the groups this query "
-        "finds prove BOTH decoders reconstruct bit-identical pixels "
-        "from their own container formats. The oracle computes the "
+        "identical pixel content in real PNG, real BMP, and (r11) real "
+        "GIF87a containers (genuine LZW — media_codecs.encode_gif_gray8/"
+        "decode_gif), a magic-byte-sniffing Arrow stage picks the right "
+        "genuine decoder per file, and the dedup key is the md5 of the "
+        "canonical decoded-pixel string — so the triples this query "
+        "finds prove ALL THREE decoders reconstruct bit-identical "
+        "pixels from their own container formats. The oracle computes the "
         "same canonical digest from the closed-form gradient without "
         "ever seeing a byte of either container. Scale: the decode is "
         "the standard narrow 1:1 Arrow stage; dedup is one hash "
@@ -2628,4 +2629,58 @@ def mm_pcm_silence_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_samples").cast("double") * 1000000
             / F.col("n_samples")
         ).cast("long").alias("dc_micro"),
+    )
+
+
+@query(
+    "mm_gif_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 13 + 2 * (u.k % p.w) + 7 * (u.k // p.w)) % 256
+               AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL GIF decode end to end (r11) — the eighth genuine codec "
+        "(WAV/PNG gray+RGB/JPEG gray+4:2:0/BMP/MJPG/G.711, now GIF87a "
+        "with real LZW): deterministic grayscale gradients are encoded "
+        "as genuine GIF87a files (identity gray global color table, "
+        "variable-width LZW with width growth and proactive clears, "
+        "<=255-byte sub-blocks — media_codecs.encode_gif_gray8), cross "
+        "Arrow as binary, and are re-parsed by the pure-stdlib GIF "
+        "decoder (signature + descriptors, extension skip, LZW "
+        "decompression incl. the KwKwK self-reference case, palette "
+        "lookup). Features are exact integer moments of the DECODED "
+        "pixels, hash-matched against a closed-form oracle that never "
+        "sees a byte — a single wrong bit in either LZW direction "
+        "breaks the hash. The codec also feeds mm_cross_container_dedup "
+        "as its third container. Scale: the standard narrow 1:1 Arrow "
+        "decode stage — no shuffle until the |docs|-row aggregate.",
+)
+def mm_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_gif_features, synth_gif_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_gif_features(synth_gif_media(docs))
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_pixels",
+            "px_min", "px_max",
+        )
+        .orderBy("media_id")
     )

@@ -217,6 +217,7 @@ HEADLINE = [
     "mm_pcm_silence_census",
     "q_clickhouse_quantile_weighted_parity",
     "q_event_sessionize_gap",
+    "mm_gif_decode_features",
 ]
 
 

@@ -752,3 +752,43 @@ def test_audio_fingerprint_gain_invariance(spark, sf_dir):
         assert pairs[(g0, g0 + 2)] == 0        # 2x gain: invariant
         assert pairs[(g0 + 1, g0 + 2)] == 0
         assert pairs.get((g0, g0 + 3), 99) <= 3  # one-sample edit
+
+
+def test_gif_codec_roundtrips_byte_level():
+    """GIF87a encode->decode is the identity on pixels across dimension
+    mixes that exercise LZW width growth, proactive clears, and the
+    KwKwK self-reference; 89a extension blocks are skipped; malformed
+    inputs raise."""
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_gif,
+        encode_gif_gray8,
+    )
+
+    for w, h in ((1, 1), (8, 8), (40, 33), (255, 9), (64, 64)):
+        px = bytes((13 * i + 5 * (i % w) + 3 * (i // w)) % 256
+                   for i in range(w * h))
+        img = decode_gif(encode_gif_gray8(px, w, h))
+        assert (img["width"], img["height"]) == (w, h)
+        assert bytes(img["pixels"]) == px
+
+    # constant image: maximal LZW run-compression (KwKwK-heavy)
+    px = bytes([7] * (50 * 50))
+    assert bytes(decode_gif(encode_gif_gray8(px, 50, 50))["pixels"]) == px
+
+    # GIF89a with a graphic-control extension spliced in: decoder skips
+    g = bytearray(encode_gif_gray8(bytes(range(16)), 4, 4))
+    g[3:6] = b"89a"
+    g[13 + 768:13 + 768] = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    assert bytes(decode_gif(bytes(g))["pixels"]) == bytes(range(16))
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 32)
+    with _pytest.raises(ValueError):
+        encode_gif_gray8(b"\x00" * 5, 2, 3)  # wrong pixel count
+    # interlace flag rejected
+    ok = bytearray(encode_gif_gray8(bytes(range(16)), 4, 4))
+    ok[13 + 768 + 9] |= 0x40  # image-descriptor packed byte
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(ok))
