@@ -260,6 +260,14 @@ ROTATION_EXEMPT = frozenset({
     "q_session_windows_5m",           # event-time session windows: the streaming windows parity suite re-proves the event-time surface in pytest every run; q_event_sessionize_gap (rotating) keeps the sessionization lane oracle-checked via the LAG-gap formulation
     "mm_bmp_decode_features",         # BMP decode moments: mm_cross_container_dedup (rotating) re-proves the BMP decoder bit-exactly every round via canonical decoded-pixel digests (same policy as the r8 mm_png_decode_features exemption); the byte-level orientation/padding cases stay in pytest
     "cdc_snapshot_diff",              # snapshot-vs-latest diff census: curation_dataset_diff_card (rotating) runs the same added/removed/changed census shape across corpus versions; cdc_integrity_checksum (rotating) keeps replica-vs-source divergence detection with bucket pinpointing; cdc_time_travel_read + cdc_scd2_history keep version reads
+    # Grown r11 alongside q_sample_by_hash_parity, q_counter_rate_resets,
+    # q_clickhouse_combinators_parity, q_simple_linreg_by_segment (each
+    # pick has 2-3 green driver windows across rounds plus every
+    # full-registry VERIFY_FULL record; still driven every round):
+    "ann_cosine_topk_bruteforce",     # brute-force cosine truth lane: ann_recall_report (rotating) recomputes the same exact top-k as its ground truth every round; ann_topk_vectorized stays a pinned bench query
+    "dedup_prefix_filter_pairs",      # raw prefix-filter pair listing: dedup_prefix_filter_clustered (rotating) rebuilds the same df-capped prefix-pair kernel and clusters it — strict superset; dedup_lsh_precision_report keeps candidate-vs-exact verification
+    "embed_dim_stats",                # per-dimension moments: embed_whitening_check (rotating) consumes the same per-dim mean/var lanes inside its whitening audit every round
+    "text_unigram_logprob",           # unigram LM logprob: text_kneser_ney_logprob (rotating) interpolates the same unigram distribution as its backoff floor; text_bigram_logprob keeps the n-gram logprob lane oracle-checked
 })
 
 

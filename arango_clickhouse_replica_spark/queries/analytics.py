@@ -2216,3 +2216,283 @@ def q_event_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_sample_by_hash_parity",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v
+      FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_sampled,
+           CAST(SUM(v) AS BIGINT) AS v_milli_sampled,
+           CAST(COUNT(*) * 8 AS BIGINT) AS n_scaled,
+           CAST(SUM(v) * 8 AS BIGINT) AS v_milli_scaled
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "clickhouse-parity", "sampling"),
+    doc="SAMPLE-clause parity (r11) — ClickHouse tables declare "
+        "`SAMPLE BY intHash32(UserID)` and queries add `SAMPLE 1/8` to "
+        "read a deterministic, user-coherent subset plus a scale-up "
+        "factor; the replica's users run their heaviest dashboards "
+        "sampled. Same contract here: the sampling key is a hash of the "
+        "ENTITY (user_id), so a sampled user's events are all in or all "
+        "out (per-user funnels/sessions stay intact), and the sample is "
+        "identical on every engine — membership is substr(md5(user_id), "
+        "1, 1) IN ('0','1'), a 2/16 = 1/8 slice of a uniform hex digit. "
+        "Emits exact sampled aggregates and the x8 scale-up estimates "
+        "per event type. Scale: the hash filter is a scan-level "
+        "predicate (no shuffle to decide membership — contrast reservoir "
+        "sampling's global state); the agg is map-side combinable; at "
+        "100 TB the sample IS the 12.5%% scan the user asked to pay for.",
+)
+def q_sample_by_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    sampled = ev.filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+        .isin("0", "1")
+    ).select(
+        "event_type", "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+        .cast("long").alias("v"),
+    )
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.countDistinct("user_id").cast("long").alias("n_users_sampled"),
+            F.sum("v").cast("long").alias("v_milli_sampled"),
+            (F.count("*") * 8).cast("long").alias("n_scaled"),
+            (F.sum("v") * 8).cast("long").alias("v_milli_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_counter_rate_resets",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v,
+             LAG(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         WHEN v >= prev THEN v - prev
+                         ELSE v END) AS BIGINT) AS increase_milli
+    FROM v GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "window"),
+    doc="deltaSum / counter-reset parity (r11) — ClickHouse's "
+        "deltaSum() and Prometheus's increase() both sum the positive "
+        "deltas of a monotone counter, treating a drop as a process "
+        "restart (the counter restarts from the new value, which is "
+        "then counted in full — the PromQL reset rule). Per user over "
+        "events ordered by (ts, event_id): exact milli-unit increase, "
+        "reset count, sample count. The deterministic tiebreak "
+        "(event_id) makes LAG identical on both engines. Scale: the "
+        "window partitions by user_id — per-user event counts are "
+        "bounded and hash-distributed, never a corpus-wide sort; output "
+        "is |users| rows, metadata-sized next to the event log.",
+)
+def q_counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+        .cast("long").alias("v"),
+        "ts", "event_id",
+    ).withColumn("prev", F.lag("v").over(w))
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum(
+                F.when(F.col("prev").isNotNull()
+                       & (F.col("v") < F.col("prev")), 1).otherwise(0)
+            ).cast("long").alias("n_resets"),
+            F.sum(
+                F.when(F.col("prev").isNull(), 0)
+                .when(F.col("v") >= F.col("prev"),
+                      F.col("v") - F.col("prev"))
+                .otherwise(F.col("v"))
+            ).cast("long").alias("increase_milli"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_clickhouse_combinators_parity",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v >= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS count_if_high,
+           CAST(SUM(CASE WHEN v >= 50000 THEN v ELSE 0 END) AS BIGINT)
+             AS sum_if_high_milli,
+           ROUND(CAST(SUM(CASE WHEN v >= 50000 THEN v ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(GREATEST(SUM(CASE WHEN v >= 50000 THEN 1
+                                          ELSE 0 END), 1) AS DOUBLE), 6)
+             AS avg_if_high_milli,
+           CAST(COUNT(DISTINCT CASE WHEN v >= 50000 THEN user_id END)
+                AS BIGINT) AS uniq_if_high_users,
+           CAST(MAX(CASE WHEN v < 50000 THEN v END) AS BIGINT)
+             AS max_if_low_milli,
+           CAST(MIN(CASE WHEN v >= 50000 THEN v END) AS BIGINT)
+             AS min_if_high_milli
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("analytics", "clickhouse-parity", "aggregate"),
+    doc="aggregate-combinator parity (r11) — ClickHouse's -If "
+        "combinator family (countIf, sumIf, avgIf, uniqExactIf, maxIf, "
+        "minIf) lets one scan compute many conditionally-masked "
+        "aggregates; the replica's users lean on it for one-pass KPI "
+        "rows. Spark expresses each as the canonical conditional "
+        "aggregate (SUM/MAX/MIN over CASE masks, COUNT DISTINCT over a "
+        "NULL-masked key) — one hash aggregate, one scan, no self-joins. "
+        "avgIf rides the exact-sums lane: round(sum/count, 6) where "
+        "both operands are exact integers and the division is a single "
+        "correctly-rounded IEEE op, identical on both engines. Scale: "
+        "one map-side-combinable aggregate regardless of how many "
+        "combinators the row carries; this is the shape that replaces N "
+        "filtered subqueries with 1 scan at 100 TB.",
+)
+def q_clickhouse_combinators_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "event_type", "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+        .cast("long").alias("v"),
+    )
+    high = F.col("v") >= 50000
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("count_if_high"),
+            F.sum(F.when(high, F.col("v")).otherwise(0)).cast("long")
+            .alias("sum_if_high_milli"),
+            F.round(
+                F.sum(F.when(high, F.col("v")).otherwise(0))
+                .cast("double")
+                / F.greatest(
+                    F.sum(F.when(high, 1).otherwise(0)), F.lit(1)
+                ).cast("double"),
+                6,
+            ).alias("avg_if_high_milli"),
+            F.countDistinct(F.when(high, F.col("user_id"))).cast("long")
+            .alias("uniq_if_high_users"),
+            F.max(F.when(~high, F.col("v"))).cast("long")
+            .alias("max_if_low_milli"),
+            F.min(F.when(high, F.col("v"))).cast("long")
+            .alias("min_if_high_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_simple_linreg_by_segment",
+    oracle="""
+    WITH xy AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(FLOOR(o.o_totalprice * 1000) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    sums AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                  AS DOUBLE) AS sxx
+      FROM xy GROUP BY segment
+    )
+    SELECT segment, n AS n_orders,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+             AS slope_milli_per_day,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept_milli
+    FROM sums ORDER BY segment
+    """,
+    tags=("analytics", "clickhouse-parity", "regression"),
+    doc="simpleLinearRegression parity (r11) — ClickHouse's one-pass "
+        "least-squares aggregate (slope, intercept) over (x, y) pairs; "
+        "the replica's users trend order value over time per market "
+        "segment. Exactness lineage: x (days since 1992-01-01) and y "
+        "(exact milli-price) are integers; the five sufficient "
+        "statistics (n, Σx, Σy, Σxy, Σx²) accumulate as DECIMAL(38,0)/"
+        "HUGEINT — exact and order-independent; slope and intercept are "
+        "then a fixed tree of correctly-rounded IEEE ops (convert, "
+        "multiply, subtract, divide) over those exact sums, rounded to "
+        "6 dp — bit-identical cross-engine with no transcendental "
+        "anywhere (the rounded-lane defense, docs/TRANSCENDENTALS.md). "
+        "Scale: a broadcast-joined dim (customer at 1/10 the fact "
+        "rows... broadcast by AQE at test SF; hash join on o_custkey at "
+        "100 TB) into one map-side-combinable aggregate of 5 sums — the "
+        "textbook distributed-regression shape; no windows, no "
+        "second pass.",
+)
+def q_simple_linreg_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    xy = (
+        orders.join(customer,
+                    orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date"))
+            .cast("long").alias("x"),
+            F.floor(F.col("o_totalprice") * 1000).cast("long").alias("y"),
+        )
+    )
+    dec = "decimal(28,0)"
+    sums = xy.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec))
+        .cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+        .cast("double").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.round(slope, 6).alias("slope_milli_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n_d, 6)
+        .alias("intercept_milli"),
+    ).orderBy("segment")

@@ -212,6 +212,10 @@ PROBES = [
     "q_clickhouse_quantile_weighted_parity",
     "q_event_sessionize_gap",
     "mm_gif_decode_features",
+    "q_sample_by_hash_parity",
+    "q_counter_rate_resets",
+    "q_clickhouse_combinators_parity",
+    "q_simple_linreg_by_segment",
 ]
 
 
