@@ -268,6 +268,12 @@ ROTATION_EXEMPT = frozenset({
     "dedup_prefix_filter_pairs",      # raw prefix-filter pair listing: dedup_prefix_filter_clustered (rotating) rebuilds the same df-capped prefix-pair kernel and clusters it — strict superset; dedup_lsh_precision_report keeps candidate-vs-exact verification
     "embed_dim_stats",                # per-dimension moments: embed_whitening_check (rotating) consumes the same per-dim mean/var lanes inside its whitening audit every round
     "text_unigram_logprob",           # unigram LM logprob: text_kneser_ney_logprob (rotating) interpolates the same unigram distribution as its backoff floor; text_bigram_logprob keeps the n-gram logprob lane oracle-checked
+    # Grown r11 alongside cdc_hot_key_skew_report, cdc_backfill_chunk_plan,
+    # cdc_tombstone_gc_plan (each pick has green driver rounds plus every
+    # full-registry VERIFY_FULL record; still driven every round):
+    "q_window_range_30d_spend",       # RANGE frame window: q_time_weighted_average (rotating) keeps range-based temporal weighting; q_rolling_tukey_outliers keeps rolling frames; 4 green driver rounds r1-r10
+    "cdc_churn_report",               # per-key change-volume census: cdc_hot_key_skew_report (rotating) aggregates the same per-key change counts into the skew/salt decision — strict superset of the census lane; cdc_compaction_savings keeps versions-per-key
+    "embed_knn_label_consistency",    # kNN label agreement: embed_label_purity (rotating) keeps the label-vote lane and embed_mutual_knn_pairs (rotating) re-proves the kNN neighbor construction with the stricter mutuality check
 })
 
 

@@ -1423,3 +1423,308 @@ def cdc_multimaster_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("resolution")
     )
+
+
+@query(
+    "cdc_hot_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS shard, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(SUM(n) AS BIGINT) AS n_changes,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_changes
+      FROM per_key GROUP BY shard
+    ),
+    hot AS (
+      SELECT k.shard, CAST(MIN(k.user_id) AS BIGINT) AS hot_key
+      FROM per_key k JOIN per_shard s
+        ON k.shard = s.shard AND k.n = s.max_key_changes
+      GROUP BY k.shard
+    )
+    SELECT s.shard, s.n_changes, s.n_keys, s.max_key_changes, h.hot_key,
+           CAST((1000 * s.max_key_changes * s.n_keys) // s.n_changes
+                AS BIGINT) AS skew_ratio_milli,
+           CAST(GREATEST((s.max_key_changes * s.n_keys
+                          + 4 * s.n_changes - 1) // (4 * s.n_changes), 1)
+                AS BIGINT) AS recommended_salt
+    FROM per_shard s JOIN hot h ON s.shard = h.shard
+    ORDER BY s.shard
+    """,
+    tags=("cdc", "skew", "operations"),
+    doc="Hot-key skew report (r11) — the apply pipeline's version-dedup "
+        "window shuffles on the document key, so one pathologically hot "
+        "document (a counter doc, a singleton config doc the writers "
+        "hammer) makes one reducer the whole pipeline's critical path; "
+        "the replica's operators need to SEE that before it pages them. "
+        "Per key-shard (user docs, user_id % 8 — each event is one "
+        "update to its user's doc, the users-collection change stream): "
+        "change volume, distinct keys, the hottest key and its count, "
+        "skew ratio (max/mean, milli-units — 1000 = perfectly uniform), "
+        "and the recommended salt factor ceil(max / (4*mean)) that caps "
+        "any salted sub-key at 4x the mean. All exact integer "
+        "arithmetic. Scale: two map-side-combinable aggregates plus an "
+        "equi-join back on (shard, n == max) — NO rank window over the "
+        "per-key counts, so nothing ever sorts |keys| rows in one task; "
+        "this is itself the shape the report recommends.",
+)
+def cdc_hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_key = (
+        ev.select((F.col("user_id") % 8).cast("long").alias("shard"),
+                  "user_id")
+        .groupBy("shard", "user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_shard = per_key.groupBy("shard").agg(
+        F.sum("n").cast("long").alias("n_changes"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_changes"),
+    )
+    hot = (
+        per_key.join(per_shard, "shard")
+        .filter(F.col("n") == F.col("max_key_changes"))
+        .groupBy("shard")
+        .agg(F.min("user_id").cast("long").alias("hot_key"))
+    )
+    return (
+        per_shard.join(hot, "shard")
+        .select(
+            "shard", "n_changes", "n_keys", "max_key_changes", "hot_key",
+            F.expr("(1000 * max_key_changes * n_keys) div n_changes")
+            .cast("long").alias("skew_ratio_milli"),
+            F.greatest(
+                F.expr("(max_key_changes * n_keys + 4 * n_changes - 1) "
+                       "div (4 * n_changes)"),
+                F.lit(1),
+            ).cast("long").alias("recommended_salt"),
+        )
+        .orderBy("shard")
+    )
+
+
+_BACKFILL_CHUNKS = 16
+
+
+@query(
+    "cdc_backfill_chunk_plan",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id,
+             CAST(LENGTH(props) + 64 AS BIGINT) AS est_bytes,
+             ROW_NUMBER() OVER (ORDER BY event_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT CAST((rnk - 1) * {_BACKFILL_CHUNKS} // n AS BIGINT) AS chunk_id,
+           CAST(MIN(event_id) AS BIGINT) AS key_lo,
+           CAST(MAX(event_id) AS BIGINT) AS key_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(est_bytes) AS BIGINT) AS est_bytes
+    FROM ranked GROUP BY 1 ORDER BY chunk_id
+    """,
+    tags=("cdc", "operations", "distributed-rank"),
+    doc="Backfill chunk plan (r11) — resyncing a collection replays the "
+        "full snapshot, and the reference's operators chunk it so each "
+        "bulk insert is bounded and restartable (reference analogue: the "
+        "batched collection dump the producer replays, "
+        "reference/arangodb/wal.py tick-range paging). The plan: split "
+        "the keyspace into {n} contiguous chunks of near-equal ROW count "
+        "(not key span — key gaps would skew byte-equal chunks), each "
+        "with its [key_lo, key_hi] range predicate, row count, and a "
+        "payload-byte estimate. Spark side computes the global row rank "
+        "with the defended distributed two-pass pattern (key-DERIVED "
+        "shard from 1-row broadcast key bounds — the PageRank edge-build "
+        "fix, stable across plan branches — + per-shard row_number + "
+        "broadcast cumulative offsets), so no task ever sorts the "
+        "corpus; the oracle uses a plain "
+        "ROW_NUMBER() (DuckDB is single-node by definition). Exact "
+        "integer chunk ids: (rnk-1)*C div n. Scale: the output is C "
+        "rows of metadata; the ranked pass is one range exchange.".format(
+            n=_BACKFILL_CHUNKS),
+)
+def cdc_backfill_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        (F.length("props") + 64).cast("long").alias("est_bytes"),
+    )
+    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    # Key-DERIVED shard (the r10 PageRank fix, analytics.py edge build):
+    # spark_partition_id() after repartitionByRange is not stable across
+    # the plan's multiple consumers of this subtree, so the shard id is
+    # arithmetic on the key against 1-row broadcast bounds instead —
+    # deterministic on every branch by construction.
+    bounds = ev.agg(
+        F.min("event_id").alias("__k0"), F.max("event_id").alias("__k1")
+    )
+    sharded = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"cast(((event_id - __k0) * {n_shards})"
+                " div (__k1 - __k0 + 1) as int)"
+            ),
+        )
+        .drop("__k0", "__k1")
+    )
+    w_in = Window.partitionBy("shard").orderBy("event_id")
+    ranked_in = sharded.withColumn("rnk_in", F.row_number().over(w_in))
+    cnts = sharded.groupBy("shard").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # over <= n_shards rows
+    offsets = cnts.select(
+        "shard",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    total = cnts.agg(F.sum("cnt").cast("long").alias("n"))
+    ranked = (
+        ranked_in.join(F.broadcast(offsets), "shard")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.col("offset") + F.col("rnk_in"))
+    )
+    return (
+        ranked.select(
+            F.expr(f"(rnk - 1) * {_BACKFILL_CHUNKS} div n")
+            .cast("long").alias("chunk_id"),
+            "event_id", "est_bytes",
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.min("event_id").cast("long").alias("key_lo"),
+            F.max("event_id").cast("long").alias("key_hi"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("est_bytes").cast("long").alias("est_bytes"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+# GC stream: the standard synthetic changes plus a re-insert lane
+# (key % 40 == 27 resurrects at _ver = 2k+2 — a strict subset of the
+# deleted keys, so "delete then re-insert" exists in the fixture).
+_GC_CHANGES_SQL = f"""
+  {CHANGES_SQL}
+  UNION ALL
+  SELECT 2*event_id+2, 0, event_id, ts, user_id, event_type, value, props
+  FROM events WHERE event_id % 40 = 27
+"""
+
+
+@query(
+    "cdc_tombstone_gc_plan",
+    oracle=f"""
+    WITH changes AS ({_GC_CHANGES_SQL}),
+    wm AS (
+      SELECT MAX(_ver) - MAX(event_id) // 2 AS watermark FROM changes
+    ),
+    per_key AS (
+      SELECT event_id AS key,
+             CAST(event_id % 8 AS BIGINT) AS shard,
+             MAX(_ver) AS max_ver,
+             MAX(CASE WHEN _deleted = 1 THEN _ver END) AS del_ver,
+             CAST(COUNT(*) AS BIGINT) AS n_vers,
+             CAST(SUM(LENGTH(props) + 64) AS BIGINT) AS bytes_all
+      FROM changes GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT k.shard, k.n_vers, k.bytes_all,
+             CASE WHEN k.del_ver IS NULL THEN 'alive'
+                  WHEN k.max_ver > k.del_ver THEN 'resurrected'
+                  WHEN k.del_ver <= w.watermark THEN 'gc_eligible'
+                  ELSE 'retained_recent' END AS state
+      FROM per_key k CROSS JOIN wm w
+    )
+    SELECT shard, state,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_vers) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN state = 'gc_eligible' THEN bytes_all
+                         ELSE 0 END) AS BIGINT) AS reclaim_bytes
+    FROM flagged GROUP BY shard, state ORDER BY shard, state
+    """,
+    tags=("cdc", "operations", "compaction"),
+    doc="Tombstone GC plan (r11) — soft deletes keep the tombstone row "
+        "so late-arriving older versions stay suppressed (operators/"
+        "cdc.py's ReplacingMergeTree contract), but tombstones older "
+        "than any possible late arrival are pure storage overhead; "
+        "ClickHouse's CLEANUP merge and Cassandra's gc_grace_seconds "
+        "both formalize this. Per key over the change stream (+ a "
+        "re-insert lane so resurrection exists): a delete is "
+        "GC-ELIGIBLE only if it is the key's FINAL version (a later "
+        "re-insert makes the tombstone load-bearing: 'resurrected') AND "
+        "it is older than the safety watermark (max_ver - horizon; "
+        "younger finals are 'retained_recent'). Reports keys/versions/"
+        "reclaimable bytes per shard and state. Scale: one hash "
+        "aggregate per key (map-side combinable), a 1-row watermark "
+        "broadcast-attach, one census aggregate — no windows; the GC "
+        "decision never sorts the WAL.",
+)
+def cdc_tombstone_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bytes_proxy = (F.length("props") + 64).cast("long")
+    base = ev.select(
+        (F.col("event_id") * 2).alias("_ver"),
+        F.lit(0).alias("_deleted"),
+        "event_id", bytes_proxy.alias("b"),
+    )
+    deletes = ev.filter(F.col("event_id") % 20 == 7).select(
+        (F.col("event_id") * 2 + 1).alias("_ver"),
+        F.lit(1).alias("_deleted"),
+        "event_id", bytes_proxy.alias("b"),
+    )
+    updates = ev.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("event_id") * 2 + 1).alias("_ver"),
+        F.lit(0).alias("_deleted"),
+        "event_id", bytes_proxy.alias("b"),
+    )
+    reinserts = ev.filter(F.col("event_id") % 40 == 27).select(
+        (F.col("event_id") * 2 + 2).alias("_ver"),
+        F.lit(0).alias("_deleted"),
+        "event_id", bytes_proxy.alias("b"),
+    )
+    changes = (
+        base.unionByName(updates).unionByName(deletes)
+        .unionByName(reinserts)
+    )
+    wm = changes.agg(
+        (F.max("_ver") - F.expr("max(event_id) div 2"))
+        .cast("long").alias("watermark")
+    )
+    per_key = changes.groupBy(
+        F.col("event_id").alias("key"),
+        (F.col("event_id") % 8).cast("long").alias("shard"),
+    ).agg(
+        F.max("_ver").alias("max_ver"),
+        F.max(F.when(F.col("_deleted") == 1, F.col("_ver")))
+        .alias("del_ver"),
+        F.count("*").cast("long").alias("n_vers"),
+        F.sum("b").cast("long").alias("bytes_all"),
+    )
+    flagged = per_key.crossJoin(F.broadcast(wm)).select(
+        "shard", "n_vers", "bytes_all",
+        F.when(F.col("del_ver").isNull(), "alive")
+        .when(F.col("max_ver") > F.col("del_ver"), "resurrected")
+        .when(F.col("del_ver") <= F.col("watermark"), "gc_eligible")
+        .otherwise("retained_recent").alias("state"),
+    )
+    return (
+        flagged.groupBy("shard", "state")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("n_vers").cast("long").alias("n_versions"),
+            F.sum(
+                F.when(F.col("state") == "gc_eligible",
+                       F.col("bytes_all")).otherwise(0)
+            ).cast("long").alias("reclaim_bytes"),
+        )
+        .orderBy("shard", "state")
+    )

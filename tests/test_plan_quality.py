@@ -110,6 +110,11 @@ SP_WINDOW_ALLOWED = {
         "the cumulative-offset window of the r10 distributed two-pass "
         "rank runs over the shard-counts relation (<= shuffle "
         "partitions rows)",
+    "cdc_backfill_chunk_plan":
+        "the cumulative-offset window of the distributed two-pass rank "
+        "runs over the shard-counts relation (<= shuffle partitions "
+        "rows; shard ids are key-derived arithmetic, bounded by "
+        "n_shards by construction)",
     "text_url_domain_census":
         "the token-share normalizer window runs over the per-domain "
         "census (|registered domains| rows — bounded by the host "
@@ -453,6 +458,15 @@ RAW_RANK_ALLOWED = {
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
+    "cdc_backfill_chunk_plan":
+        "the only BNLJs are 1-row broadcast attaches (keyspace min/max "
+        "bounds for the key-derived shard id, total count for the exact "
+        "chunk-id divisor) in the distributed two-pass rank — O(N x 1); "
+        "the offsets attach is a broadcast hash equi-join on shard",
+    "cdc_tombstone_gc_plan":
+        "the only BNLJ is the 1-row safety-watermark aggregate "
+        "broadcast-attached to classify per-key delete finality — "
+        "O(K x 1); everything else is map-side-combinable aggregates",
     "cdc_watermark_sizing":
         "the only BNLJ is the 1-row max-_ver aggregate broadcast-attached "
         "to slice the stream to the last _SIZING_SLICE_VERS arrival "

@@ -147,3 +147,80 @@ def test_linreg_recovers_exact_line(spark, tmp_path):
     a = out["AUTO"]
     assert a.slope_milli_per_day == 0.0
     assert a.intercept_milli == 7000.0
+
+
+def test_hot_key_skew_formulas(spark, tmp_path):
+    """Skew ratio and salt come out of the exact integer formulas; the
+    hottest key breaks ties to the smallest user_id."""
+    rows = []
+    eid = 0
+    for _ in range(10):  # user 8 (shard 0): 10 changes
+        rows.append((8, T0, (eid := eid + 1), "view", 1.0))
+    for _ in range(2):   # user 16 (shard 0): 2 changes
+        rows.append((16, T0, (eid := eid + 1), "view", 1.0))
+    for _ in range(3):   # user 3 (shard 3): 3 changes
+        rows.append((3, T0, (eid := eid + 1), "view", 1.0))
+    for _ in range(3):   # user 11 (shard 3): 3 changes (tie with user 3)
+        rows.append((11, T0, (eid := eid + 1), "view", 1.0))
+    _events(spark, rows, tmp_path)
+    out = {
+        r.shard: r
+        for r in QUERIES["cdc_hot_key_skew_report"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s0 = out[0]
+    assert (s0.n_changes, s0.n_keys, s0.max_key_changes) == (12, 2, 10)
+    assert s0.hot_key == 8
+    assert s0.skew_ratio_milli == (1000 * 10 * 2) // 12  # 1666
+    assert s0.recommended_salt == 1  # ceil(20/48) = 1
+    s3 = out[3]
+    assert s3.max_key_changes == 3 and s3.hot_key == 3  # tie -> min uid
+    assert s3.skew_ratio_milli == 1000  # perfectly uniform
+
+
+def test_backfill_chunks_partition_keyspace(spark, tmp_path):
+    """Chunks are contiguous, non-overlapping, cover every key exactly
+    once, and are row-balanced (32 unique keys -> 16 chunks of 2)."""
+    rows = [(i % 7, T0, 1000 + i, "view", 1.0) for i in range(32)]
+    _events(spark, rows, tmp_path)
+    out = sorted(
+        QUERIES["cdc_backfill_chunk_plan"].build(
+            spark, str(tmp_path)
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert len(out) == 16
+    assert all(r.n_rows == 2 for r in out)
+    assert sum(r.n_rows for r in out) == 32
+    assert out[0].key_lo == 1000 and out[-1].key_hi == 1031
+    for a, b in zip(out, out[1:]):
+        assert a.key_hi < b.key_lo  # contiguous, never overlapping
+
+
+def test_tombstone_gc_states_partition_keys(spark, tmp_path):
+    """States partition the keyspace: resurrected == deleted-then-
+    reinserted keys; gc_eligible + retained_recent == final deletes;
+    bytes reclaim only on gc_eligible rows."""
+    n = 200
+    rows = [(i % 9, T0, i, "view", 1.0) for i in range(n)]
+    _events(spark, rows, tmp_path)
+    out = QUERIES["cdc_tombstone_gc_plan"].build(
+        spark, str(tmp_path)
+    ).collect()
+    by_state = {}
+    for r in out:
+        s = by_state.setdefault(r.state, [0, 0, 0])
+        s[0] += r.n_keys
+        s[1] += r.n_versions
+        s[2] += r.reclaim_bytes
+    deleted = {i for i in range(n) if i % 20 == 7}
+    resurrected = {i for i in range(n) if i % 40 == 27}
+    assert by_state["resurrected"][0] == len(resurrected)
+    finals = len(deleted) - len(resurrected)
+    assert (by_state["gc_eligible"][0]
+            + by_state.get("retained_recent", [0])[0]) == finals
+    assert by_state["alive"][0] == n - len(deleted)
+    assert sum(s[0] for s in by_state.values()) == n
+    assert by_state["gc_eligible"][2] > 0
+    assert by_state["alive"][2] == 0 and by_state["resurrected"][2] == 0

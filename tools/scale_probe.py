@@ -216,6 +216,9 @@ PROBES = [
     "q_counter_rate_resets",
     "q_clickhouse_combinators_parity",
     "q_simple_linreg_by_segment",
+    "cdc_hot_key_skew_report",
+    "cdc_backfill_chunk_plan",
+    "cdc_tombstone_gc_plan",
 ]
 
 
