@@ -274,6 +274,12 @@ ROTATION_EXEMPT = frozenset({
     "q_window_range_30d_spend",       # RANGE frame window: q_time_weighted_average (rotating) keeps range-based temporal weighting; q_rolling_tukey_outliers keeps rolling frames; 4 green driver rounds r1-r10
     "cdc_churn_report",               # per-key change-volume census: cdc_hot_key_skew_report (rotating) aggregates the same per-key change counts into the skew/salt decision — strict superset of the census lane; cdc_compaction_savings keeps versions-per-key
     "embed_knn_label_consistency",    # kNN label agreement: embed_label_purity (rotating) keeps the label-vote lane and embed_mutual_knn_pairs (rotating) re-proves the kNN neighbor construction with the stricter mutuality check
+    # Grown r11 alongside mm_qoi_decode_features, mm_adpcm_transcode_report,
+    # mm_image_tile_dedup (each pick has green driver rounds plus every
+    # full-registry VERIFY_FULL record; still driven every round):
+    "mm_ulaw_transcode_report",       # memoryless G.711 transcode: mm_adpcm_transcode_report (rotating) runs the strictly harder STATEFUL transcode lane through the same WAV decode; mm_pcm_silence_census keeps the PCM sample lane
+    "mm_audio_vad_segments",          # energy-threshold voice islands: mm_pcm_silence_census (rotating) proves the same silence/energy segmentation arithmetic on real WAVs end to end; mm_audio_fingerprint_dedup keeps the audio-content lane
+    "mm_video_frame_dedup",           # frame-signature dedup: mm_scene_keyframes (rotating) re-runs the same MJPEG demux + frame-signature construction; mm_image_tile_dedup (rotating) adds the finer block-level dedup lane
 })
 
 

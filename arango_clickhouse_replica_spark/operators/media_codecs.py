@@ -1424,3 +1424,220 @@ def decode_gif(payload: bytes) -> dict:
         r, g, b = pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]
         luma.append((299 * r + 587 * g + 114 * b) // 1000)
     return {"width": w, "height": h, "screen": (sw, sh), "pixels": luma}
+
+
+# ---------------------------------------------------------------------------
+# QOI — Quite OK Image format (public spec, qoiformat.org) — real codec
+# ---------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi_gray8(pixels, width: int, height: int) -> bytes:
+    """Serialize 8-bit grayscale pixels (row-major, top-down) as a real
+    3-channel QOI file: 14-byte header (big-endian dims), then the spec's
+    five chunk ops — RUN (62-cap), INDEX (64-slot running array, spec
+    hash r*3+g*5+b*7+a*11), DIFF (2-bit channel deltas, wrapping), LUMA
+    (6-bit green delta + 4-bit red/blue-vs-green), RGB literal — and the
+    7x00+01 end marker. Any qoi viewer opens it."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    out = bytearray(_QOI_MAGIC + struct.pack(">IIBB", width, height, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for v in px:
+        cur = (v, v, v, 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run > 0:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(*cur)
+        if index[h] == cur:
+            out.append(h)
+        else:
+            index[h] = cur
+            dr = (cur[0] - prev[0] + 128) % 256 - 128
+            dg = (cur[1] - prev[1] + 128) % 256 - 128
+            db = (cur[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, cur[0], cur[1], cur[2]])
+        prev = cur
+    if run > 0:
+        out.append(0xC0 | (run - 1))
+    return bytes(out + _QOI_END)
+
+
+def decode_qoi(payload: bytes) -> dict:
+    """Parse a QOI file (3- or 4-channel): header validation, the five
+    chunk ops with the spec's running index/previous-pixel state machine,
+    end-marker check. Returns top-down row-major ITU-R 601 integer luma
+    (identical to the BMP/GIF/PNG decoders' convention — for gray
+    content where r=g=b this is the source byte)."""
+    if len(payload) < 22 or payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI file")
+    width, height, channels, colorspace = struct.unpack_from(
+        ">IIBB", payload, 4)
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(
+            f"bad QOI header (channels={channels} cs={colorspace})")
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError("bad QOI dimensions")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    data = payload[14:-8]
+    n_px = width * height
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    luma = []
+    pos = 0
+    run = 0
+    for _ in range(n_px):
+        if run > 0:
+            run -= 1
+        elif pos < len(data):
+            b1 = data[pos]
+            pos += 1
+            if b1 == 0xFE:  # QOI_OP_RGB
+                px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+                pos += 3
+            elif b1 == 0xFF:  # QOI_OP_RGBA
+                px = (data[pos], data[pos + 1], data[pos + 2],
+                      data[pos + 3])
+                pos += 4
+            elif b1 & 0xC0 == 0x00:  # QOI_OP_INDEX
+                px = index[b1]
+            elif b1 & 0xC0 == 0x40:  # QOI_OP_DIFF
+                px = (
+                    (px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                    (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                    (px[2] + (b1 & 3) - 2) % 256,
+                    px[3],
+                )
+            elif b1 & 0xC0 == 0x80:  # QOI_OP_LUMA
+                dg = (b1 & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                px = (
+                    (px[0] + dg + ((b2 >> 4) & 15) - 8) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + (b2 & 15) - 8) % 256,
+                    px[3],
+                )
+            else:  # QOI_OP_RUN
+                run = b1 & 0x3F
+            index[_qoi_hash(*px)] = px
+        else:
+            raise ValueError("truncated QOI data stream")
+        luma.append((299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000)
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": luma}
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (public IMA ADPCM spec) — real 4-bit adaptive codec
+# ---------------------------------------------------------------------------
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, idx: int, sample: int) -> tuple:
+    """One IMA ADPCM encoder step: 4-bit code for ``sample`` given state
+    (pred, idx), plus the updated state. The reconstruction inside IS the
+    decoder, so decode(encode(x)) equals the encoder's prediction track
+    exactly (the property the closed-form oracle replays)."""
+    step = _ADPCM_STEPS[idx]
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    diffq = step >> 3
+    if code & 4:
+        diffq += step
+    if code & 2:
+        diffq += step >> 1
+    if code & 1:
+        diffq += step >> 2
+    pred = pred - diffq if code & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[code & 7]))
+    return code, pred, idx
+
+
+def adpcm_encode(samples) -> bytes:
+    """Compress int16 PCM to IMA ADPCM nibbles (state starts (0, 0);
+    low nibble first, the IMA packing), 4 bits per sample — a fixed 4x
+    size reduction. Odd sample counts pad the final byte's high nibble
+    with zero."""
+    pred, idx = 0, 0
+    nibbles = []
+    for s in samples:
+        code, pred, idx = _adpcm_step(pred, idx, int(s))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return bytes(
+        nibbles[i] | (nibbles[i + 1] << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+
+
+def adpcm_decode(payload: bytes, n_samples: int) -> list:
+    """Expand IMA ADPCM nibbles back to int16 PCM (state starts (0, 0),
+    mirroring the encoder — no header in this raw stream shape)."""
+    if n_samples > 2 * len(payload):
+        raise ValueError("truncated ADPCM payload")
+    pred, idx = 0, 0
+    out = []
+    for i in range(n_samples):
+        b = payload[i // 2]
+        code = (b >> 4) if i % 2 else (b & 15)
+        step = _ADPCM_STEPS[idx]
+        diffq = step >> 3
+        if code & 4:
+            diffq += step
+        if code & 2:
+            diffq += step >> 1
+        if code & 1:
+            diffq += step >> 2
+        pred = pred - diffq if code & 8 else pred + diffq
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _ADPCM_INDEX[code & 7]))
+        out.append(pred)
+    return out

@@ -1506,17 +1506,18 @@ def extract_ulaw_transcode_features(media: DataFrame) -> DataFrame:
 
 
 def synth_mixed_container_media(docs: DataFrame) -> DataFrame:
-    """Deterministic media where the SAME pixel content ships in three
-    containers: content seed ``g = doc_id div 3`` draws the gradient
+    """Deterministic media where the SAME pixel content ships in FOUR
+    containers: content seed ``g = doc_id div 4`` draws the gradient
     ``(g*7 + 3x + 5y) % 256`` at ``(8+g%9) x (8+g%7)``, encoded as a
-    real PNG (doc_id % 3 == 0), a real 24-bit BMP (== 1), or a real
-    GIF87a with genuine LZW (== 2, r11) — the cross-container duplicate
-    every crawled image corpus contains (same photo re-hosted as a
-    different file type)."""
+    real PNG (doc_id % 4 == 0), a real 24-bit BMP (== 1), a real GIF87a
+    with genuine LZW (== 2, r11), or a real QOI (== 3, r11) — the
+    cross-container duplicate every crawled image corpus contains (same
+    photo re-hosted as a different file type)."""
     from .media_codecs import (
         encode_bmp_gray8,
         encode_gif_gray8,
         encode_png_gray8,
+        encode_qoi_gray8,
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1524,21 +1525,24 @@ def synth_mixed_container_media(docs: DataFrame) -> DataFrame:
             ids, payloads, metas = [], [], []
             for did in pdf["doc_id"]:
                 d = int(did)
-                g = d // 3
+                g = d // 4
                 w, h = 8 + g % 9, 8 + g % 7
                 px = bytes(
                     (g * 7 + 3 * x + 5 * y) % 256
                     for y in range(h) for x in range(w)
                 )
-                if d % 3 == 0:
+                if d % 4 == 0:
                     data = encode_png_gray8(px, w, h)
                     mime = "image/png"
-                elif d % 3 == 1:
+                elif d % 4 == 1:
                     data = encode_bmp_gray8(px, w, h)
                     mime = "image/bmp"
-                else:
+                elif d % 4 == 2:
                     data = encode_gif_gray8(px, w, h)
                     mime = "image/gif"
+                else:
+                    data = encode_qoi_gray8(px, w, h)
+                    mime = "image/qoi"
                 ids.append(d)
                 payloads.append(data)
                 metas.append(
@@ -1564,13 +1568,19 @@ CONTENT_SIG_SCHEMA = T.StructType(
 
 def extract_content_signatures(media: DataFrame) -> DataFrame:
     """Container-SNIFFING decode: each payload's magic bytes pick the
-    real decoder (PNG signature vs 'BM' vs 'GIF8'), and the signature is
+    real decoder (PNG signature vs 'BM' vs 'GIF8' vs 'qoif'), and the
+    signature is
     the md5 of the canonical 'w:h:v1,v2,...' DECODED-pixel string —
     identical however the bytes were containerized, which is the whole
     point."""
     import hashlib
 
-    from .media_codecs import decode_bmp, decode_gif, decode_png
+    from .media_codecs import (
+        decode_bmp,
+        decode_gif,
+        decode_png,
+        decode_qoi,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1585,6 +1595,8 @@ def extract_content_signatures(media: DataFrame) -> DataFrame:
                     img, fmt = decode_bmp(data), "bmp"
                 elif data[:4] == b"GIF8":
                     img, fmt = decode_gif(data), "gif"
+                elif data[:4] == b"qoif":
+                    img, fmt = decode_qoi(data), "qoi"
                 else:
                     raise ValueError("unknown container magic")
                 canon = (
@@ -1734,3 +1746,217 @@ def extract_gif_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def synth_qoi_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL QOI payloads: doc_id seeds width/height and
+    the grayscale gradient ``p(x,y) = (doc_id*11 + 4x + 3y) % 256``,
+    encoded with the real QOI encoder (RUN/INDEX/DIFF/LUMA/RGB chunk
+    ops — media_codecs.encode_qoi_gray8)."""
+    from .media_codecs import encode_qoi_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 10, 8 + d % 6
+                px = bytes(
+                    (d * 11 + 4 * x + 3 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                qoi = encode_qoi_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(qoi)
+                metas.append(
+                    {"mime": "image/qoi", "n_bytes": len(qoi),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_qoi_features(media: DataFrame) -> DataFrame:
+    """REAL QOI decode over binary payloads: header validation, the
+    five chunk ops with the spec's running-index state machine —
+    features are exact integer moments of the DECODED pixels."""
+    from .media_codecs import decode_qoi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "n_pixels",
+                     "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_qoi(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+ADPCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_bytes_adpcm", T.LongType(), True),
+        T.StructField("sum_abs_in", T.LongType(), True),
+        T.StructField("sum_abs_out", T.LongType(), True),
+        T.StructField("sum_sq_err", T.LongType(), True),
+        T.StructField("max_abs_err", T.LongType(), True),
+    ]
+)
+
+
+def synth_adpcm_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads with large inter-sample jumps
+    (``s_i = ((doc_id*131 + i*1237) % 60001) - 30000``, n = 16 +
+    doc_id % 9) so the ADPCM step-size adaptation sweeps its table —
+    encoded with the real RIFF encoder."""
+    from .media_codecs import encode_wav_pcm16
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 16 + d % 9
+                s = [((d * 131 + i * 1237) % 60001) - 30000
+                     for i in range(n)]
+                wav = encode_wav_pcm16(s)
+                ids.append(d)
+                payloads.append(wav)
+                metas.append(
+                    {"mime": "audio/wav", "n_bytes": len(wav),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_adpcm_transcode_features(media: DataFrame) -> DataFrame:
+    """REAL IMA ADPCM transcode over binary payloads: RIFF/PCM16 decode
+    -> 4-bit adaptive compress -> expand back to PCM16 — the 4x audio
+    shrink archival speech corpora ship in. Features are exact integer
+    moments of input, output, and quantization error, so the oracle can
+    replay the codec's prediction track in closed form (a recursive
+    state recurrence) and hash-match the whole chain."""
+    from .media_codecs import adpcm_decode, adpcm_encode, decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_samples", "n_bytes_adpcm",
+                     "sum_abs_in", "sum_abs_out", "sum_sq_err",
+                     "max_abs_err")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                x = decode_wav(bytes(raw))["samples"]
+                enc = adpcm_encode(x)
+                y = adpcm_decode(enc, len(x))
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(len(x))
+                rows["n_bytes_adpcm"].append(len(enc))
+                rows["sum_abs_in"].append(sum(abs(v) for v in x))
+                rows["sum_abs_out"].append(sum(abs(v) for v in y))
+                rows["sum_sq_err"].append(
+                    sum((a - b) * (a - b) for a, b in zip(x, y))
+                )
+                rows["max_abs_err"].append(
+                    max(abs(a - b) for a, b in zip(x, y))
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=ADPCM_FEATURE_SCHEMA)
+
+
+def synth_tiled_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads built from a 2x2 grid of 8x8
+    tiles whose content repeats ACROSS documents: tile (tx, ty) of doc
+    d draws seed ``s = (d*3 + ty*2 + tx) % 32`` as the gradient
+    ``(s*9 + 5*lx + 11*ly) % 256`` — only 32 distinct tiles exist
+    corpus-wide, so most tiles recur in many documents (the
+    partial-duplicate structure: shared headers/footers/watermarks
+    inside otherwise-distinct images)."""
+    from .media_codecs import encode_png_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                px = bytearray(256)
+                for y in range(16):
+                    for x in range(16):
+                        s = (d * 3 + (y // 8) * 2 + (x // 8)) % 32
+                        px[y * 16 + x] = (s * 9 + 5 * (x % 8)
+                                          + 11 * (y % 8)) % 256
+                png = encode_png_gray8(bytes(px), 16, 16)
+                ids.append(d)
+                payloads.append(png)
+                metas.append(
+                    {"mime": "image/png", "n_bytes": len(png),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+TILE_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("tile_x", T.IntegerType(), True),
+        T.StructField("tile_y", T.IntegerType(), True),
+        T.StructField("tile_md5", T.StringType(), True),
+    ]
+)
+
+
+def extract_tile_signatures(media: DataFrame) -> DataFrame:
+    """REAL PNG decode, then 8x8 tiling: each decoded image splits into
+    its 8x8 blocks and every block gets the canonical
+    ' 8:8:v1,v2,...' md5 — the block-level fingerprint stream that
+    finds PARTIAL duplicates (shared tiles) exact whole-file hashing
+    is blind to. A 1:K narrow generator (K = tiles per image)."""
+    import hashlib
+
+    from .media_codecs import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "tile_x", "tile_y", "tile_md5")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                w, h, px = img["width"], img["height"], img["pixels"]
+                for ty in range(h // 8):
+                    for tx in range(w // 8):
+                        vals = [
+                            px[(ty * 8 + ly) * w + tx * 8 + lx]
+                            for ly in range(8) for lx in range(8)
+                        ]
+                        canon = "8:8:" + ",".join(str(v) for v in vals)
+                        rows["media_id"].append(mid)
+                        rows["tile_x"].append(tx)
+                        rows["tile_y"].append(ty)
+                        rows["tile_md5"].append(
+                            hashlib.md5(canon.encode()).hexdigest()
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=TILE_SIG_SCHEMA)

@@ -2500,8 +2500,8 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_cross_container_dedup",
     oracle="""
     WITH params AS (
-      SELECT doc_id, doc_id // 3 AS g,
-             8 + (doc_id // 3) % 9 AS w, 8 + (doc_id // 3) % 7 AS h
+      SELECT doc_id, doc_id // 4 AS g,
+             8 + (doc_id // 4) % 9 AS w, 8 + (doc_id // 4) % 7 AS h
       FROM documents
     ),
     px AS (
@@ -2511,8 +2511,8 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sigs AS (
       SELECT doc_id,
-             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                  ELSE 'gif' END AS container,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'gif' ELSE 'qoi' END AS container,
              md5(CAST(w AS STRING) || ':' || CAST(h AS STRING) || ':'
                  || string_agg(CAST(v AS STRING), ',' ORDER BY k))
                AS content_md5
@@ -2530,13 +2530,15 @@ def mm_ulaw_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cross-container image dedup — the duplicate class byte-hash "
         "dedup can NEVER catch (the same photo re-hosted as a "
         "different file type has zero bytes in common): payloads carry "
-        "identical pixel content in real PNG, real BMP, and (r11) real "
-        "GIF87a containers (genuine LZW — media_codecs.encode_gif_gray8/"
-        "decode_gif), a magic-byte-sniffing Arrow stage picks the right "
-        "genuine decoder per file, and the dedup key is the md5 of the "
-        "canonical decoded-pixel string — so the triples this query "
-        "finds prove ALL THREE decoders reconstruct bit-identical "
-        "pixels from their own container formats. The oracle computes the "
+        "identical pixel content in real PNG, real BMP, real GIF87a "
+        "(genuine LZW), and (r11) real QOI containers "
+        "(media_codecs.encode_qoi_gray8/decode_qoi — the spec's "
+        "RUN/INDEX/DIFF/LUMA/RGB state machine), a magic-byte-sniffing "
+        "Arrow stage picks the right genuine decoder per file, and the "
+        "dedup key is the md5 of the canonical decoded-pixel string — "
+        "so the quadruples this query finds prove ALL FOUR decoders "
+        "reconstruct bit-identical pixels from their own container "
+        "formats. The oracle computes the "
         "same canonical digest from the closed-form gradient without "
         "ever seeing a byte of either container. Scale: the decode is "
         "the standard narrow 1:1 Arrow stage; dedup is one hash "
@@ -2681,6 +2683,240 @@ def mm_gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id", "width", "height", "n_pixels", "sum_pixels",
             "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_qoi_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 10 AS w, 8 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 11 + 4 * (u.k % p.w) + 3 * (u.k // p.w)) % 256
+               AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL QOI decode end to end (r11) — the ninth genuine codec "
+        "(WAV/PNG gray+RGB/JPEG gray+4:2:0/BMP/MJPG/G.711/GIF87a, now "
+        "QOI per the public qoiformat.org spec): deterministic "
+        "grayscale gradients are encoded as genuine QOI files "
+        "(RUN/INDEX/DIFF/LUMA/RGB chunk ops over the 64-slot running "
+        "index — media_codecs.encode_qoi_gray8), cross Arrow as binary, "
+        "and are re-parsed by the pure-stdlib QOI decoder (header "
+        "validation, the spec's previous-pixel/index state machine, end "
+        "marker check). Features are exact integer moments of the "
+        "DECODED pixels, hash-matched against a closed-form oracle that "
+        "never sees a byte — a single wrong bit in either direction "
+        "breaks the hash. The codec also feeds mm_cross_container_dedup "
+        "as its FOURTH container. Scale: the standard narrow 1:1 Arrow "
+        "decode stage — no shuffle until the |docs|-row aggregate.",
+)
+def mm_qoi_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_qoi_features, synth_qoi_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_qoi_features(synth_qoi_media(docs))
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_pixels",
+            "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_adpcm_transcode_report",
+    oracle="""
+    WITH RECURSIVE tbl AS (
+      SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28,
+              31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+              118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+              337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876,
+              963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+              2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+              5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+              13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+              29794, 32767] AS st,
+             [-1, -1, -1, -1, 2, 4, 6, 8] AS it
+    ),
+    params AS (
+      SELECT doc_id, CAST(16 + doc_id % 9 AS INT) AS n FROM documents
+    ),
+    rec AS (
+      SELECT p.doc_id, p.n, 0 AS i, 0 AS pred, 0 AS idx,
+             CAST(0 AS BIGINT) AS sai, CAST(0 AS BIGINT) AS sao,
+             CAST(0 AS BIGINT) AS sse, CAST(0 AS BIGINT) AS mae
+      FROM params p
+      UNION ALL
+      SELECT doc_id, n, i + 1, pred2, idx2,
+             sai + ABS(x), sao + ABS(pred2),
+             sse + (x - pred2) * (x - pred2),
+             GREATEST(mae, ABS(x - pred2))
+      FROM (
+        SELECT l6.*,
+               GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN sgn = 1 THEN -diffq
+                             ELSE diffq END)) AS pred2,
+               GREATEST(0, LEAST(88, idx + it[mag + 1])) AS idx2
+        FROM (
+          SELECT l5.*,
+                 step // 8 + b2 * step + b1 * (step // 2)
+                   + b0 * (step // 4) AS diffq,
+                 4 * b2 + 2 * b1 + b0 AS mag
+          FROM (
+            SELECT l4.*,
+                   CASE WHEN ad3 >= step // 4 THEN 1 ELSE 0 END AS b0
+            FROM (
+              SELECT l3.*,
+                     CASE WHEN ad2 >= step // 2 THEN 1 ELSE 0 END AS b1,
+                     ad2 - CASE WHEN ad2 >= step // 2 THEN step // 2
+                               ELSE 0 END AS ad3
+              FROM (
+                SELECT l2.*,
+                       CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+                       ad - CASE WHEN ad >= step THEN step
+                                ELSE 0 END AS ad2
+                FROM (
+                  SELECT l1.*, ABS(x - pred) AS ad,
+                         CASE WHEN x - pred < 0 THEN 1 ELSE 0 END AS sgn
+                  FROM (
+                    SELECT r.doc_id, r.n, r.i, r.pred, r.idx, r.sai,
+                           r.sao, r.sse, r.mae,
+                           ((r.doc_id * 131 + r.i * 1237) % 60001)
+                             - 30000 AS x,
+                           t.st[r.idx + 1] AS step, t.it AS it
+                    FROM rec r CROSS JOIN tbl t WHERE r.i < r.n
+                  ) l1
+                ) l2
+              ) l3
+            ) l4
+          ) l5
+        ) l6
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n + 1) // 2 AS BIGINT) AS n_bytes_adpcm,
+           sai AS sum_abs_in, sao AS sum_abs_out,
+           sse AS sum_sq_err, mae AS max_abs_err
+    FROM rec WHERE i = n ORDER BY media_id
+    """,
+    tags=("multimodal", "audio", "codec", "transcode", "pandas-udf"),
+    doc="REAL IMA/DVI ADPCM transcode end to end (r11) — the tenth "
+        "genuine codec and the first STATEFUL one (predictor + step "
+        "index feed back sample to sample, unlike mu-law's memoryless "
+        "quantizer): wide-jump synth WAVs decode, compress through the "
+        "real 4-bit adaptive encoder (sign/step bisection nibble, "
+        "89-entry step table, clamped prediction — "
+        "operators/media_codecs.adpcm_encode), expand back, and report "
+        "exact integer moments of input, output, and quantization "
+        "error plus the 4x-compressed byte count. The oracle replays "
+        "the ENTIRE encoder state recurrence in closed form as a "
+        "recursive CTE (bounded: max 24 samples/doc = 24 iterations, "
+        "the step table a list literal) — one wrong table entry, clamp, "
+        "or nibble bit anywhere breaks the hash. Scale: the same narrow "
+        "1:1 Arrow decode stage as every codec lane; no shuffle until "
+        "the |docs|-row aggregate.",
+)
+def mm_adpcm_transcode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_adpcm_transcode_features,
+        synth_adpcm_wav_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_adpcm_transcode_features(synth_adpcm_wav_media(docs))
+        .select(
+            "media_id", "n_samples", "n_bytes_adpcm", "sum_abs_in",
+            "sum_abs_out", "sum_sq_err", "max_abs_err",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_image_tile_dedup",
+    oracle="""
+    WITH tiles AS (
+      SELECT doc_id, u.t % 2 AS tx, u.t // 2 AS ty
+      FROM documents, unnest(range(0, 4)) AS u(t)
+    ),
+    sig AS (
+      SELECT doc_id, tx, ty,
+             md5('8:8:' || string_agg(
+               CAST((((doc_id * 3 + ty * 2 + tx) % 32) * 9
+                     + 5 * (u.k % 8) + 11 * (u.k // 8)) % 256 AS STRING),
+               ',' ORDER BY u.k)) AS tile_md5
+      FROM tiles, unnest(range(0, 64)) AS u(k)
+      GROUP BY doc_id, tx, ty
+    ),
+    census AS (
+      SELECT tile_md5,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_tile
+      FROM sig GROUP BY tile_md5
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(CASE WHEN c.n_docs_tile >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_tiles,
+           CAST(MAX(c.n_docs_tile) AS BIGINT) AS max_tile_spread
+    FROM sig s JOIN census c USING (tile_md5)
+    GROUP BY s.doc_id ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "dedup", "pandas-udf"),
+    doc="Tile-level PARTIAL image dedup (r11) — whole-file and "
+        "whole-pixel hashing both miss images that share REGIONS "
+        "(watermarks, banner headers, meme templates with different "
+        "captions); block-level fingerprinting is how crawled-image "
+        "pipelines find them. Real PNGs built from 2x2 grids of 8x8 "
+        "tiles (only 32 distinct tiles exist corpus-wide) decode "
+        "through the genuine PNG codec, every 8x8 block gets a "
+        "canonical-pixel md5, and the report joins each doc's tiles "
+        "against the corpus-wide tile census: tiles held, tiles shared "
+        "with ANY other doc, and the widest tile spread. The oracle "
+        "recomputes every tile digest from the closed-form gradient. "
+        "Scale: a 1:K narrow tile generator (K = tiles/image), one "
+        "map-side-combinable census on the 32-char digest, one hash "
+        "equi-join back — the tile stream is K x |docs| rows, never "
+        "pixels, and no pair of images is ever compared directly.",
+)
+def mm_image_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_tile_signatures,
+        synth_tiled_png_media,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sig = extract_tile_signatures(synth_tiled_png_media(docs))
+    census = sig.groupBy("tile_md5").agg(
+        F.countDistinct("media_id").cast("long").alias("n_docs_tile")
+    )
+    return (
+        sig.join(census, "tile_md5")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tiles"),
+            F.sum(F.when(F.col("n_docs_tile") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_shared_tiles"),
+            F.max("n_docs_tile").cast("long").alias("max_tile_spread"),
         )
         .orderBy("media_id")
     )

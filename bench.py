@@ -225,6 +225,9 @@ HEADLINE = [
     "cdc_hot_key_skew_report",
     "cdc_backfill_chunk_plan",
     "cdc_tombstone_gc_plan",
+    "mm_qoi_decode_features",
+    "mm_adpcm_transcode_report",
+    "mm_image_tile_dedup",
 ]
 
 

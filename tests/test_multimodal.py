@@ -792,3 +792,117 @@ def test_gif_codec_roundtrips_byte_level():
     ok[13 + 768 + 9] |= 0x40  # image-descriptor packed byte
     with _pytest.raises(ValueError):
         decode_gif(bytes(ok))
+
+
+def test_qoi_codec_roundtrips_byte_level():
+    """QOI encode->decode is the identity on pixels across dimension
+    mixes that exercise every chunk op (RUN incl. the 62-cap, INDEX,
+    DIFF, LUMA, RGB); headers and the end marker validate; malformed
+    inputs raise."""
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_qoi,
+        encode_qoi_gray8,
+    )
+
+    for w, h in ((1, 1), (8, 8), (40, 33), (255, 9), (64, 64)):
+        px = bytes((13 * i + 5 * (i % w) + 3 * (i // w)) % 256
+                   for i in range(w * h))
+        img = decode_qoi(encode_qoi_gray8(px, w, h))
+        assert (img["width"], img["height"]) == (w, h)
+        assert bytes(img["pixels"]) == px
+
+    # constant image: RUN chains crossing the 62-cap repeatedly
+    px = bytes([7] * (50 * 50))
+    q = encode_qoi_gray8(px, 50, 50)
+    assert bytes(decode_qoi(q)["pixels"]) == px
+    assert len(q) < 50 * 50 // 10  # runs actually compress
+
+    # +-1 gradients ride DIFF (1 byte/px); +-17 jumps need LUMA/RGB
+    px = bytes(((i % 3) + 100) for i in range(64))
+    assert bytes(decode_qoi(encode_qoi_gray8(px, 8, 8))["pixels"]) == px
+    px = bytes((i * 17) % 256 for i in range(64))
+    assert bytes(decode_qoi(encode_qoi_gray8(px, 8, 8))["pixels"]) == px
+
+    with _pytest.raises(ValueError):
+        decode_qoi(b"noqi" + b"\x00" * 32)
+    with _pytest.raises(ValueError):
+        encode_qoi_gray8(b"\x00" * 5, 2, 3)  # wrong pixel count
+    good = bytearray(encode_qoi_gray8(bytes(range(16)), 4, 4))
+    with _pytest.raises(ValueError):
+        decode_qoi(bytes(good[:-8]))  # end marker gone
+    bad = bytearray(good)
+    bad[12] = 7  # channels byte
+    with _pytest.raises(ValueError):
+        decode_qoi(bytes(bad))
+    with _pytest.raises(ValueError):  # truncated data stream
+        decode_qoi(bytes(good[:14]) + bytes(good[-8:]))
+
+
+def test_adpcm_codec_properties():
+    """IMA ADPCM: 4 bits/sample exactly (odd counts pad), decode equals
+    the encoder's prediction track, reconstruction clamps at int16
+    extremes, error is step-bounded on smooth signals, and the index
+    never escapes [0, 88]."""
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        _adpcm_step,
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    xs = [((i * 1237 + 131) % 60001) - 30000 for i in range(101)]
+    enc = adpcm_encode(xs)
+    assert len(enc) == 51  # ceil(101/2)
+    ys = adpcm_decode(enc, 101)
+    # decode IS the encoder's reconstruction: replay states manually
+    pred, idx = 0, 0
+    track = []
+    for s in xs:
+        _, pred, idx = _adpcm_step(pred, idx, s)
+        assert 0 <= idx <= 88
+        track.append(pred)
+    assert ys == track
+
+    # extremes clamp, never wrap
+    ys = adpcm_decode(adpcm_encode([32767] * 50 + [-32768] * 50), 100)
+    assert max(ys) <= 32767 and min(ys) >= -32768
+    assert ys[40] == 32767  # reaches and holds the positive clamp
+
+    # a constant signal converges: last-quarter error under one min-step
+    ys = adpcm_decode(adpcm_encode([1000] * 80), 80)
+    assert all(abs(y - 1000) <= 8 for y in ys[60:])
+
+    with _pytest.raises(ValueError):
+        adpcm_decode(b"\x00\x00", 100)  # truncated payload
+
+
+def test_tile_signatures_find_shared_tiles(spark):
+    """Two docs 32 apart share ALL tiles; docs differing otherwise
+    share tiles exactly when (d*3 + pos) collides mod 32 — the tile
+    stream proves block-level sharing whole-file hashing misses."""
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.operators.multimodal import (
+        extract_tile_signatures,
+        synth_tiled_png_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0,), (32,), (1,), (5,)], ["doc_id"]
+    )
+    sig = extract_tile_signatures(synth_tiled_png_media(docs))
+    rows = sig.collect()
+    assert len(rows) == 16  # 4 docs x 4 tiles
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, {})[(r.tile_x, r.tile_y)] = r.tile_md5
+    # full duplicate: doc 0 and doc 32 (seeds equal mod 32) tile-match
+    assert by_doc[0] == by_doc[32]
+    # partial: doc 1 tile (tx=0,ty=0) has seed 3 == doc 0 tile... none
+    # of doc 1's seeds {3,4,5,6} meet doc 5's {15,16,17,18}: disjoint
+    assert set(by_doc[1].values()).isdisjoint(set(by_doc[5].values()))
+    # doc 1 {3,4,5,6} vs doc 0 {0,1,2,3}: exactly one shared tile value
+    assert len(set(by_doc[1].values()) & set(by_doc[0].values())) == 1
