@@ -280,6 +280,9 @@ ROTATION_EXEMPT = frozenset({
     "mm_ulaw_transcode_report",       # memoryless G.711 transcode: mm_adpcm_transcode_report (rotating) runs the strictly harder STATEFUL transcode lane through the same WAV decode; mm_pcm_silence_census keeps the PCM sample lane
     "mm_audio_vad_segments",          # energy-threshold voice islands: mm_pcm_silence_census (rotating) proves the same silence/energy segmentation arithmetic on real WAVs end to end; mm_audio_fingerprint_dedup keeps the audio-content lane
     "mm_video_frame_dedup",           # frame-signature dedup: mm_scene_keyframes (rotating) re-runs the same MJPEG demux + frame-signature construction; mm_image_tile_dedup (rotating) adds the finer block-level dedup lane
+    # Grown r11 alongside curation_concat_chunk_census (pick has 3 green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "curation_chunk_windows",         # overlap chunking generator: curation_concat_chunk_census (rotating) runs the harder cross-doc packing cut with the same token lanes; curation_token_pack_bins keeps best-fit binning
 })
 
 

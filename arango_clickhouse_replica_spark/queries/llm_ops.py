@@ -5280,3 +5280,117 @@ def embed_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+_CHUNK_LEN = 2048
+
+
+@query(
+    "curation_concat_chunk_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tk,
+             SUM(tk) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tk) AS BIGINT) AS total_tokens,
+           CAST((SUM(tk) + {_CHUNK_LEN - 1}) // {_CHUNK_LEN} AS BIGINT)
+             AS n_chunks,
+           CAST(SUM(CASE WHEN (cum - tk) // {_CHUNK_LEN}
+                              <> (cum - 1) // {_CHUNK_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split,
+           CAST((1000 * SUM(CASE WHEN (cum - tk) // {_CHUNK_LEN}
+                                      <> (cum - 1) // {_CHUNK_LEN}
+                                 THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS pct_split_milli
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "packing", "distributed-rank"),
+    doc="Concat-and-chunk boundary census (r11) — GPT-style pretraining "
+        "packs each source's documents end to end (EOS-joined, doc_id "
+        "order) and cuts fixed context windows of {n} tokens; a document "
+        "whose span straddles a cut boundary is SPLIT across training "
+        "sequences (attention never sees it whole). This is the other "
+        "packing regime beside best-fit binning "
+        "(curation_token_pack_bins) and its cost is exactly what this "
+        "census reports per source: docs, tokens, chunk count, and how "
+        "many docs get split (count + milli-rate). The per-source token "
+        "offsets are a distributed two-pass prefix sum — key-DERIVED "
+        "shard ids from 1-row broadcast doc_id bounds (stable across "
+        "plan branches), running sums within (source, shard), broadcast "
+        "per-shard cumulative offsets over the |sources| x shards "
+        "relation — never a corpus-wide single-partition window. All "
+        "integer arithmetic ends in exact div lanes.".format(
+            n=_CHUNK_LEN),
+)
+def curation_concat_chunk_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tk"),
+    )
+    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    bounds = docs.agg(
+        F.min("doc_id").alias("__k0"), F.max("doc_id").alias("__k1")
+    )
+    sharded = (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"cast(((doc_id - __k0) * {n_shards})"
+                " div (__k1 - __k0 + 1) as int)"
+            ),
+        )
+        .drop("__k0", "__k1")
+    )
+    w_in = (
+        Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_in = sharded.withColumn("cum_in", F.sum("tk").over(w_in))
+    stot = sharded.groupBy("source", "shard").agg(
+        F.sum("tk").cast("long").alias("stk")
+    )
+    w_off = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over the |sources| x n_shards offsets relation
+    offsets = stot.select(
+        "source", "shard",
+        F.coalesce(F.sum("stk").over(w_off), F.lit(0)).alias("off"),
+    )
+    c = (
+        cum_in.join(F.broadcast(offsets), ["source", "shard"])
+        .withColumn("cum", F.col("off") + F.col("cum_in"))
+    )
+    split_flag = F.when(
+        F.expr(f"(cum - tk) div {_CHUNK_LEN}")
+        != F.expr(f"(cum - 1) div {_CHUNK_LEN}"), 1
+    ).otherwise(0)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("total_tokens"),
+            F.expr(f"cast((sum(tk) + {_CHUNK_LEN - 1}) div {_CHUNK_LEN} "
+                   "as long)").alias("n_chunks"),
+            F.sum(split_flag).cast("long").alias("n_docs_split"),
+        )
+        .select(
+            "source", "n_docs", "total_tokens", "n_chunks", "n_docs_split",
+            F.expr("(1000 * n_docs_split) div n_docs").cast("long")
+            .alias("pct_split_milli"),
+        )
+        .orderBy("source")
+    )

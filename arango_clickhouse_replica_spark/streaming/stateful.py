@@ -1054,3 +1054,131 @@ def streaming_summap_monitor(df: DataFrame) -> DataFrame:
         fold, _SUMMAP_SCHEMA, _SUMMAP_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),  # monotone per emission
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("increase_milli", T.LongType()),
+    ]
+)
+_COUNTER_STATE = ("has_prev boolean, prev long, n_samples long, "
+                  "n_resets long, increase long")
+
+
+def streaming_counter_rate_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``q_counter_rate_resets``: per user, the
+    running deltaSum/increase() with PromQL restart semantics (a drop
+    restarts the counter; the new value counts in full) maintained as
+    streaming state — the live counter-rate lane a metrics replica
+    tails. The fold is order-sensitive WITHIN its contract: rows sort
+    by (ts, event_id) inside each batch and batches arrive in event
+    order (the same total order the batch window uses), so the drained
+    final emission per user equals the batch row exactly. State per
+    user is four integers.
+
+    Expects ``user_id``, ``ts``, ``event_id``, ``v_milli`` (the caller
+    pre-computes ``floor(value*1000)`` JVM-side)."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        has_prev, prev, n, resets, inc = (
+            state.get if state.exists else (False, 0, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts"], pdf["event_id"],
+                                  pdf["v_milli"]):
+                rows.append((ts, int(eid), int(v)))
+        rows.sort()
+        for _, _, v in rows:
+            n += 1
+            if has_prev:
+                if v >= prev:
+                    inc += v - prev
+                else:
+                    resets += 1
+                    inc += v
+            has_prev, prev = True, v
+        state.update((has_prev, prev, n, resets, inc))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_samples": [n],
+                "n_resets": [resets],
+                "increase_milli": [inc],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold, _COUNTER_SCHEMA, _COUNTER_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+_HOTKEY_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_changes", T.LongType()),  # monotone per emission
+        T.StructField("n_keys", T.LongType()),
+        T.StructField("max_key_changes", T.LongType()),
+        T.StructField("hot_key", T.LongType()),
+        T.StructField("skew_ratio_milli", T.LongType()),
+        T.StructField("recommended_salt", T.LongType()),
+    ]
+)
+_HOTKEY_STATE = "keys array<long>, counts array<long>"
+
+
+def streaming_hot_key_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``cdc_hot_key_skew_report``: per key-shard,
+    running per-key change counts folded into the same skew/salt
+    decision columns the batch report hashes — the live reducer-skew
+    alarm that pages BEFORE the apply pipeline's hot reducer does.
+    Counts are order/batch-boundary insensitive (integer adds), so the
+    drained final emission per shard equals the batch row exactly.
+    State per shard is the shard's key census — the SAME cardinality
+    the batch aggregate shuffles, sharded |shards| ways.
+
+    Expects ``shard``, ``user_id`` rows (one per change)."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        keys, counts = state.get if state.exists else ([], [])
+        keys, counts = list(keys), list(counts)
+        idx = {k: i for i, k in enumerate(keys)}
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                u = int(uid)
+                i = idx.get(u)
+                if i is None:
+                    idx[u] = len(keys)
+                    keys.append(u)
+                    counts.append(1)
+                else:
+                    counts[i] += 1
+        state.update((keys, counts))
+        total = sum(counts)
+        n_keys = len(keys)
+        mx = max(counts)
+        hot = min(k for k, c in zip(keys, counts) if c == mx)
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_changes": [total],
+                "n_keys": [n_keys],
+                "max_key_changes": [mx],
+                "hot_key": [hot],
+                "skew_ratio_milli": [(1000 * mx * n_keys) // total],
+                "recommended_salt": [
+                    max((mx * n_keys + 4 * total - 1) // (4 * total), 1)
+                ],
+            }
+        )
+
+    return df.groupBy("shard").applyInPandasWithState(
+        fold, _HOTKEY_SCHEMA, _HOTKEY_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -228,6 +228,7 @@ HEADLINE = [
     "mm_qoi_decode_features",
     "mm_adpcm_transcode_report",
     "mm_image_tile_dedup",
+    "curation_concat_chunk_census",
 ]
 
 

@@ -467,6 +467,11 @@ BNLJ_ALLOWED = {
         "the only BNLJ is the 1-row safety-watermark aggregate "
         "broadcast-attached to classify per-key delete finality — "
         "O(K x 1); everything else is map-side-combinable aggregates",
+    "curation_concat_chunk_census":
+        "the only BNLJ is the 1-row doc_id-bounds aggregate broadcast-"
+        "attached for the key-derived shard id of the distributed "
+        "two-pass prefix sum — O(N x 1); the offsets attach is a "
+        "broadcast hash equi-join on (source, shard)",
     "cdc_watermark_sizing":
         "the only BNLJ is the 1-row max-_ver aggregate broadcast-attached "
         "to slice the stream to the last _SIZING_SLICE_VERS arrival "

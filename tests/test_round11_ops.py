@@ -224,3 +224,35 @@ def test_tombstone_gc_states_partition_keys(spark, tmp_path):
     assert sum(s[0] for s in by_state.values()) == n
     assert by_state["gc_eligible"][2] > 0
     assert by_state["alive"][2] == 0 and by_state["resurrected"][2] == 0
+
+
+def test_concat_chunk_split_accounting(spark, tmp_path):
+    """Hand-built sources: a doc crossing the 2048 cut is split, docs
+    fully inside a window are not, and a doc longer than the window is
+    always split; chunk counts are exact ceilings."""
+    def doc(did, n_tokens, source):
+        return (did, " ".join(["w"] * n_tokens), "en", source,
+                2 * n_tokens - 1)
+
+    rows = [
+        doc(1, 2000, "a"),   # [0, 2000)       -> inside chunk 0
+        doc(2, 100, "a"),    # [2000, 2100)    -> crosses 2048: split
+        doc(3, 48, "a"),     # [2100, 2148)    -> inside chunk 1
+        doc(4, 4096, "b"),   # [0, 4096)       -> longer than window: split
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in QUERIES["curation_concat_chunk_census"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n_docs, a.total_tokens, a.n_chunks) == (3, 2148, 2)
+    assert a.n_docs_split == 1
+    assert a.pct_split_milli == 333
+    b = out["b"]
+    assert (b.n_docs, b.total_tokens, b.n_chunks) == (1, 4096, 2)
+    assert b.n_docs_split == 1 and b.pct_split_milli == 1000

@@ -1065,3 +1065,120 @@ def test_streaming_summap_monitor_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert live == batch
+
+
+def test_streaming_counter_rate_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The drained per-user counter emissions (last per user) must equal
+    the batch q_counter_rate_resets rows exactly, with events split
+    across micro-batches at a time boundary (the twin's ordered-batch
+    contract) and shuffled within each batch (the fold re-sorts)."""
+    from pyspark.sql import functions as SF
+
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_counter_rate_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id",
+        SF.floor(SF.coalesce(SF.col("value"), SF.lit(0.0)) * 1000)
+        .cast("long").alias("v_milli"),
+    )
+    cutoff = ev.agg(
+        SF.expr("percentile(unix_micros(ts), 0.5)").alias("c")
+    ).collect()[0].c
+    early = ev.filter(SF.expr(f"unix_micros(ts) < {int(cutoff)}")).cache()
+    early.count()
+    late = ev.filter(SF.expr(f"unix_micros(ts) >= {int(cutoff)}"))
+    src = str(tmp_path / "src")
+    early.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_counter_rate_monitor(
+            spark.readStream.schema(early.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("counter_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.user_id: (r.n_samples, r.n_resets, r.increase_milli)
+        for r in spark.sql(
+            """SELECT user_id, n_samples, n_resets, increase_milli FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_samples DESC) AS rn
+                 FROM counter_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n_samples, r.n_resets, r.increase_milli)
+        for r in QUERIES["q_counter_rate_resets"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch
+
+
+def test_streaming_hot_key_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """The drained per-shard hot-key emissions (last per shard) must
+    equal the batch cdc_hot_key_skew_report rows exactly — skew ratio
+    and salt recommendation included — with changes split arbitrarily
+    across micro-batches (counts are order-insensitive)."""
+    from pyspark.sql import functions as SF
+
+    from arango_clickhouse_replica_spark.queries.registry import QUERIES
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_hot_key_monitor,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        (SF.col("user_id") % 8).cast("long").alias("shard"),
+        "user_id", "event_id",
+    )
+    half = ev.filter(SF.col("event_id") % 2 == 0).drop("event_id").cache()
+    half.count()
+    rest = ev.filter(SF.col("event_id") % 2 == 1).drop("event_id")
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.mode("append").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_hot_key_monitor(
+            spark.readStream.schema(half.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("hotkey_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.shard: tuple(r)[1:]
+        for r in spark.sql(
+            """SELECT shard, n_changes, n_keys, max_key_changes, hot_key,
+                      skew_ratio_milli, recommended_salt FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY n_changes DESC) AS rn
+                 FROM hotkey_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.shard: tuple(r)[1:]
+        for r in QUERIES["cdc_hot_key_skew_report"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch
