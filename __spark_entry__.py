@@ -283,6 +283,11 @@ ROTATION_EXEMPT = frozenset({
     # Grown r11 alongside curation_concat_chunk_census (pick has 3 green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "curation_chunk_windows",         # overlap chunking generator: curation_concat_chunk_census (rotating) runs the harder cross-doc packing cut with the same token lanes; curation_token_pack_bins keeps best-fit binning
+    # Grown r11 alongside text_boilerplate_line_census + text_code_detection
+    # (each pick has 2 green driver rounds plus every full-registry
+    # VERIFY_FULL record; still driven every round):
+    "text_keyphrase_tfidf_topk",      # per-doc tf-idf keyphrases: dedup_tfidf_cosine_topk (rotating) re-runs the identical tf-idf weighting inside the cosine-pair kernel; text_bm25_topk keeps the term-weight ranking lane
+    "text_char_entropy",              # char-distribution entropy: text_boilerplate_line_census + text_code_detection (rotating) keep character/symbol-statistics censuses; curation_excess_surprisal_reweight keeps the exact log2-bin entropy arithmetic
 })
 
 

@@ -831,3 +831,254 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_bigrams").cast("double")).alias("avg_kn_lp_bits"),
         )
     )
+
+
+@query(
+    "text_boilerplate_line_census",
+    oracle="""
+    WITH paged AS (
+      SELECT doc_id, source,
+             'home about contact ' || source AS header,
+             string_split(text, ' ') AS words,
+             'copyright ' || source || ' all rights reserved' AS footer
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source, header AS line FROM paged
+      UNION ALL
+      SELECT doc_id, source,
+             array_to_string(words[CAST(s + 1 AS INT):CAST(s + 12 AS INT)],
+                             ' ')
+      FROM paged, unnest(range(0, len(words), 12)) AS u(s)
+      UNION ALL
+      SELECT doc_id, source, footer FROM paged
+    ),
+    toks AS (
+      SELECT doc_id, source, md5(line) AS h,
+             CAST(len(string_split(line, ' ')) AS BIGINT) AS tk
+      FROM lines
+    ),
+    df AS (
+      SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS occ,
+             CAST(SUM(tk) AS BIGINT) AS tok_occ
+      FROM toks GROUP BY source, h
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY source
+    ),
+    flagged AS (
+      SELECT d.source, d.h, d.occ, d.tok_occ,
+             CASE WHEN d.df >= 2
+                       AND 1000 * d.df >= 500 * n.n_docs
+                  THEN 1 ELSE 0 END AS bp
+      FROM df d JOIN nd n ON d.source = n.source
+    )
+    SELECT source,
+           CAST(SUM(occ) AS BIGINT) AS n_lines_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+           CAST(SUM(bp) AS BIGINT) AS n_boilerplate_lines,
+           CAST(SUM(CASE WHEN bp = 1 THEN tok_occ ELSE 0 END)
+                AS BIGINT) AS boilerplate_tokens,
+           CAST((1000 * SUM(CASE WHEN bp = 1 THEN tok_occ ELSE 0 END))
+                // SUM(tok_occ) AS BIGINT) AS boilerplate_share_milli
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    tags=("text", "boilerplate", "dedup", "extraction"),
+    doc="Boilerplate line census (r11) — the trafilatura/jusText "
+        "problem: crawled pages repeat their site's nav headers and "
+        "legal footers on every page, and training on them teaches the "
+        "model site chrome, not language. Detection is line-level "
+        "cross-document frequency WITHIN each source (boilerplate is "
+        "per-site by nature): pages rebuild as header + 12-word content "
+        "lines + footer (the synthetic chrome lane, like the URL-dedup "
+        "synth), every line hashes, and a line is boilerplate when it "
+        "appears in >= 2 docs AND >= 50% of the source's docs "
+        "(1000*df >= 500*n_docs, exact integer). Reports per source: "
+        "line volumes, distinct lines, boilerplate lines, and the "
+        "milli-share of tokens that are chrome — the removal budget. "
+        "Scale: two map-side-combinable hash aggregates ((source, "
+        "line-hash) then source) + a broadcast-size per-source dim join "
+        "— the passage-dedup shape at line granularity; no pair join.",
+)
+def text_boilerplate_line_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    paged = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit("home about contact "), F.col("source"))
+        .alias("header"),
+        F.split("text", " ").alias("words"),
+        F.concat(F.lit("copyright "), F.col("source"),
+                 F.lit(" all rights reserved")).alias("footer"),
+    )
+    content = paged.select(
+        "doc_id", "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, (size(words) - 1) div 12), "
+                "i -> concat_ws(' ', slice(words, i * 12 + 1, 12)))"
+            )
+        ).alias("line"),
+    )
+    lines = (
+        paged.select("doc_id", "source", F.col("header").alias("line"))
+        .unionByName(content)
+        .unionByName(
+            paged.select("doc_id", "source", F.col("footer").alias("line"))
+        )
+    )
+    toks = lines.select(
+        "doc_id", "source", F.md5("line").alias("h"),
+        F.size(F.split("line", " ")).cast("long").alias("tk"),
+    )
+    df = toks.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("occ"),
+        F.sum("tk").cast("long").alias("tok_occ"),
+    )
+    nd = toks.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    flagged = df.join(F.broadcast(nd), "source").select(
+        "source", "occ", "tok_occ",
+        F.when(
+            (F.col("df") >= 2)
+            & (1000 * F.col("df") >= 500 * F.col("n_docs")), 1
+        ).otherwise(0).alias("bp"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("occ").cast("long").alias("n_lines_total"),
+            F.count("*").cast("long").alias("n_distinct_lines"),
+            F.sum("bp").cast("long").alias("n_boilerplate_lines"),
+            F.sum(F.when(F.col("bp") == 1, F.col("tok_occ")).otherwise(0))
+            .cast("long").alias("boilerplate_tokens"),
+            F.sum("tok_occ").cast("long").alias("__tok_total"),
+        )
+        .select(
+            "source", "n_lines_total", "n_distinct_lines",
+            "n_boilerplate_lines", "boilerplate_tokens",
+            F.expr("(1000 * boilerplate_tokens) div __tok_total")
+            .cast("long").alias("boilerplate_share_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_CODE_SNIPPET_SQL = (
+    "repeat('def fn(a, b): s = a + b; return s; ', 1 + {d} % 5)"
+    " || 'print(fn(' || CAST({d} % 100 AS STRING) || ', 2));'"
+)
+
+
+@query(
+    "text_code_detection",
+    oracle=f"""
+    WITH blended AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3
+                  THEN {_CODE_SNIPPET_SQL.format(d='doc_id')}
+                  ELSE text END AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+             CAST(length(t) - length(replace(t, ';', '')) AS BIGINT)
+               AS n_semi,
+             CAST(length(t) - length(replace(t, '=', '')) AS BIGINT)
+               AS n_eq,
+             CAST(length(t) - length(replace(t, '(', '')) AS BIGINT)
+               AS n_lpar,
+             CAST((length(t) - length(replace(t, 'def ', ''))) // 4
+                  AS BIGINT) AS n_def,
+             CAST((length(t) - length(replace(t, 'return ', ''))) // 7
+                  AS BIGINT) AS n_ret
+      FROM blended
+    ),
+    scored AS (
+      SELECT source, n_words,
+             (1000 * (n_semi + n_eq + n_lpar + 3 * (n_def + n_ret)))
+               // n_words AS score_milli
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_milli >= 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_code_docs,
+           CAST((1000 * SUM(CASE WHEN score_milli >= 200 THEN 1
+                                 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS code_share_milli,
+           CAST(SUM(CASE WHEN score_milli >= 200 THEN n_words
+                         ELSE 0 END) AS BIGINT) AS code_tokens,
+           CAST(SUM(CASE WHEN score_milli < 200 THEN n_words
+                         ELSE 0 END) AS BIGINT) AS prose_tokens,
+           CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "classifier"),
+    doc="Code-vs-prose detection census (r11) — every pretraining "
+        "mixture needs to KNOW how much of each source is source code "
+        "(to route it to the code pile, apply code-specific filters, or "
+        "cap it), and the standard cheap detector is a symbol-density "
+        "score, not a neural model. Features are exact REPLACE-LENGTH "
+        "counts (semicolons, assignments, parens via "
+        "length(t)-length(replace(t,c,'')), keyword hits 'def '/'"
+        "'return ' via the same trick divided by pattern length) — "
+        "deliberately NO regex anywhere, the cross-engine fragility "
+        "class ADVICE r10 flagged; the milli-score is "
+        "1000*(symbols + 3*keywords) div words, thresholded at 200. "
+        "The fixture corpus is pure prose, so a deterministic code lane "
+        "(doc_id % 7 == 3 swaps in a generated snippet — the synth "
+        "pattern of the URL/boilerplate lanes) gives the detector both "
+        "classes to separate. Scale: one narrow scan projection into "
+        "one map-side-combinable census; zero shuffles before the "
+        "|sources|-row aggregate.",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    snippet = F.expr(_CODE_SNIPPET_SQL.format(d="doc_id"))
+    blended = docs.select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 7 == 3, snippet)
+        .otherwise(F.col("text")).alias("t"),
+    )
+    def cnt(pat, width=1):
+        c = F.length("t") - F.length(F.replace(F.col("t"), F.lit(pat)))
+        return (c / width).cast("long") if width > 1 else c.cast("long")
+
+    feats = blended.select(
+        "source",
+        F.size(F.split("t", " ")).cast("long").alias("n_words"),
+        (cnt(";") + cnt("=") + cnt("(")
+         + 3 * (cnt("def ", 4) + cnt("return ", 7))).alias("sym"),
+    )
+    scored = feats.select(
+        "source", "n_words",
+        F.expr("(1000 * sym) div n_words").alias("score_milli"),
+    )
+    is_code = F.col("score_milli") >= 200
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(is_code, 1).otherwise(0)).cast("long")
+            .alias("n_code_docs"),
+            F.sum(F.when(is_code, F.col("n_words")).otherwise(0))
+            .cast("long").alias("code_tokens"),
+            F.sum(F.when(~is_code, F.col("n_words")).otherwise(0))
+            .cast("long").alias("prose_tokens"),
+            F.max("score_milli").cast("long").alias("max_score_milli"),
+        )
+        .select(
+            "source", "n_docs", "n_code_docs",
+            F.expr("(1000 * n_code_docs) div n_docs").cast("long")
+            .alias("code_share_milli"),
+            "code_tokens", "prose_tokens", "max_score_milli",
+        )
+        .orderBy("source")
+    )

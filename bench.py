@@ -229,6 +229,8 @@ HEADLINE = [
     "mm_adpcm_transcode_report",
     "mm_image_tile_dedup",
     "curation_concat_chunk_census",
+    "text_boilerplate_line_census",
+    "text_code_detection",
 ]
 
 

@@ -256,3 +256,69 @@ def test_concat_chunk_split_accounting(spark, tmp_path):
     b = out["b"]
     assert (b.n_docs, b.total_tokens, b.n_chunks) == (1, 4096, 2)
     assert b.n_docs_split == 1 and b.pct_split_milli == 1000
+
+
+def _docs(spark, rows, path):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+
+def test_boilerplate_census_thresholds(spark, tmp_path):
+    """Header/footer chrome (every doc) is boilerplate; a content line
+    shared by 2 of 5 docs (40% < 50%) is NOT; one shared by 3 of 5
+    (60%) IS — both df>=2 and the 50% gate must hold."""
+    shared_majority = " ".join(["maj"] * 12)   # in docs 1,2,3 (60%)
+    shared_minority = " ".join(["min"] * 12)   # in docs 4,5 (40%)
+    rows = [
+        (1, shared_majority, "en", "s", 1),
+        (2, shared_majority, "en", "s", 1),
+        (3, shared_majority, "en", "s", 1),
+        (4, shared_minority, "en", "s", 1),
+        (5, shared_minority, "en", "s", 1),
+    ]
+    _docs(spark, rows, tmp_path)
+    out = {
+        r.source: r
+        for r in QUERIES["text_boilerplate_line_census"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s = out["s"]
+    # 5 headers + 5 content + 5 footers
+    assert s.n_lines_total == 15
+    # distinct: header, footer, maj-line, min-line
+    assert s.n_distinct_lines == 4
+    # boilerplate: header (5/5), footer (5/5), maj (3/5) — not min (2/5)
+    assert s.n_boilerplate_lines == 3
+    # tokens: header 4*5, footer 5*5, maj 12*3 = 81 of 105 total
+    assert s.boilerplate_tokens == 20 + 25 + 36
+    assert s.boilerplate_share_milli == (1000 * 81) // 105
+
+
+def test_code_detection_separates_classes(spark, tmp_path):
+    """The symbol-density score flags the generated snippet docs
+    (doc_id % 7 == 3) and nothing else on symbol-free prose; token
+    routing splits exactly."""
+    rows = [
+        (3, "plain words only here", "en", "s", 1),   # swapped for code
+        (10, "plain words only here", "en", "s", 1),  # 10 % 7 = 3: code
+        (1, "plain words only here", "en", "s", 1),
+        (2, " ".join(["w"] * 50), "en", "s", 1),
+    ]
+    _docs(spark, rows, tmp_path)
+    out = {
+        r.source: r
+        for r in QUERIES["text_code_detection"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s = out["s"]
+    assert (s.n_docs, s.n_code_docs) == (4, 2)
+    assert s.code_share_milli == 500
+    assert s.prose_tokens == 4 + 50
+    assert s.max_score_milli >= 200
+    # prose docs score exactly zero symbols -> all code tokens come
+    # from the generated snippets
+    assert s.code_tokens > 0

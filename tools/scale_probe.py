@@ -223,6 +223,8 @@ PROBES = [
     "mm_adpcm_transcode_report",
     "mm_image_tile_dedup",
     "curation_concat_chunk_census",
+    "text_boilerplate_line_census",
+    "text_code_detection",
 ]
 
 
