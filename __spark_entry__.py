@@ -288,6 +288,12 @@ ROTATION_EXEMPT = frozenset({
     # VERIFY_FULL record; still driven every round):
     "text_keyphrase_tfidf_topk",      # per-doc tf-idf keyphrases: dedup_tfidf_cosine_topk (rotating) re-runs the identical tf-idf weighting inside the cosine-pair kernel; text_bm25_topk keeps the term-weight ranking lane
     "text_char_entropy",              # char-distribution entropy: text_boilerplate_line_census + text_code_detection (rotating) keep character/symbol-statistics censuses; curation_excess_surprisal_reweight keeps the exact log2-bin entropy arithmetic
+    # Grown r11 alongside q_array_hof_parity + embed_int8_ranking_shift
+    # (each pick has 2-3 green driver rounds plus every full-registry
+    # VERIFY_FULL record; still driven every round):
+    "q_string_agg_segments",          # ordered string_agg: q_array_hof_parity (rotating) serializes ordered array lanes to the same canonical CSV shape; q_clickhouse_summap_parity keeps the ordered map-cell string lane
+    "ann_topk_int8_rerank",           # two-stage SQ8 rerank: embed_int8_ranking_shift (rotating) re-runs the identical int8 quantizer + integer-matmul partition shortlist on TWO lanes; stays a pinned bench query and composed in both recall reports
+    "dedup_containment_topk",         # asymmetric containment pairs: dedup_ngram_jaccard_topk (rotating) runs the identical df-capped single-shuffle grouped-pair kernel with the symmetric measure; dedup_prefix_filter_clustered keeps threshold-verified candidates
 })
 
 

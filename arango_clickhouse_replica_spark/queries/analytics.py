@@ -2496,3 +2496,89 @@ def q_simple_linreg_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n_d, 6)
         .alias("intercept_milli"),
     ).orderBy("segment")
+
+
+@query(
+    "q_array_hof_parity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT)
+                  ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n,
+           CAST(len(list_filter(vs, x -> x >= 50000)) AS BIGINT)
+             AS n_high,
+           CAST(list_sum(list_transform(vs, x -> x * 2 + 1)) AS BIGINT)
+             AS mapped_sum,
+           CAST(list_sum(list_transform(
+                  list_zip(vs[1:len(vs) - 1], vs[2:len(vs)]),
+                  p -> CASE WHEN p[2] > p[1] THEN 1 ELSE 0 END))
+                AS BIGINT) AS n_ascents,
+           COALESCE(array_to_string(list_transform(
+             list_filter(vs, x -> x % 7 = 0), x -> CAST(x AS STRING)),
+             ','), '') AS sevens_csv
+    FROM seq ORDER BY user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "higher-order"),
+    doc="Higher-order array-function parity (r11) — ClickHouse's "
+        "arrayFilter/arrayMap/arraySum/arrayZip lambda family (the "
+        "replica's users post-process groupArray sequences with them "
+        "constantly). Per user, the (ts, event_id)-ordered milli-value "
+        "sequence is built once (array_sort over collect_list of "
+        "structs — deterministic total order), then: filtered count, "
+        "mapped-sum (x*2+1), pairwise-ascent count via zip_with on the "
+        "shifted array (arrayDifference's shape), and a filtered "
+        "projection serialized as the canonical CSV so the ARRAY lane "
+        "itself is value-hashed (never emitted as a raw array — the "
+        "driver contract). Every lambda runs JVM-side inside Catalyst "
+        "(no Python in the row path). Scale: one user-keyed hash "
+        "aggregate; per-user arrays are bounded by per-entity event "
+        "counts, the groupArray contract.",
+)
+def q_array_hof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id",
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+                .cast("long").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x["v"]
+            ).alias("vs")
+        )
+    )
+    vs = F.col("vs")
+    return seq.select(
+        "user_id",
+        F.size(vs).cast("long").alias("n"),
+        F.size(F.filter(vs, lambda x: x >= 50000)).cast("long")
+        .alias("n_high"),
+        F.aggregate(
+            F.transform(vs, lambda x: x * 2 + 1),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).cast("long").alias("mapped_sum"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(vs, 1, F.size(vs) - 1),
+                F.slice(vs, 2, F.size(vs) - 1),
+                lambda a, b: F.when(b > a, 1).otherwise(0),
+            ),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).cast("long").alias("n_ascents"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter(vs, lambda x: x % 7 == 0),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sevens_csv"),
+    ).orderBy("user_id")

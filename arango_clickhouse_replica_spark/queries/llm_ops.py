@@ -5394,3 +5394,213 @@ def curation_concat_chunk_census(
         )
         .orderBy("source")
     )
+
+
+def _int8_shift_oracle(k: int = 5, q_max: int = 256) -> str:
+    """DuckDB mirror of embed_int8_ranking_shift: both ranking lanes are
+    EXACT integer dot products (milli-quantized truth vs symmetric int8
+    codes), so every rank, overlap count, and agreement flag is
+    bit-determined on both engines — no float ranking anywhere."""
+    codes8 = ("CASE WHEN vabs = 0 THEN list_transform(e, x -> 0) ELSE "
+              "list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, "
+              "floor(x * 127.0 / vabs))) AS BIGINT)) END")
+    codesm = "list_transform(e, x -> CAST(floor(x * 1000.0) AS BIGINT))"
+
+    def idot(a: str, b: str) -> str:
+        return (f"CAST(list_reduce(list_transform(list_zip({a}, {b}), "
+                "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), "
+                "(p, q) -> p + q) AS BIGINT)")
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_aggregate(list_transform(embedding,
+                    x -> abs(x)), 'max') AS DOUBLE) AS vabs
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, {codes8} AS c8, {codesm} AS cm FROM base
+    ),
+    q AS (
+      SELECT vec_id AS query_id, c8 AS q8, cm AS qm
+      FROM coded WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT {q_max}
+    ),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS nid,
+             {idot('q.q8', 'c.c8')} AS d8,
+             {idot('q.qm', 'c.cm')} AS dm
+      FROM q JOIN coded c ON c.vec_id <> q.query_id
+    ),
+    r8 AS (
+      SELECT query_id, nid, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY d8 DESC, nid) AS rn
+      FROM pairs
+    ),
+    rm AS (
+      SELECT query_id, nid, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY dm DESC, nid) AS rn
+      FROM pairs
+    ),
+    ov AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT * FROM r8 WHERE rn <= {k}) a
+      JOIN (SELECT * FROM rm WHERE rn <= {k}) b
+        ON a.query_id = b.query_id AND a.nid = b.nid
+      GROUP BY a.query_id
+    ),
+    firsts AS (
+      SELECT q.query_id,
+             (SELECT MIN(CASE WHEN rn = 1 THEN nid END) FROM r8
+               WHERE r8.query_id = q.query_id) AS f8,
+             (SELECT MIN(CASE WHEN rn = 1 THEN nid END) FROM rm
+               WHERE rm.query_id = q.query_id) AS fm
+      FROM q
+    )
+    SELECT f.query_id,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN f.f8 = f.fm THEN 1 ELSE 0 END AS BIGINT)
+             AS top1_agree
+    FROM firsts f LEFT JOIN ov o ON f.query_id = o.query_id
+    ORDER BY f.query_id
+    """
+
+
+@query(
+    "embed_int8_ranking_shift",
+    oracle=_int8_shift_oracle(),
+    tags=("similarity", "ann", "quantization", "report"),
+    doc="int8 ranking-shift audit (r11) — before shipping an SQ8 index "
+        "(ann_topk_int8_rerank's stage 1), the engineering question is "
+        "HOW MUCH the quantized ranking disagrees with full precision, "
+        "per query, not just recall-in-aggregate: per bounded query "
+        "(Q_MAX=256, orderBy+limit), top-5 by the symmetric int8 code "
+        "dot vs top-5 by the milli-quantized (floor(x*1000)) truth "
+        "lane, reporting the overlap count and whether rank-1 agrees. "
+        "BOTH lanes are exact integer dot products with id tiebreaks — "
+        "no float ranking anywhere, so every rank is bit-determined "
+        "cross-engine (the exactness contract the r9/r10 verdicts "
+        "demanded of hashed top-k). Scale: one Arrow pass computes BOTH "
+        "integer matmuls per partition and keeps only per-partition "
+        "shortlists (the measured-at-10x partition-shortlist shape; "
+        "exchange carries partitions*Q*(k+1)*2 rows, never N*Q); the "
+        "overlap join runs on Q*k survivor rows.",
+)
+def embed_int8_ranking_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    k, q_max = 5, 256
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+        .cast("double").alias("vabs"),
+    )
+    code8 = F.when(
+        F.col("vabs").isNull() | (F.col("vabs") == 0),
+        F.transform("embedding", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0),
+                        F.floor(x.cast("double") * 127.0 / F.col("vabs"))),
+            ).cast("long"),
+        )
+    )
+    codem = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000.0).cast("long"),
+    )
+    coded = emb.select("vec_id", code8.alias("c8"), codem.alias("cm"))
+    qrows = (
+        coded.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(q_max)
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q8 = np.array([r.c8 for r in qrows], dtype=np.int64)
+    qm = np.array([r.cm for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q8, qm))
+
+    def both_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, m8, mm = bc.value
+        topn = k + 1  # survive self-match removal downstream
+        for pdf in batches:
+            pdf = pdf[pdf["c8"].notna() & pdf["cm"].notna()]
+            if pdf.empty:
+                continue
+            c8 = np.stack(pdf["c8"].map(np.asarray)).astype(np.int64)
+            cm = np.stack(pdf["cm"].map(np.asarray)).astype(np.int64)
+            cid = pdf["vec_id"].to_numpy()
+            out = []
+            for lane, scores in (("i8", m8 @ c8.T), ("mi", mm @ cm.T)):
+                n = min(topn, scores.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(cid, scores.shape), -scores), axis=1
+                )[:, :n]
+                out.append(pd.DataFrame({
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": cid[order.ravel()],
+                    "score": np.take_along_axis(scores, order, axis=1)
+                    .ravel(),
+                    "lane": lane,
+                }))
+            yield pd.concat(out)
+
+    shards = coded
+    parallelism = spark.sparkContext.defaultParallelism
+    if shards.rdd.getNumPartitions() < parallelism:
+        shards = shards.repartition(parallelism)
+    partial = shards.mapInPandas(
+        both_topk,
+        "query_id long, neighbor_id long, score long, lane string",
+    )
+    w = Window.partitionBy("lane", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    top = (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    t8 = top.filter(F.col("lane") == "i8").select(
+        "query_id", "neighbor_id", "rn")
+    tm = top.filter(F.col("lane") == "mi").select(
+        F.col("query_id").alias("qm_id"),
+        F.col("neighbor_id").alias("nm_id"),
+        F.col("rn").alias("rm"),
+    )
+    ov = (
+        t8.join(
+            tm,
+            (t8.query_id == tm.qm_id) & (t8.neighbor_id == tm.nm_id),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    firsts = (
+        t8.filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("f8"))
+        .join(
+            tm.filter(F.col("rm") == 1)
+            .select(F.col("qm_id").alias("query_id"),
+                    F.col("nm_id").alias("fm")),
+            "query_id",
+        )
+    )
+    return (
+        firsts.join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+            .alias("n_overlap"),
+            F.when(F.col("f8") == F.col("fm"), 1).otherwise(0)
+            .cast("long").alias("top1_agree"),
+        )
+        .orderBy("query_id")
+    )

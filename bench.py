@@ -231,6 +231,8 @@ HEADLINE = [
     "curation_concat_chunk_census",
     "text_boilerplate_line_census",
     "text_code_detection",
+    "q_array_hof_parity",
+    "embed_int8_ranking_shift",
 ]
 
 

@@ -322,3 +322,83 @@ def test_code_detection_separates_classes(spark, tmp_path):
     # prose docs score exactly zero symbols -> all code tokens come
     # from the generated snippets
     assert s.code_tokens > 0
+
+
+def test_array_hof_semantics(spark, tmp_path):
+    """Filter/map/zip-with ascents/CSV lanes on a hand-built sequence;
+    the (ts, event_id) tiebreak orders the array."""
+    rows = [
+        # user 1 ordered values: 70, 7, 14, 63 (ids tiebreak equal ts)
+        (1, T0, 1, "view", 0.070),
+        (1, T0, 2, "view", 0.007),
+        (1, T0.replace(minute=1), 3, "view", 0.014),
+        (1, T0.replace(minute=2), 4, "view", 0.063),
+    ]
+    _events(spark, rows, tmp_path)
+    out = {
+        r.user_id: r
+        for r in QUERIES["q_array_hof_parity"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    u = out[1]
+    assert u.n == 4
+    assert u.n_high == 0  # all < 50000 milli
+    assert u.mapped_sum == (141 + 15 + 29 + 127)
+    assert u.n_ascents == 2  # 7->14, 14->63
+    assert u.sevens_csv == "70,7,14,63"  # all multiples of 7
+
+
+def test_int8_ranking_shift_flip_detected(spark, tmp_path):
+    """A crafted quantization collision: two candidates whose int8
+    codes tie (id decides) while milli codes order them oppositely —
+    the audit must report the rank-1 flip; a numpy reimplementation
+    cross-checks every row."""
+    import numpy as np
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        (0, v(1.0, 0.0), 0),      # the query (0 % 100 == 0)
+        (1, v(0.8, 0.6), 1),      # int8 [127, 95]  milli 800
+        (2, v(0.9, 0.1), 2),      # int8 [127, 14]  milli 900
+        (3, v(0.5, 0.5), 3),      # int8 [127, 127] milli 500
+        (4, v(-0.2, 0.1), 4),
+        (5, v(0.05, 0.9), 5),
+        (6, v(0.3, -0.3), 6),
+    ]
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+    out = {r.query_id: r
+           for r in QUERIES["embed_int8_ranking_shift"].build(
+               spark, str(tmp_path)).collect()}
+    assert set(out) == {0}
+
+    # independent reference: float32 ingestion, both integer lanes
+    def lanes(x):
+        x = np.asarray(x, dtype=np.float32).astype(np.float64)
+        vabs = np.abs(x).max()
+        c8 = (np.clip(np.floor(x * 127.0 / vabs), -127, 127).astype(int)
+              if vabs else np.zeros(len(x), int))
+        return c8, np.floor(x * 1000.0).astype(int)
+
+    q8, qm = lanes(rows[0][1])
+    scored = []
+    for vid, emb, _ in rows[1:]:
+        c8, cm = lanes(emb)
+        scored.append((vid, int(q8 @ c8), int(qm @ cm)))
+    top8 = [t[0] for t in sorted(scored, key=lambda t: (-t[1], t[0]))][:5]
+    topm = [t[0] for t in sorted(scored, key=lambda t: (-t[2], t[0]))][:5]
+    r = out[0]
+    assert r.n_overlap == len(set(top8) & set(topm))
+    assert r.top1_agree == int(top8[0] == topm[0])
+    # the construction actually flips rank 1: int8 ties 1 and 2 at 127
+    # (id 1 wins), milli puts 2 (900) over 1 (800)
+    assert top8[0] == 1 and topm[0] == 2 and r.top1_agree == 0

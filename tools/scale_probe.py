@@ -225,6 +225,8 @@ PROBES = [
     "curation_concat_chunk_census",
     "text_boilerplate_line_census",
     "text_code_detection",
+    "q_array_hof_parity",
+    "embed_int8_ranking_shift",
 ]
 
 
