@@ -294,6 +294,9 @@ ROTATION_EXEMPT = frozenset({
     "q_string_agg_segments",          # ordered string_agg: q_array_hof_parity (rotating) serializes ordered array lanes to the same canonical CSV shape; q_clickhouse_summap_parity keeps the ordered map-cell string lane
     "ann_topk_int8_rerank",           # two-stage SQ8 rerank: embed_int8_ranking_shift (rotating) re-runs the identical int8 quantizer + integer-matmul partition shortlist on TWO lanes; stays a pinned bench query and composed in both recall reports
     "dedup_containment_topk",         # asymmetric containment pairs: dedup_ngram_jaccard_topk (rotating) runs the identical df-capped single-shuffle grouped-pair kernel with the symmetric measure; dedup_prefix_filter_clustered keeps threshold-verified candidates
+    # Grown r11 alongside mm_exif_orientation_census (pick has a green
+    # driver round plus every full-registry VERIFY_FULL record):
+    "mm_aspect_resize_plan",          # aspect bucket + resize decision: mm_exif_orientation_census (rotating) computes the same display-dimension normalization UPSTREAM of bucketing (the orientation transpose is what aspect bucketing must consume); mm_media_dataset_card keeps the dims census
 })
 
 

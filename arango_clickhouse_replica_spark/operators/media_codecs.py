@@ -1641,3 +1641,112 @@ def adpcm_decode(payload: bytes, n_samples: int) -> list:
         idx = max(0, min(88, idx + _ADPCM_INDEX[code & 7]))
         out.append(pred)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 / EXIF metadata (public Adobe TIFF + JEITA EXIF specs)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_WIDTH = 0x0100   # ImageWidth
+_EXIF_TAG_HEIGHT = 0x0101  # ImageLength
+_EXIF_TAG_MAKE = 0x010F    # Make (ASCII)
+_EXIF_TAG_ORIENT = 0x0112  # Orientation (1..8)
+
+
+def encode_exif_jpeg_header(width: int, height: int, orientation: int,
+                            make: str, *, big_endian: bool = False) -> bytes:
+    """Serialize a real JPEG APP1/EXIF segment: SOI, APP1 marker with the
+    'Exif\\0\\0' identifier, then a genuine TIFF 6.0 structure (II or MM
+    byte order, magic 42, one IFD with ImageWidth/ImageLength LONGs,
+    Orientation SHORT, and an out-of-line ASCII Make) — the metadata
+    head of every camera JPEG. Any EXIF reader parses it."""
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    e = ">" if big_endian else "<"
+    make_b = make.encode("ascii") + b"\x00"
+    # IFD: 4 entries of 12 bytes each, after the 8-byte TIFF header
+    n = 4
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4  # Make bytes live here
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # value fields are left-justified in their 4 bytes per spec
+        if typ == 3 and count == 1:  # SHORT
+            return (struct.pack(f"{e}HHI", tag, typ, count)
+                    + struct.pack(f"{e}H", value) + b"\x00\x00")
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    ifd = struct.pack(f"{e}H", n)
+    ifd += entry(_EXIF_TAG_WIDTH, 4, 1, width)        # LONG
+    ifd += entry(_EXIF_TAG_HEIGHT, 4, 1, height)      # LONG
+    ifd += entry(_EXIF_TAG_MAKE, 2, len(make_b), data_off)  # ASCII
+    ifd += entry(_EXIF_TAG_ORIENT, 3, 1, orientation)  # SHORT
+    ifd += struct.pack(f"{e}I", 0)  # next-IFD pointer: none
+    tiff = ((b"MM" if big_endian else b"II")
+            + struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", ifd_off)
+            + ifd + make_b)
+    app1_body = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8" + b"\xff\xe1"
+            + struct.pack(">H", len(app1_body) + 2) + app1_body)
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Parse a JPEG APP1/EXIF segment: SOI + APP1 walk, 'Exif\\0\\0'
+    identifier, TIFF byte-order detection (II vs MM), magic-42 check,
+    IFD entry scan with in-line vs out-of-line value resolution (SHORT/
+    LONG/ASCII). Returns width/height/orientation/make plus the
+    DISPLAY dimensions after orientation normalization (orientations
+    5-8 transpose)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker == 0xE1 and payload[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = payload[pos + 10:pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        raise ValueError("no EXIF APP1 segment")
+    if tiff[:2] == b"II":
+        e = "<"
+    elif tiff[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    if struct.unpack_from(f"{e}H", tiff, 2)[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd_off = struct.unpack_from(f"{e}I", tiff, 4)[0]
+    n = struct.unpack_from(f"{e}H", tiff, ifd_off)[0]
+    out = {"width": None, "height": None, "orientation": 1, "make": None}
+    for i in range(n):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack_from(f"{e}HHI", tiff, off)
+        if typ == 3:    # SHORT, in-line
+            val = struct.unpack_from(f"{e}H", tiff, off + 8)[0]
+        elif typ == 4:  # LONG, in-line
+            val = struct.unpack_from(f"{e}I", tiff, off + 8)[0]
+        elif typ == 2:  # ASCII, out-of-line when count > 4
+            doff = struct.unpack_from(f"{e}I", tiff, off + 8)[0]
+            raw = tiff[doff:doff + count]
+            val = raw.rstrip(b"\x00").decode("ascii")
+        else:
+            continue
+        if tag == _EXIF_TAG_WIDTH:
+            out["width"] = int(val)
+        elif tag == _EXIF_TAG_HEIGHT:
+            out["height"] = int(val)
+        elif tag == _EXIF_TAG_ORIENT:
+            out["orientation"] = int(val)
+        elif tag == _EXIF_TAG_MAKE:
+            out["make"] = val
+    if out["width"] is None or out["height"] is None:
+        raise ValueError("EXIF IFD missing dimensions")
+    transposed = out["orientation"] >= 5
+    out["display_w"] = out["height"] if transposed else out["width"]
+    out["display_h"] = out["width"] if transposed else out["height"]
+    return out

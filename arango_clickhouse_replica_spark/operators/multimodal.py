@@ -1960,3 +1960,70 @@ def extract_tile_signatures(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=TILE_SIG_SCHEMA)
+
+
+def synth_exif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG/EXIF headers: doc_id seeds dims
+    (100 + d%50 x 80 + d%40), orientation 1 + d%8, make 'cam' || d%5,
+    and the TIFF byte order alternates II/MM with doc parity — both
+    endian paths of the parser exercised corpus-wide."""
+    from .media_codecs import encode_exif_jpeg_header
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                blob = encode_exif_jpeg_header(
+                    100 + d % 50, 80 + d % 40, 1 + d % 8,
+                    f"cam{d % 5}", big_endian=bool(d % 2),
+                )
+                ids.append(d)
+                payloads.append(blob)
+                metas.append(
+                    {"mime": "image/jpeg", "n_bytes": len(blob),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("display_w", T.IntegerType(), True),
+        T.StructField("display_h", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_exif_metadata(media: DataFrame) -> DataFrame:
+    """REAL EXIF parse over binary payloads: JPEG marker walk, APP1
+    'Exif' identifier, TIFF byte-order detection, IFD entry scan with
+    in-line/out-of-line value resolution — the metadata every image
+    ingest must normalize (orientations 5-8 transpose the display
+    dimensions; training on un-rotated pixels with rotated labels is a
+    classic corpus bug)."""
+    from .media_codecs import parse_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "orientation",
+                     "make", "display_w", "display_h")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                d = parse_exif(bytes(raw))
+                rows["media_id"].append(mid)
+                for k in ("width", "height", "orientation", "make",
+                          "display_w", "display_h"):
+                    rows[k].append(d[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=EXIF_SCHEMA)

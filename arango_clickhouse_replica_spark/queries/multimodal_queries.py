@@ -2920,3 +2920,64 @@ def mm_image_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_exif_orientation_census",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             100 + doc_id % 50 AS w, 80 + doc_id % 40 AS h,
+             1 + doc_id % 8 AS o, 'cam' || CAST(doc_id % 5 AS STRING)
+               AS make
+      FROM documents
+    ),
+    norm AS (
+      SELECT *, CASE WHEN o >= 5 THEN h ELSE w END AS dw,
+             CASE WHEN o >= 5 THEN w ELSE h END AS dh
+      FROM params
+    )
+    SELECT CAST(o AS INT) AS orientation,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(CASE WHEN o = 1 THEN 0 ELSE 1 END AS INT)
+             AS needs_transform,
+           CAST(SUM(dw) AS BIGINT) AS sum_display_w,
+           CAST(SUM(dh) AS BIGINT) AS sum_display_h,
+           CAST(COUNT(DISTINCT make) AS BIGINT) AS n_makes
+    FROM norm GROUP BY o ORDER BY orientation
+    """,
+    tags=("multimodal", "image", "metadata", "pandas-udf"),
+    doc="EXIF orientation census (r11) — the metadata lane every image "
+        "ingest needs BEFORE decoding pixels: camera JPEGs store the "
+        "sensor's native raster plus an Orientation tag (1-8), and a "
+        "pipeline that ignores it trains on sideways images "
+        "(orientations 5-8 additionally transpose width/height, so even "
+        "aspect-bucketing goes wrong). Real JPEG APP1/EXIF headers "
+        "(genuine TIFF 6.0 structures, BOTH byte orders by doc parity — "
+        "media_codecs.encode_exif_jpeg_header) cross Arrow as binary and "
+        "are re-parsed by the pure-stdlib marker-walk/IFD parser "
+        "(media_codecs.parse_exif); the census reports per orientation "
+        "the image count, whether a transform is needed, the "
+        "POST-normalization display dimensions, and distinct camera "
+        "makes. The oracle recomputes everything from the closed-form "
+        "synth — one wrong endian read or transpose breaks the hash. "
+        "Scale: narrow 1:1 Arrow parse over HEADERS (bytes, not "
+        "pixels); one census aggregate.",
+)
+def mm_exif_orientation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_exif_metadata, synth_exif_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    meta = extract_exif_metadata(synth_exif_media(docs))
+    return (
+        meta.groupBy("orientation")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.max(F.when(F.col("orientation") == 1, 0).otherwise(1))
+            .cast("int").alias("needs_transform"),
+            F.sum("display_w").cast("long").alias("sum_display_w"),
+            F.sum("display_h").cast("long").alias("sum_display_h"),
+            F.countDistinct("make").cast("long").alias("n_makes"),
+        )
+        .orderBy("orientation")
+    )

@@ -233,6 +233,7 @@ HEADLINE = [
     "text_code_detection",
     "q_array_hof_parity",
     "embed_int8_ranking_shift",
+    "mm_exif_orientation_census",
 ]
 
 

@@ -906,3 +906,39 @@ def test_tile_signatures_find_shared_tiles(spark):
     assert set(by_doc[1].values()).isdisjoint(set(by_doc[5].values()))
     # doc 1 {3,4,5,6} vs doc 0 {0,1,2,3}: exactly one shared tile value
     assert len(set(by_doc[1].values()) & set(by_doc[0].values())) == 1
+
+
+def test_exif_codec_both_endians_and_malformed():
+    """EXIF encode->parse roundtrips every orientation in BOTH TIFF
+    byte orders; display dims transpose for 5-8; malformed streams
+    (no SOI, no APP1, bad magic, missing dims) raise."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        encode_exif_jpeg_header,
+        parse_exif,
+    )
+
+    for be in (False, True):
+        for o in range(1, 9):
+            d = parse_exif(
+                encode_exif_jpeg_header(641, 480, o, "leica",
+                                        big_endian=be))
+            assert (d["width"], d["height"], d["orientation"],
+                    d["make"]) == (641, 480, o, "leica")
+            want = (480, 641) if o >= 5 else (641, 480)
+            assert (d["display_w"], d["display_h"]) == want
+
+    with _pytest.raises(ValueError):
+        parse_exif(b"\x00\x00junk")
+    with _pytest.raises(ValueError):  # JPEG with no APP1/Exif
+        parse_exif(b"\xff\xd8\xff\xe0" + _struct.pack(">H", 4) + b"JF")
+    good = bytearray(encode_exif_jpeg_header(10, 10, 1, "x"))
+    bad = bytearray(good)
+    bad[12:14] = b"XX"  # TIFF byte-order bytes
+    with _pytest.raises(ValueError):
+        parse_exif(bytes(bad))
+    with _pytest.raises(ValueError):
+        encode_exif_jpeg_header(10, 10, 9, "x")  # orientation out of range

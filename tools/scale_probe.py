@@ -227,6 +227,7 @@ PROBES = [
     "text_code_detection",
     "q_array_hof_parity",
     "embed_int8_ranking_shift",
+    "mm_exif_orientation_census",
 ]
 
 
