@@ -339,6 +339,24 @@ def main() -> None:
 SELF_RECORDING = "BENCH_SELF.json"
 
 
+def _calibration_spin() -> float:
+    """Fixed pure-Python CPU probe (min of 3): a deterministic workload
+    whose runtime tracks the box's effective single-core speed. Recorded
+    alongside every timing baseline so the regression guard can tell "the
+    box is slower today" (uniform spin ratio) from "this query got
+    slower" (spin unchanged) — the r11 drift triage found the whole
+    suite inflated 1.2-2.5x purely from host state, which per-query
+    gates cannot distinguish from a code regression without this."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(4_000_000):
+            acc += i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _persist_self_recording(timings: dict[str, float], sf) -> None:
     """Record this run's full per-query timings in-repo. The driver's
     BENCH_r*.json keeps only a 2000-char stdout tail, which stopped
@@ -347,8 +365,23 @@ def _persist_self_recording(timings: dict[str, float], sf) -> None:
     preferred anchor: always complete, always the last CLEAN run (noisy
     or regressed runs never overwrite it)."""
     path = Path(__file__).resolve().parent / SELF_RECORDING
-    payload = {"sf": sf, "queries": timings, "recorded_at": time.time()}
+    payload = {"sf": sf, "queries": timings, "recorded_at": time.time(),
+               "calibration_spin_sec": _calibration_spin()}
     path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+
+
+def _previous_round_spin(sf) -> float | None:
+    """The calibration spin recorded with the current BENCH_SELF.json
+    baseline (None when absent — pre-r11 recordings)."""
+    path = Path(__file__).resolve().parent / SELF_RECORDING
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if data.get("sf") != sf:
+        return None
+    spin = data.get("calibration_spin_sec")
+    return float(spin) if isinstance(spin, (int, float)) and spin > 0 else None
 
 
 def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
@@ -397,6 +430,15 @@ def _isolated_triage(offenders: list[str], sf) -> set[str]:
         book = json.loads(anchors_path.read_text())
         anchors = {n: float(s) for fam in book.get("families", {}).values()
                    for n, s in fam.items()}
+        spin_a = book.get("calibration_spin_sec")
+        if isinstance(spin_a, (int, float)) and spin_a > 0:
+            ratio = _calibration_spin() / float(spin_a)
+            if ratio > 1.05:
+                scale = min(ratio, 3.0)
+                print(f"BENCH CALIBRATION (isolated): spin ratio "
+                      f"{ratio:.2f}x vs anchors — scaling by {scale:.2f}x",
+                      file=sys.stderr)
+                anchors = {k: v * scale for k, v in anchors.items()}
     except (OSError, json.JSONDecodeError, TypeError, ValueError):
         return set()
     if book.get("sf") not in (SF_DIR, None):
@@ -451,11 +493,35 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     SPARK_GRAFT_NO_REGRESSION_CHECK=1 skips."""
     if os.environ.get("SPARK_GRAFT_NO_REGRESSION_CHECK"):
         return
+    if os.environ.get("SPARK_GRAFT_REBASE"):
+        # Post-triage rebase: the mechanical instrument (family-anchor
+        # isolated re-check + code-diff audit) ruled the current gap
+        # environmental; accept THIS run as the new baseline so future
+        # gates compare within the same box era. Use only after a
+        # documented triage (docs/SCALING.md records each use).
+        print("BENCH REBASE: persisting this run as the new baseline "
+              "(gate skipped by explicit SPARK_GRAFT_REBASE)",
+              file=sys.stderr)
+        _persist_self_recording(timings, sf)
+        return
     prev = _previous_round_timings(sf)
     if prev is None:
         _persist_self_recording(timings, sf)
         return
     src, old = prev
+    # Box-speed calibration: if the baseline recorded its spin probe,
+    # scale its per-query bars by today's spin ratio (clamped to [1, 3])
+    # so a uniformly slower box does not read as N code regressions. A
+    # real regression still trips: it exceeds even the scaled bar.
+    spin_old = _previous_round_spin(sf)
+    if spin_old:
+        ratio = _calibration_spin() / spin_old
+        if ratio > 1.05:
+            scale = min(ratio, 3.0)
+            print(f"BENCH CALIBRATION: box spin ratio {ratio:.2f}x vs "
+                  f"baseline — scaling per-query bars by {scale:.2f}x",
+                  file=sys.stderr)
+            old = {k: v * scale for k, v in old.items()}
     # bench_expected.json records INTENTIONAL per-query baselines (e.g. a
     # query that deliberately gained a guard stage); the larger of the
     # recorded round time and the documented expectation is the bar.

@@ -140,3 +140,42 @@ def test_expected_overrides_lift_the_bar(in_tmp_repo):
     )
     # 3.0 < 1.5 * 2.5 -> not an offender under the documented expectation
     bench._check_regressions({"q1": 3.0, "q2": 1.0, "q3": 1.0}, 0.1, rerun=None)
+
+
+def test_spin_calibration_scales_bars(in_tmp_repo, monkeypatch):
+    """A baseline recorded on a 2x-faster box (spin half of today's)
+    must not read as N regressions: the gate scales per-query bars by
+    the spin ratio, so uniform 1.9x timings pass — while a genuinely
+    5x-slower query still fails even on the scaled bar."""
+    (in_tmp_repo / "BENCH_SELF.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 2.0, "q2": 2.0, "q3": 0.2},
+        "calibration_spin_sec": 0.10,
+    }))
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.20)
+    # uniform 1.9x: would fail unscaled (>1.5x, >1s), passes scaled (2x)
+    bench._check_regressions(
+        {"q1": 3.8, "q2": 3.8, "q3": 0.38}, 0.1, rerun=None)
+    data = json.loads((in_tmp_repo / "BENCH_SELF.json").read_text())
+    assert data["queries"]["q1"] == 3.8  # persisted = accepted
+    assert data["calibration_spin_sec"] == 0.20
+
+    # a real regression exceeds even the scaled bar
+    (in_tmp_repo / "BENCH_SELF.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 2.0, "q2": 2.0, "q3": 2.0},
+        "calibration_spin_sec": 0.10,
+    }))
+    with pytest.raises(SystemExit):
+        bench._check_regressions(
+            {"q1": 10.0, "q2": 2.1, "q3": 2.1}, 0.1, rerun=lambda n: 10.0)
+
+
+def test_rebase_env_persists_without_gate(in_tmp_repo, monkeypatch):
+    """SPARK_GRAFT_REBASE=1 (post-triage use) accepts the run as the new
+    baseline even when it would fail the gate."""
+    (in_tmp_repo / "BENCH_SELF.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 1.0},
+    }))
+    monkeypatch.setenv("SPARK_GRAFT_REBASE", "1")
+    bench._check_regressions({"q1": 9.0}, 0.1, rerun=None)
+    data = json.loads((in_tmp_repo / "BENCH_SELF.json").read_text())
+    assert data["queries"]["q1"] == 9.0

@@ -119,10 +119,13 @@ def main() -> int:
         families[fam] = run_isolated(fams[fam], args.sf or None)
     sf = args.sf or os.environ.get("SPARK_GRAFT_SF_DIR",
                                    "/root/testdata/sf0.1")
+    from bench import _calibration_spin
+
     path.write_text(json.dumps(
         {"sf": sf, "note": "ISOLATED per-family anchors: fresh JVM per "
          "family via SPARK_GRAFT_ONLY, min-of-two steady-state passes; "
          "refresh with tools/family_anchors.py refresh",
+         "calibration_spin_sec": _calibration_spin(),
          "families": {f: dict(sorted(v.items()))
                       for f, v in sorted(families.items())}},
         indent=1) + "\n")
