@@ -297,6 +297,11 @@ ROTATION_EXEMPT = frozenset({
     # Grown r11 alongside mm_exif_orientation_census (pick has a green
     # driver round plus every full-registry VERIFY_FULL record):
     "mm_aspect_resize_plan",          # aspect bucket + resize decision: mm_exif_orientation_census (rotating) computes the same display-dimension normalization UPSTREAM of bucketing (the orientation transpose is what aspect bucketing must consume); mm_media_dataset_card keeps the dims census
+    # Grown r11 alongside curation_language_gini + q_event_cooccurrence_lift
+    # (each pick has 2-3 green driver rounds plus every full-registry
+    # VERIFY_FULL record; still driven every round):
+    "curation_stratified_sample",     # per-stratum deterministic draw: curation_reservoir_per_source (rotating) keeps the per-source bounded sampling lane; q_sample_by_hash_parity (rotating) keeps the deterministic hash-membership lane
+    "text_lang_confusion_matrix",     # lang-ID evaluation matrix: curation_language_gini (rotating) consumes the same per-(source, lang) token census downstream; text_lang_char_ngram's classifier stays composed in it
 })
 
 

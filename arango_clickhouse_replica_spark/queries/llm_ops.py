@@ -5604,3 +5604,171 @@ def embed_int8_ranking_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "curation_language_gini",
+    oracle="""
+    WITH per_lang AS (
+      SELECT source, lang,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source, lang
+    ),
+    ranked AS (
+      SELECT source, lang, toks,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY toks, lang) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(toks) OVER (PARTITION BY source) AS tot
+      FROM per_lang
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_langs,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens,
+           CAST((1000 * SUM((2 * i - n - 1) * toks))
+                // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_milli,
+           CAST((1000 * MAX(CASE WHEN i = n THEN toks END)) // MAX(tot)
+                AS BIGINT) AS top_lang_share_milli,
+           MIN(CASE WHEN i = n THEN lang END) AS top_lang
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "mixture", "balance"),
+    doc="Language-balance Gini (r11) — multilingual curation needs a "
+        "single inequality number per source to steer mixture reweights "
+        "(UniMax and temperature sampling exist to LOWER it; this is "
+        "the metric they move): the Gini coefficient of the per-"
+        "language token distribution, computed with the exact "
+        "sorted-rank identity G = sum((2i - n - 1) x_i) / (n sum x) "
+        "over (tokens asc, lang) — ALL integer arithmetic ending in one "
+        "exact milli div; plus the top language and its share. The "
+        "rank window runs over the per-(source, language) aggregate — "
+        "|sources| x |languages| rows, bounded by taxonomies, never the "
+        "corpus (the same bounded-window argument as the mixture "
+        "family). Scale: one map-side-combinable token aggregate then "
+        "arithmetic on a metadata-sized relation.",
+)
+def curation_language_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_lang = (
+        docs.select(
+            "source", "lang",
+            F.size(F.split("text", " ")).cast("long").alias("tk"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("tk").cast("long").alias("toks"))
+    )
+    w_rank = Window.partitionBy("source").orderBy("toks", "lang")
+    w_all = Window.partitionBy("source")
+    ranked = per_lang.select(
+        "source", "lang", "toks",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("toks").over(w_all).alias("tot"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_langs"),
+            F.max("tot").cast("long").alias("total_tokens"),
+            F.expr("cast((1000 * sum((2 * i - n - 1) * toks)) "
+                   "div (max(n) * max(tot)) as long)").alias("gini_milli"),
+            F.expr("cast((1000 * max(case when i = n then toks end)) "
+                   "div max(tot) as long)").alias("top_lang_share_milli"),
+            F.min(F.when(F.col("i") == F.col("n"), F.col("lang")))
+            .alias("top_lang"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_event_cooccurrence_lift",
+    oracle="""
+    WITH user_types AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events
+    ),
+    supp AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM user_types GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM user_types a JOIN user_types b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+             AS confidence_a_to_b,
+           ROUND(CAST(p.n_both AS DOUBLE) * CAST(u.nu AS DOUBLE)
+                 / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p
+    JOIN supp sa ON p.type_a = sa.event_type
+    JOIN supp sb ON p.type_b = sb.event_type
+    CROSS JOIN n_users u
+    ORDER BY p.type_a, p.type_b
+    """,
+    tags=("analytics", "clickhouse-parity", "association"),
+    doc="Event co-occurrence lift (r11) — the market-basket association "
+        "view of the event log (which event types co-occur in the same "
+        "user's history beyond chance): support, confidence, and lift "
+        "per unordered type pair. Complements q_event_transitions "
+        "(SEQUENTIAL bigrams) with the order-free association measure. "
+        "Exactness: supports are exact integers; confidence and lift "
+        "are single/chained correctly-rounded IEEE divisions over exact "
+        "integers, rounded to 6 dp — bit-identical cross-engine, no "
+        "transcendental. Scale: the pair join is user-keyed with "
+        "per-user fan bounded by |event types| (each user contributes "
+        "at most C(|types|, 2) pairs — taxonomy-bounded, never "
+        "corpus-quadratic); supports broadcast onto the |types|^2 "
+        "output.",
+)
+def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    user_types = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("nu")
+    )
+    supp = user_types.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = user_types.select(
+        "user_id", F.col("event_type").alias("type_a"))
+    b = user_types.select(
+        "user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"),
+                     F.col("n").alias("n_a"))
+    sb = supp.select(F.col("event_type").alias("type_b"),
+                     F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.round(F.col("n_both").cast("double")
+                    / F.col("n_a").cast("double"), 6)
+            .alias("confidence_a_to_b"),
+            F.round(F.col("n_both").cast("double")
+                    * F.col("nu").cast("double")
+                    / (F.col("n_a").cast("double")
+                       * F.col("n_b").cast("double")), 6)
+            .alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -467,6 +467,11 @@ BNLJ_ALLOWED = {
         "the only BNLJ is the 1-row safety-watermark aggregate "
         "broadcast-attached to classify per-key delete finality — "
         "O(K x 1); everything else is map-side-combinable aggregates",
+    "q_event_cooccurrence_lift":
+        "the only BNLJ is the 1-row distinct-user-count aggregate "
+        "broadcast-attached onto the |types|^2 pair output for the lift "
+        "denominator — O(T^2 x 1); the pair join itself is a user-keyed "
+        "hash equi-join with per-user fan bounded by |event types|",
     "curation_concat_chunk_census":
         "the only BNLJ is the 1-row doc_id-bounds aggregate broadcast-"
         "attached for the key-derived shard id of the distributed "

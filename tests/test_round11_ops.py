@@ -402,3 +402,60 @@ def test_int8_ranking_shift_flip_detected(spark, tmp_path):
     # the construction actually flips rank 1: int8 ties 1 and 2 at 127
     # (id 1 wins), milli puts 2 (900) over 1 (800)
     assert top8[0] == 1 and topm[0] == 2 and r.top1_agree == 0
+
+
+def test_language_gini_extremes(spark, tmp_path):
+    """Perfect equality gives Gini 0; extreme concentration approaches
+    (n-1)/n; top-language share is exact milli."""
+    rows = [
+        # source 'eq': two langs, 100 tokens each -> gini 0
+        (1, " ".join(["w"] * 100), "en", "eq", 1),
+        (2, " ".join(["w"] * 100), "fr", "eq", 1),
+        # source 'skew': 990 vs 10 -> G = (2*1-2-1)*10+(2*2-2-1)*990
+        #                              = -10+990 = 980; /(2*1000) = .49
+        (3, " ".join(["w"] * 990), "en", "skew", 1),
+        (4, " ".join(["w"] * 10), "fr", "skew", 1),
+    ]
+    _docs(spark, rows, tmp_path)
+    out = {
+        r.source: r
+        for r in QUERIES["curation_language_gini"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    eq = out["eq"]
+    assert (eq.n_langs, eq.total_tokens, eq.gini_milli) == (2, 200, 0)
+    sk = out["skew"]
+    assert sk.gini_milli == 490
+    assert sk.top_lang == "en"
+    assert sk.top_lang_share_milli == 990
+
+
+def test_cooccurrence_lift_independence(spark, tmp_path):
+    """Types present in every user's history have lift exactly 1;
+    mutually exclusive types never emit a pair row; a type pair
+    confined to the same users gets lift = nu / n_both."""
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4):
+        rows.append((u, T0, (eid := eid + 1), "view", 1.0))
+        rows.append((u, T0, (eid := eid + 1), "click", 1.0))
+    # 'error' only for users 1,2 ; 'signup' only for users 3,4
+    for u in (1, 2):
+        rows.append((u, T0, (eid := eid + 1), "error", 1.0))
+    for u in (3, 4):
+        rows.append((u, T0, (eid := eid + 1), "signup", 1.0))
+    _events(spark, rows, tmp_path)
+    out = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["q_event_cooccurrence_lift"].build(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    cv = out[("click", "view")]
+    assert cv.n_both == 4 and cv.lift == 1.0
+    assert ("error", "signup") not in out  # never co-occur
+    ce = out[("click", "error")]
+    assert ce.n_both == 2 and ce.n_a == 4 and ce.n_b == 2
+    assert ce.lift == 1.0  # 2*4/(4*2)
+    assert ce.confidence_a_to_b == 0.5

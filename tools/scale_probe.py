@@ -228,6 +228,8 @@ PROBES = [
     "q_array_hof_parity",
     "embed_int8_ranking_shift",
     "mm_exif_orientation_census",
+    "curation_language_gini",
+    "q_event_cooccurrence_lift",
 ]
 
 
