@@ -2265,11 +2265,21 @@ def dedup_passage_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exploded tokens — the 100 TB wordcount) followed by rank "
         "assignment ordered by frequency then token. Web-scale distinct "
         "tokens are billions of rows, so the id assignment is a "
-        "distributed two-pass rank (r10): range-shard the vocab on the "
-        "(freq DESC, token) total order, row_number within each shard, "
-        "add broadcast per-shard cumulative offsets — never a global "
-        "single-partition sort of the whole vocabulary. Ties break on "
-        "the token string so ids are deterministic across engines/runs.",
+        "distributed rank DECOMPOSITION (r12 — replaced the r10 "
+        "repartitionByRange + spark_partition_id() two-pass, whose "
+        "shard ids were not stable across the plan's two consumers of "
+        "the range exchange): rank(token) = (# tokens with higher "
+        "freq) + (# same-freq tokens with a smaller 2-char prefix) + "
+        "(row_number among same (freq, prefix), ordered by token). "
+        "Every term is derived from DATA VALUES, so it is identical on "
+        "every plan branch by construction. The in-group window "
+        "partitions on (freq, prefix) — the Zipf freq=1 mass spreads "
+        "across prefixes instead of one range shard; the prefix-offset "
+        "window runs per freq over the (freq, prefix) census; the only "
+        "single-partition window runs over the distinct-frequency "
+        "relation, bounded by the count-of-counts law at "
+        "O(sqrt(corpus occurrences)) rows. Ties break on the token "
+        "string so ids are deterministic across engines/runs.",
 )
 def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -2279,35 +2289,47 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        # 2-char prefix: string order is prefix-consistent (a < b and
+        # prefix(a) != prefix(b)  =>  prefix(a) < prefix(b)), so the
+        # (freq DESC, prefix ASC) split is monotone along the
+        # (freq DESC, token ASC) total order.
+        .withColumn("pfx", F.substring("token", 1, 2))
     )
-    n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
-    sharded = counts.repartitionByRange(
-        n_shards, F.desc("freq"), F.asc("token")
-    ).withColumn("shard", F.spark_partition_id())
-    w_in = Window.partitionBy("shard").orderBy(
-        F.desc("freq"), F.asc("token")
-    )
-    ranked_in = sharded.withColumn("rnk_in", F.row_number().over(w_in))
-    cnts = sharded.groupBy("shard").agg(
+    w_in = Window.partitionBy("freq", "pfx").orderBy("token")
+    ranked_in = counts.withColumn("rnk_in", F.row_number().over(w_in))
+    grp = counts.groupBy("freq", "pfx").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    w_off = (
-        Window.orderBy("shard")
+    w_p = (
+        Window.partitionBy("freq").orderBy("pfx")
         .rowsBetween(Window.unboundedPreceding, -1)
-    )  # over <= n_shards rows
-    offsets = cnts.select(
-        "shard",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )  # per-freq over the (freq, prefix) census — <= |prefixes| rows
+    p_off = grp.select(
+        "freq", "pfx",
+        F.coalesce(F.sum("cnt").over(w_p), F.lit(0)).alias("p_off"),
+    )
+    fg = grp.groupBy("freq").agg(F.sum("cnt").cast("long").alias("fcnt"))
+    w_f = (
+        Window.orderBy(F.desc("freq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # over the distinct-frequency relation (count-of-counts bound)
+    f_off = fg.select(
+        "freq",
+        F.coalesce(F.sum("fcnt").over(w_f), F.lit(0)).alias("f_off"),
     )
     return (
-        ranked_in.join(F.broadcast(offsets), "shard")
+        # (freq, pfx) join reuses the w_in partitioning; the freq-offset
+        # side is broadcast (|distinct freqs| rows) so the corpus never
+        # shuffles on bare freq — freq=1 holds half a Zipf vocabulary.
+        ranked_in.join(p_off, ["freq", "pfx"])
+        .join(F.broadcast(f_off), "freq")
         .select(
             "token", "freq",
             # long, not int: the distributed rank exists precisely
             # because web-scale vocabularies exceed 2^31 distinct
             # tokens — the id lane must survive that too.
-            (F.col("offset") + F.col("rnk_in")).cast("long")
-            .alias("token_id"),
+            (F.col("f_off") + F.col("p_off") + F.col("rnk_in"))
+            .cast("long").alias("token_id"),
         )
     )
 

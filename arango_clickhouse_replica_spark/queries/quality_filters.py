@@ -1055,15 +1055,34 @@ def curation_quality_decile_calibration(
         F.expr("(score_milli_sum * 1000) div n_features")
         .alias("avg_milli"),
     )
-    # Distributed two-pass rank (r10): range-shard on the total order
-    # (avg_milli, doc_id), row_number WITHIN each shard, then add the
+    # Distributed two-pass rank (r10, re-sharded r12): row_number WITHIN
+    # each shard of the (avg_milli, doc_id) total order, then add the
     # broadcast per-shard cumulative offset — global rank without a
-    # corpus-sized single-partition window. The only global window left
-    # runs over the <= shuffle-partition-count shard-counts relation.
+    # corpus-sized single-partition window. The shard id is key-DERIVED
+    # arithmetic on avg_milli against 1-row broadcast bounds (the
+    # cdc_backfill_chunk_plan pattern): spark_partition_id() after
+    # repartitionByRange is NOT stable across the plan's multiple
+    # consumers of this subtree (range-sample nondeterminism / AQE
+    # re-plan), and this subtree feeds BOTH the in-shard ranks and the
+    # shard-count offsets. Equal-score rows colocate by construction
+    # (shard depends only on avg_milli), so the shard split is monotone
+    # along the total order; the only global window left runs over the
+    # <= shuffle-partition-count shard-counts relation.
     n_shards = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
-    sharded = j.repartitionByRange(
-        n_shards, "avg_milli", "doc_id"
-    ).withColumn("shard", F.spark_partition_id())
+    bounds = j.agg(
+        F.min("avg_milli").alias("__k0"), F.max("avg_milli").alias("__k1")
+    )
+    sharded = (
+        j.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"cast(((avg_milli - __k0) * {n_shards})"
+                " div (__k1 - __k0 + 1) as int)"
+            ),
+        )
+        .drop("__k0", "__k1")
+    )
     w_in = Window.partitionBy("shard").orderBy("avg_milli", "doc_id")
     ranked_in = sharded.withColumn("rnk_in", F.row_number().over(w_in))
     cnts = sharded.groupBy("shard").agg(

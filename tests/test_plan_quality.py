@@ -90,9 +90,10 @@ SP_WINDOW_ALLOWED = {
         "relation (an aggregate bounded by the source taxonomy), never "
         "the corpus",
     "curation_quality_decile_calibration":
-        "the cumulative-offset window of the r10 distributed two-pass "
-        "rank runs over the shard-counts relation (<= shuffle "
-        "partitions rows)",
+        "the cumulative-offset window of the distributed two-pass rank "
+        "runs over the shard-counts relation (<= shuffle partitions "
+        "rows; shard ids are key-derived arithmetic on avg_milli since "
+        "r12 — stable across plan branches)",
     "curation_unimax_budget":
         "the UniMax waterfilling rank runs over the per-language token "
         "totals (|languages| rows, bounded by the language taxonomy)",
@@ -107,9 +108,10 @@ SP_WINDOW_ALLOWED = {
         "the share normalizer window runs over the per-nation revenue "
         "aggregate (|nations| = 25 rows)",
     "text_vocab_build":
-        "the cumulative-offset window of the r10 distributed two-pass "
-        "rank runs over the shard-counts relation (<= shuffle "
-        "partitions rows)",
+        "the freq-offset window of the r12 rank decomposition runs over "
+        "the distinct-frequency relation, bounded by the count-of-counts "
+        "law at O(sqrt(corpus occurrences)) rows — never the token "
+        "relation",
     "cdc_backfill_chunk_plan":
         "the cumulative-offset window of the distributed two-pass rank "
         "runs over the shard-counts relation (<= shuffle partitions "
@@ -737,6 +739,18 @@ def test_no_scale_antipatterns(spark, sf_dir, name):
             f"relation at scale): {spw}"
         )
     opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # r12 (VERDICT r11 What's-wrong #1): physical-partition identity must
+    # never feed query semantics — spark_partition_id() after an exchange
+    # is not stable across the plan's multiple consumers of that subtree
+    # (range-sample nondeterminism, AQE re-plan, exchange-reuse miss).
+    # Shard ids must be key-DERIVED arithmetic (the cdc_backfill_chunk_plan
+    # pattern). No allowlist: the pattern has bitten twice (r10 PageRank,
+    # r11 backfill) and has a deterministic replacement in every case.
+    assert "SPARK_PARTITION_ID" not in opt.upper(), (
+        f"{name}: spark_partition_id() in the optimized plan — "
+        f"branch-unstable after exchanges; derive shard ids from key "
+        f"arithmetic against 1-row broadcast bounds instead"
+    )
     if name not in TRANSCENDENTAL_ALLOWED:
         toks = transcendentals_in_output(opt)
         assert not toks, (

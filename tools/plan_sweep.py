@@ -78,6 +78,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             bad.append((name, f"optimized plan failed: {e}"))
             continue
+        # r12 seventh assertion: physical-partition identity never feeds
+        # semantics (branch-unstable after exchanges); no allowlist.
+        if "SPARK_PARTITION_ID" in opt.upper():
+            bad.append((name, "spark_partition_id() in optimized plan"))
         # r11: transcendental triage totality (deep scan, both directions)
         deep = transcendentals_in_plan(opt)
         if deep and name not in TRANSCENDENTAL_TRIAGE:
