@@ -1516,6 +1516,12 @@ def decode_qoi(payload: bytes) -> dict:
         elif pos < len(data):
             b1 = data[pos]
             pos += 1
+            # a chunk's operand bytes must all be present: a stream cut
+            # mid-chunk is a truncation, not an IndexError
+            need = 3 if b1 == 0xFE else 4 if b1 == 0xFF else (
+                1 if b1 & 0xC0 == 0x80 else 0)
+            if pos + need > len(data):
+                raise ValueError("truncated QOI data stream")
             if b1 == 0xFE:  # QOI_OP_RGB
                 px = (data[pos], data[pos + 1], data[pos + 2], px[3])
                 pos += 3
@@ -1667,7 +1673,10 @@ def encode_exif_jpeg_header(width: int, height: int, orientation: int,
     # IFD: 4 entries of 12 bytes each, after the 8-byte TIFF header
     n = 4
     ifd_off = 8
-    data_off = ifd_off + 2 + n * 12 + 4  # Make bytes live here
+    data_off = ifd_off + 2 + n * 12 + 4  # out-of-line Make bytes live here
+    # TIFF 6.0: a value whose byte size fits in the 4-byte value field is
+    # stored INLINE, left-justified — only larger values go out-of-line.
+    make_inline = len(make_b) <= 4
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # value fields are left-justified in their 4 bytes per spec
@@ -1679,12 +1688,16 @@ def encode_exif_jpeg_header(width: int, height: int, orientation: int,
     ifd = struct.pack(f"{e}H", n)
     ifd += entry(_EXIF_TAG_WIDTH, 4, 1, width)        # LONG
     ifd += entry(_EXIF_TAG_HEIGHT, 4, 1, height)      # LONG
-    ifd += entry(_EXIF_TAG_MAKE, 2, len(make_b), data_off)  # ASCII
+    if make_inline:  # ASCII, inline (short Make, e.g. 'RIM\0')
+        ifd += (struct.pack(f"{e}HHI", _EXIF_TAG_MAKE, 2, len(make_b))
+                + make_b.ljust(4, b"\x00"))
+    else:            # ASCII, out-of-line
+        ifd += entry(_EXIF_TAG_MAKE, 2, len(make_b), data_off)
     ifd += entry(_EXIF_TAG_ORIENT, 3, 1, orientation)  # SHORT
     ifd += struct.pack(f"{e}I", 0)  # next-IFD pointer: none
     tiff = ((b"MM" if big_endian else b"II")
             + struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", ifd_off)
-            + ifd + make_b)
+            + ifd + (b"" if make_inline else make_b))
     app1_body = b"Exif\x00\x00" + tiff
     return (b"\xff\xd8" + b"\xff\xe1"
             + struct.pack(">H", len(app1_body) + 2) + app1_body)
@@ -1701,10 +1714,21 @@ def parse_exif(payload: bytes) -> dict:
         raise ValueError("not a JPEG stream")
     pos = 2
     tiff = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # legal 0xFF fill bytes may pad between markers
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone markers (TEM, RSTn, SOI/EOI) carry no length
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break  # SOS: entropy-coded data follows; APP1 precedes it
+        if pos + 4 > len(payload):
+            break
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
         if marker == 0xE1 and payload[pos + 4:pos + 10] == b"Exif\x00\x00":
             tiff = payload[pos + 10:pos + 2 + seg_len]
@@ -1730,9 +1754,12 @@ def parse_exif(payload: bytes) -> dict:
             val = struct.unpack_from(f"{e}H", tiff, off + 8)[0]
         elif typ == 4:  # LONG, in-line
             val = struct.unpack_from(f"{e}I", tiff, off + 8)[0]
-        elif typ == 2:  # ASCII, out-of-line when count > 4
-            doff = struct.unpack_from(f"{e}I", tiff, off + 8)[0]
-            raw = tiff[doff:doff + count]
+        elif typ == 2:  # ASCII: inline when it fits the 4-byte value field
+            if count <= 4:
+                raw = tiff[off + 8:off + 8 + count]
+            else:
+                doff = struct.unpack_from(f"{e}I", tiff, off + 8)[0]
+                raw = tiff[doff:doff + count]
             val = raw.rstrip(b"\x00").decode("ascii")
         else:
             continue

@@ -1132,33 +1132,66 @@ _HOTKEY_SCHEMA = T.StructType(
 _HOTKEY_STATE = "keys array<long>, counts array<long>"
 
 
-def streaming_hot_key_monitor(df: DataFrame) -> DataFrame:
+_HOTKEY_CAP = 65536  # tracked keys per shard — state is O(cap), never O(stream)
+
+
+def streaming_hot_key_monitor(df: DataFrame,
+                              cap: int = _HOTKEY_CAP) -> DataFrame:
     """Live twin of the batch ``cdc_hot_key_skew_report``: per key-shard,
     running per-key change counts folded into the same skew/salt
     decision columns the batch report hashes — the live reducer-skew
     alarm that pages BEFORE the apply pipeline's hot reducer does.
-    Counts are order/batch-boundary insensitive (integer adds), so the
-    drained final emission per shard equals the batch row exactly.
-    State per shard is the shard's key census — the SAME cardinality
-    the batch aggregate shuffles, sharded |shards| ways.
+
+    State is BOUNDED (r12, from r11 advice): a space-saving census of at
+    most ``cap`` tracked keys per shard. While a shard's distinct-key
+    cardinality stays <= cap the census is exact — integer adds are
+    order/batch-boundary insensitive, so the drained final emission per
+    shard equals the batch row exactly (the parity test's domain). Past
+    the cap, arrivals for untracked keys replace the current min-count
+    slot at count min+1 (classic SpaceSaving): ``n_changes`` stays EXACT
+    (every arrival increments exactly one slot by one),
+    ``max_key_changes`` becomes an upper bound within N/cap of truth,
+    and ``n_keys`` saturates at cap — the alarm still pages on the hot
+    key, which is precisely what a skew monitor owes. The per-batch fold
+    is O(cap + batch), not O(stream lifetime).
 
     Expects ``shard``, ``user_id`` rows (one per change)."""
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
              ) -> Iterable[pd.DataFrame]:
+        import heapq
+        from collections import Counter
+
         keys, counts = state.get if state.exists else ([], [])
         keys, counts = list(keys), list(counts)
         idx = {k: i for i, k in enumerate(keys)}
+        batch = Counter()
         for pdf in pdfs:
             for uid in pdf["user_id"]:
-                u = int(uid)
-                i = idx.get(u)
-                if i is None:
-                    idx[u] = len(keys)
-                    keys.append(u)
-                    counts.append(1)
-                else:
-                    counts[i] += 1
+                batch[int(uid)] += 1
+        new = []
+        for u, c in batch.items():
+            i = idx.get(u)
+            if i is None:
+                new.append(u)
+            else:
+                counts[i] += c
+        new.sort()  # deterministic replacement order past the cap
+        if len(keys) + len(new) <= cap:
+            for u in new:
+                keys.append(u)
+                counts.append(batch[u])
+        else:
+            heap = list(zip(counts, keys))
+            heapq.heapify(heap)
+            for u in new:
+                if len(heap) < cap:
+                    heapq.heappush(heap, (batch[u], u))
+                else:  # space-saving: inherit the evicted min count
+                    c0, _ = heapq.heappop(heap)
+                    heapq.heappush(heap, (c0 + batch[u], u))
+            counts = [c for c, _ in heap]
+            keys = [k for _, k in heap]
         state.update((keys, counts))
         total = sum(counts)
         n_keys = len(keys)

@@ -516,6 +516,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     # so a uniformly slower box does not read as N code regressions. A
     # real regression still trips: it exceeds even the scaled bar.
     spin_old = _previous_round_spin(sf)
+    scale = 1.0
     if spin_old:
         ratio = _calibration_spin() / spin_old
         if ratio > 1.05:
@@ -527,6 +528,9 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     # bench_expected.json records INTENTIONAL per-query baselines (e.g. a
     # query that deliberately gained a guard stage); the larger of the
     # recorded round time and the documented expectation is the bar.
+    # Expectations were measured on SOME box too, so the spin scale
+    # applies to them as well (r11 ADVICE: an unscaled expectation can
+    # dominate the merged bar and false-trip on a uniformly slower box).
     expected_path = Path(__file__).resolve().parent / "bench_expected.json"
     if expected_path.exists():
         try:
@@ -534,7 +538,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
                 # skip non-numeric entries (e.g. the "_comment" key) without
                 # aborting the rest of the expectations
                 if isinstance(secs, (int, float)):
-                    old[name] = max(old.get(name, 0.0), float(secs))
+                    old[name] = max(old.get(name, 0.0), scale * float(secs))
         except (json.JSONDecodeError, TypeError, ValueError):
             pass
     compared = [name for name in timings if name in old]

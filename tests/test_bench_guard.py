@@ -169,6 +169,23 @@ def test_spin_calibration_scales_bars(in_tmp_repo, monkeypatch):
             {"q1": 10.0, "q2": 2.1, "q3": 2.1}, 0.1, rerun=lambda n: 10.0)
 
 
+def test_spin_calibration_scales_expected_bars(in_tmp_repo, monkeypatch):
+    """r11 advice: a documented bench_expected.json bar was measured on
+    SOME box too — on a 2x-slower box an expectation-dominated bar must
+    scale with the spin ratio instead of false-tripping the gate."""
+    (in_tmp_repo / "BENCH_SELF.json").write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 0.5, "q2": 2.0, "q3": 2.0},
+        "calibration_spin_sec": 0.10,
+    }))
+    (in_tmp_repo / "bench_expected.json").write_text(
+        json.dumps({"q1": 2.5}))  # dominates q1's merged bar
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.20)
+    # q1 at 4.2s: fails the unscaled expectation (1.5 * 2.5 = 3.75),
+    # passes the spin-scaled one (1.5 * 2 * 2.5 = 7.5)
+    bench._check_regressions(
+        {"q1": 4.2, "q2": 3.8, "q3": 3.8}, 0.1, rerun=None)
+
+
 def test_rebase_env_persists_without_gate(in_tmp_repo, monkeypatch):
     """SPARK_GRAFT_REBASE=1 (post-triage use) accepts the run as the new
     baseline even when it would fail the gate."""
