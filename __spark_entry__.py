@@ -31,6 +31,15 @@ every registration, each round must also run the FULL registry —
 ``python tools/driver_check.py --all --json VERIFY_FULL_r{N}.json`` —
 and commit the record, so rotation-exempt queries' oracle evidence
 never ages beyond one round. r7 and r8 records are in-repo.
+
+EXEMPT DRIVER SAMPLING (r12, verdict r11 item 4): the first
+``EXEMPT_SAMPLE_SLOTS`` (5) emitted slots each round go to the exempt
+names whose last DRIVER row is oldest (ties by registry order), so
+every exempt name re-earns a driver-written correctness row on a
+bounded cycle of ceil(|exempt| / 5) rounds (~26 at the current pool)
+instead of relying on the self-run VERIFY_FULL alone. The cycle
+self-advances: once the driver verifies a sampled name, its last-seen
+round updates and the next-oldest five rotate in.
 """
 
 from __future__ import annotations
@@ -302,7 +311,24 @@ ROTATION_EXEMPT = frozenset({
     # VERIFY_FULL record; still driven every round):
     "curation_stratified_sample",     # per-stratum deterministic draw: curation_reservoir_per_source (rotating) keeps the per-source bounded sampling lane; q_sample_by_hash_parity (rotating) keeps the deterministic hash-membership lane
     "text_lang_confusion_matrix",     # lang-ID evaluation matrix: curation_language_gini (rotating) consumes the same per-(source, lang) token census downstream; text_lang_char_ngram's classifier stays composed in it
+    # Grown r12 alongside q_clickhouse_aggregate_state_merge AND the
+    # 5 new exempt-sampling slots (EXEMPT_SAMPLE_SLOTS below), which
+    # consume emission budget: steady state now needs
+    # |exempt| >= |registry| - ROTATION_BUDGET + EXEMPT_SAMPLE_SLOTS.
+    # Each pick has driver-green history (r11 or earlier) plus every
+    # full-registry VERIFY_FULL record, and a rotating subsuming sibling:
+    "mm_gif_decode_features",         # single-container decode census: mm_cross_container_dedup (rotating) decodes GIF87a through the SAME codec into the shared luma lane each round; mm_image_entropy_census keeps the decode-census output shape
+    "mm_qoi_decode_features",         # single-container decode census: mm_cross_container_dedup (rotating) decodes QOI through the SAME codec into the shared luma lane; mm_image_tile_dedup keeps the QOI decode in its tile pipeline
+    "mm_pcm_silence_census",          # WAV/G.711 silence framing: mm_audio_snr_estimate (rotating) runs the same PCM decode + frame-energy split; mm_adpcm_transcode_report keeps the PCM reference lane
+    "text_bigram_logprob",            # bigram LM scoring: text_kneser_ney_logprob (rotating) builds the SAME unigram/bigram count tables and scores the same docs with KN smoothing layered on top
+    "dedup_simhash_hamming_pairs",    # simhash band pairs: dedup_method_agreement (rotating) re-runs the identical 64-bit simhash + band join as one of its compared methods
+    "q_window_funnel_strict",         # strict-order funnel: q_clickhouse_window_funnel (rotating) runs the same windowFunnel kernel (strict mode is the added predicate); q_funnel_latency_histogram keeps the step-latency lane
 })
+
+# How many emitted slots per round go to the deterministic
+# least-recently-driver-verified cycle over ROTATION_EXEMPT (module
+# docstring, "EXEMPT DRIVER SAMPLING").
+EXEMPT_SAMPLE_SLOTS = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -352,11 +378,19 @@ def _ordered_names() -> list[str]:
     idx = {n: i for i, n in enumerate(names)}
     unseen = [n for n in names if n not in seen]
     green = sorted((n for n in names if n in seen), key=lambda n: (seen[n], idx[n]))
-    ordered = unseen + green
+    # r12 exempt driver sampling: the oldest-driver-verified exempt names
+    # lead the emission (green is already least-recently-verified-first,
+    # so the first EXEMPT_SAMPLE_SLOTS exempt entries of green ARE the
+    # cycle's next batch); they are pulled to the front so they land in
+    # the driver's verification window, and protected from the drop.
+    sample = [n for n in green if n in ROTATION_EXEMPT][:EXEMPT_SAMPLE_SLOTS]
+    green = [n for n in green if n not in sample]
+    ordered = sample + unseen + green
     if len(ordered) > ROTATION_BUDGET:
         excess = len(ordered) - ROTATION_BUDGET
         droppable = [n for n in ordered
-                     if n in ROTATION_EXEMPT and n not in unseen]
+                     if n in ROTATION_EXEMPT and n not in unseen
+                     and n not in sample]
         drop = set(droppable[:excess])
         ordered = [n for n in ordered if n not in drop]
         if len(ordered) > ROTATION_BUDGET:

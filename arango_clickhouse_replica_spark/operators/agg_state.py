@@ -1,0 +1,231 @@
+"""AggregatingMergeTree-shape mergeable aggregate state (ClickHouse
+``-State`` / ``-Merge`` combinator parity, SURVEY §2.7).
+
+The replica's target-engine family (reference/readme.md:82-91 context)
+includes AggregatingMergeTree: a table whose rows are aggregate-function
+STATES (countState / sumState / minState / maxState / avgState /
+uniqState) keyed by the primary key. Inserts write one state row per
+(key, insert block); background merges FOLD state rows sharing a key
+(an associative + commutative combine); reads finalize with ``-Merge``
+combinators. The usual deployment is a materialized view over the CDC
+target table, so per-key aggregates over the whole change history are a
+metadata-sized read that never re-touches the raw stream.
+
+Spark-first re-expression — everything is a JVM built-in expression:
+
+- a STATE is a row of exact integer partials (``cnt``, ``sum_milli``,
+  ``min_milli``, ``max_milli`` — the money/metric lane is integer millis,
+  so partial sums are exact and order-insensitive) plus a fixed-width
+  KMV bucket-min array for ``uniq`` (empty buckets carry the 2^52
+  sentinel; same estimator as ``q_distinct_minvalue_sketch``);
+- ``partial_states`` is one map-side-combinable hash aggregate;
+- ``merge_states`` is ``groupBy(key)`` with sum/min/max plus an
+  element-wise ``least`` fold over the collected KMV arrays
+  (``F.aggregate`` + ``F.zip_with`` — the collected list is bounded by
+  the PART count per key, never the row count);
+- ``finalize`` is the ``-Merge`` read: avg = exact integer div, uniq =
+  the KMV estimate from the folded array.
+
+Every combine is associative and commutative on exact integers, so ANY
+part folding order — including incremental re-merges of already-merged
+states — yields bit-identical results to aggregating the union of all
+blocks at once. ``AggregateStateStore`` persists the state rows as
+parquet parts and exposes apply/merge/compact, mirroring the MergeTree
+part lifecycle.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_KMV_M = 1024           # stochastic-averaging buckets (uniqState width)
+_KMV_TWO52 = 1 << 52    # hash domain: 13 md5 hex chars = 52 bits
+_KMV_NUM = float(_KMV_M * _KMV_M * _KMV_TWO52)
+
+STATE_COLS = ("cnt", "sum_milli", "min_milli", "max_milli", "uniq_state")
+
+
+def _kmv_hash(uniq_col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(uniq_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def partial_states(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_milli_col: str,
+    uniq_col: str,
+) -> DataFrame:
+    """``-State`` write path: one mergeable state row per key group.
+
+    Two-level hash aggregate (both map-side combinable): per-bucket
+    partials first, then the per-key roll-up that also pivots the KMV
+    bucket mins into the fixed M-wide array. No shuffle beyond the two
+    aggregates; no Python in the row path.
+    """
+    h = _kmv_hash(uniq_col)
+    per_bucket = (
+        df.select(
+            *keys,
+            F.col(value_milli_col).cast("long").alias("__v"),
+            (h % _KMV_M).cast("int").alias("__b"),
+            h.alias("__h"),
+        )
+        .groupBy(*keys, "__b")
+        .agg(
+            F.count("*").cast("long").alias("__c"),
+            F.sum("__v").cast("long").alias("__s"),
+            F.min("__v").cast("long").alias("__mn"),
+            F.max("__v").cast("long").alias("__mx"),
+            F.min("__h").alias("__u"),
+        )
+    )
+    return (
+        per_bucket.groupBy(*keys)
+        .agg(
+            F.sum("__c").cast("long").alias("cnt"),
+            F.sum("__s").cast("long").alias("sum_milli"),
+            F.min("__mn").cast("long").alias("min_milli"),
+            F.max("__mx").cast("long").alias("max_milli"),
+            # bucket ids are unique within the group, so the map (and
+            # the array built from it) is collect-order insensitive
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__u"))
+            ).alias("__m"),
+        )
+        .withColumn(
+            "uniq_state",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_KMV_M - 1)),
+                lambda i: F.coalesce(
+                    F.col("__m")[i], F.lit(_KMV_TWO52).cast("long")
+                ),
+            ),
+        )
+        .drop("__m")
+    )
+
+
+def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """The background merge / ``-Merge`` combine: fold state rows sharing
+    a key. Exact integer sum/min/max; the uniq fold is element-wise
+    ``least`` over the collected arrays (list length = parts per key)."""
+    return (
+        states.groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum_milli").cast("long").alias("sum_milli"),
+            F.min("min_milli").cast("long").alias("min_milli"),
+            F.max("max_milli").cast("long").alias("max_milli"),
+            F.collect_list("uniq_state").alias("__us"),
+        )
+        .withColumn(
+            "uniq_state",
+            F.aggregate(
+                "__us",
+                F.array_repeat(F.lit(_KMV_TWO52).cast("long"), _KMV_M),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+            ),
+        )
+        .drop("__us")
+    )
+
+
+def finalize(merged: DataFrame) -> DataFrame:
+    """The ``-Merge`` read: exact avg lane (integer div) and the KMV
+    uniq estimate; drops the state array."""
+    sum_u = F.aggregate(
+        "uniq_state", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return merged.withColumn(
+        "avg_milli", F.expr("sum_milli div cnt")
+    ).withColumn(
+        "uniq_est",
+        (
+            F.floor(F.lit(_KMV_NUM) / sum_u.cast("double")).cast("long")
+            - F.lit(_KMV_M).cast("long")
+        ),
+    ).drop("uniq_state")
+
+
+class AggregateStateStore:
+    """Parquet-persisted AggregatingMergeTree lifecycle.
+
+    - ``apply_part(df)`` — the materialized-view insert trigger: fold one
+      CDC insert block into state rows and persist them as a new part.
+    - ``merged()`` — the ``-Merge`` read over all live parts.
+    - ``compact()`` — the background merge: replace all parts with one
+      already-merged part (reads afterwards fold a single row per key).
+
+    Because every combine is associative + commutative, compaction at any
+    moment is invisible to ``merged()`` readers — the store's pytest
+    proves fold(parts) == fold(compact(parts) + more parts) ==
+    batch-over-everything.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        value_milli_col: str,
+        uniq_col: str,
+    ) -> None:
+        self.spark = spark
+        self.path = Path(path)
+        self.keys = list(keys)
+        self.value_milli_col = value_milli_col
+        self.uniq_col = uniq_col
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._next_part = 1 + max(
+            (int(p.name.split("=", 1)[1]) for p in self._part_dirs()),
+            default=-1,
+        )
+
+    def _part_dirs(self) -> list[Path]:
+        return sorted(p for p in self.path.glob("part=*") if p.is_dir())
+
+    def apply_part(self, block: DataFrame) -> int:
+        part_id = self._next_part
+        self._next_part += 1
+        partial_states(
+            block, self.keys, self.value_milli_col, self.uniq_col
+        ).write.mode("errorifexists").parquet(
+            str(self.path / f"part={part_id}")
+        )
+        return part_id
+
+    def _states(self) -> DataFrame:
+        dirs = self._part_dirs()
+        if not dirs:
+            raise ValueError(f"no state parts under {self.path}")
+        return self.spark.read.parquet(*[str(d) for d in dirs]).select(
+            *self.keys, *STATE_COLS
+        )
+
+    def merged(self) -> DataFrame:
+        return merge_states(self._states(), self.keys)
+
+    def read_final(self) -> DataFrame:
+        return finalize(self.merged())
+
+    def compact(self) -> None:
+        """Rewrite all live parts as one merged part. The merged relation
+        is written to a fresh part directory FIRST, then the old parts
+        are dropped — a reader never observes an empty store."""
+        old = self._part_dirs()
+        merged = self.merged().select(*self.keys, *STATE_COLS)
+        part_id = self._next_part
+        self._next_part += 1
+        merged.write.mode("errorifexists").parquet(
+            str(self.path / f"part={part_id}")
+        )
+        for d in old:
+            shutil.rmtree(d)

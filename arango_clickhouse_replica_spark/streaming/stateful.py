@@ -1215,3 +1215,90 @@ def streaming_hot_key_monitor(df: DataFrame,
         fold, _HOTKEY_SCHEMA, _HOTKEY_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_AGGSTATE_M = 1024  # uniqState width — matches operators/agg_state.py
+_AGGSTATE_TWO52 = 1 << 52
+_AGGSTATE_NUM = float(_AGGSTATE_M * _AGGSTATE_M * _AGGSTATE_TWO52)
+_AGGSTATE_SCHEMA = T.StructType(
+    [
+        T.StructField("scope", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sum_v_milli", T.LongType()),
+        T.StructField("min_v_milli", T.LongType()),
+        T.StructField("max_v_milli", T.LongType()),
+        T.StructField("avg_v_milli", T.LongType()),
+        T.StructField("uniq_users_est", T.LongType()),
+    ]
+)
+_AGGSTATE_STATE = "cnt long, s long, mn long, mx long, u array<long>"
+
+
+def streaming_agg_state_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``q_clickhouse_aggregate_state_merge``: the
+    AggregatingMergeTree state (countState/sumState/minState/maxState on
+    the exact milli lane + the 1024-bucket KMV uniqState array) carried
+    PER KEY in the state store and re-finalized every micro-batch — the
+    incrementally-maintained materialized view as a stream. Because the
+    combine is the same associative integer algebra the batch merge
+    uses, the drained final emission per key equals the batch query's
+    finalized row exactly, however the stream is micro-batched (parity
+    pytest).
+
+    The hash lane is computed JVM-side BEFORE the stateful operator (the
+    exact batch lane: md5 -> 13 hex chars -> conv); Python folds
+    per-bucket minima with one vectorized groupby per batch. State is
+    4 longs + m longs per key — bounded by the KEY taxonomy and the
+    sketch width, never the stream.
+
+    Expects ``event_type``, ``user_id``, ``v_milli`` rows."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    hashed = df.select(
+        "event_type", "v_milli", (h % _AGGSTATE_M).alias("b"), h.alias("h")
+    )
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cnt, s, mn, mx, u = state.get
+            u = list(u)
+        else:
+            cnt, s, mn, mx = 0, 0, None, None
+            u = [_AGGSTATE_TWO52] * _AGGSTATE_M
+        for p in pdfs:
+            if not len(p):
+                continue
+            cnt += len(p)
+            s += int(p["v_milli"].sum())
+            bmn = int(p["v_milli"].min())
+            bmx = int(p["v_milli"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            for b, bm in p.groupby("b")["h"].min().items():
+                if int(bm) < u[int(b)]:
+                    u[int(b)] = int(bm)
+        state.update((cnt, s, mn, mx, u))
+        if cnt == 0:
+            return
+        # -Merge finalize: Spark's integer `div` truncates toward zero
+        q = abs(s) // cnt
+        avg = q if s >= 0 else -q
+        est = int(_AGGSTATE_NUM // float(sum(u))) - _AGGSTATE_M
+        yield pd.DataFrame(
+            {
+                "scope": [str(key[0])],
+                "cnt": [cnt],
+                "sum_v_milli": [s],
+                "min_v_milli": [mn],
+                "max_v_milli": [mx],
+                "avg_v_milli": [avg],
+                "uniq_users_est": [est],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        fold, _AGGSTATE_SCHEMA, _AGGSTATE_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

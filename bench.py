@@ -236,6 +236,7 @@ HEADLINE = [
     "mm_exif_orientation_census",
     "curation_language_gini",
     "q_event_cooccurrence_lift",
+    "q_clickhouse_aggregate_state_merge",
 ]
 
 

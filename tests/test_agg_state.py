@@ -1,0 +1,134 @@
+"""AggregatingMergeTree -State/-Merge parity: store lifecycle invariance
+(fold(parts) == batch-over-everything, compaction invisible) and the
+streaming twin's cross-batch parity with the batch query."""
+
+from pyspark.sql import functions as F
+
+from arango_clickhouse_replica_spark.operators.agg_state import (
+    AggregateStateStore,
+    finalize,
+    merge_states,
+    partial_states,
+)
+from arango_clickhouse_replica_spark.queries.registry import QUERIES
+from arango_clickhouse_replica_spark.sources.tables import load_table
+
+
+def _final_rows(df):
+    cols = ["event_type", "cnt", "sum_milli", "min_milli", "max_milli",
+            "avg_milli", "uniq_est"]
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _blocks(spark, sf_dir, k):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.col("event_id") % k).alias("blk"),
+    )
+    return ev, [ev.filter(F.col("blk") == i).drop("blk") for i in range(k)]
+
+
+def test_state_store_fold_equals_batch_and_compact_invisible(
+    spark, sf_dir, tmp_path
+):
+    ev, blocks = _blocks(spark, sf_dir, 4)
+    store = AggregateStateStore(
+        spark, str(tmp_path / "st"), ["event_type"], "v_milli", "user_id"
+    )
+    for b in blocks[:3]:
+        store.apply_part(b)
+
+    direct3 = finalize(merge_states(
+        partial_states(
+            ev.filter(F.col("blk") <= 2).drop("blk"),
+            ["event_type"], "v_milli", "user_id",
+        ),
+        ["event_type"],
+    ))
+    got3 = store.read_final()
+    assert got3.filter(F.col("n_parts") != 3).count() == 0
+    assert _final_rows(got3) == _final_rows(direct3)
+
+    # background merge: compaction must be invisible to readers
+    store.compact()
+    compacted = store.read_final()
+    assert compacted.filter(F.col("n_parts") != 1).count() == 0
+    assert _final_rows(compacted) == _final_rows(direct3)
+
+    # incremental maintenance continues after compaction
+    store.apply_part(blocks[3])
+    direct4 = finalize(merge_states(
+        partial_states(ev.drop("blk"), ["event_type"], "v_milli", "user_id"),
+        ["event_type"],
+    ))
+    assert _final_rows(store.read_final()) == _final_rows(direct4)
+
+    # a reopened store (fresh process) sees the same parts
+    reopened = AggregateStateStore(
+        spark, str(tmp_path / "st"), ["event_type"], "v_milli", "user_id"
+    )
+    assert _final_rows(reopened.read_final()) == _final_rows(direct4)
+
+
+def test_streaming_agg_state_matches_batch(spark, sf_dir, tmp_path):
+    """Drained per-scope emissions (last per scope) must equal the batch
+    q_clickhouse_aggregate_state_merge finalized columns exactly, with
+    the change stream split arbitrarily across micro-batches."""
+    from arango_clickhouse_replica_spark.operators.cdc import (
+        preprocess_envelopes,
+    )
+    from arango_clickhouse_replica_spark.sources.cdc_envelopes import (
+        synthetic_event_envelopes,
+    )
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_agg_state_monitor,
+    )
+
+    rows = preprocess_envelopes(
+        synthetic_event_envelopes(spark, sf_dir),
+        tracked_cuids=["c_events"], initial_tick=0,
+    ).select(
+        "event_type", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        "_ver",
+    )
+    src = str(tmp_path / "src")
+    rows.filter(F.col("_ver") % 2 == 0).drop("_ver").coalesce(1).write.mode(
+        "append").parquet(src)
+    rows.filter(F.col("_ver") % 2 == 1).drop("_ver").coalesce(1).write.mode(
+        "append").parquet(src)
+    schema = rows.drop("_ver").schema
+
+    q = (
+        streaming_agg_state_monitor(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("aggstate_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.scope: tuple(r)[1:]
+        for r in spark.sql(
+            """SELECT scope, cnt, sum_v_milli, min_v_milli, max_v_milli,
+                      avg_v_milli, uniq_users_est FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY scope ORDER BY cnt DESC) AS rn
+                 FROM aggstate_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.scope: (r.cnt, r.sum_v_milli, r.min_v_milli, r.max_v_milli,
+                  r.avg_v_milli, r.uniq_users_est)
+        for r in QUERIES["q_clickhouse_aggregate_state_merge"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch

@@ -115,10 +115,14 @@ def test_steady_state_registry_fits_budget():
     import __spark_entry__ as mod
     from arango_clickhouse_replica_spark.queries import QUERIES
 
-    assert len(QUERIES) - len(mod.ROTATION_EXEMPT) <= mod.ROTATION_BUDGET, (
-        f"registry {len(QUERIES)} - exempt {len(mod.ROTATION_EXEMPT)} > "
-        f"budget {mod.ROTATION_BUDGET}: add a subsumed variant to "
-        "ROTATION_EXEMPT"
+    # the r12 exempt-sampling slots consume emission budget too
+    assert (
+        len(QUERIES) - len(mod.ROTATION_EXEMPT) + mod.EXEMPT_SAMPLE_SLOTS
+        <= mod.ROTATION_BUDGET
+    ), (
+        f"registry {len(QUERIES)} - exempt {len(mod.ROTATION_EXEMPT)} + "
+        f"sample {mod.EXEMPT_SAMPLE_SLOTS} > budget {mod.ROTATION_BUDGET}: "
+        "add a subsumed variant to ROTATION_EXEMPT"
     )
 
 
@@ -186,9 +190,45 @@ def test_emitted_names_green_age_within_rotation_bound():
     over = {
         n: latest - seen[n]
         for n in mod.queries()
-        if n in seen and latest - seen[n] > 3
+        # exempt names in the emission are the r12 driver-sampling cycle:
+        # they are emitted BECAUSE their driver row is old (the sample
+        # picks the oldest five) — stale by design, fresh next round
+        if n in seen and latest - seen[n] > 3 and n not in mod.ROTATION_EXEMPT
     }
     assert not over, (
         f"emitted names with driver-green rows older than 3 rounds "
         f"(rotation failed to cycle them): {over}"
+    )
+
+
+def test_exempt_sample_leads_emission(tmp_path):
+    """r12 (VERDICT r11 item 4): with full history, the first
+    EXEMPT_SAMPLE_SLOTS emitted names are the exempt entries whose
+    driver rows are OLDEST, and the cycle self-advances once the driver
+    re-verifies them."""
+    mod = _load(tmp_path)
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    row = {"hash_match": True, "spark_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: row for n in QUERIES})
+    )
+    names = list(mod.queries())
+    exempt_in_registry = [n for n in QUERIES if n in mod.ROTATION_EXEMPT]
+    assert names[: mod.EXEMPT_SAMPLE_SLOTS] == exempt_in_registry[
+        : mod.EXEMPT_SAMPLE_SLOTS
+    ]
+    assert len(names) == min(mod.ROTATION_BUDGET, len(QUERIES))
+
+    # the driver verifies the sampled five in r2 -> the NEXT five lead
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: row for n in names[: mod.EXEMPT_SAMPLE_SLOTS]})
+    )
+    names2 = list(mod.queries())
+    assert names2[: mod.EXEMPT_SAMPLE_SLOTS] == exempt_in_registry[
+        mod.EXEMPT_SAMPLE_SLOTS : 2 * mod.EXEMPT_SAMPLE_SLOTS
+    ]
+    # nothing re-sampled from the just-verified batch
+    assert not set(names2[: mod.EXEMPT_SAMPLE_SLOTS]) & set(
+        names[: mod.EXEMPT_SAMPLE_SLOTS]
     )

@@ -230,6 +230,7 @@ PROBES = [
     "mm_exif_orientation_census",
     "curation_language_gini",
     "q_event_cooccurrence_lift",
+    "q_clickhouse_aggregate_state_merge",
 ]
 
 
