@@ -323,6 +323,9 @@ ROTATION_EXEMPT = frozenset({
     "text_bigram_logprob",            # bigram LM scoring: text_kneser_ney_logprob (rotating) builds the SAME unigram/bigram count tables and scores the same docs with KN smoothing layered on top
     "dedup_simhash_hamming_pairs",    # simhash band pairs: dedup_method_agreement (rotating) re-runs the identical 64-bit simhash + band join as one of its compared methods
     "q_window_funnel_strict",         # strict-order funnel: q_clickhouse_window_funnel (rotating) runs the same windowFunnel kernel (strict mode is the added predicate); q_funnel_latency_histogram keeps the step-latency lane
+    # Grown r12 alongside cdc_txn_atomic_apply (pick has 3+ green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "cdc_txn_boundary_report",        # txn reconstruction census: cdc_txn_atomic_apply (rotating) consumes the SAME tid/marker lanes (2200/2201/2202) end-to-end and gates visibility on them; cdc_tick_gap_census keeps the WAL-continuity lane
 })
 
 # How many emitted slots per round go to the deterministic

@@ -144,3 +144,80 @@ def compact(df: DataFrame, keys: Sequence[str], ver_col: str = VER_COL) -> DataF
     partitioned/sorted by the key for locality (tables/test.yaml:14-16's
     ORDER BY + index_granularity)."""
     return latest_state(df, keys, ver_col)
+
+
+# WAL transaction markers (replication/producer/reader.py:9-14):
+# 2200 = begin, 2201 = commit, 2202 = abort. The reference's reader
+# filters them out and applies documents immediately; the atomic-apply
+# mode below uses them to gate visibility on COMMIT instead.
+TXN_BEGIN = 2200
+TXN_COMMIT = 2201
+TXN_ABORT = 2202
+
+
+class TxnSplit:
+    """Three-way split of an envelope set by transaction outcome."""
+
+    __slots__ = ("applyable", "deferred", "aborted")
+
+    def __init__(self, applyable: DataFrame, deferred: DataFrame,
+                 aborted: DataFrame) -> None:
+        self.applyable = applyable
+        self.deferred = deferred
+        self.aborted = aborted
+
+
+def txn_atomic_split(
+    env: DataFrame,
+    *,
+    tid_col: str = "tid",
+    type_col: str = "type",
+    tick_col: str = "tick",
+) -> TxnSplit:
+    """Partition envelope DOCUMENT rows by their transaction's outcome.
+
+    - ``applyable``: rows whose ``tid`` has a COMMIT marker in ``env``,
+      plus non-transactional rows (null/absent ``tid``) — safe to apply.
+    - ``deferred``: rows of transactions with NO terminator yet (the
+      micro-batch cut mid-transaction) — carry to the next batch.
+    - ``aborted``: rows of transactions whose last marker is ABORT —
+      must never reach the target.
+
+    In WAL order a transaction's document rows precede its terminator,
+    so a commit marker in hand implies every row of that transaction is
+    either in this envelope set or in the pending buffer unioned into
+    it — markers never need to be remembered across batches. The
+    committed/aborted tid relations are bounded by the number of
+    transactions TERMINATING in the batch (broadcast joins); the
+    deferred set is bounded by transactions in flight at the batch cut,
+    never by stream volume.
+    """
+    is_doc = F.col(type_col).isin(UPSERT_DOCUMENT, REMOVE_DOCUMENT)
+    docs = env.filter(is_doc)
+    # last marker wins per tid (max tick; abort beats commit on a tie —
+    # a tid is never legally terminated twice)
+    terminators = (
+        env.filter(F.col(type_col).isin(TXN_COMMIT, TXN_ABORT))
+        .filter(F.col(tid_col).isNotNull())
+        .groupBy(tid_col)
+        .agg(
+            F.max_by(F.col(type_col), F.struct(
+                F.col(tick_col).cast("long"), F.col(type_col)
+            )).alias("__term")
+        )
+    )
+    tagged = docs.join(
+        F.broadcast(terminators.withColumnRenamed(tid_col, "__tid")),
+        F.col(tid_col) == F.col("__tid"),
+        "left",
+    )
+    applyable = tagged.filter(
+        F.col(tid_col).isNull() | (F.col("__term") == TXN_COMMIT)
+    ).drop("__tid", "__term")
+    deferred = tagged.filter(
+        F.col(tid_col).isNotNull() & F.col("__term").isNull()
+    ).drop("__tid", "__term")
+    aborted = tagged.filter(F.col("__term") == TXN_ABORT).drop(
+        "__tid", "__term"
+    )
+    return TxnSplit(applyable, deferred, aborted)

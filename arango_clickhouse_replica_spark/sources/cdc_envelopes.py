@@ -234,3 +234,55 @@ def stream_envelopes_orc(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return _normalize(reader.orc(path))
+
+
+# Deterministic transaction lanes for the txn-atomic fixtures: 4
+# consecutive event_ids share a transaction; every 7th txn is left OPEN
+# (no terminator — the micro-batch cut mid-transaction), every 5th of
+# the rest ABORTS, the remainder COMMIT. The same arithmetic is plain
+# SQL, so the atomic-apply semantics have a DuckDB oracle.
+TXN_GROUP = 4
+TXN_STATUS_SQL = """
+  CASE WHEN (event_id // {g}) % 7 = 3 THEN 'open'
+       WHEN (event_id // {g}) % 5 = 1 THEN 'aborted'
+       ELSE 'committed' END
+""".format(g=TXN_GROUP)
+
+
+def synthetic_txn_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic change stream with WAL transaction envelopes: every
+    document row carries its ``tid`` (string on the wire, like ``tick``
+    — reader.py:53), and each non-open transaction is terminated by a
+    commit (2201) or abort (2202) marker row with a tick AFTER all of
+    the transaction's document ticks (WAL order: rows precede their
+    terminator)."""
+    from ..operators.cdc import TXN_ABORT, TXN_COMMIT
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    tid_num = F.expr(f"data.event_id div {TXN_GROUP}")
+    with_tid = env.select(
+        "tick", "type", "cuid",
+        F.when(F.col("data").isNotNull(), tid_num.cast("string"))
+        .alias("tid"),
+        "data",
+    )
+    tids = (
+        load_table(spark, "events", sf_dir)
+        .select(F.expr(f"event_id div {TXN_GROUP}").alias("t"))
+        .distinct()
+    )
+    markers = (
+        tids.filter((F.col("t") % 7) != 3)  # open txns get no terminator
+        .select(
+            # WAL order: the terminator follows every document tick of
+            # its transaction (docs of txn t are events 4t..4t+3 with
+            # ticks <= 2*(4t+3)+1 = 8t+7)
+            (F.col("t") * 8 + 8).cast("long").alias("tick"),
+            F.when((F.col("t") % 5) == 1, TXN_ABORT)
+            .otherwise(TXN_COMMIT).alias("type"),
+            F.lit(EVENTS_CUID).alias("cuid"),
+            F.col("t").cast("string").alias("tid"),
+            F.lit(None).cast(env.schema["data"].dataType).alias("data"),
+        )
+    )
+    return with_tid.unionByName(markers)

@@ -61,6 +61,7 @@ class CdcPipeline:
         dead_letter_dir: str | None = None,
         tick_monitor: "TickGapMonitor | None" = None,
         merge_sink: "BucketedMergeSink | None" = None,
+        txn_atomic: bool = False,
     ) -> None:
         self.spark = spark
         self.target_dir = target_dir
@@ -72,6 +73,71 @@ class CdcPipeline:
         self.dead_letter_dir = dead_letter_dir
         self.tick_monitor = tick_monitor
         self.merge_sink = merge_sink
+        # r12 (VERDICT r11 item 5): apply on transaction boundaries — a
+        # micro-batch never exposes part of a WAL transaction. Document
+        # rows gate on their tid's terminator (2201/2202, reader.py:9-14);
+        # unterminated rows persist in a pending buffer unioned into the
+        # next batch. Requires `tid` on the envelope wire.
+        self.txn_atomic = txn_atomic
+
+    # -- txn-atomic pending buffer -------------------------------------------
+
+    def _pending_root(self) -> str:
+        return os.path.join(self.checkpoint_dir, "txn_pending")
+
+    def _pending_ids(self) -> list[int]:
+        import pathlib
+
+        root = pathlib.Path(self._pending_root())
+        if not root.is_dir():
+            return []
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in root.glob("batch_id=*")
+            if p.is_dir()
+        )
+
+    def pending(self) -> DataFrame | None:
+        """The rows currently deferred (latest pending generation)."""
+        ids = self._pending_ids()
+        if not ids:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self._pending_root(), f"batch_id={ids[-1]}")
+        )
+
+    def _txn_gate(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """Union the pending buffer in, split on txn outcome, persist the
+        new deferred set (idempotent per-batch overwrite — a retried
+        batch rewrites the SAME generation), return the applyable rows.
+
+        The pending write is bounded by transactions in flight at the
+        batch cut. Generations older than batch_id-2 are pruned: a
+        foreachBatch retry only ever re-runs the latest batch, which
+        reads generation batch_id-1."""
+        from ..operators.cdc import txn_atomic_split
+
+        prior = [i for i in self._pending_ids() if i < batch_id]
+        if prior:
+            batch = batch.unionByName(
+                self.spark.read.parquet(
+                    os.path.join(
+                        self._pending_root(), f"batch_id={prior[-1]}"
+                    )
+                ),
+                allowMissingColumns=True,
+            )
+        split = txn_atomic_split(batch)
+        split.deferred.write.mode("overwrite").parquet(
+            os.path.join(self._pending_root(), f"batch_id={batch_id}")
+        )
+        for i in prior[:-1]:
+            if i < batch_id - 2:
+                shutil.rmtree(
+                    os.path.join(self._pending_root(), f"batch_id={i}"),
+                    ignore_errors=True,
+                )
+        return split.applyable
 
     # -- write path ---------------------------------------------------------
 
@@ -81,7 +147,7 @@ class CdcPipeline:
         # source read + transform run once, not once per action.
         multi_action = self.tick_monitor is not None or (
             self.mapping is not None and self.dead_letter_dir is not None
-        ) or self.merge_sink is not None
+        ) or self.merge_sink is not None or self.txn_atomic
         if multi_action:
             batch = batch.persist()
         try:
@@ -89,6 +155,8 @@ class CdcPipeline:
                 # A2: tick-continuity probe on the RAW batch (pre-filter —
                 # txn markers occupy ticks too), publisher.py:140-141 analog.
                 self.tick_monitor.observe(batch, batch_id)
+            if self.txn_atomic and "tid" in batch.columns:
+                batch = self._txn_gate(batch, batch_id)
             rows = preprocess_envelopes(
                 batch,
                 tracked_cuids=self.tracked_cuids,

@@ -237,6 +237,7 @@ HEADLINE = [
     "curation_language_gini",
     "q_event_cooccurrence_lift",
     "q_clickhouse_aggregate_state_merge",
+    "cdc_txn_atomic_apply",
 ]
 
 
