@@ -326,6 +326,9 @@ ROTATION_EXEMPT = frozenset({
     # Grown r12 alongside cdc_txn_atomic_apply (pick has 3+ green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "cdc_txn_boundary_report",        # txn reconstruction census: cdc_txn_atomic_apply (rotating) consumes the SAME tid/marker lanes (2200/2201/2202) end-to-end and gates visibility on them; cdc_tick_gap_census keeps the WAL-continuity lane
+    # Grown r12 alongside ann_graph_beam_topk (pick has 3+ green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "embed_binary_hamming_topk",      # binary-code ANN lane: embed_recall_at_k_curve + ann_recall_report (rotating) COMPOSE it end-to-end every round as the 'binary' method; ann_topk_int8_rerank keeps the quantized-code rerank lane
 })
 
 # How many emitted slots per round go to the deterministic

@@ -716,13 +716,237 @@ def embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECALL_METHODS = ("binary", "ivf", "lsh", "pq")
+# ---------------------------------------------------------------------------
+# graph ANN: bounded beam search over a cell-local kNN graph (HNSW shape)
+# ---------------------------------------------------------------------------
+
+_BEAM_R = 4      # graph out-degree per node (before reverse-edge union)
+_BEAM_W = 8      # beam width
+_BEAM_HOPS = 2   # expansion rounds (unrolled — constant, like PageRank)
+
+
+def _beam_oracle() -> str:
+    norm = _NORM_SQL.format(a="embedding")
+    c_sim = (f"({_DOT_SQL.format(a='embedding', b='c_emb')}"
+             f" / (nrm * {_NORM_SQL.format(a='c_emb')}))")
+    pair = (f"round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+            f" / (a.nrm * b.nrm), 4)")
+
+    def qs(m: str) -> str:
+        return (f"round({_DOT_SQL.format(a='q.q_emb', b=f'{m}.embedding')}"
+                f" / (q.q_nrm * {m}.nrm), 4)")
+
+    hops = []
+    prev = "s0"
+    for i in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""
+    c{i} AS (
+      SELECT query_id, vec_id FROM {prev}
+      UNION
+      SELECT {prev}.query_id, e.dst
+      FROM {prev} JOIN edges e ON e.src = {prev}.vec_id
+    ),
+    s{i} AS (
+      SELECT query_id, vec_id, s FROM (
+        SELECT c.query_id, c.vec_id, {qs('m')} AS s,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {qs('m')} DESC, c.vec_id) AS rn
+        FROM c{i} c
+        JOIN base m ON m.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+        WHERE c.vec_id <> c.query_id
+      ) WHERE rn <= {_BEAM_W}
+    )""")
+        prev = f"s{i}"
+    hop_sql = ",".join(hops)
+    return f"""
+    WITH base AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    seeds AS (
+      SELECT vec_id, embedding, nrm,
+             CAST(vec_id % {_N_CELLS} AS INT) AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    centroids AS (SELECT cell, embedding AS c_emb FROM seeds),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {c_sim} DESC, cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    members AS (SELECT vec_id, embedding, nrm, cell
+                FROM assign WHERE c_rank = 1),
+    edir AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {pair} DESC, b.vec_id) AS rn
+        FROM members a JOIN members b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {_BEAM_R}
+    ),
+    edges AS (SELECT src, dst FROM edir UNION SELECT dst, src FROM edir),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, {norm} AS q_nrm
+          FROM embeddings WHERE vec_id % 100 = 0
+          ORDER BY vec_id LIMIT {_Q_MAX}),
+    s0 AS (
+      SELECT query_id, vec_id, s FROM (
+        SELECT q.query_id, m.vec_id, {qs('m')} AS s,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qs('m')} DESC, m.vec_id) AS rn
+        FROM q JOIN seeds m ON m.vec_id <> q.query_id
+      ) WHERE rn <= {_BEAM_W}
+    ),{hop_sql}
+    SELECT query_id, vec_id AS neighbor_id, s AS cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, vec_id) AS rn
+          FROM {prev})
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "ann_graph_beam_topk",
+    oracle=_beam_oracle(),
+    tags=("similarity", "ann", "graph", "beam-search"),
+    doc="Graph ANN (r12, VERDICT r11 item 6) — the HNSW-shape fifth "
+        "method beside brute/LSH/IVF/PQ: a bounded-degree proximity "
+        "graph (per node, top-{r} cell-local neighbors by rounded-4dp "
+        "cosine with id tiebreak, reverse edges unioned for "
+        "navigability — the NSW base layer; cells are ann_ivf_probed's "
+        "deterministic seeding) searched by {h} unrolled beam-expansion "
+        "rounds: start from the 16 entry seeds, each round scores "
+        "beam u neighbors(beam) against the query and keeps the "
+        "rounded-domain top-{w}. Every rank rides round(sim, 4) + id "
+        "tiebreak (the established raw-rank defense), so the oracle's "
+        "row_number replays the selection exactly. Scale: the graph "
+        "build is the cell-local sub-block-capped pair kernel (the "
+        "mutual-kNN shape) shuffling 16-byte edges; search cost per "
+        "round is |Q| x beam x (degree+1) rows — Q_MAX-capped and "
+        "INDEPENDENT of N, the property that makes graph ANN the "
+        "serving-path winner; hop count is a compile-time constant so "
+        "the plan is a fixed pipeline, no iteration driver.".format(
+            r=_BEAM_R, h=_BEAM_HOPS, w=_BEAM_W),
+)
+def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.blocking import with_sub_block
+    from .llm_ops import Q_MAX
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    w_seed = Window.partitionBy(F.col("vec_id") % _N_CELLS).orderBy("vec_id")
+    seeds = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "embedding", "nrm",
+            (F.col("vec_id") % _N_CELLS).cast("int").alias("cell"),
+        )
+    )
+    centroids = seeds.select("cell", F.col("embedding").alias("c_emb"))
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
+    ).select("vec_id", "embedding", "nrm", "cell")
+    # graph build: the mutual-kNN cell-local pair kernel, kept to top-R
+    # per source; sub-block cap bounds occupancy at scale (inactive at
+    # fixture scale so the oracle replays exactly)
+    mb = with_sub_block(members, label_col="cell", label_cap=500)
+    a, b = mb.alias("a"), mb.alias("b")
+    pair = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    w_src = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    edir = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            pair.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= _BEAM_R)
+        .select("src", "dst")
+    )
+    edges = edir.union(
+        edir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)  # reused by every hop
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(Q_MAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .localCheckpoint(eager=True)  # bounded: Q_MAX rows
+    )
+    qsim = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")), 4)
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("vec_id"))
+    beam = (
+        F.broadcast(q)
+        .join(seeds, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", qsim.alias("s"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _BEAM_W)
+        .select("query_id", "vec_id", "s")
+    )
+    nodes = emb.select("vec_id", "embedding", "nrm")
+    for _ in range(_BEAM_HOPS):
+        cand = (
+            beam.select("query_id", "vec_id")
+            .union(
+                beam.join(edges, beam.vec_id == edges.src)
+                .select("query_id", F.col("dst").alias("vec_id"))
+            )
+            .distinct()
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        beam = (
+            cand.join(nodes, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", qsim.alias("s"))
+            .withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= _BEAM_W)
+            .select("query_id", "vec_id", "s")
+        )
+    return (
+        beam.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("s").alias("cos_sim"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_RECALL_METHODS = ("binary", "graph", "ivf", "lsh", "pq")
 _RECALL_SOURCES = {
     "binary": "embed_binary_hamming_topk",  # r10: the popcount lane
+    "graph": "ann_graph_beam_topk",         # r12: HNSW-shape beam search
     "lsh": "ann_lsh_bucketed",
     "ivf": "ann_ivf_probed",
     "pq": "ann_pq_adc_rerank",
 }
+_RECALL_METHODS_SQL = ", ".join(f"'{m}'" for m in _RECALL_METHODS)
 
 
 def _ann_recall_oracle() -> str:
@@ -752,7 +976,7 @@ def _ann_recall_oracle() -> str:
       SELECT method, query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
       FROM approx_topk GROUP BY method, query_id
     ),
-    m AS (SELECT unnest(['binary', 'ivf', 'lsh', 'pq']) AS method)
+    m AS (SELECT unnest([{_RECALL_METHODS_SQL}]) AS method)
     SELECT m.method, ex.query_id, ex.n_exact,
            COALESCE(ap.n_approx, 0) AS n_approx,
            COALESCE(hits.n_hit, 0) AS n_hit,
@@ -769,7 +993,7 @@ def _ann_recall_oracle() -> str:
     "ann_recall_report",
     oracle=_ann_recall_oracle(),
     tags=("similarity", "ann", "quality"),
-    doc="Recall@5 of all four approximate ANN scale paths (binary "
+    doc="Recall@5 of all five approximate ANN scale paths (binary "
         "popcount (r10), LSH "
         "buckets, IVF probes, PQ ADC) against the exact brute-force "
         "baseline, per (method, query) — approximation quality as a "
@@ -857,7 +1081,7 @@ def _recall_curve_oracle() -> str:
       FROM exact_topk CROSS JOIN ks WHERE rank <= ks.k
       GROUP BY ks.k, query_id
     ),
-    m AS (SELECT unnest(['binary', 'ivf', 'lsh', 'pq']) AS method),
+    m AS (SELECT unnest([{_RECALL_METHODS_SQL}]) AS method),
     per AS (
       SELECT m.method, ex.k, ex.query_id,
              CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
@@ -878,7 +1102,7 @@ def _recall_curve_oracle() -> str:
     "embed_recall_at_k_curve",
     oracle=_recall_curve_oracle(),
     tags=("similarity", "ann", "quality", "report"),
-    doc="Recall@k CURVE (k = 1/3/5) of the four approximate ANN scale "
+    doc="Recall@k CURVE (k = 1/3/5) of the five approximate ANN scale "
         "paths against the exact baseline — the depth axis "
         "ann_recall_report (recall@5 only) and ann_ivf_nprobe_sweep "
         "(the nprobe axis) do not measure: rank-1 recall is what a "
@@ -2804,4 +3028,3 @@ def embed_matryoshka_route_drift(
         )
         .orderBy("cell")
     )
-

@@ -238,6 +238,7 @@ HEADLINE = [
     "q_event_cooccurrence_lift",
     "q_clickhouse_aggregate_state_merge",
     "cdc_txn_atomic_apply",
+    "ann_graph_beam_topk",
 ]
 
 

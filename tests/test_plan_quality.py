@@ -240,6 +240,7 @@ TRANSCENDENTAL_TRIAGE = {
     # double is identical on both engines; ranking additionally rides
     # round(sim, 4) + id tiebreak where a top-k is taken.
     "ann_cosine_topk_bruteforce": "exact",
+    "ann_graph_beam_topk": "exact",
     "ann_ivf_nprobe_sweep": "exact",
     "ann_ivf_probed": "exact",
     "ann_lsh_bucketed": "exact",
@@ -460,6 +461,12 @@ RAW_RANK_ALLOWED = {
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
+    "ann_graph_beam_topk":
+        "the only BNLJ is the entry-point scoring: the Q_MAX-capped "
+        "query set broadcast against the 16 seed rows with a <>-self "
+        "predicate — O(Q x 16), constant; every beam hop after it is a "
+        "hash equi-join on vec_id/query_id over Q x beam x (degree+1) "
+        "rows, independent of N",
     "cdc_backfill_chunk_plan":
         "the only BNLJs are 1-row broadcast attaches (keyspace min/max "
         "bounds for the key-derived shard id, total count for the exact "
