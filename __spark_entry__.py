@@ -329,6 +329,19 @@ ROTATION_EXEMPT = frozenset({
     # Grown r12 alongside ann_graph_beam_topk (pick has 3+ green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "embed_binary_hamming_topk",      # binary-code ANN lane: embed_recall_at_k_curve + ann_recall_report (rotating) COMPOSE it end-to-end every round as the 'binary' method; ann_topk_int8_rerank keeps the quantized-code rerank lane
+    # Grown r12 alongside the ClickHouse-parity / CDC-ops / PNM-ICO /
+    # anisotropy / minhash-calibration batch (each pick has multi-round
+    # green driver history plus every full-registry VERIFY_FULL record):
+    "q_clickhouse_summap_parity",     # map-cell CSV aggregate: q_clickhouse_minmap_maxmap_parity (rotating) renders the same sorted k:v map cells WITH the two-level merge fold on top; q_clickhouse_combinators_parity keeps the sum-aggregate lanes
+    "q_clickhouse_sequence_count",    # ordered-chain counting: q_clickhouse_window_funnel (rotating) runs the same windowed ordered-event-chain kernel; q_event_sessionize_gap keeps the gap-ordering lane
+    "q_funnel_latency_histogram",     # funnel step latencies: q_clickhouse_window_funnel (rotating) matches the same step chains; q_clickhouse_quantile_weighted_parity keeps the weighted-distribution lane
+    "text_doc_length_percentiles",    # doc-length distribution: text_length_outlier_mad (rotating) computes the same per-doc length relation with the robust stats on top; q_percentiles_by_segment keeps the percentile kernel
+    "text_zipf_slope",                # rank-frequency fit: text_vocab_coverage_curve (rotating) consumes the same rank-ordered frequency relation; curation_perplexity_buckets keeps the unigram-LM lane
+    "embed_whitening_check",          # covariance-identity validation: embed_pca_power_iteration (rotating) builds the same exact-decimal covariance aggregate; embed_ood_mahalanobis keeps the precision-consumer lane
+    "embed_silhouette_approx",        # cluster-quality score: embed_label_purity (rotating) evaluates the same shared cell assignment; embed_ivf_balance_report keeps the occupancy lane
+    "dedup_tfidf_cosine_topk",        # tf-idf weighted pairs: text_bm25_topk (rotating) builds the same idf-weighted postings kernel; dedup_prefix_filter_clustered keeps the cosine-pair lane
+    "embed_matryoshka_recall",        # prefix-slice recall: embed_matryoshka_route_drift (rotating) re-runs the same full-vs-prefix assignment comparison; embed_recall_at_k_curve keeps the recall-curve kernel
+    "text_hashed_ngram_classifier",   # hashed-feature classifier: curation_quality_decile_calibration (rotating) COMPOSES it end-to-end every round; curation_dsir_weights keeps the hashed-feature lane
 })
 
 # How many emitted slots per round go to the deterministic

@@ -1777,3 +1777,181 @@ def parse_exif(payload: bytes) -> dict:
     out["display_w"] = out["height"] if transposed else out["width"]
     out["display_h"] = out["width"] if transposed else out["height"]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Netpbm PGM (P5) / PPM (P6) — the public netpbm binary formats
+# ---------------------------------------------------------------------------
+
+def encode_pnm_gray8(pixels, width: int, height: int, *,
+                     color: bool = False) -> bytes:
+    """Serialize 8-bit grayscale pixels (row-major top-down) as a real
+    binary Netpbm file: PGM ``P5`` (raw gray) or PPM ``P6`` (gray
+    written as R=G=B). Emits a ``#`` comment line — legal per the spec
+    and deliberately present so the parser's comment handling is
+    exercised by every fixture."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    magic = b"P6" if color else b"P5"
+    head = magic + b"\n# synthetic fixture\n" + (
+        f"{width} {height}\n255\n".encode("ascii")
+    )
+    if color:
+        return head + bytes(v for p in px for v in (p, p, p))
+    return head + px
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """Parse binary Netpbm (P5/P6): whitespace-separated header tokens
+    with ``#``-comment skipping (comments may appear between any
+    tokens), maxval validation, then the raw raster after exactly one
+    whitespace byte. Returns top-down row-major ITU-R 601 integer luma
+    (for P6 gray content where R=G=B this is the source byte)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM file")
+    color = payload[:2] == b"P6"
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated PNM comment")
+            pos = nl + 1
+        else:
+            j = pos
+            while j < len(payload) and payload[j] not in b" \t\r\n#":
+                j += 1
+            tok = payload[pos:j]
+            if not tok.isdigit():
+                raise ValueError(f"bad PNM header token {tok!r}")
+            tokens.append(int(tok))
+            pos = j
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError("bad PNM dimensions")
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if pos >= len(payload) or payload[pos] not in b" \t\r\n":
+        raise ValueError("missing whitespace before PNM raster")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    n = width * height * (3 if color else 1)
+    raster = payload[pos:pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PNM raster")
+    if color:
+        luma = [
+            (299 * raster[i] + 587 * raster[i + 1] + 114 * raster[i + 2])
+            // 1000
+            for i in range(0, n, 3)
+        ]
+    else:
+        luma = list(raster)
+    return {"width": width, "height": height, "pixels": luma,
+            "color": color}
+
+
+# ---------------------------------------------------------------------------
+# ICO — the Windows icon container (ICONDIR + palettized BMP DIB entries)
+# ---------------------------------------------------------------------------
+
+def encode_ico_gray8(images) -> bytes:
+    """Serialize a list of ``(pixels, width, height)`` 8-bit grayscale
+    images as a real multi-entry ICO: ICONDIR + one ICONDIRENTRY per
+    image, each entry a BITMAPINFOHEADER DIB with the icon's doubled
+    height (XOR + AND masks), a 256-entry grayscale BGRA palette,
+    bottom-up 4-byte-padded XOR rows, and an all-visible AND mask
+    (rows padded to 32 bits) — any icon viewer opens it."""
+    entries = []
+    blobs = []
+    for px, w, h in images:
+        px = bytes(px)
+        if len(px) != w * h:
+            raise ValueError("pixel count != width*height")
+        if not (0 < w <= 256 and 0 < h <= 256):
+            raise ValueError("ICO entries are at most 256x256")
+        xor_stride = (w + 3) & ~3
+        and_stride = ((w + 31) // 32) * 4
+        ih = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0,
+            xor_stride * h + and_stride * h, 0, 0, 0, 0,
+        )
+        palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+        xor_rows = b"".join(
+            px[y * w:(y + 1) * w] + b"\x00" * (xor_stride - w)
+            for y in range(h - 1, -1, -1)
+        )
+        and_rows = b"\x00" * (and_stride * h)
+        blobs.append(ih + palette + xor_rows + and_rows)
+        entries.append((w % 256, h % 256, len(blobs[-1])))
+    out = struct.pack("<HHH", 0, 1, len(images))
+    off = 6 + 16 * len(images)
+    dir_entries = []
+    for (w8, h8, size) in entries:
+        dir_entries.append(
+            struct.pack("<BBBBHHII", w8, h8, 0, 0, 1, 8, size, off)
+        )
+        off += size
+    return out + b"".join(dir_entries) + b"".join(blobs)
+
+
+def decode_ico(payload: bytes) -> dict:
+    """Parse a real ICO container: ICONDIR validation, directory walk
+    (width/height bytes where 0 means 256), then each entry's
+    palettized BMP DIB — doubled-height convention, 256-entry BGRA
+    palette, bottom-up padded XOR rows resolved through the palette to
+    ITU-R 601 integer luma. The AND mask is validated for length and
+    skipped (fixture icons are fully visible)."""
+    if len(payload) < 6:
+        raise ValueError("not an ICO file")
+    reserved, ico_type, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or ico_type != 1 or count == 0:
+        raise ValueError("not an ICO file")
+    entries = []
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(payload):
+            raise ValueError("truncated ICO directory")
+        w8, h8, _, _, _, _, size, img_off = struct.unpack_from(
+            "<BBBBHHII", payload, off
+        )
+        if img_off + size > len(payload):
+            raise ValueError("ICO entry overruns payload")
+        blob = payload[img_off:img_off + size]
+        if len(blob) < 40:
+            raise ValueError("truncated ICO DIB header")
+        (hdr, w, h2, planes, bpp, comp) = struct.unpack_from(
+            "<IiiHHI", blob, 0
+        )
+        if hdr != 40 or comp != 0 or planes != 1:
+            raise ValueError("unsupported ICO DIB")
+        if bpp != 8:
+            raise ValueError(f"only 8-bit palettized ICO DIBs (bpp={bpp})")
+        h = h2 // 2  # doubled-height XOR+AND convention
+        width = w8 if w8 != 0 else 256
+        height = h8 if h8 != 0 else 256
+        if (w, h) != (width, height):
+            raise ValueError("ICO directory/DIB dimension mismatch")
+        pal = blob[40:40 + 256 * 4]
+        if len(pal) < 256 * 4:
+            raise ValueError("truncated ICO palette")
+        xor_stride = (w + 3) & ~3
+        and_stride = ((w + 31) // 32) * 4
+        need = 40 + 256 * 4 + xor_stride * h + and_stride * h
+        if len(blob) < need:
+            raise ValueError("truncated ICO pixel data")
+        luma = []
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            row_off = 40 + 256 * 4 + y * xor_stride
+            for x in range(w):
+                idx = blob[row_off + x]
+                b_, g, r = pal[4 * idx], pal[4 * idx + 1], pal[4 * idx + 2]
+                luma.append((299 * r + 587 * g + 114 * b_) // 1000)
+        entries.append({"width": w, "height": h, "pixels": luma})
+    return {"n_entries": count, "entries": entries}

@@ -2027,3 +2027,164 @@ def extract_exif_metadata(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=EXIF_SCHEMA)
+
+
+def synth_pnm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Netpbm payloads: doc_id seeds width/height and
+    the grayscale gradient ``p(x,y) = (doc_id*13 + 5x + 2y) % 256``;
+    even doc_ids encode as binary PGM (P5), odd as PPM (P6, gray as
+    R=G=B) — both through the real encoder with its header comment
+    (media_codecs.encode_pnm_gray8)."""
+    from .media_codecs import encode_pnm_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 9 + d % 8, 7 + d % 5
+                px = bytes(
+                    (d * 13 + 5 * x + 2 * y) % 256
+                    for y in range(h) for x in range(w)
+                )
+                color = d % 2 == 1
+                pnm = encode_pnm_gray8(px, w, h, color=color)
+                ids.append(d)
+                payloads.append(pnm)
+                metas.append(
+                    {"mime": "image/x-portable-pixmap" if color
+                     else "image/x-portable-graymap",
+                     "n_bytes": len(pnm), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+PNM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_pixels", T.LongType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_pnm_features(media: DataFrame) -> DataFrame:
+    """REAL Netpbm decode over binary payloads: tokenized header with
+    comment skipping, maxval check, raw raster; P6 resolves through the
+    ITU-R 601 integer luma — features are exact integer moments of the
+    DECODED pixels plus the detected container."""
+    from .media_codecs import decode_pnm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height",
+                     "n_pixels", "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_pnm(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["container"].append("ppm" if img["color"] else "pgm")
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=PNM_FEATURE_SCHEMA)
+
+
+def synth_ico_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL ICO payloads: each doc becomes a TWO-entry
+    icon (full size w x h plus the half-size variant — the multi-
+    resolution shape real icons carry), gradients
+    ``p(x,y) = (doc_id*7 + 3x + 4y + entry) % 256``, through the real
+    container encoder (media_codecs.encode_ico_gray8)."""
+    from .media_codecs import encode_ico_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 + d % 9, 6 + d % 7
+                imgs = []
+                for e, (we, he) in enumerate(
+                    ((w, h), (max(w // 2, 1), max(h // 2, 1)))
+                ):
+                    imgs.append((
+                        bytes(
+                            (d * 7 + 3 * x + 4 * y + e) % 256
+                            for y in range(he) for x in range(we)
+                        ), we, he,
+                    ))
+                ico = encode_ico_gray8(imgs)
+                ids.append(d)
+                payloads.append(ico)
+                metas.append(
+                    {"mime": "image/vnd.microsoft.icon",
+                     "n_bytes": len(ico), "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+ICO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_entries", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_pixels", T.LongType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_ico_features(media: DataFrame) -> DataFrame:
+    """REAL ICO decode: directory walk, per-entry palettized-DIB decode
+    (doubled height, palette, padding, bottom-up) — emits the entry
+    census plus exact integer moments of the LARGEST entry's decoded
+    pixels (the rendition an asset pipeline would keep)."""
+    from .media_codecs import decode_ico
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "n_entries", "width", "height",
+                     "n_pixels", "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                ico = decode_ico(bytes(raw))
+                big = max(
+                    ico["entries"],
+                    key=lambda e: (e["width"] * e["height"],
+                                   e["width"]),
+                )
+                px = big["pixels"]
+                rows["media_id"].append(mid)
+                rows["n_entries"].append(ico["n_entries"])
+                rows["width"].append(big["width"])
+                rows["height"].append(big["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=ICO_FEATURE_SCHEMA)

@@ -2582,3 +2582,230 @@ def q_array_hof_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sevens_csv"),
     ).orderBy("user_id")
+
+
+@query(
+    "q_clickhouse_minmap_maxmap_parity",
+    oracle="""
+    WITH day AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    daily AS (  -- the per-insert-block map cells minMap/maxMap would see
+      SELECT user_id, event_type, d,
+             CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx
+      FROM day GROUP BY user_id, event_type, d
+    ),
+    merged AS (  -- the -Merge fold across blocks
+      SELECT user_id, event_type,
+             CAST(MIN(mn) AS BIGINT) AS mn, CAST(MAX(mx) AS BIGINT) AS mx
+      FROM daily GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           string_agg(event_type || ':' || CAST(mn AS STRING), ','
+                      ORDER BY event_type) AS minmap,
+           string_agg(event_type || ':' || CAST(mx AS STRING), ','
+                      ORDER BY event_type) AS maxmap
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "map-aggregate", "merge"),
+    doc="minMap()/maxMap() parity (r12) — the extremum siblings of "
+        "q_clickhouse_summap_parity, INCLUDING their merge algebra: the "
+        "per-(user, type) min/max milli-values are first aggregated per "
+        "DAY (the map cells each insert block's state would hold) and "
+        "then folded across days (min-of-mins / max-of-maxes — the "
+        "associative -Merge combine), proving the two-level fold equals "
+        "the direct aggregate the oracle could also take. Maps render "
+        "as the canonical sorted 'k:v' CSV cell so the whole map is "
+        "value-hashed. Scale: two map-side-combinable hash aggregates "
+        "into a |users| x |types| relation, then the per-user roll-up; "
+        "map cardinality bounded by the type taxonomy.",
+)
+def q_clickhouse_minmap_maxmap_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
+    daily = (
+        ev.select(
+            "user_id", "event_type",
+            F.col("ts").cast("date").alias("d"), v.alias("v"),
+        )
+        .groupBy("user_id", "event_type", "d")
+        .agg(F.min("v").cast("long").alias("mn"),
+             F.max("v").cast("long").alias("mx"))
+    )
+    merged = daily.groupBy("user_id", "event_type").agg(
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+    )
+
+    def _csv(field: str):
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", F.col(field)))
+                ),
+                lambda x: F.concat_ws(
+                    ":", x["event_type"], x[field].cast("string")
+                ),
+            ),
+        )
+
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            _csv("mn").alias("minmap"),
+            _csv("mx").alias("maxmap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_clickhouse_moving_sum_parity",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(SUM(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) AS VARCHAR)
+    )
+    SELECT event_type, d, v,
+           CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS mv3,
+           CAST(MAX(v) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS mvmax3
+    FROM daily ORDER BY event_type, d
+    """,
+    tags=("analytics", "clickhouse-parity", "window"),
+    doc="groupArrayMovingSum(3) / groupArrayMovingMax(3) parity (r12) — "
+        "ClickHouse's moving-window array aggregates, re-expressed as "
+        "the rows-frame window over the per-day totals (each output ROW "
+        "is one element of the array cell the CH function would emit, "
+        "so the hash covers the identical values). Exact milli lane "
+        "end-to-end. Scale: one map-side-combinable daily aggregate, "
+        "then a window over the |types| x |days| relation — bounded by "
+        "the calendar, never the event volume.",
+)
+def q_clickhouse_moving_sum_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    v = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
+    daily = (
+        ev.select("event_type",
+                  F.col("ts").cast("date").cast("string").alias("d"),
+                  v.alias("v0"))
+        .groupBy("event_type", "d")
+        .agg(F.sum("v0").cast("long").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "d", "v",
+        F.sum("v").over(w).cast("long").alias("mv3"),
+        F.max("v").over(w).cast("long").alias("mvmax3"),
+    ).orderBy("event_type", "d")
+
+
+@query(
+    "q_clickhouse_bitmap_ops_parity",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    card AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM m
+      GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_and
+      FROM m a JOIN m b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+           COALESCE(i.n_and, 0) AS n_and,
+           ca.n + cb.n - COALESCE(i.n_and, 0) AS n_or,
+           ca.n + cb.n - 2 * COALESCE(i.n_and, 0) AS n_xor,
+           (COALESCE(i.n_and, 0) * 1000)
+             // (ca.n + cb.n - COALESCE(i.n_and, 0)) AS jaccard_per_mille
+    FROM card ca JOIN card cb ON ca.event_type < cb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = ca.event_type AND i.type_b = cb.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("analytics", "clickhouse-parity", "bitmap", "setop"),
+    doc="groupBitmapAnd/Or/Xor parity (r12) — ClickHouse's bitmap "
+        "set-algebra over audience segments (each event type's distinct "
+        "user set is the bitmap; q_bitmap_segment_census holds the "
+        "membership census, this adds the PAIRWISE algebra): for every "
+        "type pair, exact AND via one distinct-membership self-join, "
+        "then OR and XOR by inclusion-exclusion on the per-type "
+        "cardinalities — never materializing the union. Integer Jaccard "
+        "per-mille rides the exact div lane. Scale: the membership "
+        "relation is |types| x |users| at most (distinct, map-side "
+        "combinable); the pair join fans each user by their type count "
+        "(bounded by the taxonomy); output is |types|^2 rows. At 100 TB "
+        "the per-type sets would persist as roaring bitmaps / KMV "
+        "sketches (q_distinct_sketch_merge proves the sketch fold) — "
+        "the exact lane here is the calibration truth.",
+)
+def q_clickhouse_bitmap_ops_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    m = ev.select("event_type", "user_id").distinct()
+    card = m.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_and"))
+    )
+    ca, cb = card.alias("ca"), card.alias("cb")
+    pairs = ca.join(
+        cb, F.col("ca.event_type") < F.col("cb.event_type")
+    ).select(
+        F.col("ca.event_type").alias("type_a"),
+        F.col("cb.event_type").alias("type_b"),
+        F.col("ca.n").alias("na"),
+        F.col("cb.n").alias("nb"),
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            F.coalesce(F.col("n_and"), F.lit(0)).cast("long").alias("n_and"),
+            (F.col("na") + F.col("nb")
+             - F.coalesce(F.col("n_and"), F.lit(0))).cast("long")
+            .alias("n_or"),
+            (F.col("na") + F.col("nb")
+             - 2 * F.coalesce(F.col("n_and"), F.lit(0))).cast("long")
+            .alias("n_xor"),
+            F.expr(
+                "(coalesce(n_and, 0) * 1000)"
+                " div (na + nb - coalesce(n_and, 0))"
+            ).cast("long").alias("jaccard_per_mille"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1944,3 +1944,267 @@ def cdc_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_deferred_rows", "n_aborted_rows")
         .orderBy("event_type")
     )
+
+
+_OVERLAP_PARTS = 16
+
+
+@query(
+    "cdc_part_overlap_depth",
+    oracle=f"""
+    WITH changes AS ({{changes}}),
+    b AS (SELECT CAST(MIN(_ver) AS BIGINT) AS v0,
+                 CAST(MAX(_ver) AS BIGINT) AS v1 FROM changes),
+    parts AS (
+      SELECT layout, part_id,
+             CAST(MIN(k) AS BIGINT) AS key_lo,
+             CAST(MAX(k) AS BIGINT) AS key_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT 'arrival_user_key' AS layout,
+               (_ver - v0) * {{p}} // (v1 - v0 + 1) AS part_id,
+               user_id AS k
+        FROM changes CROSS JOIN b
+        UNION ALL
+        SELECT 'arrival_event_key',
+               (_ver - v0) * {{p}} // (v1 - v0 + 1), event_id
+        FROM changes CROSS JOIN b
+      ) GROUP BY layout, part_id
+    )
+    SELECT a.layout, a.part_id, a.key_lo, a.key_hi, a.n_rows,
+           CAST(COUNT(bp.part_id) AS BIGINT) AS n_overlaps
+    FROM parts a LEFT JOIN parts bp
+      ON a.layout = bp.layout AND a.part_id <> bp.part_id
+     AND a.key_lo <= bp.key_hi AND bp.key_lo <= a.key_hi
+    GROUP BY a.layout, a.part_id, a.key_lo, a.key_hi, a.n_rows
+    ORDER BY a.layout, a.part_id
+    """.format(changes=CHANGES_SQL, p=_OVERLAP_PARTS),
+    tags=("cdc", "operations", "clustering", "clickhouse-parity"),
+    doc="Part-overlap (clustering depth) report (r12) — the read-"
+        "amplification number behind ClickHouse's merge scheduling: "
+        "each of {p} contiguous ARRIVAL blocks of the change stream "
+        "(_ver ranges — what inserts actually produce) has a sort-key "
+        "range [key_lo, key_hi]; a point read touches every part whose "
+        "range covers it, so per part the count of range-intersecting "
+        "sibling parts IS the merge urgency. Reported for TWO layouts "
+        "over the same stream: ORDER BY user_id (arrival order "
+        "uncorrelated with the key -> ranges all overlap, the layout "
+        "that needs merges) vs ORDER BY event_id (arrival-aligned -> "
+        "near-disjoint ranges). Part ids are key-DERIVED arithmetic on "
+        "_ver against 1-row broadcast bounds (the defended shard "
+        "pattern). Scale: parts relation is 2 x {p} rows of metadata — "
+        "the interval self-join is O(p^2) on that relation only; the "
+        "corpus contributes one map-side-combinable min/max/count "
+        "aggregate.".format(p=_OVERLAP_PARTS),
+)
+def cdc_part_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(
+        env, tracked_cuids=["c_events"], initial_tick=0
+    ).select("event_id", "user_id", "_ver")
+    bounds = rows.agg(
+        F.min("_ver").alias("__v0"), F.max("_ver").alias("__v1")
+    )
+    with_part = rows.crossJoin(F.broadcast(bounds)).withColumn(
+        "part_id",
+        F.expr(
+            f"(_ver - __v0) * {_OVERLAP_PARTS} div (__v1 - __v0 + 1)"
+        ).cast("long"),
+    )
+    stacked = with_part.selectExpr(
+        "part_id",
+        "stack(2, 'arrival_user_key', user_id,"
+        " 'arrival_event_key', event_id) AS (layout, k)",
+    )
+    parts = stacked.groupBy("layout", "part_id").agg(
+        F.min("k").cast("long").alias("key_lo"),
+        F.max("k").cast("long").alias("key_hi"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    a, bp = parts.alias("a"), parts.alias("bp")
+    return (
+        a.join(
+            F.broadcast(bp),
+            (F.col("a.layout") == F.col("bp.layout"))
+            & (F.col("a.part_id") != F.col("bp.part_id"))
+            & (F.col("a.key_lo") <= F.col("bp.key_hi"))
+            & (F.col("bp.key_lo") <= F.col("a.key_hi")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.layout").alias("layout"),
+            F.col("a.part_id").alias("part_id"),
+            F.col("a.key_lo").alias("key_lo"),
+            F.col("a.key_hi").alias("key_hi"),
+            F.col("a.n_rows").alias("n_rows"),
+        )
+        .agg(F.count(F.col("bp.part_id")).cast("long").alias("n_overlaps"))
+        .orderBy("layout", "part_id")
+    )
+
+
+@query(
+    "cdc_column_codec_advisor",
+    oracle="""
+    WITH cols AS (
+      SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'value_milli',
+             CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'props', props FROM events
+    ),
+    census AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(val) AS BIGINT) AS n_present,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(SUM(length(val)) AS BIGINT) AS raw_bytes
+      FROM cols GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_distinct,
+           (n_rows - n_present) * 1000 // n_rows AS null_per_mille,
+           CAST(length(bin(GREATEST(n_distinct - 1, 1))) AS BIGINT)
+               AS dict_bits,
+           raw_bytes,
+           n_distinct * 8 + n_rows
+             * CAST(length(bin(GREATEST(n_distinct - 1, 1))) AS BIGINT)
+             // 8 AS dict_bytes_est,
+           CASE WHEN n_distinct * 100 <= n_rows
+                THEN 'LowCardinality' ELSE 'Plain' END AS codec
+    FROM census ORDER BY col_name
+    """,
+    tags=("cdc", "schema", "operations", "clickhouse-parity"),
+    doc="Column codec advisor (r12) — the DDL decision the replica's "
+        "target tables encode by hand (LowCardinality(String) for enum-"
+        "ish columns, plain for keys): per target column, the exact "
+        "distinct census, null rate, the dictionary index width in BITS "
+        "(length of the binary rendering of n_distinct-1 — an exact "
+        "integer ceil-log2, NO log() anywhere), the raw byte volume, "
+        "and a dictionary-size estimate; columns under 1% distinct "
+        "ratio recommend LowCardinality. The value column rides its "
+        "exact milli lane so both engines census identical strings. "
+        "Scale: one stacked projection into a map-side-combinable "
+        "census per column — distinct counting is the only shuffle, "
+        "keyed by (column, value).",
+)
+def cdc_column_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cols = ev.selectExpr(
+        "stack(5,"
+        " 'event_id', cast(event_id as string),"
+        " 'user_id', cast(user_id as string),"
+        " 'event_type', event_type,"
+        " 'value_milli', cast(cast(floor(value * 1000) as bigint)"
+        "   as string),"
+        " 'props', props) AS (col_name, val)"
+    )
+    census = cols.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("val").cast("long").alias("n_present"),
+        F.count_distinct("val").cast("long").alias("n_distinct"),
+        F.sum(F.length("val")).cast("long").alias("raw_bytes"),
+    )
+    dict_bits = F.length(
+        F.bin(F.greatest(F.col("n_distinct") - 1, F.lit(1)))
+    ).cast("long")
+    return census.select(
+        "col_name", "n_rows", "n_distinct",
+        F.expr("(n_rows - n_present) * 1000 div n_rows").cast("long")
+        .alias("null_per_mille"),
+        dict_bits.alias("dict_bits"),
+        "raw_bytes",
+        (F.col("n_distinct") * 8
+         + F.expr(
+             "n_rows * cast(length(bin(greatest(n_distinct - 1, 1)))"
+             " as bigint) div 8"
+         )).cast("long").alias("dict_bytes_est"),
+        F.when(F.col("n_distinct") * 100 <= F.col("n_rows"),
+               "LowCardinality").otherwise("Plain").alias("codec"),
+    ).orderBy("col_name")
+
+
+_TTL_NOW = "2024-01-20 00:00:00"  # frozen ops 'now' (fixture spans Jan 2024)
+
+
+@query(
+    "cdc_ttl_partition_drop_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part_day,
+             CAST(epoch(ts) AS BIGINT)
+               + (3 + length(event_type) % 5) * 86400 AS expires_epoch,
+             CAST(length(props) + 64 AS BIGINT) AS est_bytes
+      FROM events
+    ),
+    now_t AS (SELECT CAST(epoch(TIMESTAMP '{_TTL_NOW}') AS BIGINT) AS now_e)
+    SELECT part_day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN expires_epoch < now_e THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_expired,
+           CAST(SUM(CASE WHEN expires_epoch < now_e THEN est_bytes
+                         ELSE 0 END) AS BIGINT) AS reclaim_bytes,
+           CASE WHEN MAX(expires_epoch) < ANY_VALUE(now_e)
+                THEN 'drop_partition'
+                WHEN MIN(expires_epoch) >= ANY_VALUE(now_e) THEN 'retain'
+                ELSE 'row_ttl_rewrite' END AS action
+    FROM t CROSS JOIN now_t
+    GROUP BY part_day ORDER BY part_day
+    """,
+    tags=("cdc", "operations", "ttl", "clickhouse-parity"),
+    doc="TTL partition-drop plan (r12) — ClickHouse retention the way "
+        "operators actually run it: rows carry a per-type TTL "
+        "expression (ts + retention(event_type) days — the replica's "
+        "per-collection retention config), the table partitions by day, "
+        "and the plan classifies each partition against a frozen 'now': "
+        "every row expired -> DROP PARTITION (free, metadata-only), "
+        "none expired -> retain, mixed -> the expensive row-level TTL "
+        "rewrite with its exact reclaim-byte estimate — the report that "
+        "decides whether retention is a metadata operation or a "
+        "rewrite. All lanes exact integer epochs (UTC sessions both "
+        "engines). Scale: one map-side-combinable per-partition "
+        "aggregate; output is |days| rows.",
+)
+def cdc_ttl_partition_drop_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    expires = (
+        F.unix_timestamp("ts").cast("long")
+        + (F.lit(3) + F.length("event_type") % 5) * 86400
+    )
+    t = ev.select(
+        F.col("ts").cast("date").cast("string").alias("part_day"),
+        expires.alias("expires_epoch"),
+        (F.length("props") + 64).cast("long").alias("est_bytes"),
+    )
+    now_e = F.unix_timestamp(
+        F.lit(_TTL_NOW), "yyyy-MM-dd HH:mm:ss"
+    ).cast("long")
+    flagged = t.withColumn("now_e", now_e)
+    return (
+        flagged.groupBy("part_day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("expires_epoch") < F.col("now_e"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_expired"),
+            F.sum(
+                F.when(F.col("expires_epoch") < F.col("now_e"),
+                       F.col("est_bytes")).otherwise(0)
+            ).cast("long").alias("reclaim_bytes"),
+            F.when(
+                F.max("expires_epoch") < F.first("now_e"), "drop_partition"
+            ).when(
+                F.min("expires_epoch") >= F.first("now_e"), "retain"
+            ).otherwise("row_ttl_rewrite").alias("action"),
+        )
+        .orderBy("part_day")
+    )

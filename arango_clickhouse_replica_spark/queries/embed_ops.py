@@ -3028,3 +3028,125 @@ def embed_matryoshka_route_drift(
         )
         .orderBy("cell")
     )
+
+
+def _anisotropy_oracle() -> str:
+    norm = _NORM_SQL.format(a="embedding")
+    c_sim = (f"({_DOT_SQL.format(a='embedding', b='c_emb')}"
+             f" / (nrm * {_NORM_SQL.format(a='c_emb')}))")
+    u6 = ("CAST(round(CAST(embedding[t.i] AS DOUBLE) / nrm, 6)"
+          " AS DECIMAL(18,6))")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding, {norm} AS nrm FROM embeddings),
+    centroids AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn FROM base)
+      WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY {c_sim} DESC, cell) AS c_rank
+      FROM base CROSS JOIN centroids
+    ),
+    members AS (SELECT vec_id, embedding, nrm, cell
+                FROM assign WHERE c_rank = 1),
+    scoped AS (
+      SELECT CAST(cell AS VARCHAR) AS scope, embedding, nrm FROM members
+      UNION ALL
+      SELECT '__global__', embedding, nrm FROM members
+    ),
+    per_dim AS (
+      SELECT scope, t.i AS dim,
+             SUM({u6}) AS su,
+             SUM({u6} * {u6}) AS qd,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM scoped, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY scope, t.i
+    ),
+    per_scope AS (
+      SELECT scope,
+             CAST(SUM(CAST(round(CAST(su AS DOUBLE)
+                                 * CAST(su AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             CAST(SUM(qd) AS DOUBLE) AS q,
+             MAX(n_rows) AS n
+      FROM per_dim GROUP BY scope
+    )
+    SELECT scope, CAST(n AS BIGINT) AS n_vecs,
+           round((s2 - q) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+               AS mean_pairwise_cos
+    FROM per_scope WHERE n > 1 ORDER BY scope
+    """
+
+
+@query(
+    "embed_anisotropy_report",
+    oracle=_anisotropy_oracle(),
+    tags=("embedding", "quality", "anisotropy", "report"),
+    doc="Embedding-space anisotropy (r12) — the Ethayarajh-style mean "
+        "pairwise cosine that decides whether a whitening pass "
+        "(embed_whitening_check) is needed: a healthy isotropic space "
+        "sits near 0, a collapsed one near 1. Computed WITHOUT any pair "
+        "join via the sum-of-unit-vectors identity mean = (||SUM u||^2 "
+        "- SUM ||u||^2) / (n(n-1)) over 6-dp-rounded unit components — "
+        "one posexplode into a (scope, dim)-keyed exact-decimal "
+        "aggregate, so the all-pairs statistic costs O(N x dim) and "
+        "ZERO pairwise work at any corpus size; per-IVF-cell rows "
+        "beside the global row localize WHERE the collapse lives. All "
+        "cross-row sums are exact decimals (order-independent); the "
+        "final division + round is IEEE-identical on both engines.",
+)
+def embed_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    centroids = _seed_centroids(emb)
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
+    ).select("embedding", "nrm", "cell")
+    scoped = members.select(
+        F.col("cell").cast("string").alias("scope"), "embedding", "nrm"
+    ).unionByName(
+        members.select(
+            F.lit("__global__").alias("scope"), "embedding", "nrm"
+        )
+    )
+    rows = scoped.select(
+        "scope",
+        F.posexplode("embedding").alias("dim", "v"),
+        F.col("nrm"),
+    ).select(
+        "scope", "dim",
+        F.round(F.col("v").cast("double") / F.col("nrm"), 6)
+        .cast("decimal(18,6)").alias("u6"),
+    )
+    per_dim = rows.groupBy("scope", "dim").agg(
+        F.sum("u6").alias("su"),
+        F.sum(F.col("u6") * F.col("u6")).alias("qd"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    su_d = F.col("su").cast("double")
+    per_scope = per_dim.groupBy("scope").agg(
+        F.sum(
+            F.round(su_d * su_d, 6).cast("decimal(18,6)")
+        ).cast("double").alias("s2"),
+        F.sum("qd").cast("double").alias("q"),
+        F.max("n_rows").alias("n"),
+    )
+    return (
+        per_scope.filter(F.col("n") > 1)
+        .select(
+            "scope",
+            F.col("n").cast("long").alias("n_vecs"),
+            F.round(
+                (F.col("s2") - F.col("q"))
+                / (F.col("n").cast("double") * (F.col("n") - 1)), 6)
+            .alias("mean_pairwise_cos"),
+        )
+        .orderBy("scope")
+    )

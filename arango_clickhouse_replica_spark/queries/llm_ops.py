@@ -5794,3 +5794,136 @@ def q_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+_MH_LANE_MATCH_SQL = "\n             + ".join(
+    f"(CASE WHEN ma.m{g} = mb.m{g} THEN 1 ELSE 0 END)" for g in range(8)
+)
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH sh AS ({{sh}}),
+    mins AS (
+      SELECT doc_id,
+           {{mins}}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {{bands}}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             ({_MH_LANE_MATCH_SQL}) * 1000 // 8 AS est_pm,
+             COALESCE(cm.n_common, 0) * 1000
+               // (ca.c + cb.c - COALESCE(cm.n_common, 0)) AS exact_pm
+      FROM cand c
+      JOIN mins ma ON ma.doc_id = c.doc_a
+      JOIN mins mb ON mb.doc_id = c.doc_b
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    )
+    SELECT ABS(est_pm - exact_pm) // 125 AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(est_pm) // COUNT(*) AS BIGINT) AS mean_est_pm,
+           CAST(SUM(exact_pm) // COUNT(*) AS BIGINT) AS mean_exact_pm,
+           CAST(SUM(ABS(est_pm - exact_pm)) // COUNT(*) AS BIGINT)
+               AS mean_abs_err_pm
+    FROM scored GROUP BY err_bucket ORDER BY err_bucket
+    """.format(sh=_DOC_SHINGLES_CAPPED_SQL, mins=_MINHASH_MINS_SQL,
+               bands=_MINHASH_BANDS_SQL),
+    tags=("dedup", "minhash", "evaluation", "calibration"),
+    doc="MinHash estimator calibration (r12) — the error histogram that "
+        "justifies trusting the 8-lane signature at all: for every LSH "
+        "candidate pair (the identical 4x2 band layout as "
+        "dedup_minhash_lsh_candidates), the minhash Jaccard ESTIMATE "
+        "(matching-lane fraction, per-mille) beside the EXACT shingle "
+        "Jaccard, bucketed by absolute error in 125-per-mille steps "
+        "with per-bucket means. A fat high-error tail says widen the "
+        "signature before shipping the dedup decision; "
+        "dedup_minhash_band_sweep answers WHICH layout, this answers "
+        "how honest the estimate itself is. All integer div lanes. "
+        "Scale: candidate-bounded throughout — lane comparison is an "
+        "8-column equi-join on the |docs|-row mins relation; the exact "
+        "Jaccard joins shingles only for candidate pairs (the band "
+        "sweep's verification discipline); output is <= 9 bucket rows.",
+)
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.minhash import (
+        bands_from_lane_mins,
+        candidate_pairs,
+        lane_mins,
+    )
+
+    sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
+    mins = lane_mins(sh).localCheckpoint(eager=True)
+    cand = candidate_pairs(bands_from_lane_mins(mins)).select(
+        "doc_a", "doc_b"
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{g}").alias(f"a{g}") for g in range(8)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{g}").alias(f"b{g}") for g in range(8)],
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    scored = (
+        cand.join(ma, "doc_a").join(mb, "doc_b")
+        .join(ca, "doc_a").join(cb, "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            F.expr(f"({'+'.join(f'(case when a{g} = b{g} then 1 else 0 end)' for g in range(8))}) * 1000 div 8")
+            .cast("long").alias("est_pm"),
+            F.expr(
+                "coalesce(n_common, 0) * 1000"
+                " div (ca + cb - coalesce(n_common, 0))"
+            ).cast("long").alias("exact_pm"),
+        )
+    )
+    return (
+        scored.select(
+            F.expr("abs(est_pm - exact_pm) div 125").alias("err_bucket"),
+            "est_pm", "exact_pm",
+        )
+        .groupBy("err_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(est_pm) div count(*)").cast("long")
+            .alias("mean_est_pm"),
+            F.expr("sum(exact_pm) div count(*)").cast("long")
+            .alias("mean_exact_pm"),
+            F.expr("sum(abs(est_pm - exact_pm)) div count(*)")
+            .cast("long").alias("mean_abs_err_pm"),
+        )
+        .orderBy("err_bucket")
+    )

@@ -2981,3 +2981,110 @@ def mm_exif_orientation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orientation")
     )
+
+
+@query(
+    "mm_pnm_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 7 + doc_id % 5 AS h,
+             CASE WHEN doc_id % 2 = 1 THEN 'ppm' ELSE 'pgm' END
+               AS container
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h, p.container,
+             (p.doc_id * 13 + 5 * (u.k % p.w) + 2 * (u.k // p.w)) % 256
+               AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id, container,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, container, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL Netpbm decode end to end (r12) — the eleventh genuine "
+        "codec (WAV/PNG gray+RGB/JPEG gray+4:2:0/BMP/MJPG/G.711/GIF87a/"
+        "QOI/IMA-ADPCM/TIFF-EXIF, now binary PGM P5 and PPM P6 per the "
+        "public netpbm specs): deterministic gradients encode through "
+        "the real encoder — WITH a legal '#' comment line so the "
+        "tokenizing header parser (whitespace-separated tokens, "
+        "comments between any of them, exactly one whitespace byte "
+        "before the raster) is exercised on every payload; P6 rasters "
+        "resolve through the ITU-R 601 integer luma. Features are exact "
+        "integer moments of the DECODED pixels, hash-matched against a "
+        "closed-form oracle that never sees a byte. Scale: the standard "
+        "narrow 1:1 Arrow decode stage — no shuffle until the "
+        "|docs|-row aggregate.",
+)
+def mm_pnm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_pnm_features, synth_pnm_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_pnm_features(synth_pnm_media(docs))
+        .select(
+            "media_id", "container", "width", "height", "n_pixels",
+            "sum_pixels", "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_ico_container_census",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 7 + 3 * (u.k % p.w) + 4 * (u.k // p.w)) % 256
+               AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS n_entries,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "container", "pandas-udf"),
+    doc="REAL ICO container decode (r12) — container-in-container: each "
+        "payload is a genuine two-entry Windows icon (ICONDIR directory "
+        "+ per-entry palettized BMP DIBs with the doubled-height "
+        "XOR/AND-mask convention, 256-entry BGRA palette, bottom-up "
+        "4-byte-padded rows) built by media_codecs.encode_ico_gray8 and "
+        "re-parsed by the pure-stdlib directory walker + DIB decoder. "
+        "The census keeps the LARGEST rendition (the asset a pipeline "
+        "retains from a multi-resolution icon): exact integer moments "
+        "of its palette-resolved luma, hash-matched against a "
+        "closed-form oracle that never sees a byte — a wrong palette "
+        "index, row padding slip, or mask-length miscount breaks the "
+        "hash. Scale: the standard narrow 1:1 Arrow decode stage — no "
+        "shuffle until the |docs|-row aggregate.",
+)
+def mm_ico_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_ico_features, synth_ico_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_ico_features(synth_ico_media(docs))
+        .select(
+            "media_id", "n_entries", "width", "height", "n_pixels",
+            "sum_pixels", "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )

@@ -239,6 +239,16 @@ HEADLINE = [
     "q_clickhouse_aggregate_state_merge",
     "cdc_txn_atomic_apply",
     "ann_graph_beam_topk",
+    "q_clickhouse_minmap_maxmap_parity",
+    "q_clickhouse_moving_sum_parity",
+    "q_clickhouse_bitmap_ops_parity",
+    "cdc_part_overlap_depth",
+    "cdc_column_codec_advisor",
+    "cdc_ttl_partition_drop_plan",
+    "mm_pnm_decode_features",
+    "mm_ico_container_census",
+    "embed_anisotropy_report",
+    "dedup_minhash_estimate_error",
 ]
 
 

@@ -241,6 +241,7 @@ TRANSCENDENTAL_TRIAGE = {
     # round(sim, 4) + id tiebreak where a top-k is taken.
     "ann_cosine_topk_bruteforce": "exact",
     "ann_graph_beam_topk": "exact",
+    "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
     "ann_ivf_probed": "exact",
     "ann_lsh_bucketed": "exact",
@@ -461,6 +462,16 @@ RAW_RANK_ALLOWED = {
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
+    "cdc_part_overlap_depth":
+        "the BNLJs are the 1-row _ver-bounds broadcast attach (O(N x 1), "
+        "the key-derived part-id pattern) and the interval self-join "
+        "over the 2-layouts x 16-parts METADATA relation (O(32 x 32)); "
+        "the corpus contributes one map-side-combinable aggregate",
+    "q_clickhouse_bitmap_ops_parity":
+        "the only BNLJ is the type-pair grid: the |types|-row "
+        "cardinality relation crossed with itself under a < predicate "
+        "(O(|types|^2) on an aggregate bounded by the type taxonomy); "
+        "the membership intersection is a hash equi-join on user_id",
     "ann_graph_beam_topk":
         "the only BNLJ is the entry-point scoring: the Q_MAX-capped "
         "query set broadcast against the 16 seed rows with a <>-self "
@@ -716,6 +727,12 @@ BNLJ_ALLOWED = {
         "O(N*16) narrow pass as ann_ivf_probed/embed_label_purity); "
         "the occupancy aggregate and the balance windows run over 16 "
         "rows",
+    "embed_anisotropy_report":
+        "the only BNLJ is the shared 16-centroid broadcast assignment "
+        "(the allowlisted O(N*16) narrow pass, same as ann_ivf_probed/"
+        "embed_ivf_balance_report); the anisotropy statistic itself is "
+        "one posexplode into a (scope, dim)-keyed exact-decimal "
+        "aggregate — the whole point is ZERO pairwise work",
     "decontam_bloom_prefilter":
         "the only BNLJ is the 1-row report aggregate crossJoined with "
         "the 1-row bits-set count (O(1x1) attach); the bloom probe and "
