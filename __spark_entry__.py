@@ -230,7 +230,7 @@ ROTATION_EXEMPT = frozenset({
     # Grown r10 alongside embed_binary_hamming_topk, cdc_time_travel_read,
     # text_instruction_format_census (each pick has 9 green driver
     # rounds r1-r9 incl. the full-registry records):
-    "embed_quantization_error_report",  # quantizer width sweep: ann_topk_int8_rerank re-runs the int8 quantizer inside its rerank; embed_pq_codebooks + ann_pq_adc_rerank keep the PQ lane; embed_binary_hamming_topk (rotating) adds the 1-bit extreme of the same axis
+    "embed_quantization_error_report",  # quantizer width sweep: ann_topk_int8_rerank re-runs the int8 quantizer inside its rerank; embed_pq_codebooks + ann_pq_adc_rerank keep the PQ lane; embed_binary_hamming_topk (composed end-to-end in the rotating recall reports) adds the 1-bit extreme of the same axis
     "cdc_replay_idempotent",          # its oracle IS _LATEST_ALIVE_SQL (identical to cdc_latest_state, emitted every round); replay idempotence stays pytest-proven (checkpoint-restart tests) and cdc_time_travel_read (rotating) runs the same preprocess -> top-1 machinery with a version bound
     "text_repetition_filter",         # duplicate-run filter: text_gopher_repetition (rotating) measures the same repeated-n-gram surface inside the full Gopher rule set; text_c4_line_cleaning keeps the rewrite lane
     # Grown r10 alongside q_window_funnel_strict +
@@ -342,6 +342,12 @@ ROTATION_EXEMPT = frozenset({
     "dedup_tfidf_cosine_topk",        # tf-idf weighted pairs: text_bm25_topk (rotating) builds the same idf-weighted postings kernel; dedup_prefix_filter_clustered keeps the cosine-pair lane
     "embed_matryoshka_recall",        # prefix-slice recall: embed_matryoshka_route_drift (rotating) re-runs the same full-vs-prefix assignment comparison; embed_recall_at_k_curve keeps the recall-curve kernel
     "text_hashed_ngram_classifier",   # hashed-feature classifier: curation_quality_decile_calibration (rotating) COMPOSES it end-to-end every round; curation_dsir_weights keeps the hashed-feature lane
+    # Grown r12 alongside q_clickhouse_grouparray_sorted_parity /
+    # cdc_mutation_rewrite_cost / curation_dedup_threshold_curve (each
+    # pick has multi-round green driver history plus every VERIFY_FULL):
+    "curation_dedup_keep_list",       # keep-list at a single gate: curation_dedup_threshold_curve (rotating) sweeps the SAME keep-lowest-id drop rule across four gates; curation_segment_dedup_rewrite keeps the rewrite lane
+    "text_source_kl_mixture",         # source-divergence mixing: curation_excess_surprisal_reweight (rotating) computes the same per-source unigram-LM surprisal lanes; curation_domain_mixture_weights keeps the mixing decision
+    "embed_pq_codebooks",             # PQ codebook training: ann_pq_adc_rerank (rotating) trains and applies the IDENTICAL _pq_codes subspace codebooks end-to-end every round
 })
 
 # How many emitted slots per round go to the deterministic

@@ -2809,3 +2809,63 @@ def q_clickhouse_bitmap_ops_parity(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_clickhouse_grouparray_sorted_parity",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY v, event_id) AS rn
+      FROM v
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(CAST(v AS STRING), ',' ORDER BY rn) AS smallest5
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "array-aggregate"),
+    doc="groupArraySorted(5) parity (r12) — ClickHouse's bounded sorted-"
+        "array aggregate (the per-entity 'N smallest readings' cell): "
+        "per user, the five smallest milli-values in order, rendered as "
+        "the canonical CSV cell. Ties break on event_id so the kept "
+        "five are deterministic. Spark side is the aggregate form — "
+        "sort_array over a min-struct collect then slice — NOT a global "
+        "window; the per-group array is bounded by construction before "
+        "serialization. Exact milli lane. Scale: one hash aggregate "
+        "keyed by user; per-group state is the collected list, bounded "
+        "in the output by the slice — at true scale the collect is "
+        "replaced by the per-partition top-N fold the ANN lanes use; "
+        "the CSV cell hash proves element-exact parity either way.",
+)
+def q_clickhouse_grouparray_sorted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000).cast("long")
+    return (
+        ev.select("user_id", v.alias("v"), "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("v", "event_id"))),
+                1, 5,
+            ).alias("top"),
+        )
+        .select(
+            "user_id",
+            F.size("top").cast("long").alias("n_kept"),
+            F.concat_ws(
+                ",", F.transform("top", lambda x: x["v"].cast("string"))
+            ).alias("smallest5"),
+        )
+        .orderBy("user_id")
+    )

@@ -2208,3 +2208,72 @@ def cdc_ttl_partition_drop_plan(
         )
         .orderBy("part_day")
     )
+
+
+@query(
+    "cdc_mutation_rewrite_cost",
+    oracle=f"""
+    WITH changes AS ({{changes}}),
+    b AS (SELECT CAST(MIN(_ver) AS BIGINT) AS v0,
+                 CAST(MAX(_ver) AS BIGINT) AS v1 FROM changes),
+    parts AS (
+      SELECT (_ver - v0) * {{p}} // (v1 - v0 + 1) AS part_id,
+             CAST(user_id % 10 = 3 AS INT) AS hit,
+             CAST(length(props) + 64 AS BIGINT) AS est_bytes
+      FROM changes CROSS JOIN b
+    )
+    SELECT part_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           CAST(SUM(est_bytes) AS BIGINT) AS part_bytes,
+           CAST(CASE WHEN SUM(hit) > 0 THEN SUM(est_bytes) ELSE 0 END
+                AS BIGINT) AS rewrite_bytes,
+           CASE WHEN SUM(hit) = 0 THEN 'untouched'
+                WHEN SUM(hit) = COUNT(*) THEN 'drop_whole_part'
+                ELSE 'rewrite' END AS action
+    FROM parts GROUP BY part_id ORDER BY part_id
+    """.format(changes=CHANGES_SQL, p=_OVERLAP_PARTS),
+    tags=("cdc", "operations", "mutation", "clickhouse-parity"),
+    doc="Mutation rewrite-cost plan (r12) — why ALTER TABLE ... DELETE "
+        "is expensive on a MergeTree target and exactly HOW expensive "
+        "here: a row-level mutation predicate (the GDPR-style "
+        "user_id % 10 = 3 erasure) rewrites every PART containing a "
+        "match in full, so the plan reports, per arrival block of the "
+        "change stream (key-derived part ids from broadcast _ver "
+        "bounds), the matched rows, the part's byte volume, the bytes "
+        "the mutation must rewrite, and the action tier — untouched "
+        "(free) / drop_whole_part (metadata) / rewrite (the real cost). "
+        "The total rewrite_bytes against part_bytes is the number an "
+        "operator reads before approving the mutation. Scale: one "
+        "map-side-combinable per-part aggregate over the stream; "
+        "output is {p} metadata rows.".format(p=_OVERLAP_PARTS),
+)
+def cdc_mutation_rewrite_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(
+        env, tracked_cuids=["c_events"], initial_tick=0
+    ).select("user_id", "props", "_ver")
+    bounds = rows.agg(
+        F.min("_ver").alias("__v0"), F.max("_ver").alias("__v1")
+    )
+    parts = rows.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"(_ver - __v0) * {_OVERLAP_PARTS} div (__v1 - __v0 + 1)"
+        ).cast("long").alias("part_id"),
+        F.when(F.col("user_id") % 10 == 3, 1).otherwise(0).alias("hit"),
+        (F.length("props") + 64).cast("long").alias("est_bytes"),
+    )
+    return (
+        parts.groupBy("part_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("hit").cast("long").alias("n_matched"),
+            F.sum("est_bytes").cast("long").alias("part_bytes"),
+            F.when(F.sum("hit") > 0, F.sum("est_bytes")).otherwise(0)
+            .cast("long").alias("rewrite_bytes"),
+            F.when(F.sum("hit") == 0, "untouched")
+            .when(F.sum("hit") == F.count("*"), "drop_whole_part")
+            .otherwise("rewrite").alias("action"),
+        )
+        .orderBy("part_id")
+    )

@@ -5927,3 +5927,172 @@ def dedup_minhash_estimate_error(
         )
         .orderBy("err_bucket")
     )
+
+
+_DEDUP_THRESHOLDS = (600, 700, 800, 900)  # exact-Jaccard per-mille gates
+
+
+@query(
+    "curation_dedup_threshold_curve",
+    oracle=f"""
+    WITH sh AS ({{sh}}),
+    mins AS (
+      SELECT doc_id,
+           {{mins}}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {{bands}}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(cm.n_common, 0) * 1000
+               // (ca.c + cb.c - COALESCE(cm.n_common, 0)) AS exact_pm
+      FROM cand c
+      JOIN cnt ca ON ca.doc_id = c.doc_a
+      JOIN cnt cb ON cb.doc_id = c.doc_b
+      LEFT JOIN (
+        SELECT c2.doc_a, c2.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM cand c2
+        JOIN sh sa ON sa.doc_id = c2.doc_a
+        JOIN sh sb ON sb.doc_id = c2.doc_b AND sb.s = sa.s
+        GROUP BY c2.doc_a, c2.doc_b
+      ) cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    ),
+    ts AS (SELECT unnest([{{ts}}]) AS t),
+    dropped AS (
+      SELECT ts.t, s.doc_b
+      FROM scored s JOIN ts ON s.exact_pm >= ts.t
+      GROUP BY ts.t, s.doc_b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS all_chars
+            FROM documents),
+    drop_stats AS (
+      SELECT d.t,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+             CAST(SUM(doc.n_chars) AS BIGINT) AS dropped_chars
+      FROM dropped d JOIN documents doc ON doc.doc_id = d.doc_b
+      GROUP BY d.t
+    ),
+    pair_stats AS (
+      SELECT ts.t, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+      FROM scored s JOIN ts ON s.exact_pm >= ts.t
+      GROUP BY ts.t
+    )
+    SELECT ts.t AS threshold_pm,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(d.n_docs_dropped, 0) AS n_docs_dropped,
+           COALESCE(d.n_docs_dropped, 0) * 1000 // tot.n_docs
+               AS drop_per_mille,
+           (tot.all_chars - COALESCE(d.dropped_chars, 0))
+             // (tot.n_docs - COALESCE(d.n_docs_dropped, 0))
+               AS kept_mean_chars
+    FROM ts CROSS JOIN tot
+    LEFT JOIN pair_stats p ON p.t = ts.t
+    LEFT JOIN drop_stats d ON d.t = ts.t
+    ORDER BY threshold_pm
+    """.format(sh=_DOC_SHINGLES_CAPPED_SQL, mins=_MINHASH_MINS_SQL,
+               bands=_MINHASH_BANDS_SQL,
+               ts=", ".join(str(t) for t in _DEDUP_THRESHOLDS)),
+    tags=("curation", "dedup", "decision", "report", "llm-pipeline"),
+    doc="Dedup threshold decision curve (r12) — the table a curation "
+        "owner reads before picking the Jaccard gate: at each candidate "
+        "threshold ({ts} per-mille), the surviving duplicate-pair "
+        "count, the documents dropped under the deterministic "
+        "keep-lowest-id rule (drop the doc_b of every pair at or above "
+        "the gate), the corpus drop rate, and the mean size of what "
+        "remains — making the aggressiveness/retention trade explicit "
+        "where dedup_minhash_band_sweep picks the LAYOUT and "
+        "dedup_minhash_estimate_error audits the ESTIMATOR. All "
+        "integer div lanes. Scale: candidate-bounded (the LSH pipeline "
+        "everything here composes); thresholds are a 4-row broadcast "
+        "grid; output is 4 rows.".format(
+            ts="/".join(str(t) for t in _DEDUP_THRESHOLDS)),
+)
+def curation_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.minhash import (
+        bands_from_lane_mins,
+        candidate_pairs,
+        lane_mins,
+    )
+
+    sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
+    cand = candidate_pairs(bands_from_lane_mins(lane_mins(sh))).select(
+        "doc_a", "doc_b"
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    scored = (
+        cand.join(ca, "doc_a").join(cb, "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a", "doc_b",
+            F.expr(
+                "coalesce(n_common, 0) * 1000"
+                " div (ca + cb - coalesce(n_common, 0))"
+            ).cast("long").alias("exact_pm"),
+        )
+        .localCheckpoint(eager=True)  # reused by the pair and drop lanes
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    ts = spark.createDataFrame(
+        [(t,) for t in _DEDUP_THRESHOLDS], "t long"
+    )
+    hits = scored.join(
+        F.broadcast(ts), F.col("exact_pm") >= F.col("t")
+    )
+    pair_stats = hits.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
+    dropped = hits.select("t", "doc_b").distinct()
+    drop_stats = (
+        dropped.join(docs.select(F.col("doc_id").alias("doc_b"),
+                                 "n_chars"), "doc_b")
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_dropped"),
+            F.sum("n_chars").cast("long").alias("dropped_chars"),
+        )
+    )
+    tot = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("all_chars"),
+    )
+    return (
+        ts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(pair_stats), "t", "left")
+        .join(F.broadcast(drop_stats), "t", "left")
+        .select(
+            F.col("t").alias("threshold_pm"),
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce("n_docs_dropped", F.lit(0)).cast("long")
+            .alias("n_docs_dropped"),
+            F.expr("coalesce(n_docs_dropped, 0) * 1000 div n_docs")
+            .cast("long").alias("drop_per_mille"),
+            F.expr(
+                "(all_chars - coalesce(dropped_chars, 0))"
+                " div (n_docs - coalesce(n_docs_dropped, 0))"
+            ).cast("long").alias("kept_mean_chars"),
+        )
+        .orderBy("threshold_pm")
+    )

@@ -1302,3 +1302,59 @@ def streaming_agg_state_monitor(df: DataFrame) -> DataFrame:
         fold, _AGGSTATE_SCHEMA, _AGGSTATE_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_MUTCOST_SCHEMA = T.StructType(
+    [
+        T.StructField("part_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_matched", T.LongType()),
+        T.StructField("part_bytes", T.LongType()),
+        T.StructField("rewrite_bytes", T.LongType()),
+        T.StructField("action", T.StringType()),
+    ]
+)
+_MUTCOST_STATE = "n_rows long, n_matched long, part_bytes long"
+
+
+def streaming_mutation_cost_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``cdc_mutation_rewrite_cost``: per arrival
+    part, the running matched-row and byte counters folded into the same
+    action tier (untouched / drop_whole_part / rewrite) the batch plan
+    hashes — the mutation-cost estimate kept CURRENT as blocks arrive,
+    so approving an ALTER DELETE never needs a table scan. Counters are
+    order/batch-boundary-insensitive integer adds, so the drained final
+    emission per part equals the batch row exactly (parity pytest).
+    State per part is three longs — bounded by the part taxonomy.
+
+    Expects ``part_id``, ``hit`` (0/1), ``est_bytes`` rows."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        n, m, b = state.get if state.exists else (0, 0, 0)
+        for p in pdfs:
+            if not len(p):
+                continue
+            n += len(p)
+            m += int(p["hit"].sum())
+            b += int(p["est_bytes"].sum())
+        state.update((n, m, b))
+        if n == 0:
+            return
+        action = ("untouched" if m == 0
+                  else "drop_whole_part" if m == n else "rewrite")
+        yield pd.DataFrame(
+            {
+                "part_id": [int(key[0])],
+                "n_rows": [n],
+                "n_matched": [m],
+                "part_bytes": [b],
+                "rewrite_bytes": [b if m > 0 else 0],
+                "action": [action],
+            }
+        )
+
+    return df.groupBy("part_id").applyInPandasWithState(
+        fold, _MUTCOST_SCHEMA, _MUTCOST_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -249,6 +249,9 @@ HEADLINE = [
     "mm_ico_container_census",
     "embed_anisotropy_report",
     "dedup_minhash_estimate_error",
+    "q_clickhouse_grouparray_sorted_parity",
+    "cdc_mutation_rewrite_cost",
+    "curation_dedup_threshold_curve",
 ]
 
 

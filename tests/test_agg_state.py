@@ -132,3 +132,76 @@ def test_streaming_agg_state_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert live == batch
+
+
+def test_streaming_mutation_cost_matches_batch(spark, sf_dir, tmp_path):
+    """Drained per-part emissions (last per part) must equal the batch
+    cdc_mutation_rewrite_cost rows exactly, with the change stream split
+    across micro-batches."""
+    from arango_clickhouse_replica_spark.operators.cdc import (
+        preprocess_envelopes,
+    )
+    from arango_clickhouse_replica_spark.queries.cdc_queries import (
+        _OVERLAP_PARTS,
+    )
+    from arango_clickhouse_replica_spark.sources.cdc_envelopes import (
+        synthetic_event_envelopes,
+    )
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_mutation_cost_monitor,
+    )
+
+    rows = preprocess_envelopes(
+        synthetic_event_envelopes(spark, sf_dir),
+        tracked_cuids=["c_events"], initial_tick=0,
+    ).select("user_id", "props", "_ver")
+    bounds = rows.agg(
+        F.min("_ver").alias("__v0"), F.max("_ver").alias("__v1")
+    )
+    feed = rows.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"(_ver - __v0) * {_OVERLAP_PARTS} div (__v1 - __v0 + 1)"
+        ).cast("long").alias("part_id"),
+        F.when(F.col("user_id") % 10 == 3, 1).otherwise(0)
+        .cast("long").alias("hit"),
+        (F.length("props") + 64).cast("long").alias("est_bytes"),
+        (F.col("_ver") % 2).alias("half"),
+    )
+    src = str(tmp_path / "src")
+    feed.filter(F.col("half") == 0).drop("half").coalesce(1).write.mode(
+        "append").parquet(src)
+    feed.filter(F.col("half") == 1).drop("half").coalesce(1).write.mode(
+        "append").parquet(src)
+    schema = feed.drop("half").schema
+
+    q = (
+        streaming_mutation_cost_monitor(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("mutcost_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {
+        r.part_id: tuple(r)[1:]
+        for r in spark.sql(
+            """SELECT part_id, n_rows, n_matched, part_bytes,
+                      rewrite_bytes, action FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY part_id ORDER BY n_rows DESC) AS rn
+                 FROM mutcost_t) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.part_id: tuple(r)[1:]
+        for r in QUERIES["cdc_mutation_rewrite_cost"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live == batch and len(live) > 0

@@ -462,6 +462,17 @@ RAW_RANK_ALLOWED = {
 
 # name -> reason an otherwise-forbidden pattern is the intended plan
 BNLJ_ALLOWED = {
+    "cdc_mutation_rewrite_cost":
+        "the only BNLJ is the 1-row _ver-bounds broadcast attach for "
+        "the key-derived part id (O(N x 1), the cdc_backfill_chunk_plan "
+        "pattern); the plan itself is one map-side-combinable per-part "
+        "aggregate",
+    "curation_dedup_threshold_curve":
+        "the BNLJs are bounded grids: the 4-row threshold relation "
+        "joined to candidate-bounded scored pairs under a >= predicate "
+        "(O(pairs x 4)) and the 1-row corpus-totals attach; candidate "
+        "generation and the exact-Jaccard lane are the LSH pipeline's "
+        "hash equi-joins",
     "cdc_part_overlap_depth":
         "the BNLJs are the 1-row _ver-bounds broadcast attach (O(N x 1), "
         "the key-derived part-id pattern) and the interval self-join "
