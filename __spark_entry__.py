@@ -106,7 +106,6 @@ ROTATION_EXEMPT = frozenset({
     # (each pick 6 green driver rounds r1-r6 + the r7 full-registry
     # record):
     "q_cube_lineitem_flags",          # CUBE: q_grouping_sets_revenue superset
-    "q_string_agg_segments",          # list/string agg: curation_epoch_shuffle fingerprints
     # Grown r8 alongside the 4 new registrations (unimax, knn-label,
     # ttr, audio clipping); each pick has 7 green driver rounds r1-r7
     # incl. the r7 full-registry record:
@@ -348,6 +347,9 @@ ROTATION_EXEMPT = frozenset({
     "curation_dedup_keep_list",       # keep-list at a single gate: curation_dedup_threshold_curve (rotating) sweeps the SAME keep-lowest-id drop rule across four gates; curation_segment_dedup_rewrite keeps the rewrite lane
     "text_source_kl_mixture",         # source-divergence mixing: curation_excess_surprisal_reweight (rotating) computes the same per-source unigram-LM surprisal lanes; curation_domain_mixture_weights keeps the mixing decision
     "embed_pq_codebooks",             # PQ codebook training: ann_pq_adc_rerank (rotating) trains and applies the IDENTICAL _pq_codes subspace codebooks end-to-end every round
+    # Grown r12 alongside q_sample_offset_parity (pick has multi-round
+    # green driver history plus every VERIFY_FULL record):
+    "curation_epoch_shuffle",         # salted-md5 permutation sharding: curation_shard_export (rotating) runs the same deterministic permutation assignment; curation_shard_balance_report (rotating) audits the same shard mass
 })
 
 # How many emitted slots per round go to the deterministic

@@ -2869,3 +2869,72 @@ def q_clickhouse_grouparray_sorted_parity(
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_sample_offset_parity",
+    oracle="""
+    WITH lanes AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS v,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+               AS bucket
+      FROM events
+    ),
+    sliced AS (
+      SELECT CASE WHEN bucket BETWEEN 0 AND 3 THEN 'worker_0'
+                  WHEN bucket BETWEEN 4 AND 7 THEN 'worker_1'
+                  WHEN bucket BETWEEN 8 AND 11 THEN 'worker_2'
+                  ELSE 'worker_3' END AS worker,
+             event_type, user_id, v
+      FROM lanes
+    )
+    SELECT worker, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(v) AS BIGINT) AS v_milli
+    FROM sliced GROUP BY worker, event_type
+    ORDER BY worker, event_type
+    """,
+    tags=("analytics", "clickhouse-parity", "sampling"),
+    doc="SAMPLE x OFFSET y parity (r12) — the clause that lets N "
+        "workers split a table into DISJOINT deterministic slices "
+        "(worker k reads SAMPLE 1/4 OFFSET k/4): the same entity-"
+        "coherent md5 sampling key as q_sample_by_hash_parity, but "
+        "partitioned into four contiguous hash-digit ranges covering "
+        "the full keyspace, each worker's per-type census reported side "
+        "by side. The output proves the slices are a PARTITION — "
+        "disjoint and exhaustive (their counts sum to the table; a "
+        "user_id never appears under two workers because membership is "
+        "a function of its hash digit). Scale: membership is a "
+        "scan-level predicate per worker (no shuffle to coordinate the "
+        "split — the property that makes OFFSET the standard parallel "
+        "backfill idiom); one map-side-combinable census.",
+)
+def q_sample_offset_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        ) - 1
+    )
+    sliced = ev.select(
+        F.when(bucket <= 3, "worker_0")
+        .when(bucket <= 7, "worker_1")
+        .when(bucket <= 11, "worker_2")
+        .otherwise("worker_3").alias("worker"),
+        "event_type", "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+        .cast("long").alias("v"),
+    )
+    return (
+        sliced.groupBy("worker", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("v").cast("long").alias("v_milli"),
+        )
+        .orderBy("worker", "event_type")
+    )

@@ -246,6 +246,7 @@ PROBES = [
     "q_clickhouse_grouparray_sorted_parity",
     "cdc_mutation_rewrite_cost",
     "curation_dedup_threshold_curve",
+    "q_sample_offset_parity",
 ]
 
 
