@@ -57,7 +57,8 @@ def test_pq_codes_cover_every_subvector(spark, sf_dir):
 def test_recall_report_bounds_and_methods(spark, sf_dir):
     df = QUERIES["ann_recall_report"].build(spark, sf_dir)
     assert {r.method for r in df.select("method").distinct().collect()} == {
-        "binary", "lsh", "ivf", "pq"  # binary popcount lane added r10
+        # binary popcount lane added r10; graph beam search added r12
+        "binary", "graph", "lsh", "ivf", "pq"
     }
     assert df.filter((F.col("recall") < 0) | (F.col("recall") > 1)).count() == 0
     assert df.filter(F.col("n_hit") > F.col("n_exact")).count() == 0
