@@ -357,6 +357,13 @@ def main() -> None:
 
 SELF_RECORDING = "BENCH_SELF.json"
 
+# In-suite confirm re-runs are bounded: the top offenders by excess
+# ratio get a fresh min-of-two; the rest defer to the isolated triage
+# (bounded too — one fresh-JVM subset run). Keeps a genuinely broken
+# round failing fast without abandoning confirmation when many queries
+# flag at once (the r12 loaded-box failure mode).
+_CONFIRM_CAP = 8
+
 
 def _calibration_spin() -> float:
     """Fixed pure-Python CPU probe (min of 3): a deterministic workload
@@ -434,17 +441,20 @@ def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
     return None
 
 
-def _isolated_triage(offenders: list[str], sf) -> set[str]:
-    """Names cleared by the isolated re-run: one fresh-JVM subset bench
-    over the surviving offenders, compared against the ISOLATED per-query
-    anchors in bench_family_anchors.json (>1.5x anchor and >1s = real —
-    reproduces without suite contention). Offenders with no anchor stay
-    flagged. Returns the cleared subset; empty on any subprocess/parse
-    problem (fail-safe: never clears on error)."""
+def _isolated_triage(offenders: list[str], sf) -> dict[str, tuple[float, float]]:
+    """One fresh-JVM subset bench over the surviving offenders, compared
+    against the ISOLATED per-query anchors in bench_family_anchors.json
+    (>1.5x anchor and >1s = real — reproduces without suite contention).
+    Returns {name: (isolated_sec, scaled_anchor_sec)} for every offender
+    that HAS an anchor and produced a timing — the caller derives the
+    cleared/real verdicts (and the uniform-contention escape) from the
+    ratios. Offenders with no anchor are absent from the result and stay
+    flagged. Empty on any subprocess/parse problem (fail-safe: never
+    clears on error)."""
     here = Path(__file__).resolve().parent
     anchors_path = here / "bench_family_anchors.json"
     if not anchors_path.exists():
-        return set()
+        return {}
     try:
         book = json.loads(anchors_path.read_text())
         anchors = {n: float(s) for fam in book.get("families", {}).values()
@@ -459,12 +469,12 @@ def _isolated_triage(offenders: list[str], sf) -> set[str]:
                       file=sys.stderr)
                 anchors = {k: v * scale for k, v in anchors.items()}
     except (OSError, json.JSONDecodeError, TypeError, ValueError):
-        return set()
+        return {}
     if book.get("sf") not in (SF_DIR, None):
-        return set()
+        return {}
     with_anchor = [n for n in offenders if n in anchors]
     if not with_anchor:
-        return set()
+        return {}
     import subprocess
 
     env = dict(os.environ,
@@ -483,11 +493,11 @@ def _isolated_triage(offenders: list[str], sf) -> set[str]:
                        for k, v in json.loads(line)["queries"].items()}
                 break
         if iso is None:
-            return set()
+            return {}
     except (subprocess.SubprocessError, OSError, json.JSONDecodeError,
             KeyError, ValueError):
-        return set()
-    cleared = set()
+        return {}
+    results: dict[str, tuple[float, float]] = {}
     for n in with_anchor:
         t, a = iso.get(n), anchors[n]
         if t is None:
@@ -496,9 +506,8 @@ def _isolated_triage(offenders: list[str], sf) -> set[str]:
         verdict = "REAL (reproduces isolated)" if real else "cleared (contention)"
         print(f"BENCH ISOLATED {n}: {t:.2f}s vs isolated anchor "
               f"{a:.2f}s -> {verdict}", file=sys.stderr)
-        if not real:
-            cleared.add(n)
-    return cleared
+        results[n] = (t, a)
+    return results
 
 
 def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
@@ -534,8 +543,10 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     # real regression still trips: it exceeds even the scaled bar.
     spin_old = _previous_round_spin(sf)
     scale = 1.0
+    spin_ratio = 1.0
     if spin_old:
         ratio = _calibration_spin() / spin_old
+        spin_ratio = ratio
         if ratio > 1.05:
             scale = min(ratio, 3.0)
             print(f"BENCH CALIBRATION: box spin ratio {ratio:.2f}x vs "
@@ -586,13 +597,23 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
     # didn't reject (GC pause spanning both timed runs; 130+ accumulated
     # plans pressure the heap late in the run — measured: queries flagged
     # 2.3-2.6x deep in a full run re-time at 1.2-1.5x in isolation).
-    # Confirm EACH flagged query with a fresh min-of-two before failing;
-    # a real code regression reproduces under the isolated re-run, noise
-    # does not. Bounded at 8 confirms so a genuinely broken round still
-    # fails fast.
-    if rerun is not None and len(offenders) <= 8:
+    # Confirm the WORST offenders (ranked by excess ratio over the bar)
+    # with a fresh min-of-two, bounded at _CONFIRM_CAP so a genuinely
+    # broken round still fails fast; offenders past the cap skip the
+    # in-suite confirm and go STRAIGHT to the isolated triage. Pre-r13
+    # the whole confirm path was gated on len(offenders) <= 8, which
+    # inverted the guard's value: a uniformly loaded box — exactly when
+    # many queries flag together and confirmation matters most — tripped
+    # the cap and the guard exited rc=2 with zero confirmation (the r12
+    # rc=2: all 12 correlated flags cleared at 0.9-1.35x of their
+    # isolated anchors when the triage was finally run by hand).
+    if rerun is not None:
+        ranked = sorted(offenders, key=lambda n: timings[n] / old[n],
+                        reverse=True)
+        to_confirm = ranked[:_CONFIRM_CAP]
+        deferred = ranked[_CONFIRM_CAP:]
         confirmed = []
-        for name in offenders:
+        for name in to_confirm:
             confirm = rerun(name)
             print(
                 f"BENCH CONFIRM {name}: {timings[name]:.2f}s flagged, "
@@ -602,7 +623,15 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
             timings = dict(timings, **{name: confirm})
             if confirm > 1.5 * old[name] and confirm - old[name] > 1.0:
                 confirmed.append(name)
-        if not confirmed:
+        if deferred:
+            print(
+                f"BENCH CONFIRM: {len(deferred)} offenders past the "
+                f"{_CONFIRM_CAP}-confirm cap defer to isolated triage: "
+                + ", ".join(deferred),
+                file=sys.stderr,
+            )
+        survivors = confirmed + deferred
+        if not survivors:
             _persist_self_recording(timings, sf)
             return
         # r11 (VERDICT r10 item 5): the mechanical contention-vs-real
@@ -613,16 +642,38 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         # .json (tools/family_anchors.py refresh) records those anchors;
         # when present, survivors get ONE isolated subset run compared
         # apples-to-apples before the round fails.
-        iso_cleared = _isolated_triage(confirmed, sf)
-        confirmed = [n for n in confirmed if n not in iso_cleared]
-        if not confirmed:
+        triaged = _isolated_triage(survivors, sf)
+        cleared = {n for n, (t, a) in triaged.items()
+                   if not (t > 1.5 * a and t - a > 1.0)}
+        remaining = [n for n in survivors if n not in cleared]
+        # Uniform-contention escape (r12 VERDICT item 1): when the box is
+        # measurably slow (spin ratio > 1.2) AND >=80% of the anchored
+        # flags cleared at <=1.35x of their isolated anchors, the residue
+        # of flags that simply HAVE no isolated anchor is presumed
+        # contention too — the evidence says the whole flag set was box
+        # load. A flag that REPRODUCED >1.5x in the isolated run is never
+        # cleared by this escape: a genuine regression still fails.
+        if remaining and spin_ratio > 1.2 and triaged:
+            mild = [n for n, (t, a) in triaged.items() if t <= 1.35 * a]
+            no_anchor = [n for n in remaining if n not in triaged]
+            if no_anchor and len(mild) >= 0.8 * len(triaged):
+                print(
+                    "BENCH UNIFORM-CONTENTION ESCAPE: spin ratio "
+                    f"{spin_ratio:.2f}x > 1.2 and {len(mild)}/{len(triaged)}"
+                    " anchored flags cleared at <=1.35x isolated — "
+                    "clearing anchor-less flags as contention: "
+                    + ", ".join(no_anchor),
+                    file=sys.stderr,
+                )
+                remaining = [n for n in remaining if n in triaged]
+        if not remaining:
             _persist_self_recording(timings, sf)
             return
-        offenders = confirmed
+        offenders = remaining
         banner = "BENCH REGRESSION (>1.5x and >1s, confirmed):"
     else:
         banner = ("BENCH REGRESSION (>1.5x and >1s, NOT individually "
-                  "confirmed — no rerun hook or >8 offenders):")
+                  "confirmed — no rerun hook):")
     print(banner, file=sys.stderr)
     for n in offenders:
         print(f"  {n}: {timings[n]:.2f}s vs {old[n]:.2f}s in {src}", file=sys.stderr)

@@ -186,6 +186,113 @@ def test_spin_calibration_scales_expected_bars(in_tmp_repo, monkeypatch):
         {"q1": 4.2, "q2": 3.8, "q3": 3.8}, 0.1, rerun=None)
 
 
+def test_many_correlated_offenders_triage_instead_of_cliff(
+    in_tmp_repo, monkeypatch
+):
+    """r12 VERDICT item 1: >8 offenders used to skip ALL confirmation and
+    exit rc=2 unconfirmed — on a uniformly loaded box (the common case
+    when many queries flag together) the guard gave up exactly when it
+    mattered. Now the top-8 by excess ratio get the in-suite confirm and
+    every survivor goes through the isolated triage; 12 correlated
+    contention flags end rc=0."""
+    queries = {f"q{i:02d}": 1.0 for i in range(30)}
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": queries,
+                    "calibration_spin_sec": 0.10})
+    )
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.13)  # 1.3x box
+    timings = dict(queries)
+    flagged = [f"q{i:02d}" for i in range(12)]
+    for n in flagged:
+        timings[n] = 3.0  # > 1.5 * 1.3 scaled bar, > 1s over
+
+    reran = []
+
+    def rerun(name):  # loaded box: in-suite confirm still inflated
+        reran.append(name)
+        return 2.9
+
+    triaged_with = {}
+
+    def fake_triage(offenders, sf):
+        triaged_with.update({n: True for n in offenders})
+        # isolated run on the (briefly quiet) box: all near anchors
+        return {n: (1.2, 1.3) for n in offenders}
+
+    monkeypatch.setattr(bench, "_isolated_triage", fake_triage)
+    bench._check_regressions(timings, 0.1, rerun)
+    assert len(reran) == 8  # top-8 confirmed, not zero
+    assert sorted(triaged_with) == sorted(flagged)  # every flag triaged
+    # clean verdict persisted as the new anchor
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["queries"]["q20"] == 1.0
+
+
+def test_genuine_regression_still_fails_among_many_flags(
+    in_tmp_repo, monkeypatch
+):
+    """A single genuine 5x regression mixed into 12 correlated flags must
+    still fail rc=2: it reproduces in the isolated triage while the
+    contention flags clear."""
+    queries = {f"q{i:02d}": 1.0 for i in range(30)}
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(
+        json.dumps({"sf": 0.1, "queries": queries,
+                    "calibration_spin_sec": 0.10})
+    )
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.13)
+    timings = dict(queries)
+    for i in range(12):
+        timings[f"q{i:02d}"] = 3.0
+    timings["q00"] = 5.0  # the genuine one: worst excess, confirmed first
+
+    def fake_triage(offenders, sf):
+        return {n: ((5.0, 1.3) if n == "q00" else (1.2, 1.3))
+                for n in offenders}
+
+    monkeypatch.setattr(bench, "_isolated_triage", fake_triage)
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(
+            timings, 0.1,
+            rerun=lambda n: 5.0 if n == "q00" else 2.9,
+        )
+    assert exc.value.code == 2
+
+
+def test_uniform_contention_escape_clears_anchorless_flags(
+    in_tmp_repo, monkeypatch
+):
+    """When the box is measurably slow (spin > 1.2x) and >=80% of the
+    anchored flags cleared at <=1.35x isolated, flags with no isolated
+    anchor are presumed contention too — but only then: on a quiet box
+    the anchor-less flag still fails."""
+    queries = {f"q{i:02d}": 1.0 for i in range(30)}
+
+    def write_anchor(spin):
+        (in_tmp_repo / bench.SELF_RECORDING).write_text(
+            json.dumps({"sf": 0.1, "queries": queries,
+                        "calibration_spin_sec": spin})
+        )
+
+    timings = dict(queries)
+    for i in range(10):
+        timings[f"q{i:02d}"] = 3.2
+
+    def fake_triage(offenders, sf):
+        # q09 has no family anchor; the other nine clear mildly
+        return {n: (1.2, 1.3) for n in offenders if n != "q09"}
+
+    monkeypatch.setattr(bench, "_isolated_triage", fake_triage)
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.13)
+
+    write_anchor(0.10)  # spin ratio 1.3 > 1.2 -> escape applies
+    bench._check_regressions(dict(timings), 0.1, rerun=lambda n: 3.1)
+
+    write_anchor(0.13)  # spin ratio 1.0 -> no escape, q09 fails
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(dict(timings), 0.1, rerun=lambda n: 3.1)
+    assert exc.value.code == 2
+
+
 def test_rebase_env_persists_without_gate(in_tmp_repo, monkeypatch):
     """SPARK_GRAFT_REBASE=1 (post-triage use) accepts the run as the new
     baseline even when it would fail the gate."""
