@@ -808,6 +808,38 @@ def _beam_oracle() -> str:
     """
 
 
+_GRAPH_CELL_CAP = 500  # sub-block cap for the graph-build pair kernel
+
+
+def _graph_members(spark: SparkSession, sf_dir: str):
+    """The beam-graph node partition: (emb, seeds, members-with-cell).
+    Shared by ann_graph_beam_topk and its cap-contract test: the DuckDB
+    oracle replays the edge build WITHOUT the sub-block term, which is
+    exact only while every cell stays under _GRAPH_CELL_CAP — the test
+    asserts that at every oracle-verified scale, so an overflow fails as
+    a named contract, not a mystery hash mismatch (ADVICE r12)."""
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    w_seed = Window.partitionBy(F.col("vec_id") % _N_CELLS).orderBy("vec_id")
+    seeds = (
+        emb.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "embedding", "nrm",
+            (F.col("vec_id") % _N_CELLS).cast("int").alias("cell"),
+        )
+    )
+    centroids = seeds.select("cell", F.col("embedding").alias("c_emb"))
+    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * _norm(F.col("c_emb"))
+    )
+    members = _assign(
+        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
+    ).select("vec_id", "embedding", "nrm", "cell")
+    return emb, seeds, members
+
+
 @query(
     "ann_graph_beam_topk",
     oracle=_beam_oracle(),
@@ -835,29 +867,11 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.blocking import with_sub_block
     from .llm_ops import Q_MAX
 
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
-    w_seed = Window.partitionBy(F.col("vec_id") % _N_CELLS).orderBy("vec_id")
-    seeds = (
-        emb.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "embedding", "nrm",
-            (F.col("vec_id") % _N_CELLS).cast("int").alias("cell"),
-        )
-    )
-    centroids = seeds.select("cell", F.col("embedding").alias("c_emb"))
-    c_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
-        F.col("nrm") * _norm(F.col("c_emb"))
-    )
-    members = _assign(
-        emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
-    ).select("vec_id", "embedding", "nrm", "cell")
+    emb, seeds, members = _graph_members(spark, sf_dir)
     # graph build: the mutual-kNN cell-local pair kernel, kept to top-R
     # per source; sub-block cap bounds occupancy at scale (inactive at
     # fixture scale so the oracle replays exactly)
-    mb = with_sub_block(members, label_col="cell", label_cap=500)
+    mb = with_sub_block(members, label_col="cell", label_cap=_GRAPH_CELL_CAP)
     a, b = mb.alias("a"), mb.alias("b")
     pair = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -148,8 +148,13 @@ class CdcPipeline:
         multi_action = self.tick_monitor is not None or (
             self.mapping is not None and self.dead_letter_dir is not None
         ) or self.merge_sink is not None or self.txn_atomic
+        # Keep the persisted handle in its own name: _txn_gate rebinds
+        # `batch` to a derived frame, and unpersisting THAT is a no-op on
+        # the pinned raw batch (a cache leak growing every micro-batch).
+        raw = batch
         if multi_action:
-            batch = batch.persist()
+            raw = batch.persist()
+            batch = raw
         try:
             if self.tick_monitor is not None and "tick" in batch.columns:
                 # A2: tick-continuity probe on the RAW batch (pre-filter —
@@ -186,7 +191,7 @@ class CdcPipeline:
                 rows.write.mode("append").parquet(self.target_dir)
         finally:
             if multi_action:
-                batch.unpersist()
+                raw.unpersist()
 
     def start(
         self,

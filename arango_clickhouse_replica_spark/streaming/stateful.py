@@ -27,6 +27,7 @@ O(1) (a flag / two counters). For unbounded key spaces set a TTL via
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Sequence
 
 import pandas as pd
@@ -1285,7 +1286,10 @@ def streaming_agg_state_monitor(df: DataFrame) -> DataFrame:
         # -Merge finalize: Spark's integer `div` truncates toward zero
         q = abs(s) // cnt
         avg = q if s >= 0 else -q
-        est = int(_AGGSTATE_NUM // float(sum(u))) - _AGGSTATE_M
+        # math.floor of the IEEE quotient replicates the batch finalize
+        # (F.floor(NUM / sum_u)) bit-for-bit; Python's float `//` is
+        # fmod-based and can differ by 1 on the 0.5 // 0.1 class.
+        est = math.floor(_AGGSTATE_NUM / float(sum(u))) - _AGGSTATE_M
         yield pd.DataFrame(
             {
                 "scope": [str(key[0])],

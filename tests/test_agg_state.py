@@ -71,6 +71,63 @@ def test_state_store_fold_equals_batch_and_compact_invisible(
     assert _final_rows(reopened.read_final()) == _final_rows(direct4)
 
 
+def test_compaction_crash_safe_on_reopen(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12: a process dying between 'merged part written' and
+    'old part dirs removed' must not double-count on reopen — the
+    manifest retires the superseded parts as soon as the promoted part
+    commits. Conversely a crash BEFORE the merged part commits leaves
+    the originals live (the manifest entry stays inert)."""
+    import json
+    import shutil as _shutil
+
+    ev, blocks = _blocks(spark, sf_dir, 3)
+    store = AggregateStateStore(
+        spark, str(tmp_path / "st"), ["event_type"], "v_milli", "user_id"
+    )
+    for b in blocks:
+        store.apply_part(b)
+    expected = _final_rows(store.read_final())
+
+    # crash AFTER the merged part lands, BEFORE the old dirs are dropped
+    monkeypatch.setattr(
+        "arango_clickhouse_replica_spark.operators.agg_state.shutil.rmtree",
+        lambda *a, **k: None,
+    )
+    store.compact()
+    monkeypatch.undo()
+    assert len(list((tmp_path / "st").glob("part=*"))) == 4  # nothing deleted
+    reopened = AggregateStateStore(
+        spark, str(tmp_path / "st"), ["event_type"], "v_milli", "user_id"
+    )
+    got = reopened.read_final()
+    assert got.filter(F.col("n_parts") != 1).count() == 0  # merged part only
+    assert _final_rows(got) == expected
+
+    # next compaction on the recovered store cleans up and stays correct
+    reopened.compact()
+    assert _final_rows(reopened.read_final()) == expected
+
+    # crash BEFORE the merged part commits: inert manifest entry
+    # pointing at a part that never landed -> originals stay live
+    store2 = AggregateStateStore(
+        spark, str(tmp_path / "st2"), ["event_type"], "v_milli", "user_id"
+    )
+    for b in blocks:
+        store2.apply_part(b)
+    (tmp_path / "st2" / "compaction_manifest.json").write_text(
+        json.dumps({"compactions": [{"promote": 99, "superseded": [0, 1, 2]}]})
+    )
+    reopened2 = AggregateStateStore(
+        spark, str(tmp_path / "st2"), ["event_type"], "v_milli", "user_id"
+    )
+    assert _final_rows(reopened2.read_final()) == expected
+    # the inert entry is rolled back on open, so a future insert part
+    # reusing id 99 can never resurrect it against live originals
+    assert reopened2._manifest_entries() == []
+    assert reopened2._next_part == 3
+    _shutil.rmtree(tmp_path / "st2")
+
+
 def test_streaming_agg_state_matches_batch(spark, sf_dir, tmp_path):
     """Drained per-scope emissions (last per scope) must equal the batch
     q_clickhouse_aggregate_state_merge finalized columns exactly, with
