@@ -350,6 +350,9 @@ ROTATION_EXEMPT = frozenset({
     # Grown r12 alongside q_sample_offset_parity (pick has multi-round
     # green driver history plus every VERIFY_FULL record):
     "curation_epoch_shuffle",         # salted-md5 permutation sharding: curation_shard_export (rotating) runs the same deterministic permutation assignment; curation_shard_balance_report (rotating) audits the same shard mass
+    # Grown r13 alongside ann_incremental_index_parity (pick has 3+
+    # green driver rounds plus every full-registry VERIFY_FULL record):
+    "embed_kmeans_lloyd",             # seeded assignment + Lloyd round: embed_recall_at_k_curve / ann_recall_report (rotating) run the same seeded broadcast-argmax assignment every round, and ann_incremental_index_parity (rotating) re-runs it against frozen centroids; embed_pca_power_iteration keeps the exact-decimal centroid-fold shape
 })
 
 # How many emitted slots per round go to the deterministic
@@ -418,7 +421,14 @@ def _ordered_names() -> list[str]:
         droppable = [n for n in ordered
                      if n in ROTATION_EXEMPT and n not in unseen
                      and n not in sample]
-        drop = set(droppable[:excess])
+        # r13 (VERDICT r12 item 4): drop the FRESHEST-evidence exempt
+        # names (droppable is LRU-ordered, so that's the tail). The old
+        # head-drop evicted exactly the stalest exempt names, so window
+        # slots left over after `sample + unseen` went to younger
+        # non-exempt entries and exempt evidence aged ~8 rounds; keeping
+        # the stale end lets otherwise-unused slots cycle the oldest
+        # evidence regardless of exempt status.
+        drop = set(droppable[max(0, len(droppable) - excess):])
         ordered = [n for n in ordered if n not in drop]
         if len(ordered) > ROTATION_BUDGET:
             # The exempt pool no longer covers the excess: a query was

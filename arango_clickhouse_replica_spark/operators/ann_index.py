@@ -1,0 +1,326 @@
+"""Incremental ANN-index maintenance under CDC (r13, VERDICT r12 item 2).
+
+ReplacingMergeTree's latest-state promise (reference/readme.md:89-91)
+applied to the driver-mandated similarity surface: **index entries are
+themselves version-replacing CDC rows**. An embedding upsert arriving
+through the CDC path appends ONE entry ``(vec_id, cell, sig, _ver,
+_deleted=0)`` — its IVF cell assigned and its LSH sign-signature computed
+against FROZEN (train-time) structures, touching only the delta rows —
+and a delete appends a tombstone. The live index is ``latest_alive`` over
+the entry log, the exact merge-on-read machinery the document tables
+already use, so:
+
+- maintenance cost per micro-batch is O(|delta| x K) assignment work —
+  never a corpus rescan, never an index rebuild (the pre-r13 gap: at
+  100 TB a full ANN rebuild per CDC batch was the one remaining
+  scale-killer in the composed CDC+ANN story);
+- at-least-once redelivery and arbitrary batch splits are free: the
+  entry log is order- and duplicate-insensitive (M5), so replaying a
+  batch re-appends identical entries that the version dedup collapses;
+- compaction is the same winner-rewrite the CDC store uses, amortized
+  and crash-consistent (temp dir + atomic swap).
+
+Centroids and hyperplanes are frozen at train time — the standard
+IVF/LSH contract (FAISS ``add``/``remove_ids`` never retrain): an entry
+computed at insert time must equal the entry a full rebuild over the
+final state would compute, which is exactly the parity the
+``ann_incremental_index_parity`` oracle and the streaming twin's pytest
+prove.
+
+Scale: centroids are K rows broadcast to every executor; assignment is a
+map-side argmax aggregate (shuffle carries |delta| rows, not |delta|*K);
+the entry log shuffles 30-byte rows keyed by vec_id only at read time,
+and bucketed persistence can remove even that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .blocking import sign_signature
+from .cdc import DELETED_COL, VER_COL, latest_alive
+
+N_CELLS = 16      # IVF cells — matches ann_ivf_probed's seeding
+SIG_BITS = 6      # LSH hyperplane bits — matches ann_lsh_bucketed
+DIM = 64
+
+ENTRY_COLS = ("vec_id", "cell", "sig", VER_COL, DELETED_COL)
+
+
+def _norm(col: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def frozen_centroids(train_emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """Train-time centroids: first vector of each ``vec_id % K`` class
+    (ann_ivf_probed's deterministic seeding) with its norm precomputed.
+    FROZEN thereafter — incremental entries and full rebuilds must
+    assign against the same centroids or parity is meaningless."""
+    w = Window.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    return (
+        train_emb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col("vec_id") % n_cells).cast("int").alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            _norm(F.col("embedding")).alias("c_nrm"),
+        )
+    )
+
+
+def assign_entries(
+    upserts: DataFrame,
+    centroids: DataFrame,
+    bits: int = SIG_BITS,
+    dim: int = DIM,
+) -> DataFrame:
+    """Index entries for a batch of alive upserts ``(vec_id, embedding,
+    _ver)``: nearest frozen centroid (cosine argmax, lowest-cell
+    tiebreak) + the LSH sign-signature. Broadcast argmax — one
+    map-side-combinable max-struct aggregate, so the shuffle carries
+    |delta| rows, not |delta| x K (the embed_ops._assign shape)."""
+    e = upserts.select(
+        "vec_id",
+        F.col("embedding"),
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        _norm(F.col("embedding")).alias("__nrm"),
+        sign_signature(F.col("embedding"), bits, dim).alias("__sig"),
+    )
+    d = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "__c_sim",
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (F.col("__nrm") * F.col("c_nrm")),
+    )
+    # group by (vec_id, _ver): one CDC batch can carry SEVERAL versions
+    # of the same key (a base row and its re-embed split across files,
+    # or an at-least-once replay) — each version gets its own entry and
+    # the downstream latest_state merge picks the winner. Keying on
+    # vec_id alone would collapse versions by similarity, silently
+    # resurrecting a superseded vector.
+    best = d.groupBy("vec_id", VER_COL).agg(
+        F.max(
+            F.struct(
+                F.col("__c_sim").alias("s"),
+                (-F.col("cell")).alias("neg_cell"),
+                F.col("__sig").alias("g"),
+            )
+        ).alias("mx")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("mx.neg_cell")).cast("int").alias("cell"),
+        F.col("mx.g").alias("sig"),
+        F.col(VER_COL),
+        F.lit(0).alias(DELETED_COL),
+    )
+
+
+def tombstone_entries(deletes: DataFrame) -> DataFrame:
+    """Index tombstones for deleted keys ``(vec_id, _ver)``."""
+    return deletes.select(
+        "vec_id",
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("string").alias("sig"),
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        F.lit(1).alias(DELETED_COL),
+    )
+
+
+def cdc_index_entries(
+    changes: DataFrame,
+    centroids: DataFrame,
+    bits: int = SIG_BITS,
+    dim: int = DIM,
+) -> DataFrame:
+    """One CDC batch -> its index-entry delta. ``changes`` is the
+    post-preprocess CDC shape: ``(vec_id, embedding, _ver, _deleted)``."""
+    ups = changes.filter(F.col(DELETED_COL) == 0).select(
+        "vec_id", "embedding", VER_COL
+    )
+    dels = changes.filter(F.col(DELETED_COL) == 1).select("vec_id", VER_COL)
+    return assign_entries(ups, centroids, bits, dim).unionByName(
+        tombstone_entries(dels)
+    )
+
+
+def live_index(entries: DataFrame) -> DataFrame:
+    """The queryable index: latest alive entry per vec_id (M1/M2 applied
+    to the entry log)."""
+    return latest_alive(entries, ["vec_id"]).select(*ENTRY_COLS[:3], VER_COL)
+
+
+class AnnIndexStore:
+    """Parquet-persisted incremental IVF+LSH index.
+
+    Lifecycle mirrors the CDC target store: ``train`` freezes centroids,
+    ``apply_batch`` appends one entry-log generation per micro-batch
+    (idempotent per-batch overwrite — a replayed batch rewrites the SAME
+    generation), ``live`` is the merge-on-read view, ``compact`` rewrites
+    winners behind an atomic directory swap."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        bits: int = SIG_BITS,
+        dim: int = DIM,
+        n_cells: int = N_CELLS,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.bits = bits
+        self.dim = dim
+        self.n_cells = n_cells
+        os.makedirs(self._entries_root(), exist_ok=True)
+
+    def _entries_root(self) -> str:
+        return os.path.join(self.path, "entries")
+
+    def _centroids_dir(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    def train(self, train_emb: DataFrame) -> None:
+        frozen_centroids(train_emb, self.n_cells).write.mode(
+            "overwrite"
+        ).parquet(self._centroids_dir())
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_dir())
+
+    def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
+        cdc_index_entries(
+            changes, self.centroids(), self.bits, self.dim
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._entries_root(), f"batch_id={batch_id}")
+        )
+
+    def attach(
+        self,
+        changes_stream: DataFrame,
+        *,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """foreachBatch twin: maintain the index live from a streaming
+        CDC change feed ``(vec_id, embedding, _ver, _deleted)``. Replays
+        are idempotent — a re-delivered batch overwrites its own
+        generation and the version dedup absorbs duplicates."""
+        writer = (
+            changes_stream.writeStream.foreachBatch(
+                lambda b, bid: self.apply_batch(b, bid)
+            ).option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def entries(self) -> DataFrame:
+        root = self._entries_root()
+        parts = [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if e.startswith("batch_id=")
+        ]
+        if not parts:
+            raise ValueError(f"no index entries under {root}")
+        return self.spark.read.parquet(*parts).select(*ENTRY_COLS)
+
+    def live(self) -> DataFrame:
+        return live_index(self.entries())
+
+    def compact(self) -> None:
+        """Rewrite the winner set as one generation (temp dir + atomic
+        swap — the K4 snapshot pattern). The winner keeps its _ver so
+        later CDC rows still compare correctly."""
+        winners = latest_alive(self.entries(), ["vec_id"]).select(*ENTRY_COLS)
+        tmp = os.path.join(self.path, f"__compact_{uuid.uuid4().hex}")
+        winners.write.mode("overwrite").parquet(
+            os.path.join(tmp, "batch_id=0")
+        )
+        old = self._entries_root()
+        swap = os.path.join(self.path, f"__old_{uuid.uuid4().hex}")
+        os.rename(old, swap)
+        os.rename(tmp, old)
+        shutil.rmtree(swap)
+
+    def search(
+        self, queries: DataFrame, vectors: DataFrame, top_k: int = 5
+    ) -> DataFrame:
+        """IVF serving read over the live index: each query ``(query_id,
+        q_emb)`` probes its nearest frozen cell; candidates are that
+        cell's live entries joined back to ``vectors`` — the CURRENT
+        vector store ``(vec_id, embedding)``, i.e. latest_alive of the
+        embeddings CDC target. Cost: |Q| x cell-occupancy, independent
+        of corpus size; queries must be a bounded set (Q_MAX discipline
+        belongs to the caller)."""
+        cents = F.broadcast(self.centroids())
+        q = queries.select(
+            "query_id",
+            F.col("q_emb"),
+            _norm(F.col("q_emb")).alias("q_nrm"),
+        )
+        qc = (
+            q.crossJoin(cents)
+            .withColumn(
+                "__s",
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            )
+            .groupBy("query_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__s").alias("s"),
+                        (-F.col("cell")).alias("neg_cell"),
+                        F.col("q_emb").alias("e"),
+                        F.col("q_nrm").alias("n"),
+                    )
+                ).alias("mx")
+            )
+            .select(
+                "query_id",
+                (-F.col("mx.neg_cell")).cast("int").alias("cell"),
+                F.col("mx.e").alias("q_emb"),
+                F.col("mx.n").alias("q_nrm"),
+            )
+        )
+        cand = (
+            F.broadcast(qc)
+            .join(self.live().select("vec_id", "cell"), "cell")
+            .join(vectors.select("vec_id", "embedding"), "vec_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        scored = cand.withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * _norm(F.col("embedding"))),
+                4,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos_sim", "rank")
+        )

@@ -3164,3 +3164,123 @@ def embed_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN-index maintenance under CDC (r13, VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+def _incremental_index_oracle(bits: int = 6, dim: int = 64) -> str:
+    """DuckDB FULL-REBUILD of the IVF+LSH index over the post-CDC latest
+    state, assigned against the frozen (base-snapshot) centroids — the
+    adversarial half of the parity proof: the Spark side maintains the
+    index INCREMENTALLY (per-delta entries + version-replacing merge),
+    so a hash match certifies incremental == rebuild."""
+    from ..operators.blocking import hyperplane
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(repr(c) for c in hyperplane(p, dim)) + "]"
+
+    def bit_sql(p: int) -> str:
+        return (
+            "(CASE WHEN list_reduce(list_transform(list_zip(embedding, "
+            f"{plane_lit(p)}), x -> CAST(x[1] AS DOUBLE) * x[2]),"
+            " (p, q) -> p + q) >= 0 THEN 1 ELSE 0 END)"
+        )
+
+    sig = " || ".join(f"CAST({bit_sql(p)} AS VARCHAR)" for p in range(bits))
+    c_nrm = _NORM_SQL.format(a="c_emb")
+    nrm = _NORM_SQL.format(a="embedding")
+    dot = _DOT_SQL.format(a="f.embedding", b="c.c_emb")
+    return f"""
+    WITH cents AS (
+      SELECT CAST(vec_id % {_N_CELLS} AS INT) AS cell, embedding AS c_emb,
+             {c_nrm} AS c_nrm
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn
+            FROM embeddings)
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 20 <> 7
+    ),
+    sigged AS (
+      SELECT vec_id, embedding, {nrm} AS nrm, {sig} AS sig FROM final
+    ),
+    assigned AS (
+      SELECT vec_id, cell, sig FROM (
+        SELECT f.vec_id, c.cell, f.sig,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY {dot} / (f.nrm * c.c_nrm) DESC, c.cell) AS rn
+        FROM sigged f CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS vec_checksum,
+           CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_sig_buckets
+    FROM assigned GROUP BY cell ORDER BY cell
+    """
+
+
+@query(
+    "ann_incremental_index_parity",
+    oracle=_incremental_index_oracle(),
+    tags=("similarity", "ann", "cdc", "incremental-index"),
+    doc="Incremental ANN-index maintenance under CDC (r13, VERDICT r12 "
+        "item 2) — composes the engine's two halves: embeddings flow "
+        "through the FIXTURES CDC recipe (base upserts _ver=2k, negated "
+        "re-embeds on k%10=0 at _ver=2k+1, deletes on k%20=7), and the "
+        "IVF cell + LSH signature index is maintained INCREMENTALLY: "
+        "each batch contributes only its delta as version-replacing "
+        "index entries (operators/ann_index.py) assigned against frozen "
+        "base-snapshot centroids, merged by the same latest_alive "
+        "machinery as the document tables (ReplacingMergeTree applied "
+        "to the index itself, readme.md:89-91). The DuckDB oracle "
+        "REBUILDS the index from the final latest state, so the hash "
+        "match IS the incremental==rebuild parity proof. Scale: "
+        "per-batch work is |delta| x K broadcast argmax + |delta| "
+        "30-byte appended entries; the corpus is never rescanned and "
+        "the index never rebuilt.",
+)
+def ann_incremental_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann_index import (
+        assign_entries,
+        frozen_centroids,
+        live_index,
+        tombstone_entries,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = frozen_centroids(emb).localCheckpoint(eager=True)  # K rows, frozen
+
+    # batch 1: the base snapshot arrives as upserts
+    base = emb.withColumn("_ver", F.col("vec_id") * 2)
+    idx0 = assign_entries(base, cents)
+
+    # batch 2: re-embeds (negated vectors — they migrate cells and flip
+    # signatures) and deletes, each touching ONLY the delta rows
+    upd = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        (F.col("vec_id") * 2 + 1).alias("_ver"),
+    )
+    dels = emb.filter(F.col("vec_id") % 20 == 7).select(
+        "vec_id", (F.col("vec_id") * 2 + 1).alias("_ver")
+    )
+    delta = assign_entries(upd, cents).unionByName(tombstone_entries(dels))
+
+    final = live_index(idx0.unionByName(delta))
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("vec_id").cast("long").alias("vec_checksum"),
+            F.countDistinct("sig").cast("long").alias("n_sig_buckets"),
+        )
+        .orderBy("cell")
+    )

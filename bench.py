@@ -253,6 +253,7 @@ HEADLINE = [
     "cdc_mutation_rewrite_cost",
     "curation_dedup_threshold_curve",
     "q_sample_offset_parity",
+    "ann_incremental_index_parity",
 ]
 
 

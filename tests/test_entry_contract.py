@@ -232,3 +232,38 @@ def test_exempt_sample_leads_emission(tmp_path):
     assert not set(names2[: mod.EXEMPT_SAMPLE_SLOTS]) & set(
         names[: mod.EXEMPT_SAMPLE_SLOTS]
     )
+
+
+def test_budget_drop_keeps_stalest_exempt_evidence(tmp_path):
+    """r13 (VERDICT r12 item 4): when the budget binds, the drop set is
+    the FRESHEST-evidence exempt names — window slots left over after
+    the sample and the never-verified names cycle the oldest driver
+    evidence regardless of exempt status, tightening the exempt-pool
+    re-verification cycle from ~31 rounds to the window pace."""
+    mod = _load(tmp_path)
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    row = {"hash_match": True, "spark_rows": 1, "err": None}
+    exempt_in_registry = [n for n in QUERIES if n in mod.ROTATION_EXEMPT]
+    # stagger evidence: half the exempt pool verified r1 (stale), the
+    # other half + everything else r5 (fresh)
+    half = len(exempt_in_registry) // 2
+    stale = set(exempt_in_registry[:half])
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: row for n in stale})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({n: row for n in QUERIES if n not in stale})
+    )
+    names = list(mod.queries())
+    assert len(names) == min(mod.ROTATION_BUDGET, len(QUERIES))
+    dropped = set(QUERIES) - set(names)
+    assert dropped <= set(mod.ROTATION_EXEMPT)
+    n_excess = len(QUERIES) - mod.ROTATION_BUDGET
+    if n_excess > 0 and len(stale) >= mod.EXEMPT_SAMPLE_SLOTS + n_excess:
+        # enough stale names exist to fill sample + window: every
+        # dropped name must come from the FRESH half
+        assert not dropped & stale, (
+            "budget drop evicted stale-evidence exempt names: "
+            f"{sorted(dropped & stale)[:5]}"
+        )

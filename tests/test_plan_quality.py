@@ -240,6 +240,12 @@ TRANSCENDENTAL_TRIAGE = {
     # double is identical on both engines; ranking additionally rides
     # round(sim, 4) + id tiebreak where a top-k is taken.
     "ann_cosine_topk_bruteforce": "exact",
+    "ann_incremental_index_parity":
+        "the only BNLJ is the frozen-centroid assignment: delta rows "
+        "broadcast-crossed with the K=16 centroid relation then reduced "
+        "by a map-side-combinable argmax — O(delta x K) with K constant "
+        "(the embed_kmeans_lloyd assignment shape); the incremental "
+        "merge itself is a vec_id-keyed window over appended entries",
     "ann_graph_beam_topk": "exact",
     "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
@@ -483,6 +489,12 @@ BNLJ_ALLOWED = {
         "cardinality relation crossed with itself under a < predicate "
         "(O(|types|^2) on an aggregate bounded by the type taxonomy); "
         "the membership intersection is a hash equi-join on user_id",
+    "ann_incremental_index_parity":
+        "the only BNLJ is the frozen-centroid assignment: delta rows "
+        "broadcast-crossed with the K=16 centroid relation then reduced "
+        "by a map-side-combinable argmax — O(delta x K) with K constant "
+        "(the embed_kmeans_lloyd assignment shape); the incremental "
+        "merge itself is a vec_id-keyed window over appended entries",
     "ann_graph_beam_topk":
         "the only BNLJ is the entry-point scoring: the Q_MAX-capped "
         "query set broadcast against the 16 seed rows with a <>-self "
