@@ -353,6 +353,9 @@ ROTATION_EXEMPT = frozenset({
     # Grown r13 alongside ann_incremental_index_parity (pick has 3+
     # green driver rounds plus every full-registry VERIFY_FULL record):
     "embed_kmeans_lloyd",             # seeded assignment + Lloyd round: embed_recall_at_k_curve / ann_recall_report (rotating) run the same seeded broadcast-argmax assignment every round, and ann_incremental_index_parity (rotating) re-runs it against frozen centroids; embed_pca_power_iteration keeps the exact-decimal centroid-fold shape
+    # Grown r13 alongside q_clickhouse_uniq_hll_parity (pick has 4+
+    # green driver rounds plus every full-registry VERIFY_FULL record):
+    "cdc_latest_state",               # ReplacingMergeTree merge-on-read kernel: cdc_txn_atomic_apply and cdc_time_travel_read (rotating) run the same preprocess -> version-dedup -> latest_alive kernel end-to-end every round; stays a pinned bench query so its perf lane is still measured
 })
 
 # How many emitted slots per round go to the deterministic

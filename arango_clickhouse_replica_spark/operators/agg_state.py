@@ -49,13 +49,66 @@ _KMV_M = 1024           # stochastic-averaging buckets (uniqState width)
 _KMV_TWO52 = 1 << 52    # hash domain: 13 md5 hex chars = 52 bits
 _KMV_NUM = float(_KMV_M * _KMV_M * _KMV_TWO52)
 
-STATE_COLS = ("cnt", "sum_milli", "min_milli", "max_milli", "uniq_state")
+# Second uniq lane (r13, VERDICT r12 item 3): a uniqHLL12/uniqCombined-
+# shape DENSE register array. Register index = the hash's low 10 bits
+# (the same _KMV_M buckets the KMV lane groups by, so both lanes share
+# one aggregate); rank = leading-zero count of the remaining 42 bits
+# + 1 (0 = empty register). The per-register fold is integer MAX —
+# associative, commutative, order-insensitive, deterministic
+# cross-engine — and the estimate is alpha_m * m^2 / sum(2^-M_j),
+# computed on an EXACT integer lane: S = sum_j 2^(RANK_MAX - M_j) is a
+# sum of integer powers of two bounded by m * 2^RANK_MAX = 2^53 (long-
+# and double-exact), so the only float op is ONE correctly-rounded IEEE
+# division by a literal.
+_HLL_M = _KMV_M                 # registers
+_HLL_W = 52 - 10                # rank-source bits (hash minus index bits)
+_HLL_RANK_MAX = _HLL_W + 1      # rank of v == 0 (all rank bits zero)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RANK_MAX)
+# Small-range (linear-counting) correction m*ln(m/zeros), applied when
+# the raw estimate <= 2.5m and zeros > 0. ln is a transcendental — the
+# r9 lesson bans it from hashed output — but zeros is an integer in
+# [1, m], so the whole correction is a 1024-entry lookup PRECOMPUTED
+# here and embedded as an identical literal array on both engines:
+# query-time arithmetic is one integer index, zero float ops.
+import math as _math  # noqa: E402
+
+_HLL_LC = [0] + [
+    int(round(_HLL_M * _math.log(_HLL_M / z))) for z in range(1, _HLL_M + 1)
+]
+_HLL_LC_THRESHOLD = int(2.5 * _HLL_M)
+
+STATE_COLS = (
+    "cnt", "sum_milli", "min_milli", "max_milli", "uniq_state", "hll_state"
+)
 
 
 def _kmv_hash(uniq_col: str) -> F.Column:
     return F.conv(
         F.substring(F.md5(F.col(uniq_col).cast("string")), 1, 13), 16, 10
     ).cast("long")
+
+
+def _hll_rank(v: F.Column) -> F.Column:
+    """Leading-zero rank of the ``_HLL_W``-bit value ``v``: 1 when the
+    top bit is set, ``_HLL_W`` when only the low bit is, RANK_MAX when
+    v == 0. A pure integer comparison chain — no log2, whose
+    engine-specific rounding at exact powers of two would break hash
+    parity (the transcendental-triage discipline)."""
+    expr = F.when(v >= (1 << (_HLL_W - 1)), F.lit(1))
+    for rank in range(2, _HLL_W + 1):
+        expr = expr.when(v >= (1 << (_HLL_W - rank)), F.lit(rank))
+    return expr.otherwise(F.lit(_HLL_RANK_MAX))
+
+
+def hll_rank_case_sql(v_expr: str) -> str:
+    """The DuckDB replica of ``_hll_rank`` (generated from the same
+    constants so the branches cannot drift)."""
+    whens = "".join(
+        f" WHEN {v_expr} >= {1 << (_HLL_W - rank)} THEN {rank}"
+        for rank in range(1, _HLL_W + 1)
+    )
+    return f"(CASE{whens} ELSE {_HLL_RANK_MAX} END)"
 
 
 def partial_states(
@@ -86,6 +139,12 @@ def partial_states(
             F.min("__v").cast("long").alias("__mn"),
             F.max("__v").cast("long").alias("__mx"),
             F.min("__h").alias("__u"),
+            # HLL lane: the register IS the bucket (low 10 hash bits);
+            # max leading-zero rank of the remaining 42 bits
+            F.max(
+                _hll_rank(F.floor(F.col("__h") / F.lit(_HLL_M))
+                          .cast("long"))
+            ).cast("int").alias("__hr"),
         )
     )
     return (
@@ -95,11 +154,14 @@ def partial_states(
             F.sum("__s").cast("long").alias("sum_milli"),
             F.min("__mn").cast("long").alias("min_milli"),
             F.max("__mx").cast("long").alias("max_milli"),
-            # bucket ids are unique within the group, so the map (and
-            # the array built from it) is collect-order insensitive
+            # bucket ids are unique within the group, so the maps (and
+            # the arrays built from them) are collect-order insensitive
             F.map_from_entries(
                 F.collect_list(F.struct("__b", "__u"))
             ).alias("__m"),
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__hr"))
+            ).alias("__hm"),
         )
         .withColumn(
             "uniq_state",
@@ -110,7 +172,14 @@ def partial_states(
                 ),
             ),
         )
-        .drop("__m")
+        .withColumn(
+            "hll_state",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HLL_M - 1)),
+                lambda i: F.coalesce(F.col("__hm")[i], F.lit(0)),
+            ),
+        )
+        .drop("__m", "__hm")
     )
 
 
@@ -127,6 +196,7 @@ def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
             F.min("min_milli").cast("long").alias("min_milli"),
             F.max("max_milli").cast("long").alias("max_milli"),
             F.collect_list("uniq_state").alias("__us"),
+            F.collect_list("hll_state").alias("__hs"),
         )
         .withColumn(
             "uniq_state",
@@ -136,15 +206,34 @@ def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
                 lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
             ),
         )
-        .drop("__us")
+        .withColumn(
+            "hll_state",
+            F.aggregate(
+                "__hs",
+                F.array_repeat(F.lit(0), _HLL_M),
+                lambda acc, x: F.zip_with(
+                    acc, x, lambda a, b: F.greatest(a, b)
+                ),
+            ),
+        )
+        .drop("__us", "__hs")
     )
 
 
 def finalize(merged: DataFrame) -> DataFrame:
-    """The ``-Merge`` read: exact avg lane (integer div) and the KMV
-    uniq estimate; drops the state array."""
+    """The ``-Merge`` read: exact avg lane (integer div), the KMV uniq
+    estimate, and the HLL lane (raw estimate + zeros + register
+    checksum, all from the exact integer registers); drops the state
+    arrays."""
     sum_u = F.aggregate(
         "uniq_state", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # S = sum_j 2^(RANK_MAX - M_j): exact integers, bounded by 2^53
+    # (SQL shiftleft takes a column shift; the python F.shiftleft wants
+    # an int literal)
+    hll_s = F.expr(
+        "aggregate(hll_state, CAST(0 AS BIGINT), "
+        f"(a, x) -> a + shiftleft(CAST(1 AS BIGINT), {_HLL_RANK_MAX} - x))"
     )
     return merged.withColumn(
         "avg_milli", F.expr("sum_milli div cnt")
@@ -154,7 +243,31 @@ def finalize(merged: DataFrame) -> DataFrame:
             F.floor(F.lit(_KMV_NUM) / sum_u.cast("double")).cast("long")
             - F.lit(_KMV_M).cast("long")
         ),
-    ).drop("uniq_state")
+    ).withColumn(
+        "__hll_raw",
+        F.floor(F.lit(_HLL_NUM) / hll_s.cast("double")).cast("long"),
+    ).withColumn(
+        "__hll_zero_n",
+        F.size(F.filter("hll_state", lambda x: x == 0)),
+    ).withColumn(
+        "uniq_hll_est",
+        F.when(
+            (F.col("__hll_raw") <= F.lit(_HLL_LC_THRESHOLD))
+            & (F.col("__hll_zero_n") > 0),
+            F.element_at(
+                F.array(*[F.lit(v) for v in _HLL_LC]),
+                F.col("__hll_zero_n") + 1,
+            ),
+        ).otherwise(F.col("__hll_raw")).cast("long"),
+    ).withColumn(
+        "hll_zeros",
+        F.size(F.filter("hll_state", lambda x: x == 0)).cast("long"),
+    ).withColumn(
+        "hll_reg_sum",
+        F.aggregate(
+            "hll_state", F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    ).drop("uniq_state", "hll_state", "__hll_raw", "__hll_zero_n")
 
 
 class AggregateStateStore:

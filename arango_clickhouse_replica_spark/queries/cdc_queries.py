@@ -17,9 +17,15 @@ from ..sources.tables import load_table
 from .registry import query
 
 from ..operators.agg_state import (
+    _HLL_LC,
+    _HLL_LC_THRESHOLD,
+    _HLL_M,
+    _HLL_NUM,
+    _HLL_RANK_MAX,
     _KMV_M as _AGG_M,
     _KMV_NUM as _AGG_NUM,
     _KMV_TWO52 as _AGG_TWO52,
+    hll_rank_case_sql,
 )
 
 _LATEST_ALIVE_SQL = f"""
@@ -2276,4 +2282,102 @@ def cdc_mutation_rewrite_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("rewrite").alias("action"),
         )
         .orderBy("part_id")
+    )
+
+
+@query(
+    "q_clickhouse_uniq_hll_parity",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    h AS (
+      SELECT event_type, user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM changes
+    ),
+    regs AS (
+      SELECT event_type, h % {_HLL_M} AS j,
+             MAX({hll_rank_case_sql(f"(h // {_HLL_M})")}) AS r
+      FROM h GROUP BY event_type, h % {_HLL_M}
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST({_HLL_M} - COUNT(*) AS BIGINT) AS hll_zeros,
+             CAST(SUM(r) AS BIGINT) AS hll_reg_sum,
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RANK_MAX} - r))
+                  + ({_HLL_M} - COUNT(*))
+                    * (CAST(1 AS BIGINT) << {_HLL_RANK_MAX}) AS BIGINT)
+               AS s
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT _ver % {{parts}}) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users_exact
+      FROM changes GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, hll_zeros, hll_reg_sum,
+             CAST(FLOOR({repr(_HLL_NUM)}::DOUBLE / CAST(s AS DOUBLE))
+                  AS BIGINT) AS raw
+      FROM folded
+    )
+    SELECT exact.event_type AS scope, n_parts, uniq_users_exact,
+           hll_zeros, hll_reg_sum,
+           CAST(CASE WHEN raw <= {_HLL_LC_THRESHOLD} AND hll_zeros > 0
+                     THEN ({_HLL_LC!r})[CAST(hll_zeros AS INT) + 1]
+                     ELSE raw END AS BIGINT) AS uniq_hll_est
+    FROM exact JOIN est ON exact.event_type = est.event_type
+    ORDER BY scope
+    """.format(parts=_AGG_STATE_PARTS),
+    tags=("cdc", "clickhouse-parity", "agg-state", "hll"),
+    doc="uniqHLL12/uniqCombined-shape register parity (r13, VERDICT r12 "
+        "item 3) — the AggregatingMergeTree family's second uniq lane "
+        "beside KMV: a dense {m}-register array (index = the hash's low "
+        "10 bits, i.e. the SAME buckets the KMV lane groups by so both "
+        "lanes ride one aggregate; value = max leading-zero rank of the "
+        "remaining 42 bits via a pure integer comparison chain, no "
+        "log2). The change stream splits into {p} insert blocks, each "
+        "folds to a state row per event_type, states merge by "
+        "element-wise integer MAX (associative, order-insensitive), "
+        "and the -Merge read exposes zeros, the register checksum, and "
+        "the raw HLL estimate computed on an EXACT integer lane "
+        "(S = sum 2^(R-M_j) <= 2^53; one correctly-rounded IEEE "
+        "division by a literal — no transcendental in the hashed "
+        "output). The oracle builds the registers DIRECTLY from the "
+        "raw stream, so the hash match proves max-fold(parts) == "
+        "registers(union) bit-for-bit. Scale: the same two map-side-"
+        "combinable aggregates as the KMV lane; state is {m} ints per "
+        "(key, part).".format(m=_HLL_M, p=_AGG_STATE_PARTS),
+)
+def q_clickhouse_uniq_hll_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.agg_state import finalize, merge_states, partial_states
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(
+        env, tracked_cuids=["c_events"], initial_tick=0
+    )
+    c = rows.select(
+        "event_type", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.col("_ver") % _AGG_STATE_PARTS).cast("long").alias("part"),
+    )
+    states = partial_states(
+        c, ["event_type", "part"], "v_milli", "user_id"
+    )
+    merged = merge_states(states, ["event_type"])
+    exact = c.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("uniq_users_exact")
+    )
+    return (
+        finalize(merged)
+        .join(exact, "event_type")
+        .select(
+            F.col("event_type").alias("scope"),
+            "n_parts", "uniq_users_exact",
+            "hll_zeros", "hll_reg_sum", "uniq_hll_est",
+        )
+        .orderBy("scope")
     )

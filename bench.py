@@ -254,6 +254,7 @@ HEADLINE = [
     "curation_dedup_threshold_curve",
     "q_sample_offset_parity",
     "ann_incremental_index_parity",
+    "q_clickhouse_uniq_hll_parity",
 ]
 
 

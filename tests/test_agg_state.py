@@ -16,7 +16,11 @@ from arango_clickhouse_replica_spark.sources.tables import load_table
 
 def _final_rows(df):
     cols = ["event_type", "cnt", "sum_milli", "min_milli", "max_milli",
-            "avg_milli", "uniq_est"]
+            "avg_milli", "uniq_est",
+            # r13 HLL lane: integer max-fold registers — invariance of
+            # the estimate/zeros/checksum across fold orders, compaction
+            # and reopen rides the same assertions as the KMV lane
+            "uniq_hll_est", "hll_zeros", "hll_reg_sum"]
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
@@ -262,3 +266,43 @@ def test_streaming_mutation_cost_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert live == batch and len(live) > 0
+
+
+def test_hll_estimate_tracks_exact_cardinality(spark, sf_dir):
+    """The raw HLL estimate from the folded registers must land within
+    the standard-error envelope (~1.04/sqrt(1024) ~ 3.3%; allow 10% on
+    fixture-sized cardinalities) of the exact distinct count, and the
+    fold must be invariant to part order (reversed split == forward)."""
+    ev, blocks = _blocks(spark, sf_dir, 4)
+    fwd = merge_states(
+        partial_states(
+            ev.withColumn("part", F.col("blk").cast("long")).drop("blk"),
+            ["event_type", "part"], "v_milli", "user_id",
+        ),
+        ["event_type"],
+    )
+    rows = {
+        r["event_type"]: r for r in finalize(fwd).join(
+            ev.groupBy("event_type").agg(
+                F.count_distinct("user_id").alias("exact")
+            ),
+            "event_type",
+        ).collect()
+    }
+    assert rows
+    for et, r in rows.items():
+        exact, est = r["exact"], r["uniq_hll_est"]
+        assert abs(est - exact) <= max(3, 0.10 * exact), (
+            f"{et}: HLL est {est} vs exact {exact}"
+        )
+    # reversed fold order: bit-identical finals
+    rev = merge_states(
+        partial_states(
+            ev.withColumn(
+                "part", (F.lit(3) - F.col("blk")).cast("long")
+            ).drop("blk"),
+            ["event_type", "part"], "v_milli", "user_id",
+        ),
+        ["event_type"],
+    )
+    assert _final_rows(finalize(fwd)) == _final_rows(finalize(rev))
