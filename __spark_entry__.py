@@ -356,6 +356,9 @@ ROTATION_EXEMPT = frozenset({
     # Grown r13 alongside q_clickhouse_uniq_hll_parity (pick has 4+
     # green driver rounds plus every full-registry VERIFY_FULL record):
     "cdc_latest_state",               # ReplacingMergeTree merge-on-read kernel: cdc_txn_atomic_apply and cdc_time_travel_read (rotating) run the same preprocess -> version-dedup -> latest_alive kernel end-to-end every round; stays a pinned bench query so its perf lane is still measured
+    # Grown r13 alongside cdc_projection_advisor (pick has 3+ green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "curation_perplexity_buckets",    # unigram-LM perplexity bucketing: curation_excess_surprisal_reweight (rotating) computes the same per-source unigram-LM surprisal through the same bounded vocab, and text_kneser_ney_logprob (rotating) scores the same docs with the smoothed LM layered on top; stays a pinned bench query
 })
 
 # How many emitted slots per round go to the deterministic

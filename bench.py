@@ -255,6 +255,7 @@ HEADLINE = [
     "q_sample_offset_parity",
     "ann_incremental_index_parity",
     "q_clickhouse_uniq_hll_parity",
+    "cdc_projection_advisor",
 ]
 
 

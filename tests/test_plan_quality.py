@@ -240,12 +240,11 @@ TRANSCENDENTAL_TRIAGE = {
     # double is identical on both engines; ranking additionally rides
     # round(sim, 4) + id tiebreak where a top-k is taken.
     "ann_cosine_topk_bruteforce": "exact",
-    "ann_incremental_index_parity":
-        "the only BNLJ is the frozen-centroid assignment: delta rows "
-        "broadcast-crossed with the K=16 centroid relation then reduced "
-        "by a map-side-combinable argmax — O(delta x K) with K constant "
-        "(the embed_kmeans_lloyd assignment shape); the incremental "
-        "merge itself is a vec_id-keyed window over appended entries",
+    # ann_incremental_index_parity: sqrt via _norm in the frozen-centroid
+    # cosine assignment — same sequential-fold arithmetic as the rest of
+    # the family; the hashed output is integer-only (counts/checksums/
+    # distinct-sig counts), so the cosine never reaches a hashed lane.
+    "ann_incremental_index_parity": "exact",
     "ann_graph_beam_topk": "exact",
     "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
@@ -489,6 +488,13 @@ BNLJ_ALLOWED = {
         "cardinality relation crossed with itself under a < predicate "
         "(O(|types|^2) on an aggregate bounded by the type taxonomy); "
         "the membership intersection is a hash equi-join on user_id",
+    "cdc_projection_advisor":
+        "the only BNLJ is the 1-row bounds/census aggregate broadcast "
+        "attached to derive key-range granule ids and write-amp bytes "
+        "(O(N x 1), the cdc_backfill_chunk_plan pattern); the cost "
+        "model itself is one map-side-combinable aggregate keyed by "
+        "(order, granule) and two broadcast hash joins over <=20 "
+        "metadata rows",
     "ann_incremental_index_parity":
         "the only BNLJ is the frozen-centroid assignment: delta rows "
         "broadcast-crossed with the K=16 centroid relation then reduced "
