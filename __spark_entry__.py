@@ -359,6 +359,13 @@ ROTATION_EXEMPT = frozenset({
     # Grown r13 alongside cdc_projection_advisor (pick has 3+ green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "curation_perplexity_buckets",    # unigram-LM perplexity bucketing: curation_excess_surprisal_reweight (rotating) computes the same per-source unigram-LM surprisal through the same bounded vocab, and text_kneser_ney_logprob (rotating) scores the same docs with the smoothed LM layered on top; stays a pinned bench query
+    # Grown r13 alongside ann_incremental_search_read /
+    # q_clickhouse_uniq_upto_parity / q_clickhouse_topk_weighted_parity
+    # (each pick has multi-round green driver history plus every
+    # full-registry VERIFY_FULL record):
+    "q1_pricing_summary",             # grouped lineitem aggregate kernel: q_weighted_avg_discount (rotating) aggregates the same lineitem measure lanes with the same exact-decimal discipline; stays a pinned bench query so the flagship perf lane is measured every round
+    "cdc_scd2_history",               # versioned-history windows: cdc_time_travel_read (rotating) reads the same versioned change stream at each version cut every round; cdc_snapshot_diff keeps the history-diff lane
+    "text_pii_redaction",             # pattern-replacement transform lane: text_c4_line_cleaning (rotating) applies the same replace-based line transforms end-to-end; text_instruction_format_census keeps the regex census lane
 })
 
 # How many emitted slots per round go to the deterministic

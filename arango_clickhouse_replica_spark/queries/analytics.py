@@ -2938,3 +2938,151 @@ def q_sample_offset_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("worker", "event_type")
     )
+
+
+_UNIQ_UPTO_N = 50        # uniqUpTo(50): exact to 50, saturates at 51
+_UNIQ_UPTO_PARTS = 3     # deterministic insert-block split
+
+
+@query(
+    "q_clickhouse_uniq_upto_parity",
+    oracle=f"""
+    SELECT event_type, CAST(event_id % 16 AS BIGINT) AS grp,
+           CAST(LEAST(COUNT(DISTINCT user_id), {_UNIQ_UPTO_N + 1})
+                AS BIGINT) AS uniq_upto,
+           CAST(CASE WHEN COUNT(DISTINCT user_id) > {_UNIQ_UPTO_N}
+                     THEN 1 ELSE 0 END AS BIGINT) AS saturated
+    FROM events
+    GROUP BY event_type, event_id % 16
+    ORDER BY event_type, grp
+    """,
+    tags=("analytics", "clickhouse-parity", "agg-state", "uniq"),
+    doc="uniqUpTo(N) combinator parity (r13) — ClickHouse's "
+        "exact-to-a-point distinct counter: the answer is exact while "
+        "the group has <= N={n} distinct values and saturates at N+1 "
+        "beyond (the 'is this column low-cardinality enough' probe the "
+        "codec advisor family consumes). The Spark side proves the "
+        "MERGEABLE-STATE form: per (key, insert block) the state is the "
+        "<= N+1 SMALLEST distinct values (a bounded sorted slice — the "
+        "k-smallest merge property makes union-then-recap equal "
+        "cap-of-union), blocks merge by union + distinct + recap, and "
+        "the finalize counts the merged state. The oracle computes "
+        "LEAST(COUNT(DISTINCT), N+1) directly, so the hash match is "
+        "the state-fold == direct proof. Scale: per-block state is "
+        "bounded at N+1 rows per key BEFORE the merge shuffle (the "
+        "rank window runs per (key, block) partition); no unbounded "
+        "collect anywhere.",
+)
+def q_clickhouse_uniq_upto_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 16).cast("long").alias("grp"),
+        (F.col("event_id") % _UNIQ_UPTO_PARTS).alias("part"),
+        "user_id",
+    )
+    # -State: per (key, block), the N+1 smallest distinct values
+    per_part = ev.select("event_type", "grp", "part", "user_id").distinct()
+    w_part = Window.partitionBy("event_type", "grp", "part").orderBy(
+        "user_id"
+    )
+    state = (
+        per_part.withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= _UNIQ_UPTO_N + 1)
+        .drop("rn")
+    )
+    # -Merge: union of block states, recapped
+    merged = state.select("event_type", "grp", "user_id").distinct()
+    w_key = Window.partitionBy("event_type", "grp").orderBy("user_id")
+    recapped = (
+        merged.withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") <= _UNIQ_UPTO_N + 1)
+    )
+    return (
+        recapped.groupBy("event_type", "grp")
+        .agg(F.count("*").cast("long").alias("uniq_upto"))
+        .select(
+            "event_type", "grp", "uniq_upto",
+            (F.col("uniq_upto") > _UNIQ_UPTO_N).cast("long")
+            .alias("saturated"),
+        )
+        .orderBy("event_type", "grp")
+    )
+
+
+@query(
+    "q_clickhouse_topk_weighted_parity",
+    oracle="""
+    WITH weighted AS (
+      SELECT event_type, user_id,
+             SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS w
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, w,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY w DESC, user_id) AS rn
+      FROM weighted
+    )
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR) || ':' || CAST(w AS VARCHAR),
+                      ',' ORDER BY rn) AS topk_csv,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM ranked WHERE rn <= 5
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("analytics", "clickhouse-parity", "topk"),
+    doc="topKWeighted(5)(user_id, v_milli) parity (r13) — the "
+        "weight-aware heavy-hitter list beside q_heavy_hitters_countmin "
+        "(frequency sketch) and q_clickhouse_grouparray_sorted_parity "
+        "(bounded sorted cell): per event_type, the 5 users with the "
+        "largest exact total weight on the integer milli lane, rendered "
+        "as the ordered 'user:weight' CSV cell with (weight DESC, user "
+        "ASC) determinism. The exact integer weight sum is "
+        "order-insensitive, the rank window runs per key over the "
+        "ALREADY-AGGREGATED (key, user) relation (one row per user, "
+        "never the raw stream), and the CSV render is integer-only so "
+        "both engines serialize identical bytes. Scale: one map-side-"
+        "combinable weight aggregate, one per-key window over |users| "
+        "rows, 5-row cells out.",
+)
+def q_clickhouse_topk_weighted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    weighted = (
+        ev.select(
+            "event_type", "user_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("v").cast("long").alias("w"))
+    )
+    w_key = Window.partitionBy("event_type").orderBy(
+        F.desc("w"), F.asc("user_id")
+    )
+    ranked = weighted.withColumn("rn", F.row_number().over(w_key)).filter(
+        F.col("rn") <= 5
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "user_id", "w"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["user_id"].cast("string"),
+                        s["w"].cast("string"),
+                    ),
+                ),
+            ).alias("topk_csv"),
+            F.count("*").cast("long").alias("k"),
+        )
+        .orderBy("event_type")
+    )

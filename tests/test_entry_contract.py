@@ -70,7 +70,9 @@ def test_never_verified_queries_order_first(tmp_path):
 
 def test_least_recently_verified_cycle(tmp_path):
     mod = _load(tmp_path)
-    names = list(mod.queries())
+    # exempt names join the exempt-sample head once verified — pick
+    # non-exempt ones so this asserts pure rotation order
+    names = [n for n in mod.queries() if n not in mod.ROTATION_EXEMPT]
     a, b = names[0], names[1]
     row = {"hash_match": True, "spark_rows": 1, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({a: row, b: row}))
@@ -83,7 +85,7 @@ def test_least_recently_verified_cycle(tmp_path):
 
 def test_failed_and_erred_rows_reenter_first(tmp_path):
     mod = _load(tmp_path)
-    names = list(mod.queries())
+    names = [n for n in mod.queries() if n not in mod.ROTATION_EXEMPT]
     ok, bad_hash, erred = names[0], names[1], names[2]
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
         ok: {"hash_match": True, "spark_rows": 1, "err": None},

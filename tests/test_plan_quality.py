@@ -245,6 +245,9 @@ TRANSCENDENTAL_TRIAGE = {
     # the family; the hashed output is integer-only (counts/checksums/
     # distinct-sig counts), so the cosine never reaches a hashed lane.
     "ann_incremental_index_parity": "exact",
+    # ann_incremental_search_read: same fold-cosine lanes; serving rank
+    # rides round(sim, 4) + id.
+    "ann_incremental_search_read": "exact",
     "ann_graph_beam_topk": "exact",
     "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
@@ -495,6 +498,13 @@ BNLJ_ALLOWED = {
         "model itself is one map-side-combinable aggregate keyed by "
         "(order, granule) and two broadcast hash joins over <=20 "
         "metadata rows",
+    "ann_incremental_search_read":
+        "the BNLJs are the frozen-centroid probes: delta rows and the "
+        "bounded query set each broadcast-crossed with the K=16 "
+        "centroid relation then reduced by a map-side argmax — "
+        "O(N x K) / O(Q x K) with K constant; candidate scoring is a "
+        "cell-keyed broadcast hash join over one cell's occupancy per "
+        "query and the index merge is a vec_id-keyed window",
     "ann_incremental_index_parity":
         "the only BNLJ is the frozen-centroid assignment: delta rows "
         "broadcast-crossed with the K=16 centroid relation then reduced "

@@ -92,3 +92,79 @@ def test_txn_atomic_batch_unpersists_raw_handle(spark, tmp_path):
     after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     leaked = [r for r in after if r.id() not in before]
     assert leaked == [], f"persisted RDDs leaked by _apply_batch: {leaked}"
+
+
+def test_uniq_upto_saturates_at_cap(spark):
+    """uniqUpTo(N): exact below N, pinned to N+1 above — verified against
+    an independent exact distinct count at sf0.01, where the fixture's
+    (type, grp) groups straddle the cap."""
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.queries.analytics import (
+        _UNIQ_UPTO_N,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        (r["event_type"], r["grp"]): (r["uniq_upto"], r["saturated"])
+        for r in QUERIES["q_clickhouse_uniq_upto_parity"]
+        .build(spark, sf_dir).collect()
+    }
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    exact = {
+        (r["event_type"], r["grp"]): r["n"]
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type", (F.col("event_id") % 16).alias("grp"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    saturated_seen = unsaturated_seen = False
+    for k, (upto, sat) in got.items():
+        expect = min(exact[k], _UNIQ_UPTO_N + 1)
+        assert upto == expect, (k, upto, exact[k])
+        assert sat == (1 if exact[k] > _UNIQ_UPTO_N else 0)
+        saturated_seen |= sat == 1
+        unsaturated_seen |= sat == 0
+    assert saturated_seen, "fixture never saturates the cap"
+
+
+def test_topk_weighted_cells_ordered_and_bounded(spark, sf_dir):
+    from arango_clickhouse_replica_spark.queries import QUERIES
+
+    rows = QUERIES["q_clickhouse_topk_weighted_parity"].build(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        pairs = [p.split(":") for p in r["topk_csv"].split(",")]
+        assert 1 <= len(pairs) <= 5 and len(pairs) == r["k"]
+        weights = [int(w) for _, w in pairs]
+        assert weights == sorted(weights, reverse=True)
+        users = [int(u) for u, _ in pairs]
+        assert len(set(users)) == len(users)
+
+
+def test_incremental_search_never_returns_deleted(spark, sf_dir):
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    got = QUERIES["ann_incremental_search_read"].build(
+        spark, sf_dir
+    ).collect()
+    assert got
+    deleted = {
+        r["vec_id"] for r in load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id") % 20 == 7).select("vec_id").collect()
+    }
+    assert not {r["neighbor_id"] for r in got} & deleted
+    assert not {r["query_id"] for r in got} & deleted
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cos_sim"], r["neighbor_id"])
+        )
+    for q_id, rr in per_q.items():
+        rr.sort()
+        sims = [s for _, s, _ in rr]
+        assert sims == sorted(sims, reverse=True), q_id

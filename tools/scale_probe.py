@@ -250,6 +250,9 @@ PROBES = [
     "ann_incremental_index_parity",
     "q_clickhouse_uniq_hll_parity",
     "cdc_projection_advisor",
+    "ann_incremental_search_read",
+    "q_clickhouse_uniq_upto_parity",
+    "q_clickhouse_topk_weighted_parity",
 ]
 
 
