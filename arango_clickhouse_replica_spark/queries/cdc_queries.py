@@ -2406,6 +2406,78 @@ _PROJ_QUERY_MIX_DOC = (
 )
 
 
+def projection_flagged(spark: SparkSession, sf_dir: str):
+    """The advisor's stacked cost-model input: one row per (live row x
+    candidate order) carrying (proj_order, g, query-mix flags), plus the
+    1-row bounds/census relation. Shared by cdc_projection_advisor and
+    the streaming_projection_cost_monitor parity test — in deployment
+    the granule mapping is frozen by the projection DDL, so this
+    derivation is the stateless projection a pipeline applies upstream
+    of the live monitor."""
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(
+        env, tracked_cuids=["c_events"], initial_tick=0
+    )
+    live = latest_alive(rows, ["event_id"]).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    b = live.agg(
+        F.min("event_id").alias("mn_id"), F.max("event_id").alias("mx_id"),
+        F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
+        F.min("ts_us").alias("mn_t"), F.max("ts_us").alias("mx_t"),
+        F.min("v_milli").alias("mn_v"), F.max("v_milli").alias("mx_v"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.length("event_type")).cast("long").alias("type_bytes"),
+    )
+    f = live.crossJoin(F.broadcast(b))
+
+    def rng(col, mn, mx):
+        return F.expr(f"({col} - {mn}) * {_PROJ_NG} div ({mx} - {mn} + 1)")
+
+    def _proj_slot(name, g):
+        return F.struct(
+            F.lit(name).alias("proj_order"), g.cast("long").alias("g")
+        )
+
+    tix = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "view", 4)
+        .otherwise(5)
+    )
+    flagged = f.select(
+        (F.col("event_type") == "click").cast("long").alias("q_point_type"),
+        (F.col("user_id") == 7).cast("long").alias("q_point_user"),
+        (
+            (F.col("ts_us") - F.col("mn_t")) * 10
+            >= (F.col("mx_t") - F.col("mn_t") + 1) * 9
+        ).cast("long").alias("q_recent_ts"),
+        (F.col("v_milli") >= 300000).cast("long").alias("q_high_value"),
+        F.inline(
+            F.array(
+                _proj_slot("event_id", rng("event_id", "mn_id", "mx_id")),
+                _proj_slot("user_id", rng("user_id", "mn_u", "mx_u")),
+                _proj_slot("ts", rng("ts_us", "mn_t", "mx_t")),
+                _proj_slot("v_milli", rng("v_milli", "mn_v", "mx_v")),
+                _proj_slot(
+                    "event_type",
+                    tix * _PROJ_TYPE_SUB
+                    + F.expr(
+                        f"(event_id - mn_id) * {_PROJ_TYPE_SUB} "
+                        "div (mx_id - mn_id + 1)"
+                    ),
+                ),
+            )
+        ),
+    )
+    return flagged, b
+
+
 @query(
     "cdc_projection_advisor",
     oracle=f"""
@@ -2521,67 +2593,7 @@ _PROJ_QUERY_MIX_DOC = (
             mix=_PROJ_QUERY_MIX_DOC, ng=_PROJ_NG, sub=_PROJ_TYPE_SUB),
 )
 def cdc_projection_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = synthetic_event_envelopes(spark, sf_dir)
-    rows = preprocess_envelopes(
-        env, tracked_cuids=["c_events"], initial_tick=0
-    )
-    live = latest_alive(rows, ["event_id"]).select(
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "user_id", "event_type",
-        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
-    )
-    b = live.agg(
-        F.min("event_id").alias("mn_id"), F.max("event_id").alias("mx_id"),
-        F.min("user_id").alias("mn_u"), F.max("user_id").alias("mx_u"),
-        F.min("ts_us").alias("mn_t"), F.max("ts_us").alias("mx_t"),
-        F.min("v_milli").alias("mn_v"), F.max("v_milli").alias("mx_v"),
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.length("event_type")).cast("long").alias("type_bytes"),
-    )
-    f = live.crossJoin(F.broadcast(b))
-
-    def rng(col, mn, mx):
-        return F.expr(f"({col} - {mn}) * {_PROJ_NG} div ({mx} - {mn} + 1)")
-
-    def _proj_slot(name, g):
-        return F.struct(
-            F.lit(name).alias("proj_order"), g.cast("long").alias("g")
-        )
-
-    tix = (
-        F.when(F.col("event_type") == "click", 0)
-        .when(F.col("event_type") == "error", 1)
-        .when(F.col("event_type") == "purchase", 2)
-        .when(F.col("event_type") == "signup", 3)
-        .when(F.col("event_type") == "view", 4)
-        .otherwise(5)
-    )
-    flagged = f.select(
-        (F.col("event_type") == "click").cast("long").alias("q_point_type"),
-        (F.col("user_id") == 7).cast("long").alias("q_point_user"),
-        (
-            (F.col("ts_us") - F.col("mn_t")) * 10
-            >= (F.col("mx_t") - F.col("mn_t") + 1) * 9
-        ).cast("long").alias("q_recent_ts"),
-        (F.col("v_milli") >= 300000).cast("long").alias("q_high_value"),
-        F.inline(
-            F.array(
-                _proj_slot("event_id", rng("event_id", "mn_id", "mx_id")),
-                _proj_slot("user_id", rng("user_id", "mn_u", "mx_u")),
-                _proj_slot("ts", rng("ts_us", "mn_t", "mx_t")),
-                _proj_slot("v_milli", rng("v_milli", "mn_v", "mx_v")),
-                _proj_slot(
-                    "event_type",
-                    tix * _PROJ_TYPE_SUB
-                    + F.expr(
-                        f"(event_id - mn_id) * {_PROJ_TYPE_SUB} "
-                        "div (mx_id - mn_id + 1)"
-                    ),
-                ),
-            )
-        ),
-    )
+    flagged, b = projection_flagged(spark, sf_dir)
     per_granule = flagged.groupBy("proj_order", "g").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("q_point_type").cast("long").alias("m_point_type"),

@@ -1362,3 +1362,70 @@ def streaming_mutation_cost_monitor(df: DataFrame) -> DataFrame:
         fold, _MUTCOST_SCHEMA, _MUTCOST_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_PROJCOST_SCHEMA = T.StructType(
+    [
+        T.StructField("proj_order", T.StringType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("m_point_type", T.LongType()),
+        T.StructField("m_point_user", T.LongType()),
+        T.StructField("m_recent_ts", T.LongType()),
+        T.StructField("m_high_value", T.LongType()),
+    ]
+)
+_PROJCOST_STATE = (
+    "n long, m_point_type long, m_point_user long, m_recent_ts long, "
+    "m_high_value long"
+)
+
+
+def streaming_projection_cost_monitor(df: DataFrame) -> DataFrame:
+    """Live twin of the batch ``cdc_projection_advisor`` cost relation:
+    per (candidate projection order, granule), the running row count and
+    per-query match counters kept CURRENT as CDC blocks arrive — so the
+    'should we add this projection' read-cost report never needs a table
+    scan. In deployment the granule mapping is FROZEN by the projection
+    DDL (key-range buckets of the sort column), so the stateless
+    derivation of (proj_order, g, query flags) happens upstream and the
+    monitor folds pure integer adds: order/batch-boundary-insensitive,
+    hence the drained final emission per (order, granule) equals the
+    batch per-granule relation exactly (parity pytest aggregates the
+    emissions into the advisor's cost rows). State is five longs per
+    (order, granule) — bounded by 5 orders x 64 granules, never by
+    stream volume.
+
+    Expects ``proj_order, g, q_point_type, q_point_user, q_recent_ts,
+    q_high_value`` rows."""
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState
+             ) -> Iterable[pd.DataFrame]:
+        n, m1, m2, m3, m4 = state.get if state.exists else (0, 0, 0, 0, 0)
+        for p in pdfs:
+            if not len(p):
+                continue
+            n += len(p)
+            m1 += int(p["q_point_type"].sum())
+            m2 += int(p["q_point_user"].sum())
+            m3 += int(p["q_recent_ts"].sum())
+            m4 += int(p["q_high_value"].sum())
+        state.update((n, m1, m2, m3, m4))
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "proj_order": [str(key[0])],
+                "g": [int(key[1])],
+                "n": [n],
+                "m_point_type": [m1],
+                "m_point_user": [m2],
+                "m_recent_ts": [m3],
+                "m_high_value": [m4],
+            }
+        )
+
+    return df.groupBy("proj_order", "g").applyInPandasWithState(
+        fold, _PROJCOST_SCHEMA, _PROJCOST_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -168,3 +168,69 @@ def test_incremental_search_never_returns_deleted(spark, sf_dir):
         rr.sort()
         sims = [s for _, s, _ in rr]
         assert sims == sorted(sims, reverse=True), q_id
+
+
+def test_streaming_projection_cost_matches_batch(spark, sf_dir, tmp_path):
+    """Drained per-(order, granule) emissions (last per key) must fold
+    into exactly the batch advisor's cost columns — the projection
+    read-cost report kept current without a table scan."""
+    from arango_clickhouse_replica_spark.queries import QUERIES
+    from arango_clickhouse_replica_spark.queries.cdc_queries import (
+        projection_flagged,
+    )
+    from arango_clickhouse_replica_spark.streaming.stateful import (
+        streaming_projection_cost_monitor,
+    )
+
+    flagged, _ = projection_flagged(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # two arbitrary micro-batches split by a content hash
+    h = F.crc32(F.concat_ws("|", "proj_order", "g", "q_point_type"))
+    flagged.filter(h % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    flagged.filter(h % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        streaming_projection_cost_monitor(
+            spark.readStream.schema(flagged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("projcost_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql(
+        """SELECT proj_order, g, n, m_point_type, m_point_user,
+                  m_recent_ts, m_high_value FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY proj_order, g ORDER BY n DESC) AS rn
+             FROM projcost_t) WHERE rn = 1"""
+    )
+    live_cost = {}
+    for r in emitted.collect():
+        for qid, m in (
+            ("point_type", r["m_point_type"]),
+            ("point_user", r["m_point_user"]),
+            ("recent_ts", r["m_recent_ts"]),
+            ("high_value", r["m_high_value"]),
+        ):
+            k = (r["proj_order"], qid)
+            nm, gs, rs = live_cost.get(k, (0, 0, 0))
+            live_cost[k] = (
+                nm + m,
+                gs + (1 if m > 0 else 0),
+                rs + (r["n"] if m > 0 else 0),
+            )
+    batch = {
+        (r["proj_order"], r["query_id"]): (
+            r["n_match"], r["granules_scanned"], r["rows_scanned"]
+        )
+        for r in QUERIES["cdc_projection_advisor"].build(
+            spark, sf_dir
+        ).collect()
+    }
+    assert live_cost == batch
