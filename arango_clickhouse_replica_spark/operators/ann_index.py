@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -172,7 +171,16 @@ class AnnIndexStore:
     ``apply_batch`` appends one entry-log generation per micro-batch
     (idempotent per-batch overwrite — a replayed batch rewrites the SAME
     generation), ``live`` is the merge-on-read view, ``compact`` rewrites
-    winners behind an atomic directory swap."""
+    winners as a new generation behind the crash-safe manifest protocol
+    (the agg_state.AggregateStateStore pattern): the manifest entry is
+    inert until the promoted generation's ``_SUCCESS`` lands, so a crash
+    at ANY point either keeps the originals live or retires them — never
+    a double-count, never a lost store. Compaction outputs live in their
+    own ``compact_id=*`` namespace so a REPLAYED stream batch (which
+    idempotently overwrites its own ``batch_id=N`` dir) can never
+    clobber a compacted generation."""
+
+    _MANIFEST = "compaction_manifest.json"
 
     def __init__(
         self,
@@ -189,9 +197,67 @@ class AnnIndexStore:
         self.dim = dim
         self.n_cells = n_cells
         os.makedirs(self._entries_root(), exist_ok=True)
+        # Recovery: roll back manifest entries whose promoted generation
+        # never committed (crash before/during the compaction write);
+        # left in place they could be resurrected by a future dir
+        # reusing the name and retire live originals.
+        entries = self._manifest_entries()
+        committed = [
+            e for e in entries
+            if os.path.exists(os.path.join(
+                self._entries_root(), str(e.get("promote")), "_SUCCESS"))
+        ]
+        if len(committed) != len(entries):
+            self._write_manifest(committed)
 
     def _entries_root(self) -> str:
         return os.path.join(self.path, "entries")
+
+    def _manifest_entries(self) -> list[dict]:
+        import json
+
+        try:
+            with open(os.path.join(self.path, self._MANIFEST)) as fh:
+                return list(json.load(fh).get("compactions", []))
+        except (OSError, ValueError, TypeError):
+            return []
+
+    def _write_manifest(self, entries: list[dict]) -> None:
+        import json
+
+        tmp = os.path.join(self.path, self._MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"compactions": entries}, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, self._MANIFEST))
+
+    def _retired_names(self) -> set[str]:
+        """Generation dirs retired by a COMMITTED compaction (promoted
+        generation has ``_SUCCESS``)."""
+        root = self._entries_root()
+        out: set[str] = set()
+        for e in self._manifest_entries():
+            if os.path.exists(
+                os.path.join(root, str(e.get("promote")), "_SUCCESS")
+            ):
+                out.update(str(n) for n in e.get("superseded", []))
+        return out
+
+    def _live_dirs(self) -> list[str]:
+        """Readable generations: committed (``_SUCCESS``) stream batches
+        and compaction outputs, minus manifest-retired ones."""
+        root = self._entries_root()
+        retired = self._retired_names()
+        out = []
+        for name in sorted(os.listdir(root)):
+            if not (name.startswith("batch_id=")
+                    or name.startswith("compact_id=")):
+                continue
+            if name in retired:
+                continue
+            if not os.path.exists(os.path.join(root, name, "_SUCCESS")):
+                continue  # uncommitted garbage from a crashed write
+            out.append(os.path.join(root, name))
+        return out
 
     def _centroids_dir(self) -> str:
         return os.path.join(self.path, "centroids")
@@ -232,33 +298,55 @@ class AnnIndexStore:
         return writer.start()
 
     def entries(self) -> DataFrame:
-        root = self._entries_root()
-        parts = [
-            os.path.join(root, e)
-            for e in os.listdir(root)
-            if e.startswith("batch_id=")
-        ]
+        parts = self._live_dirs()
         if not parts:
-            raise ValueError(f"no index entries under {root}")
+            raise ValueError(
+                f"no index entries under {self._entries_root()}"
+            )
         return self.spark.read.parquet(*parts).select(*ENTRY_COLS)
 
     def live(self) -> DataFrame:
         return live_index(self.entries())
 
     def compact(self) -> None:
-        """Rewrite the winner set as one generation (temp dir + atomic
-        swap — the K4 snapshot pattern). The winner keeps its _ver so
+        """Rewrite the winner set as one ``compact_id=*`` generation —
+        crash-safe at every interruption point (the agg_state protocol):
+        GC previously-retired dirs first (so deleting a promoted
+        generation later can never deactivate the entry that retired its
+        inputs), append the inert manifest entry, write the promoted
+        generation (the entry activates only when ``_SUCCESS`` lands),
+        then drop the superseded dirs. The winners keep their _ver so
         later CDC rows still compare correctly."""
+        root = self._entries_root()
+        for e in self._manifest_entries():
+            if os.path.exists(
+                os.path.join(root, str(e.get("promote")), "_SUCCESS")
+            ):
+                for name in e.get("superseded", []):
+                    d = os.path.join(root, str(name))
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
+        manifest = [
+            e for e in self._manifest_entries()
+            if any(os.path.exists(os.path.join(root, str(n)))
+                   for n in e.get("superseded", []))
+        ]
+        old = self._live_dirs()
+        old_names = [os.path.basename(d) for d in old]
         winners = latest_alive(self.entries(), ["vec_id"]).select(*ENTRY_COLS)
-        tmp = os.path.join(self.path, f"__compact_{uuid.uuid4().hex}")
-        winners.write.mode("overwrite").parquet(
-            os.path.join(tmp, "batch_id=0")
+        nxt = 1 + max(
+            (int(n.split("=", 1)[1]) for n in os.listdir(root)
+             if n.startswith("compact_id=")),
+            default=-1,
         )
-        old = self._entries_root()
-        swap = os.path.join(self.path, f"__old_{uuid.uuid4().hex}")
-        os.rename(old, swap)
-        os.rename(tmp, old)
-        shutil.rmtree(swap)
+        promote = f"compact_id={nxt}"
+        manifest.append({"promote": promote, "superseded": old_names})
+        self._write_manifest(manifest)
+        winners.write.mode("errorifexists").parquet(
+            os.path.join(root, promote)
+        )
+        for d in old:
+            shutil.rmtree(d)
 
     def search(
         self, queries: DataFrame, vectors: DataFrame, top_k: int = 5

@@ -181,3 +181,66 @@ def test_cdc_index_entries_routes_upserts_and_tombstones(spark, sf_dir):
     assert live_index(entries).filter(
         F.col("vec_id") % 20 == 7
     ).count() == 0
+
+
+def test_compaction_crash_safe_and_replay_proof(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """The index store's compaction mirrors the agg-state crash-safety
+    protocol: a crash between 'promoted generation written' and 'old
+    dirs dropped' must not double-count on reopen; a crash before the
+    promoted generation commits leaves the originals live; and a
+    REPLAYED stream batch after compaction (idempotent overwrite of its
+    own batch_id dir) must not resurrect retired entries."""
+    import json
+    import os as _os
+
+    emb, changes = _change_stream(spark, sf_dir)
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.train(emb)
+    parts = [
+        changes.filter(F.crc32(F.concat_ws("|", "vec_id", "_ver")) % 3 == i)
+        for i in range(3)
+    ]
+    for i, p in enumerate(parts):
+        store.apply_batch(p, i)
+    expected = _index_rows(store.live())
+
+    # crash AFTER the promoted generation lands, BEFORE the old dirs drop
+    monkeypatch.setattr(
+        "arango_clickhouse_replica_spark.operators.ann_index.shutil.rmtree",
+        lambda *a, **k: None,
+    )
+    store.compact()
+    monkeypatch.undo()
+    root = tmp_path / "idx" / "entries"
+    assert (root / "compact_id=0" / "_SUCCESS").exists()
+    assert (root / "batch_id=0").exists()  # nothing deleted by the crash
+    reopened = AnnIndexStore(spark, str(tmp_path / "idx"))
+    assert _index_rows(reopened.live()) == expected  # no double count
+
+    # a replayed stream batch re-writes its own retired dir: still
+    # invisible (manifest), and the live view is unchanged
+    reopened.apply_batch(parts[1], 1)
+    assert _index_rows(reopened.live()) == expected
+
+    # the next compaction GCs the leftovers and stays correct
+    reopened.compact()
+    assert _index_rows(reopened.live()) == expected
+    names = set(_os.listdir(root))
+    assert "batch_id=0" not in names and "compact_id=1" in names
+
+    # crash BEFORE the promoted generation commits: inert entry, rolled
+    # back on reopen, originals stay live
+    store2 = AnnIndexStore(spark, str(tmp_path / "idx2"))
+    store2.train(emb)
+    for i, p in enumerate(parts):
+        store2.apply_batch(p, i)
+    (tmp_path / "idx2" / "compaction_manifest.json").write_text(
+        json.dumps({"compactions": [{
+            "promote": "compact_id=9",
+            "superseded": ["batch_id=0", "batch_id=1", "batch_id=2"],
+        }]})
+    )
+    reopened2 = AnnIndexStore(spark, str(tmp_path / "idx2"))
+    assert _index_rows(reopened2.live()) == expected
+    assert reopened2._manifest_entries() == []
