@@ -366,6 +366,9 @@ ROTATION_EXEMPT = frozenset({
     "q1_pricing_summary",             # grouped lineitem aggregate kernel: q_weighted_avg_discount (rotating) aggregates the same lineitem measure lanes with the same exact-decimal discipline; stays a pinned bench query so the flagship perf lane is measured every round
     "cdc_scd2_history",               # versioned-history windows: cdc_time_travel_read (rotating) reads the same versioned change stream at each version cut every round; cdc_snapshot_diff keeps the history-diff lane
     "text_pii_redaction",             # pattern-replacement transform lane: text_c4_line_cleaning (rotating) applies the same replace-based line transforms end-to-end; text_instruction_format_census keeps the regex census lane
+    # Grown r13 alongside mm_tga_decode_features (pick has 3+ green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "decontam_minhash_fuzzy",         # fuzzy decontam via minhash banding: dedup_minhash_band_sweep (rotating) re-runs the identical shingle/lane-min/band kernel three ways every round, and curation_contamination_report (rotating) composes the decontam candidate lanes; decontam_bloom_prefilter keeps the decontam gate lane
 })
 
 # How many emitted slots per round go to the deterministic

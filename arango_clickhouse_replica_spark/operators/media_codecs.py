@@ -1955,3 +1955,122 @@ def decode_ico(payload: bytes) -> dict:
                 luma.append((299 * r + 587 * g + 114 * b_) // 1000)
         entries.append({"width": w, "height": h, "pixels": luma})
     return {"n_entries": count, "entries": entries}
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision TARGA) — uncompressed type-2 and RLE type-10 truecolor
+# ---------------------------------------------------------------------------
+
+def encode_tga_gray8(pixels, width: int, height: int, *,
+                     rle: bool = False) -> bytes:
+    """Serialize 8-bit grayscale pixels (row-major top-down) as a real
+    24-bit TGA: uncompressed truecolor (type 2) written BOTTOM-UP
+    (descriptor 0 — the format's native orientation, so decoders must
+    flip), or run-length-encoded truecolor (type 10) written top-down
+    (descriptor bit 5) with packets that never cross a scan line, per
+    the TGA spec. Gray goes out as B=G=R."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("bad TGA dimensions")
+    itype = 10 if rle else 2
+    descriptor = 0x20 if rle else 0x00  # bit 5 = top-down row order
+    head = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0,
+        width, height, 24, descriptor,
+    )
+    if not rle:
+        # bottom-up raw BGR rows
+        body = b"".join(
+            bytes(v for x in range(width)
+                  for v in (px[y * width + x],) * 3)
+            for y in range(height - 1, -1, -1)
+        )
+        return head + body
+    out = bytearray()
+    for y in range(height):
+        row = px[y * width:(y + 1) * width]
+        x = 0
+        while x < width:
+            v = row[x]
+            run = 1
+            while x + run < width and row[x + run] == v and run < 128:
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out.extend((v, v, v))
+                x += run
+            else:
+                # raw packet: literals until the next run of >= 2
+                j = x + 1
+                while (j < width and j - x < 128
+                       and not (j + 1 < width and row[j] == row[j + 1])):
+                    j += 1
+                out.append((j - x) - 1)
+                for k in range(x, j):
+                    out.extend((row[k],) * 3)
+                x = j
+    return head + bytes(out)
+
+
+def decode_tga(payload: bytes) -> dict:
+    """Parse 24-bit TGA (types 2 and 10): 18-byte header with id-field
+    skip, colormap rejection, dimension/bpp validation; RLE packets are
+    bounds-checked so truncation raises instead of mis-indexing; rows
+    flip to top-down when descriptor bit 5 is clear. Returns top-down
+    row-major ITU-R 601 integer luma of the BGR pixels."""
+    if len(payload) < 18:
+        raise ValueError("truncated TGA header")
+    (idlen, cmap_type, itype, _cm_first, _cm_len, _cm_bpp,
+     _x0, _y0, width, height, bpp, descriptor) = struct.unpack(
+        "<BBBHHBHHHHBB", payload[:18])
+    if cmap_type != 0:
+        raise ValueError("color-mapped TGA unsupported")
+    if itype not in (2, 10):
+        raise ValueError(f"unsupported TGA image type {itype}")
+    if bpp != 24:
+        raise ValueError(f"unsupported TGA depth {bpp}")
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError("bad TGA dimensions")
+    pos = 18 + idlen
+    n = width * height
+    bgr = bytearray()
+    if itype == 2:
+        raw = payload[pos:pos + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("truncated TGA raster")
+        bgr.extend(raw)
+    else:
+        while len(bgr) < 3 * n:
+            if pos >= len(payload):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                if pos + 3 > len(payload):
+                    raise ValueError("truncated TGA RLE run packet")
+                bgr.extend(payload[pos:pos + 3] * count)
+                pos += 3
+            else:
+                need = 3 * count
+                if pos + need > len(payload):
+                    raise ValueError("truncated TGA RLE raw packet")
+                bgr.extend(payload[pos:pos + need])
+                pos += need
+        if len(bgr) > 3 * n:
+            raise ValueError("TGA RLE overrun past the raster")
+    top_down = bool(descriptor & 0x20)
+    luma_rows = []
+    for y in range(height):
+        row = []
+        base = y * width * 3
+        for x in range(width):
+            b, g, r = bgr[base + 3 * x:base + 3 * x + 3]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        luma_rows.append(row)
+    if not top_down:
+        luma_rows.reverse()
+    return {"width": width, "height": height, "rle": itype == 10,
+            "pixels": [v for row in luma_rows for v in row]}

@@ -2188,3 +2188,79 @@ def extract_ico_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=ICO_FEATURE_SCHEMA)
+
+
+def synth_tga_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL TGA payloads: doc_id seeds width/height and
+    the run-friendly gradient ``p(x,y) = (doc_id*11 + 3y + x//4) % 256``
+    (runs of four per row so RLE run packets actually fire); even
+    doc_ids encode as uncompressed type-2 bottom-up, odd as RLE type-10
+    top-down — both through the real encoder
+    (media_codecs.encode_tga_gray8)."""
+    from .media_codecs import encode_tga_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 10 + d % 7, 5 + d % 6
+                px = bytes(
+                    (d * 11 + 3 * y + x // 4) % 256
+                    for y in range(h) for x in range(w)
+                )
+                rle = d % 2 == 1
+                tga = encode_tga_gray8(px, w, h, rle=rle)
+                ids.append(d)
+                payloads.append(tga)
+                metas.append(
+                    {"mime": "image/x-tga", "n_bytes": len(tga),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+TGA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_pixels", T.LongType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_tga_features(media: DataFrame) -> DataFrame:
+    """REAL TGA decode over binary payloads: header validation, RLE
+    packet walk with truncation/overrun checks, bottom-up row flip when
+    descriptor bit 5 is clear; features are exact integer moments of
+    the DECODED ITU-R 601 luma plus the detected compression."""
+    from .media_codecs import decode_tga
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height",
+                     "n_pixels", "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_tga(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["container"].append("tga-rle" if img["rle"] else "tga")
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=TGA_FEATURE_SCHEMA)

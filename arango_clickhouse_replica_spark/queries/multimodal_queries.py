@@ -3088,3 +3088,57 @@ def mm_ico_container_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_tga_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 10 + doc_id % 7 AS w, 5 + doc_id % 6 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             (p.doc_id * 11 + 3 * (u.k // p.w) + (u.k % p.w) // 4) % 256
+               AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'tga-rle' ELSE 'tga' END
+             AS container,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL TGA decode (r13 — the thirteenth stdlib codec): each "
+        "payload is a genuine 24-bit Truevision TARGA built by "
+        "media_codecs.encode_tga_gray8 — even docs uncompressed type-2 "
+        "in the format's native BOTTOM-UP row order (the decoder must "
+        "flip), odd docs RLE type-10 top-down with run/raw packets "
+        "that never cross a scan line — re-parsed by the pure-stdlib "
+        "header validator + bounds-checked RLE walker. The gradient "
+        "carries runs of four per row so run packets actually fire. "
+        "Features are exact integer moments of the DECODED ITU-R 601 "
+        "luma, hash-matched against a closed-form oracle that never "
+        "sees a byte: a flipped row order, packet overrun, or BGR "
+        "swap breaks the hash. Scale: the standard narrow 1:1 Arrow "
+        "decode stage — no shuffle until the |docs|-row aggregate.",
+)
+def mm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_tga_features, synth_tga_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_tga_features(synth_tga_media(docs))
+        .select(
+            "media_id", "container", "width", "height", "n_pixels",
+            "sum_pixels", "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )

@@ -234,3 +234,37 @@ def test_streaming_projection_cost_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert live_cost == batch
+
+
+def test_tga_codec_roundtrip_both_types():
+    """Both TGA lanes roundtrip exactly: type-2 bottom-up (decoder must
+    flip) and type-10 RLE top-down (run + raw packets, never crossing a
+    scan line); truncated RLE raises instead of mis-indexing."""
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_tga,
+        encode_tga_gray8,
+    )
+
+    for d in range(8):
+        w, h = 10 + d % 7, 5 + d % 6
+        px = [(d * 11 + 3 * y + x // 4) % 256
+              for y in range(h) for x in range(w)]
+        for rle in (False, True):
+            out = decode_tga(encode_tga_gray8(px, w, h, rle=rle))
+            assert out["pixels"] == px
+            assert out["rle"] == rle
+            assert (out["width"], out["height"]) == (w, h)
+
+    blob = encode_tga_gray8([5] * 40, 8, 5, rle=True)
+    with pytest.raises(ValueError):
+        decode_tga(blob[:-4])
+    # an RLE stream that overruns the raster is rejected too
+    import struct as _struct
+
+    head = _struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0,
+                        4, 1, 24, 0x20)
+    overrun = head + bytes([0x87, 9, 9, 9])  # run of 8 into a 4-pixel row
+    with pytest.raises(ValueError):
+        decode_tga(overrun)

@@ -253,6 +253,7 @@ PROBES = [
     "ann_incremental_search_read",
     "q_clickhouse_uniq_upto_parity",
     "q_clickhouse_topk_weighted_parity",
+    "mm_tga_decode_features",
 ]
 
 
