@@ -247,27 +247,26 @@ def finalize(merged: DataFrame) -> DataFrame:
         "__hll_raw",
         F.floor(F.lit(_HLL_NUM) / hll_s.cast("double")).cast("long"),
     ).withColumn(
-        "__hll_zero_n",
-        F.size(F.filter("hll_state", lambda x: x == 0)),
+        # computed once, reused by both the linear-counting branch and
+        # the emitted hll_zeros column (the 1024-element scan is per-row)
+        "hll_zeros",
+        F.size(F.filter("hll_state", lambda x: x == 0)).cast("long"),
     ).withColumn(
         "uniq_hll_est",
         F.when(
             (F.col("__hll_raw") <= F.lit(_HLL_LC_THRESHOLD))
-            & (F.col("__hll_zero_n") > 0),
+            & (F.col("hll_zeros") > 0),
             F.element_at(
                 F.array(*[F.lit(v) for v in _HLL_LC]),
-                F.col("__hll_zero_n") + 1,
+                (F.col("hll_zeros") + 1).cast("int"),
             ),
         ).otherwise(F.col("__hll_raw")).cast("long"),
-    ).withColumn(
-        "hll_zeros",
-        F.size(F.filter("hll_state", lambda x: x == 0)).cast("long"),
     ).withColumn(
         "hll_reg_sum",
         F.aggregate(
             "hll_state", F.lit(0).cast("long"), lambda a, x: a + x
         ),
-    ).drop("uniq_state", "hll_state", "__hll_raw", "__hll_zero_n")
+    ).drop("uniq_state", "hll_state", "__hll_raw")
 
 
 class AggregateStateStore:

@@ -271,10 +271,33 @@ class AnnIndexStore:
         return self.spark.read.parquet(self._centroids_dir())
 
     def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
+        # A write into a manifest-retired dir name is either (a) a
+        # harmless replay of a batch whose entries the committed
+        # compaction already subsumes — invisible by design — or (b) a
+        # RESET streaming checkpoint (batch ids restarted at 0), where a
+        # genuinely NEW batch's data becomes permanently invisible. The
+        # two are indistinguishable by name, so warn loudly instead of
+        # silently swallowing: a replay tolerates the warning; a reset
+        # checkpoint gets a named symptom instead of vanished data.
+        name = f"batch_id={batch_id}"
+        if name in self._retired_names():
+            import warnings
+
+            warnings.warn(
+                f"ANN index at {self.path}: incoming {name} targets a "
+                "manifest-retired generation. If this is a replay of an "
+                "already-compacted batch it is harmless (entries stay "
+                "subsumed by the compacted generation); if the streaming "
+                "checkpoint was RESET, this batch's data will be "
+                "invisible — re-point checkpointLocation or seed batch "
+                "numbering above the retired ids.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         cdc_index_entries(
             changes, self.centroids(), self.bits, self.dim
         ).write.mode("overwrite").parquet(
-            os.path.join(self._entries_root(), f"batch_id={batch_id}")
+            os.path.join(self._entries_root(), name)
         )
 
     def attach(

@@ -371,6 +371,23 @@ SELF_RECORDING = "BENCH_SELF.json"
 # flag at once (the r12 loaded-box failure mode).
 _CONFIRM_CAP = 8
 
+# When persisting a clean run's timings as the next anchor, a query that
+# already had an anchor may not have its bar loosened by in-suite noise:
+# recorded growth is capped at prior * max(spin_ratio, _ANCHOR_GROWTH_CAP)
+# (deliberate cost increases are documented in bench_expected.json, which
+# dominates the merged bar regardless of the recorded anchor). r13 lesson:
+# suite-ordering noise baked 2-3x bars into BENCH_SELF for ~5 untouched
+# short queries, degrading first-pass flag sensitivity.
+_ANCHOR_GROWTH_CAP = 1.3
+
+
+def _is_real(t: float, a: float) -> bool:
+    """The single regression predicate: >1.5x over the bar AND >1s
+    absolute. Shared by the flag pass, the confirm re-run, and the
+    isolated triage so a threshold edit cannot desynchronize the printed
+    triage verdict from the cleared-set derivation."""
+    return t > 1.5 * a and t - a > 1.0
+
 
 def _calibration_spin() -> float:
     """Fixed pure-Python CPU probe (min of 3): a deterministic workload
@@ -390,14 +407,39 @@ def _calibration_spin() -> float:
     return best
 
 
-def _persist_self_recording(timings: dict[str, float], sf) -> None:
+def _persist_self_recording(
+    timings: dict[str, float],
+    sf,
+    prior_raw: dict[str, float] | None = None,
+    spin_ratio: float = 1.0,
+    unconfirmed_cleared: set[str] | frozenset[str] = frozenset(),
+) -> None:
     """Record this run's full per-query timings in-repo. The driver's
     BENCH_r*.json keeps only a 2000-char stdout tail, which stopped
     parsing once the headline set grew past ~60 queries — anchoring the
     regression guard to a stale round. This file is the guard's
     preferred anchor: always complete, always the last CLEAN run (noisy
-    or regressed runs never overwrite it)."""
+    or regressed runs never overwrite it).
+
+    Anchor hygiene (r13 lesson — suite noise loosened bars 2-3x on
+    untouched queries): a query with a prior anchor persists at most
+    prior * max(spin_ratio, 1.3); an offender cleared WITHOUT an
+    in-suite confirm (isolated-triage / uniform-contention-escape) keeps
+    its prior anchor outright — its suite timing was, by the clearing
+    evidence itself, contention-inflated."""
     path = Path(__file__).resolve().parent / SELF_RECORDING
+    if prior_raw:
+        cap = min(max(spin_ratio, _ANCHOR_GROWTH_CAP), 3.0)
+        recorded = {}
+        for name, t in timings.items():
+            prev = prior_raw.get(name)
+            if prev is None:
+                recorded[name] = t
+            elif name in unconfirmed_cleared:
+                recorded[name] = min(t, prev)
+            else:
+                recorded[name] = min(t, prev * cap)
+        timings = recorded
     payload = {"sf": sf, "queries": timings, "recorded_at": time.time(),
                "calibration_spin_sec": _calibration_spin()}
     path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
@@ -509,8 +551,8 @@ def _isolated_triage(offenders: list[str], sf) -> dict[str, tuple[float, float]]
         t, a = iso.get(n), anchors[n]
         if t is None:
             continue
-        real = t > 1.5 * a and t - a > 1.0
-        verdict = "REAL (reproduces isolated)" if real else "cleared (contention)"
+        verdict = ("REAL (reproduces isolated)" if _is_real(t, a)
+                   else "cleared (contention)")
         print(f"BENCH ISOLATED {n}: {t:.2f}s vs isolated anchor "
               f"{a:.2f}s -> {verdict}", file=sys.stderr)
         results[n] = (t, a)
@@ -544,6 +586,13 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         _persist_self_recording(timings, sf)
         return
     src, old = prev
+    # Unscaled prior anchors (before spin scaling and bench_expected
+    # merging) — the persist-time growth cap compares against these, and
+    # the uniform-contention escape only applies to queries that existed
+    # in them (a brand-new query's only bar comes from bench_expected;
+    # escape-clearing it would wave through a regression in exactly the
+    # round that introduced the code).
+    prior_raw = dict(old)
     # Box-speed calibration: if the baseline recorded its spin probe,
     # scale its per-query bars by today's spin ratio (clamped to [1, 3])
     # so a uniformly slower box does not read as N code regressions. A
@@ -577,13 +626,9 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         except (json.JSONDecodeError, TypeError, ValueError):
             pass
     compared = [name for name in timings if name in old]
-    offenders = [
-        name
-        for name in compared
-        if timings[name] > 1.5 * old[name] and timings[name] - old[name] > 1.0
-    ]
+    offenders = [name for name in compared if _is_real(timings[name], old[name])]
     if not offenders:
-        _persist_self_recording(timings, sf)
+        _persist_self_recording(timings, sf, prior_raw, spin_ratio)
         return
     # A code regression hits the queries the change touched; a noisy
     # neighbor inflates EVERYTHING uniformly (observed: untouched queries
@@ -628,7 +673,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
                 file=sys.stderr,
             )
             timings = dict(timings, **{name: confirm})
-            if confirm > 1.5 * old[name] and confirm - old[name] > 1.0:
+            if _is_real(confirm, old[name]):
                 confirmed.append(name)
         if deferred:
             print(
@@ -639,7 +684,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
             )
         survivors = confirmed + deferred
         if not survivors:
-            _persist_self_recording(timings, sf)
+            _persist_self_recording(timings, sf, prior_raw, spin_ratio)
             return
         # r11 (VERDICT r10 item 5): the mechanical contention-vs-real
         # triage. An in-suite confirm re-run still shares the loaded JVM
@@ -650,8 +695,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         # when present, survivors get ONE isolated subset run compared
         # apples-to-apples before the round fails.
         triaged = _isolated_triage(survivors, sf)
-        cleared = {n for n, (t, a) in triaged.items()
-                   if not (t > 1.5 * a and t - a > 1.0)}
+        cleared = {n for n, (t, a) in triaged.items() if not _is_real(t, a)}
         remaining = [n for n in survivors if n not in cleared]
         # Uniform-contention escape (r12 VERDICT item 1): when the box is
         # measurably slow (spin ratio > 1.2) AND >=80% of the anchored
@@ -660,9 +704,24 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         # contention too — the evidence says the whole flag set was box
         # load. A flag that REPRODUCED >1.5x in the isolated run is never
         # cleared by this escape: a genuine regression still fails.
+        escape_cleared: set[str] = set()
         if remaining and spin_ratio > 1.2 and triaged:
             mild = [n for n, (t, a) in triaged.items() if t <= 1.35 * a]
-            no_anchor = [n for n in remaining if n not in triaged]
+            # A query absent from the previous round's anchors is NEW
+            # this round: its only bar came from bench_expected.json and
+            # its code has never been measured clean — the escape must
+            # not wave it through (r13 ADVICE), so it stays flagged.
+            no_anchor = [n for n in remaining
+                         if n not in triaged and n in prior_raw]
+            new_this_round = [n for n in remaining
+                              if n not in triaged and n not in prior_raw]
+            if new_this_round:
+                print(
+                    "BENCH ESCAPE EXCLUSION: new-this-round flags keep "
+                    "failing (no prior clean measurement): "
+                    + ", ".join(new_this_round),
+                    file=sys.stderr,
+                )
             if no_anchor and len(mild) >= 0.8 * len(triaged):
                 print(
                     "BENCH UNIFORM-CONTENTION ESCAPE: spin ratio "
@@ -672,9 +731,20 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
                     + ", ".join(no_anchor),
                     file=sys.stderr,
                 )
-                remaining = [n for n in remaining if n in triaged]
+                escape_cleared = set(no_anchor)
+                remaining = [n for n in remaining
+                             if n in triaged or n in new_this_round]
         if not remaining:
-            _persist_self_recording(timings, sf)
+            # Triage/escape-cleared offenders were cleared WITHOUT an
+            # in-suite confirm: their suite timings are, by that very
+            # evidence, contention-inflated — restore their prior
+            # anchors instead of persisting the inflated numbers
+            # (r13 ADVICE: spin scaling only widens bars, so an inflated
+            # anchor would mask a real regression up to ~3x later).
+            _persist_self_recording(
+                timings, sf, prior_raw, spin_ratio,
+                unconfirmed_cleared=cleared | escape_cleared,
+            )
             return
         offenders = remaining
         banner = "BENCH REGRESSION (>1.5x and >1s, confirmed):"

@@ -303,3 +303,104 @@ def test_rebase_env_persists_without_gate(in_tmp_repo, monkeypatch):
     bench._check_regressions({"q1": 9.0}, 0.1, rerun=None)
     data = json.loads((in_tmp_repo / "BENCH_SELF.json").read_text())
     assert data["queries"]["q1"] == 9.0
+
+
+def test_noisy_clean_run_does_not_loosen_untouched_bars(
+    in_tmp_repo, monkeypatch
+):
+    """r13 VERDICT item 2: in-suite ordering noise inflated a handful of
+    untouched short queries just under the flag threshold (e.g. 1.45x),
+    and the clean-run persist baked those into BENCH_SELF — the next
+    round's flag bar was then ~2-3x the true cost. Persisted growth for
+    a previously-anchored query is now capped at prior * max(spin, 1.3)."""
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0},
+        "calibration_spin_sec": 0.10,
+    }))
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.10)
+    # q1 noisy at 1.45x (below the 1.5x flag bar): clean run, but the
+    # persisted anchor must not grow past 1.3x of the prior value
+    bench._check_regressions({"q1": 1.45, "q2": 1.0, "q3": 1.0}, 0.1,
+                             rerun=None)
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["queries"]["q1"] == pytest.approx(1.3)
+    assert data["queries"]["q2"] == 1.0
+    # a brand-new query (no prior anchor) records its first measurement
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(json.dumps({
+        "sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0, "q3": 1.0},
+        "calibration_spin_sec": 0.10,
+    }))
+    bench._check_regressions(
+        {"q1": 1.0, "q2": 1.0, "q3": 1.0, "q_new": 7.0}, 0.1, rerun=None)
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["queries"]["q_new"] == 7.0
+
+
+def test_triage_cleared_offender_restores_prior_anchor(
+    in_tmp_repo, monkeypatch
+):
+    """r13 ADVICE (medium): an offender cleared by the isolated triage
+    (never by an in-suite confirm) used to persist its contention-
+    inflated suite timing as the next anchor; spin scaling only widens
+    bars, so a later real regression up to ~3x passed silently. The
+    cleared offender now keeps its prior anchor."""
+    queries = {f"q{i:02d}": 1.0 for i in range(30)}
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(json.dumps({
+        "sf": 0.1, "queries": queries, "calibration_spin_sec": 0.10,
+    }))
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.13)
+    timings = dict(queries)
+    flagged = [f"q{i:02d}" for i in range(12)]
+    for n in flagged:
+        timings[n] = 3.0
+    monkeypatch.setattr(
+        bench, "_isolated_triage",
+        lambda offenders, sf: {n: (1.2, 1.3) for n in offenders})
+    # in-suite confirm still inflated (loaded box) -> triage clears all
+    bench._check_regressions(timings, 0.1, rerun=lambda n: 2.9)
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    for n in flagged:
+        assert data["queries"][n] == 1.0, n  # prior restored, not 2.9
+
+
+def test_escape_never_clears_new_this_round_queries(
+    in_tmp_repo, monkeypatch
+):
+    """r13 ADVICE: the uniform-contention escape cleared every
+    anchor-less flag — including queries added THIS round, whose only
+    bar came from bench_expected.json and whose code had never been
+    measured clean. A genuine regression in brand-new code on a loaded
+    box was auto-cleared in exactly the round that introduced it. New
+    queries are now excluded from the escape and keep failing."""
+    queries = {f"q{i:02d}": 1.0 for i in range(30)}
+    (in_tmp_repo / bench.SELF_RECORDING).write_text(json.dumps({
+        "sf": 0.1, "queries": queries, "calibration_spin_sec": 0.10,
+    }))
+    (in_tmp_repo / "bench_expected.json").write_text(
+        json.dumps({"q_new": 1.0}))
+    monkeypatch.setattr(bench, "_calibration_spin", lambda: 0.13)
+    timings = dict(queries)
+    for i in range(10):
+        timings[f"q{i:02d}"] = 3.2
+    timings["q_new"] = 3.2  # new this round, 3.2x its documented bar
+
+    def fake_triage(offenders, sf):
+        # the new query has no isolated anchor; the rest clear mildly
+        return {n: (1.2, 1.3) for n in offenders if n != "q_new"}
+
+    monkeypatch.setattr(bench, "_isolated_triage", fake_triage)
+    with pytest.raises(SystemExit) as exc:
+        bench._check_regressions(dict(timings), 0.1, rerun=lambda n: 3.1)
+    assert exc.value.code == 2
+
+    # same shape but the anchor-less flag EXISTED last round (q29 has a
+    # prior anchor, just no family anchor): escape still clears it
+    timings.pop("q_new")
+    timings["q29"] = 3.2
+    monkeypatch.setattr(
+        bench, "_isolated_triage",
+        lambda offenders, sf: {n: (1.2, 1.3) for n in offenders
+                               if n != "q29"})
+    bench._check_regressions(dict(timings), 0.1, rerun=lambda n: 3.1)
+    data = json.loads((in_tmp_repo / bench.SELF_RECORDING).read_text())
+    assert data["queries"]["q29"] == 1.0  # escape-cleared: prior restored
