@@ -181,6 +181,8 @@ class AnnIndexStore:
     clobber a compacted generation."""
 
     _MANIFEST = "compaction_manifest.json"
+    _entry_cols = ENTRY_COLS
+    _merge_keys = ("vec_id",)
 
     def __init__(
         self,
@@ -270,6 +272,25 @@ class AnnIndexStore:
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._centroids_dir())
 
+    def _encode_batch(self, changes: DataFrame, batch_id: int) -> DataFrame:
+        """One CDC batch -> this store's entry-log delta (subclasses
+        swap the encoding; the generation/manifest machinery is shared).
+        ``batch_id`` lets stateful encoders (the graph lane) stamp a
+        monotone recompute sequence and exclude their own generation
+        when reading prior state (replay exactness)."""
+        return cdc_index_entries(changes, self.centroids(), self.bits, self.dim)
+
+    def _entries_excluding(self, name: str) -> DataFrame | None:
+        """Entry log restricted to generations other than ``name`` —
+        what an encoder must treat as 'prior state' so a REPLAY of
+        batch N (whose generation may already exist from the crashed
+        attempt) computes against exactly the state the first attempt
+        saw. None when no other generation exists yet."""
+        parts = [d for d in self._live_dirs() if os.path.basename(d) != name]
+        if not parts:
+            return None
+        return self.spark.read.parquet(*parts).select(*self._entry_cols)
+
     def apply_batch(self, changes: DataFrame, batch_id: int) -> None:
         # A write into a manifest-retired dir name is either (a) a
         # harmless replay of a batch whose entries the committed
@@ -284,7 +305,7 @@ class AnnIndexStore:
             import warnings
 
             warnings.warn(
-                f"ANN index at {self.path}: incoming {name} targets a "
+                f"index store at {self.path}: incoming {name} targets a "
                 "manifest-retired generation. If this is a replay of an "
                 "already-compacted batch it is harmless (entries stay "
                 "subsumed by the compacted generation); if the streaming "
@@ -294,11 +315,9 @@ class AnnIndexStore:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        cdc_index_entries(
-            changes, self.centroids(), self.bits, self.dim
-        ).write.mode("overwrite").parquet(
-            os.path.join(self._entries_root(), name)
-        )
+        self._encode_batch(changes, batch_id).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._entries_root(), name))
 
     def attach(
         self,
@@ -326,7 +345,7 @@ class AnnIndexStore:
             raise ValueError(
                 f"no index entries under {self._entries_root()}"
             )
-        return self.spark.read.parquet(*parts).select(*ENTRY_COLS)
+        return self.spark.read.parquet(*parts).select(*self._entry_cols)
 
     def live(self) -> DataFrame:
         return live_index(self.entries())
@@ -356,7 +375,9 @@ class AnnIndexStore:
         ]
         old = self._live_dirs()
         old_names = [os.path.basename(d) for d in old]
-        winners = latest_alive(self.entries(), ["vec_id"]).select(*ENTRY_COLS)
+        winners = latest_alive(self.entries(), list(self._merge_keys)).select(
+            *self._entry_cols
+        )
         nxt = 1 + max(
             (int(n.split("=", 1)[1]) for n in os.listdir(root)
              if n.startswith("compact_id=")),
@@ -435,3 +456,461 @@ class AnnIndexStore:
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     "cos_sim", "rank")
         )
+
+
+# ---------------------------------------------------------------------------
+# PQ lane (r14, VERDICT r13 item 1a): CDC-incremental product-quantization
+# codes. Same contract as the IVF/LSH entries above — codebooks are FROZEN
+# at train time (the FAISS IndexPQ add-without-retrain contract), so a code
+# computed per-delta at insert time equals the code a full rebuild over the
+# final state would compute; the entry log is version-replacing per vec_id.
+# Constants mirror queries/embed_ops.py's PQ surface (8 subspaces x 8 dims,
+# 16 codes per subspace) so the serving read (ann_pq_adc_rerank's ADC scan)
+# can run off the live entry log unchanged.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces
+PQ_DIM = 8     # dims per subspace
+PQ_K = 16      # codes per subspace
+
+PQ_ENTRY_COLS = ("vec_id", "codes", VER_COL, DELETED_COL)
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold squared L2 — bit-identical accumulation order on
+    both engines (the embed_ops._l2sq expression)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def frozen_pq_codebooks(
+    train_emb: DataFrame, m: int = PQ_M, dim: int = PQ_DIM, k: int = PQ_K
+) -> DataFrame:
+    """Train-time per-subspace codebooks ``(m, k, cv)``: the 16
+    deterministic seed vectors (first vector of each ``vec_id % K``
+    class — embed_pq_codebooks' seeding) split into M subvectors.
+    FROZEN thereafter: incremental encodes and full rebuilds must quantize
+    against the same codebooks or parity is meaningless."""
+    w = Window.partitionBy(F.col("vec_id") % k).orderBy("vec_id")
+    seeds = (
+        train_emb.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col("vec_id") % k).cast("int").alias("k"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    return seeds.select(
+        "k",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" mm -> slice(c_emb, {dim} * mm + 1, {dim}))"
+            )
+        ).alias("m", "cv"),
+    )
+
+
+def pq_encode_entries(
+    upserts: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = PQ_DIM,
+) -> DataFrame:
+    """PQ entry-log rows for a batch of alive upserts ``(vec_id,
+    embedding, _ver)``: each vector split into M subvectors, each
+    quantized by broadcast squared-L2 argmin against its frozen
+    subspace codebook (min of a (d2, k) struct — lexicographic, ties on
+    the smaller code, identical to ROW_NUMBER ... ORDER BY d2, k), then
+    the M codes packed into one array ordered by subspace. Shuffles
+    |delta| x M argmin rows and |delta| packed rows — never the corpus."""
+    sv = upserts.select(
+        "vec_id",
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" mm -> slice(embedding, {dim} * mm + 1, {dim}))"
+            )
+        ).alias("m", "sv"),
+    )
+    d = sv.join(F.broadcast(codebooks), "m").withColumn(
+        "d2", _l2sq(F.col("sv"), F.col("cv"))
+    )
+    # (vec_id, _ver, m) key: one CDC batch can carry several versions of
+    # the same vec_id (at-least-once replay / split re-embed) — each
+    # version encodes independently and latest_alive picks the winner.
+    codes = (
+        d.groupBy("vec_id", VER_COL, "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("k"))).alias("mn"))
+        .select("vec_id", VER_COL, "m", F.col("mn.k").alias("code"))
+    )
+    packed = (
+        codes.groupBy("vec_id", VER_COL)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("m"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    return packed.select(
+        "vec_id", "codes", VER_COL, F.lit(0).alias(DELETED_COL)
+    )
+
+
+def pq_tombstones(deletes: DataFrame) -> DataFrame:
+    """PQ entry tombstones for deleted keys ``(vec_id, _ver)``."""
+    return deletes.select(
+        "vec_id",
+        F.lit(None).cast("array<int>").alias("codes"),
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        F.lit(1).alias(DELETED_COL),
+    )
+
+
+def cdc_pq_entries(
+    changes: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    dim: int = PQ_DIM,
+) -> DataFrame:
+    """One CDC batch -> its PQ-code delta (post-preprocess CDC shape:
+    ``(vec_id, embedding, _ver, _deleted)``)."""
+    ups = changes.filter(F.col(DELETED_COL) == 0).select(
+        "vec_id", "embedding", VER_COL
+    )
+    dels = changes.filter(F.col(DELETED_COL) == 1).select("vec_id", VER_COL)
+    return pq_encode_entries(ups, codebooks, m, dim).unionByName(
+        pq_tombstones(dels)
+    )
+
+
+def live_pq_codes(entries: DataFrame) -> DataFrame:
+    """The queryable code table: latest alive codes per vec_id."""
+    return latest_alive(entries, ["vec_id"]).select("vec_id", "codes", VER_COL)
+
+
+class PqIndexStore(AnnIndexStore):
+    """Parquet-persisted incremental PQ code store: the AnnIndexStore
+    generation/manifest/compaction machinery with PQ-code entries.
+    ``train`` freezes the codebooks; ``apply_batch`` encodes only the
+    delta against them."""
+
+    _entry_cols = PQ_ENTRY_COLS
+
+    def train(self, train_emb: DataFrame) -> None:
+        frozen_pq_codebooks(train_emb).write.mode("overwrite").parquet(
+            self._centroids_dir()
+        )
+
+    def codebooks(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_dir())
+
+    def _encode_batch(self, changes: DataFrame, batch_id: int) -> DataFrame:
+        return cdc_pq_entries(changes, self.codebooks())
+
+    def live(self) -> DataFrame:
+        return live_pq_codes(self.entries())
+
+
+# ---------------------------------------------------------------------------
+# Graph lane (r14, VERDICT r13 item 1b): CDC-incremental kNN-graph adjacency.
+# The maintained state is each node's bounded out-adjacency (top-GRAPH_DEGREE
+# cell-local neighbors by rounded-4dp cosine, id tiebreak — exactly
+# ann_graph_beam_topk's edge build). Adjacency depends ONLY on a cell's live
+# membership, so a CDC batch invalidates exactly the cells it touches: the
+# cells its upserts land in, plus the PRIOR cells of every changed/deleted
+# key (a re-embed can migrate cells — both sides recompute). Members of
+# touched cells get fresh version-replacing adjacency rows; untouched cells'
+# rows stay valid by construction, which is why the incremental state
+# hash-matches a full rebuild. Per-batch cost is |touched cells| x
+# occupancy^2 with the sub-block cap bounding occupancy — never the corpus.
+# Deletes are tombstone-aware twice over: the deleted node's adjacency row
+# is tombstoned AND its former cell's survivors recompute without it.
+# ---------------------------------------------------------------------------
+
+GRAPH_DEGREE = 4        # out-degree — matches ann_graph_beam_topk's _BEAM_R
+GRAPH_CELL_CAP = 500    # sub-block cap for the pair kernel
+
+NODE_COLS = ("vec_id", "cell", "embedding", "nrm", VER_COL, DELETED_COL)
+ADJ_COLS = ("src", "cell", "degree", "dst_csv", "dst_sum", "_seq",
+            DELETED_COL)
+
+
+def graph_node_rows(
+    changes: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Node-log rows for one CDC batch: alive upserts assigned to their
+    nearest frozen cell (broadcast argmax carrying the embedding through
+    the struct — the embed_ops._assign shape), deletes as tombstones."""
+    ups = changes.filter(F.col(DELETED_COL) == 0).select(
+        "vec_id",
+        "embedding",
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    d = ups.crossJoin(F.broadcast(centroids)).withColumn(
+        "__c_sim",
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (F.col("nrm") * F.col("c_nrm")),
+    )
+    best = d.groupBy("vec_id", VER_COL).agg(
+        F.max(
+            F.struct(
+                F.col("__c_sim").alias("s"),
+                (-F.col("cell")).alias("neg_cell"),
+                F.col("embedding").alias("e"),
+                F.col("nrm").alias("n"),
+            )
+        ).alias("mx")
+    )
+    assigned = best.select(
+        "vec_id",
+        (-F.col("mx.neg_cell")).cast("int").alias("cell"),
+        F.col("mx.e").alias("embedding"),
+        F.col("mx.n").alias("nrm"),
+        F.col(VER_COL),
+        F.lit(0).alias(DELETED_COL),
+    )
+    dels = changes.filter(F.col(DELETED_COL) == 1).select(
+        "vec_id",
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("double").alias("nrm"),
+        F.col(VER_COL).cast("long").alias(VER_COL),
+        F.lit(1).alias(DELETED_COL),
+    )
+    return assigned.unionByName(dels)
+
+
+def graph_touched_cells(
+    prior_live_nodes: DataFrame, node_delta: DataFrame
+) -> DataFrame:
+    """The cells one batch invalidates: cells its alive rows land in,
+    plus the PRIOR cells of every key it changes or deletes (cell
+    migration and deletion both shrink the old cell's candidate set).
+    Output: distinct 1-column ``cell`` frame — |touched| <= 2x|delta|
+    rows, broadcastable by construction."""
+    new_cells = (
+        node_delta.filter(F.col(DELETED_COL) == 0).select("cell").distinct()
+    )
+    old_cells = (
+        prior_live_nodes.join(
+            node_delta.select("vec_id").distinct(), "vec_id"
+        )
+        .select("cell")
+        .distinct()
+    )
+    return new_cells.unionByName(old_cells).distinct()
+
+
+def cell_adjacency(
+    members: DataFrame,
+    seq: int,
+    degree: int = GRAPH_DEGREE,
+    cell_cap: int = GRAPH_CELL_CAP,
+) -> DataFrame:
+    """Packed adjacency rows for every member of ``members`` (vec_id,
+    cell, embedding, nrm): per source, the top-``degree`` same-cell
+    neighbors by round(cos, 4) DESC, dst ASC — ann_graph_beam_topk's
+    edge kernel — packed as (degree, dst_csv ordered by rank, dst_sum)
+    so one row serves a node's whole neighbor fetch. Members whose cell
+    has no other member keep an explicit empty row (their state is
+    'no neighbors', not 'unknown'). The pair kernel is sub-block-capped:
+    cost |cell|^2 bounded by the cap, never corpus-sized."""
+    from .blocking import with_sub_block
+
+    mb = with_sub_block(
+        members.select("vec_id", "cell", "embedding", "nrm"),
+        label_col="cell",
+        label_cap=cell_cap,
+    )
+    a, b = mb.alias("a"), mb.alias("b")
+    pair = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    w_src = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            pair.alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= degree)
+    )
+    packed = edges.groupBy("src").agg(
+        F.count("*").cast("int").alias("degree"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "dst"))),
+                lambda s: s["dst"].cast("string"),
+            ),
+            ",",
+        ).alias("dst_csv"),
+        F.sum("dst").cast("long").alias("dst_sum"),
+    )
+    return (
+        members.select(F.col("vec_id").alias("src"), "cell")
+        .join(packed, "src", "left")
+        .select(
+            "src",
+            "cell",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("int").alias("degree"),
+            F.coalesce(F.col("dst_csv"), F.lit("")).alias("dst_csv"),
+            F.coalesce(F.col("dst_sum"), F.lit(0)).cast("long").alias("dst_sum"),
+            F.lit(seq).cast("long").alias("_seq"),
+            F.lit(0).alias(DELETED_COL),
+        )
+    )
+
+
+def adjacency_tombstones(deleted_keys: DataFrame, seq: int) -> DataFrame:
+    """Adjacency tombstones for keys deleted in this batch (column
+    ``vec_id``)."""
+    return deleted_keys.select(
+        F.col("vec_id").alias("src"),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("int").alias("degree"),
+        F.lit(None).cast("string").alias("dst_csv"),
+        F.lit(None).cast("long").alias("dst_sum"),
+        F.lit(seq).cast("long").alias("_seq"),
+        F.lit(1).alias(DELETED_COL),
+    )
+
+
+def graph_adjacency_patch(
+    prior_live_nodes: DataFrame,
+    node_delta: DataFrame,
+    seq: int,
+    degree: int = GRAPH_DEGREE,
+    cell_cap: int = GRAPH_CELL_CAP,
+) -> DataFrame:
+    """One batch's adjacency delta: fresh rows for every live member of
+    a touched cell (computed against the post-batch membership) plus
+    tombstones for the batch's deletes. ``_seq`` must be monotone across
+    batches (the stream's batch id) — a later recompute of the same src
+    supersedes an earlier one by plain version comparison."""
+    after = latest_alive(
+        prior_live_nodes.select(*NODE_COLS).unionByName(
+            node_delta.select(*NODE_COLS)
+        ),
+        ["vec_id"],
+    )
+    touched = graph_touched_cells(prior_live_nodes, node_delta)
+    members = after.join(F.broadcast(touched), "cell", "left_semi")
+    recomputed = cell_adjacency(members, seq, degree, cell_cap)
+    dels = node_delta.filter(F.col(DELETED_COL) == 1).select("vec_id")
+    return recomputed.unionByName(adjacency_tombstones(dels, seq))
+
+
+def live_adjacency(adj_rows: DataFrame) -> DataFrame:
+    """The queryable graph: latest alive adjacency per source."""
+    return latest_alive(adj_rows, ["src"], ver_col="_seq").select(
+        "src", "cell", "degree", "dst_csv", "dst_sum", "_seq"
+    )
+
+
+GRAPH_ENTRY_COLS = (
+    "kind", "vec_id", "cell", "embedding", "nrm",
+    "degree", "dst_csv", "dst_sum", VER_COL, DELETED_COL,
+)
+
+_NODE_SCHEMA = (
+    "vec_id bigint, cell int, embedding array<float>, nrm double, "
+    f"{VER_COL} bigint, {DELETED_COL} int"
+)
+
+
+class GraphIndexStore(AnnIndexStore):
+    """Parquet-persisted incremental kNN-graph: ONE version-replacing
+    entry log holding two row kinds keyed ``(kind, vec_id)`` —
+    ``node`` rows (cell assignment + embedding, versioned by the CDC
+    ``_ver``) and ``adj`` rows (the packed out-adjacency, versioned by
+    the monotone batch id: a later recompute of the same source
+    supersedes an earlier one by plain version comparison). One
+    generation per micro-batch carries the node delta AND the
+    touched-cell adjacency patch, so the generation/manifest/compaction
+    machinery is inherited unchanged; replay exactness holds because the
+    encoder reads prior state EXCLUDING its own generation
+    (``_entries_excluding``) — a replayed batch sees exactly what the
+    first attempt saw."""
+
+    _entry_cols = GRAPH_ENTRY_COLS
+    _merge_keys = ("kind", "vec_id")
+
+    def __init__(self, spark, path, *, degree: int = GRAPH_DEGREE,
+                 cell_cap: int = GRAPH_CELL_CAP, n_cells: int = N_CELLS):
+        super().__init__(spark, path, n_cells=n_cells)
+        self.degree = degree
+        self.cell_cap = cell_cap
+
+    def _prior_live_nodes(self, excluding: str) -> DataFrame:
+        prior = self._entries_excluding(excluding)
+        if prior is None:
+            return self.spark.createDataFrame([], _NODE_SCHEMA)
+        return latest_alive(
+            prior.filter(F.col("kind") == "node").select(*NODE_COLS),
+            ["vec_id"],
+        )
+
+    def _encode_batch(self, changes: DataFrame, batch_id: int) -> DataFrame:
+        prior_nodes = self._prior_live_nodes(f"batch_id={batch_id}")
+        delta = graph_node_rows(changes, self.centroids())
+        patch = graph_adjacency_patch(
+            prior_nodes, delta, seq=batch_id,
+            degree=self.degree, cell_cap=self.cell_cap,
+        )
+        node_rows = delta.select(
+            F.lit("node").alias("kind"),
+            "vec_id", "cell", "embedding", "nrm",
+            F.lit(None).cast("int").alias("degree"),
+            F.lit(None).cast("string").alias("dst_csv"),
+            F.lit(None).cast("long").alias("dst_sum"),
+            F.col(VER_COL), F.col(DELETED_COL),
+        )
+        adj_rows = patch.select(
+            F.lit("adj").alias("kind"),
+            F.col("src").alias("vec_id"),
+            "cell",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(None).cast("double").alias("nrm"),
+            "degree", "dst_csv", "dst_sum",
+            F.col("_seq").alias(VER_COL),
+            F.col(DELETED_COL),
+        )
+        return node_rows.unionByName(adj_rows)
+
+    def live_nodes(self) -> DataFrame:
+        return latest_alive(
+            self.entries().filter(F.col("kind") == "node").select(*NODE_COLS),
+            ["vec_id"],
+        )
+
+    def live(self) -> DataFrame:
+        """The queryable graph: latest alive packed adjacency per src."""
+        adj = self.entries().filter(F.col("kind") == "adj").select(
+            F.col("vec_id").alias("src"),
+            "cell", "degree", "dst_csv", "dst_sum",
+            F.col(VER_COL).alias("_seq"),
+            F.col(DELETED_COL),
+        )
+        return live_adjacency(adj)
