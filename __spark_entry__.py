@@ -369,6 +369,14 @@ ROTATION_EXEMPT = frozenset({
     # Grown r13 alongside mm_tga_decode_features (pick has 3+ green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "decontam_minhash_fuzzy",         # fuzzy decontam via minhash banding: dedup_minhash_band_sweep (rotating) re-runs the identical shingle/lane-min/band kernel three ways every round, and curation_contamination_report (rotating) composes the decontam candidate lanes; decontam_bloom_prefilter keeps the decontam gate lane
+    # Grown r14 alongside ann_incremental_pq_parity /
+    # ann_incremental_graph_parity (each pick has 3+ green driver rounds
+    # plus every full-registry VERIFY_FULL record):
+    "dedup_semdedup_dropped",         # seeded-cell cosine drop rule: curation_cluster_representatives (rotating) evaluates the same seeded-cell assignment + within-cell cosine-to-centroid kernel every round (keepers instead of drops); curation_coreset_kcenter keeps the cell-local selection lane
+    "curation_token_pack_bins",       # greedy token packing: curation_pack_waste_report (rotating) re-runs the identical deterministic bin-packing kernel and audits its waste every round; curation_concat_chunk_census keeps the chunk-boundary lane
+    # Grown r14 alongside q_clickhouse_quantile_state_parity (pick has
+    # 4 green driver rounds plus every full-registry VERIFY_FULL record):
+    "text_vocab_build",               # bounded rank-ordered vocab: text_vocab_coverage_curve (rotating) rebuilds the same rank-ordered bounded vocabulary every round with the coverage curve on top; text_oov_rate keeps the vocab-membership lane; stays a pinned bench query
 })
 
 # How many emitted slots per round go to the deterministic

@@ -78,9 +78,78 @@ _HLL_LC = [0] + [
 ]
 _HLL_LC_THRESHOLD = int(2.5 * _HLL_M)
 
+# Quantile lane (r14, VERDICT r13 item 5): a quantileTiming-shape
+# FIXED-BOUNDARY histogram — ClickHouse's deterministic mergeable
+# quantile family keeps exact counts for small values and fixed coarse
+# buckets above, clamping at a declared ceiling, so the state is a
+# dense integer count array whose merge is element-wise SUM
+# (associative, commutative, order-insensitive, deterministic
+# cross-engine — the HLL-register discipline applied to quantiles).
+# Tier 1: _QT_T1 exact 1-unit slots for v in [0, _QT_T1); tier 2:
+# _QT_T2 slots of width _QT_T2W (a power of two, so the slot index is a
+# shift — no float division anywhere) for v in [_QT_T1, _QT_CLAMP);
+# one overflow slot counts v >= _QT_CLAMP (finalized as the clamp
+# value, the quantileTiming 30s-saturation semantic); negatives clamp
+# into slot 0. Finalize walks the cumulative counts to the smallest
+# slot covering rank ceil(q * cnt) — pure integer arithmetic, zero
+# transcendentals in any hashed lane.
+_QT_T1 = 1024
+_QT_T2 = 1024
+_QT_T2W = 1024                       # power of two: index = shiftright 10
+_QT_OVER = _QT_T1 + _QT_T2           # overflow slot index
+_QT_B = _QT_OVER + 1                 # total slots
+_QT_CLAMP = _QT_T1 + _QT_T2 * _QT_T2W
+
 STATE_COLS = (
-    "cnt", "sum_milli", "min_milli", "max_milli", "uniq_state", "hll_state"
+    "cnt", "sum_milli", "min_milli", "max_milli", "uniq_state",
+    "hll_state", "quantile_state",
 )
+
+
+def _qt_bucket(v: F.Column) -> F.Column:
+    """Histogram slot for integer value ``v`` (see the lane comment)."""
+    return (
+        F.when(v < 0, F.lit(0))
+        .when(v < _QT_T1, v)
+        .when(
+            v < _QT_CLAMP,
+            F.lit(_QT_T1)
+            + F.shiftright((v - _QT_T1).cast("long"), _QT_T2W.bit_length() - 1),
+        )
+        .otherwise(F.lit(_QT_OVER))
+        .cast("int")
+    )
+
+
+def _qt_value(b: F.Column) -> F.Column:
+    """The slot's representative value: tier-1 slots are exact, tier-2
+    slots finalize to their lower boundary, overflow to the clamp."""
+    return (
+        F.when(b < _QT_T1, b)
+        .when(b < _QT_OVER, F.lit(_QT_T1) + (b - _QT_T1) * F.lit(_QT_T2W))
+        .otherwise(F.lit(_QT_CLAMP))
+        .cast("long")
+    )
+
+
+def qt_bucket_sql(v: str) -> str:
+    """DuckDB replica of ``_qt_bucket`` (generated from the same
+    constants so the tiers cannot drift)."""
+    return (
+        f"(CASE WHEN {v} < 0 THEN 0 "
+        f"WHEN {v} < {_QT_T1} THEN CAST({v} AS BIGINT) "
+        f"WHEN {v} < {_QT_CLAMP} THEN {_QT_T1} + ({v} - {_QT_T1}) // {_QT_T2W} "
+        f"ELSE {_QT_OVER} END)"
+    )
+
+
+def qt_value_sql(b: str) -> str:
+    """DuckDB replica of ``_qt_value``."""
+    return (
+        f"(CASE WHEN {b} < {_QT_T1} THEN CAST({b} AS BIGINT) "
+        f"WHEN {b} < {_QT_OVER} THEN {_QT_T1} + ({b} - {_QT_T1}) * {_QT_T2W} "
+        f"ELSE {_QT_CLAMP} END)"
+    )
 
 
 def _kmv_hash(uniq_col: str) -> F.Column:
@@ -147,7 +216,7 @@ def partial_states(
             ).cast("int").alias("__hr"),
         )
     )
-    return (
+    states = (
         per_bucket.groupBy(*keys)
         .agg(
             F.sum("__c").cast("long").alias("cnt"),
@@ -181,6 +250,34 @@ def partial_states(
         )
         .drop("__m", "__hm")
     )
+    # Quantile lane: buckets by VALUE, not by the uniq hash, so it needs
+    # its own (map-side-combinable) two-level aggregate; the join back
+    # is keys-cardinality — state rows, never raw rows.
+    qt = (
+        df.select(
+            *keys,
+            _qt_bucket(F.col(value_milli_col).cast("long")).alias("__qb"),
+        )
+        .groupBy(*keys, "__qb")
+        .agg(F.count("*").cast("long").alias("__qc"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__qb", "__qc"))
+            ).alias("__qm")
+        )
+        .withColumn(
+            "quantile_state",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_QT_B - 1)),
+                lambda i: F.coalesce(
+                    F.col("__qm")[i], F.lit(0).cast("long")
+                ),
+            ),
+        )
+        .drop("__qm")
+    )
+    return states.join(qt, list(keys))
 
 
 def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -197,6 +294,7 @@ def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
             F.max("max_milli").cast("long").alias("max_milli"),
             F.collect_list("uniq_state").alias("__us"),
             F.collect_list("hll_state").alias("__hs"),
+            F.collect_list("quantile_state").alias("__qs"),
         )
         .withColumn(
             "uniq_state",
@@ -216,7 +314,15 @@ def merge_states(states: DataFrame, keys: Sequence[str]) -> DataFrame:
                 ),
             ),
         )
-        .drop("__us", "__hs")
+        .withColumn(
+            "quantile_state",
+            F.aggregate(
+                "__qs",
+                F.array_repeat(F.lit(0).cast("long"), _QT_B),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ),
+        )
+        .drop("__us", "__hs", "__qs")
     )
 
 
@@ -266,7 +372,51 @@ def finalize(merged: DataFrame) -> DataFrame:
         F.aggregate(
             "hll_state", F.lit(0).cast("long"), lambda a, x: a + x
         ),
-    ).drop("uniq_state", "hll_state", "__hll_raw")
+    ).withColumn(
+        # Quantile walk: one pass over the (count, slot) pairs with a
+        # struct accumulator — each quantile locks onto _qt_value(slot)
+        # at the first slot whose cumulative count reaches its rank
+        # target ceil(q * cnt) = (num*cnt + den - 1) div den (exact
+        # integer arithmetic; -1 = not yet reached).
+        "__qt",
+        F.aggregate(
+            F.zip_with(
+                "quantile_state",
+                F.sequence(F.lit(0), F.lit(_QT_B - 1)),
+                lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(-1).cast("long").alias("p50"),
+                F.lit(-1).cast("long").alias("p90"),
+                F.lit(-1).cast("long").alias("p99"),
+            ),
+            lambda a, x: F.struct(
+                (a["cum"] + x["c"]).alias("cum"),
+                F.when(a["p50"] >= 0, a["p50"]).when(
+                    a["cum"] + x["c"]
+                    >= F.expr("(cnt + 1) div 2"),
+                    _qt_value(x["i"]),
+                ).otherwise(F.lit(-1).cast("long")).alias("p50"),
+                F.when(a["p90"] >= 0, a["p90"]).when(
+                    a["cum"] + x["c"]
+                    >= F.expr("(9 * cnt + 9) div 10"),
+                    _qt_value(x["i"]),
+                ).otherwise(F.lit(-1).cast("long")).alias("p90"),
+                F.when(a["p99"] >= 0, a["p99"]).when(
+                    a["cum"] + x["c"]
+                    >= F.expr("(99 * cnt + 99) div 100"),
+                    _qt_value(x["i"]),
+                ).otherwise(F.lit(-1).cast("long")).alias("p99"),
+            ),
+        ),
+    ).withColumn(
+        "qt_p50_milli", F.col("__qt.p50")
+    ).withColumn(
+        "qt_p90_milli", F.col("__qt.p90")
+    ).withColumn(
+        "qt_p99_milli", F.col("__qt.p99")
+    ).drop("uniq_state", "hll_state", "quantile_state", "__hll_raw", "__qt")
 
 
 class AggregateStateStore:

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .blocking import sign_signature
-from .cdc import DELETED_COL, VER_COL, latest_alive
+from .cdc import DELETED_COL, VER_COL, latest_alive, latest_state
 
 N_CELLS = 16      # IVF cells — matches ann_ivf_probed's seeding
 SIG_BITS = 6      # LSH hyperplane bits — matches ann_lsh_bucketed
@@ -694,20 +694,22 @@ def graph_node_rows(
 
 
 def graph_touched_cells(
-    prior_live_nodes: DataFrame, node_delta: DataFrame
+    prior_node_state: DataFrame, node_delta: DataFrame
 ) -> DataFrame:
     """The cells one batch invalidates: cells its alive rows land in,
     plus the PRIOR cells of every key it changes or deletes (cell
     migration and deletion both shrink the old cell's candidate set).
-    Output: distinct 1-column ``cell`` frame — |touched| <= 2x|delta|
-    rows, broadcastable by construction."""
+    A stale row's cell is touched too — recomputing a cell whose
+    membership didn't actually change is an idempotent no-op, while
+    missing one is a correctness hole. Output: distinct 1-column
+    ``cell`` frame — |touched| <= 2x|delta| rows, broadcastable by
+    construction."""
     new_cells = (
         node_delta.filter(F.col(DELETED_COL) == 0).select("cell").distinct()
     )
     old_cells = (
-        prior_live_nodes.join(
-            node_delta.select("vec_id").distinct(), "vec_id"
-        )
+        prior_node_state.filter(F.col("cell").isNotNull())
+        .join(node_delta.select("vec_id").distinct(), "vec_id")
         .select("cell")
         .distinct()
     )
@@ -798,7 +800,7 @@ def adjacency_tombstones(deleted_keys: DataFrame, seq: int) -> DataFrame:
 
 
 def graph_adjacency_patch(
-    prior_live_nodes: DataFrame,
+    prior_node_state: DataFrame,
     node_delta: DataFrame,
     seq: int,
     degree: int = GRAPH_DEGREE,
@@ -806,19 +808,30 @@ def graph_adjacency_patch(
 ) -> DataFrame:
     """One batch's adjacency delta: fresh rows for every live member of
     a touched cell (computed against the post-batch membership) plus
-    tombstones for the batch's deletes. ``_seq`` must be monotone across
-    batches (the stream's batch id) — a later recompute of the same src
-    supersedes an earlier one by plain version comparison."""
-    after = latest_alive(
-        prior_live_nodes.select(*NODE_COLS).unionByName(
+    adjacency tombstones for delta keys whose MERGED state is deleted.
+    ``prior_node_state`` must be the latest_STATE view (tombstones
+    KEPT): feeding the alive view here lets a stale base row arriving
+    AFTER its delete resurrect the node in the recompute membership —
+    the version comparison needs the tombstone to win. Tombstones are
+    likewise derived from the merged state, not the delta's _deleted
+    flags, so a stale alive row for an already-deleted key re-asserts
+    the tombstone instead of leaving a dangling adjacency row. ``_seq``
+    must be monotone across batches (the stream's batch id) — a later
+    recompute of the same src supersedes an earlier one by plain
+    version comparison."""
+    merged = latest_state(
+        prior_node_state.select(*NODE_COLS).unionByName(
             node_delta.select(*NODE_COLS)
         ),
         ["vec_id"],
     )
-    touched = graph_touched_cells(prior_live_nodes, node_delta)
+    after = merged.filter(F.col(DELETED_COL) == 0)
+    touched = graph_touched_cells(prior_node_state, node_delta)
     members = after.join(F.broadcast(touched), "cell", "left_semi")
     recomputed = cell_adjacency(members, seq, degree, cell_cap)
-    dels = node_delta.filter(F.col(DELETED_COL) == 1).select("vec_id")
+    dels = merged.filter(F.col(DELETED_COL) == 1).join(
+        node_delta.select("vec_id").distinct(), "vec_id", "left_semi"
+    ).select("vec_id")
     return recomputed.unionByName(adjacency_tombstones(dels, seq))
 
 
@@ -863,17 +876,20 @@ class GraphIndexStore(AnnIndexStore):
         self.degree = degree
         self.cell_cap = cell_cap
 
-    def _prior_live_nodes(self, excluding: str) -> DataFrame:
+    def _prior_node_state(self, excluding: str) -> DataFrame:
+        """Latest node STATE (tombstones kept — graph_adjacency_patch's
+        resurrection defense needs them) from every generation except
+        ``excluding``."""
         prior = self._entries_excluding(excluding)
         if prior is None:
             return self.spark.createDataFrame([], _NODE_SCHEMA)
-        return latest_alive(
+        return latest_state(
             prior.filter(F.col("kind") == "node").select(*NODE_COLS),
             ["vec_id"],
         )
 
     def _encode_batch(self, changes: DataFrame, batch_id: int) -> DataFrame:
-        prior_nodes = self._prior_live_nodes(f"batch_id={batch_id}")
+        prior_nodes = self._prior_node_state(f"batch_id={batch_id}")
         delta = graph_node_rows(changes, self.centroids())
         patch = graph_adjacency_patch(
             prior_nodes, delta, seq=batch_id,

@@ -26,6 +26,8 @@ from ..operators.agg_state import (
     _KMV_NUM as _AGG_NUM,
     _KMV_TWO52 as _AGG_TWO52,
     hll_rank_case_sql,
+    qt_bucket_sql,
+    qt_value_sql,
 )
 
 _LATEST_ALIVE_SQL = f"""
@@ -2378,6 +2380,101 @@ def q_clickhouse_uniq_hll_parity(
             F.col("event_type").alias("scope"),
             "n_parts", "uniq_users_exact",
             "hll_zeros", "hll_reg_sum", "uniq_hll_est",
+        )
+        .orderBy("scope")
+    )
+
+
+@query(
+    "q_clickhouse_quantile_state_parity",
+    oracle=f"""
+    WITH changes AS ({CHANGES_SQL}),
+    v AS (
+      SELECT event_type, _ver,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli
+      FROM changes
+    ),
+    b AS (
+      SELECT event_type, {qt_bucket_sql('v_milli')} AS bkt,
+             COUNT(*) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS cnt FROM b GROUP BY 1
+    ),
+    cum AS (
+      SELECT event_type, bkt,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bkt) AS cum
+      FROM b
+    ),
+    q AS (
+      SELECT cum.event_type, tot.cnt,
+             CAST(MIN(CASE WHEN cum >= (tot.cnt + 1) // 2
+                           THEN {qt_value_sql('bkt')} END) AS BIGINT)
+               AS qt_p50_milli,
+             CAST(MIN(CASE WHEN cum >= (9 * tot.cnt + 9) // 10
+                           THEN {qt_value_sql('bkt')} END) AS BIGINT)
+               AS qt_p90_milli,
+             CAST(MIN(CASE WHEN cum >= (99 * tot.cnt + 99) // 100
+                           THEN {qt_value_sql('bkt')} END) AS BIGINT)
+               AS qt_p99_milli
+      FROM cum JOIN tot ON cum.event_type = tot.event_type
+      GROUP BY cum.event_type, tot.cnt
+    ),
+    parts AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT _ver % {{parts}}) AS BIGINT) AS n_parts
+      FROM changes GROUP BY event_type
+    )
+    SELECT q.event_type AS scope, parts.n_parts, q.cnt AS n_rows,
+           qt_p50_milli, qt_p90_milli, qt_p99_milli
+    FROM q JOIN parts ON q.event_type = parts.event_type
+    ORDER BY scope
+    """.format(parts=_AGG_STATE_PARTS),
+    tags=("cdc", "clickhouse-parity", "agg-state", "quantile"),
+    doc="quantileTiming-shape quantile-State/-Merge parity (r14, VERDICT "
+        "r13 item 5) — the AggregatingMergeTree family's deterministic "
+        "mergeable quantile lane: a FIXED-BOUNDARY histogram state "
+        "(1024 exact 1-milli slots, 1024 coarse 1024-wide slots, one "
+        "overflow slot clamping at the declared ceiling — the "
+        "quantileTiming saturation semantic; slot index is a shift, no "
+        "float division). The change stream splits into insert blocks, "
+        "each folds to one count array per event_type, states merge by "
+        "element-wise integer SUM (associative, order-insensitive — "
+        "the HLL-register discipline applied to quantiles), and the "
+        "-Merge read walks cumulative counts to rank ceil(q*cnt) via "
+        "exact integer targets for p50/p90/p99. The oracle builds the "
+        "histogram DIRECTLY from the raw stream, so the hash match "
+        "proves sum-fold(parts) == histogram(union) and walk == walk "
+        "bit-for-bit. Scale: two map-side-combinable aggregates per "
+        "insert block; state is one fixed-width integer array per "
+        "(key, part); finalize is a per-row array fold, no shuffle.",
+)
+def q_clickhouse_quantile_state_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.agg_state import finalize, merge_states, partial_states
+
+    env = synthetic_event_envelopes(spark, sf_dir)
+    rows = preprocess_envelopes(
+        env, tracked_cuids=["c_events"], initial_tick=0
+    )
+    c = rows.select(
+        "event_type", "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.col("_ver") % _AGG_STATE_PARTS).cast("long").alias("part"),
+    )
+    states = partial_states(
+        c, ["event_type", "part"], "v_milli", "user_id"
+    )
+    merged = merge_states(states, ["event_type"])
+    return (
+        finalize(merged)
+        .select(
+            F.col("event_type").alias("scope"),
+            "n_parts",
+            F.col("cnt").alias("n_rows"),
+            "qt_p50_milli", "qt_p90_milli", "qt_p99_milli",
         )
         .orderBy("scope")
     )

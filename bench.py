@@ -260,6 +260,9 @@ HEADLINE = [
     "q_clickhouse_uniq_upto_parity",
     "q_clickhouse_topk_weighted_parity",
     "mm_tga_decode_features",
+    "ann_incremental_pq_parity",
+    "ann_incremental_graph_parity",
+    "q_clickhouse_quantile_state_parity",
 ]
 
 

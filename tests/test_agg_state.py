@@ -20,7 +20,10 @@ def _final_rows(df):
             # r13 HLL lane: integer max-fold registers — invariance of
             # the estimate/zeros/checksum across fold orders, compaction
             # and reopen rides the same assertions as the KMV lane
-            "uniq_hll_est", "hll_zeros", "hll_reg_sum"]
+            "uniq_hll_est", "hll_zeros", "hll_reg_sum",
+            # r14 quantile lane: fixed-boundary histogram sum-fold —
+            # same invariance ride-along
+            "qt_p50_milli", "qt_p90_milli", "qt_p99_milli"]
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
@@ -306,3 +309,74 @@ def test_hll_estimate_tracks_exact_cardinality(spark, sf_dir):
         ["event_type"],
     )
     assert _final_rows(finalize(fwd)) == _final_rows(finalize(rev))
+
+
+def test_quantile_lane_tiers_clamps_and_fold_order(spark):
+    """The r14 quantileTiming-shape lane: tier-1 values (< 1024) finalize
+    EXACTLY (1-unit slots), tier-2 values snap to their 1024-wide slot's
+    lower bound, negatives clamp into slot 0, values >= the ceiling
+    saturate to the clamp constant — and the histogram sum-fold is
+    invariant to part order (reversed split == forward, bit-identical)."""
+    from arango_clickhouse_replica_spark.operators.agg_state import (
+        _QT_CLAMP,
+        _QT_T1,
+        _QT_T2W,
+        finalize,
+        merge_states,
+        partial_states,
+    )
+
+    # crafted fixture: one key entirely in tier 1 (exact), one spanning
+    # tier 2, one exercising negative + overflow clamps
+    rows = (
+        [("t1", i * 7 % 1000, i % 5, i % 3) for i in range(500)]
+        + [("t2", 1024 + i * 999, i % 5, i % 3) for i in range(500)]
+        + [("clamp", -50, 0, 0), ("clamp", -1, 1, 1)]
+        + [("clamp", _QT_CLAMP + i, i, i % 3) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, v_milli long, user_id long, part long"
+    )
+    fin = {
+        r["event_type"]: r for r in finalize(merge_states(
+            partial_states(df, ["event_type", "part"], "v_milli", "user_id"),
+            ["event_type"],
+        )).collect()
+    }
+
+    # tier 1: exact lower quantiles of the raw values
+    import math
+    vals = sorted(i * 7 % 1000 for i in range(500))
+    for q, col in ((0.5, "qt_p50_milli"), (0.9, "qt_p90_milli"),
+                   (0.99, "qt_p99_milli")):
+        want = vals[math.ceil(q * len(vals)) - 1]
+        assert fin["t1"][col] == want, (col, fin["t1"][col], want)
+
+    # tier 2: every finalized quantile is a slot lower bound <= the true
+    # value, within one slot width
+    tvals = sorted(1024 + i * 999 for i in range(500))
+    for q, col in ((0.5, "qt_p50_milli"), (0.9, "qt_p90_milli")):
+        want = tvals[math.ceil(q * len(tvals)) - 1]
+        got = fin["t2"][col]
+        assert got <= want < got + _QT_T2W, (col, got, want)
+        assert (got - _QT_T1) % _QT_T2W == 0  # a slot boundary
+
+    # clamps: negatives land in slot 0 (finalize 0), overflow saturates
+    assert fin["clamp"]["qt_p50_milli"] == _QT_CLAMP  # 10 of 12 overflow
+    assert fin["clamp"]["min_milli"] == -50  # exact lanes unaffected
+
+    # fold-order invariance: reversed part order, bit-identical finals
+    fwd = finalize(merge_states(
+        partial_states(df, ["event_type", "part"], "v_milli", "user_id"),
+        ["event_type"],
+    ))
+    rev = finalize(merge_states(
+        partial_states(
+            df.withColumn("part", F.lit(9) - F.col("part")),
+            ["event_type", "part"], "v_milli", "user_id",
+        ),
+        ["event_type"],
+    ))
+    cols = ["event_type", "qt_p50_milli", "qt_p90_milli", "qt_p99_milli"]
+    assert sorted(map(tuple, fwd.select(*cols).collect())) == \
+        sorted(map(tuple, rev.select(*cols).collect()))

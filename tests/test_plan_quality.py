@@ -248,6 +248,11 @@ TRANSCENDENTAL_TRIAGE = {
     # ann_incremental_search_read: same fold-cosine lanes; serving rank
     # rides round(sim, 4) + id.
     "ann_incremental_search_read": "exact",
+    # ann_incremental_graph_parity: sqrt via _norm in the frozen-centroid
+    # assignment and the pair-kernel cosine; neighbor selection rides
+    # round(sim, 4) + id, and the hashed output is integers + the packed
+    # id CSV — no raw double reaches a hashed lane.
+    "ann_incremental_graph_parity": "exact",
     "ann_graph_beam_topk": "exact",
     "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
@@ -511,6 +516,14 @@ BNLJ_ALLOWED = {
         "by a map-side-combinable argmax — O(delta x K) with K constant "
         "(the embed_kmeans_lloyd assignment shape); the incremental "
         "merge itself is a vec_id-keyed window over appended entries",
+    "ann_incremental_graph_parity":
+        "the BNLJs are the frozen-centroid assignments of the two CDC "
+        "deltas (O(delta x K), K=16 constant, map-side argmax — the "
+        "ann_incremental_index_parity shape); the adjacency pair kernel "
+        "is a cell+sub-block hash equi-join bounded by the cell cap, "
+        "the touched-cell restriction is a broadcast semi-join on a "
+        "<=2x|delta|-row cell list, and the incremental merge is a "
+        "src-keyed window over appended adjacency rows",
     "ann_graph_beam_topk":
         "the only BNLJ is the entry-point scoring: the Q_MAX-capped "
         "query set broadcast against the 16 seed rows with a <>-self "
