@@ -377,6 +377,11 @@ ROTATION_EXEMPT = frozenset({
     # Grown r14 alongside q_clickhouse_quantile_state_parity (pick has
     # 4 green driver rounds plus every full-registry VERIFY_FULL record):
     "text_vocab_build",               # bounded rank-ordered vocab: text_vocab_coverage_curve (rotating) rebuilds the same rank-ordered bounded vocabulary every round with the coverage curve on top; text_oov_rate keeps the vocab-membership lane; stays a pinned bench query
+    # Grown r14 alongside ann_incremental_pq_search_read /
+    # ann_incremental_graph_search_read (each pick has 3+ green driver
+    # rounds plus every full-registry VERIFY_FULL record):
+    "curation_fim_split",             # deterministic hash-split spans: curation_funnel_report (rotating) composes the curation decision lanes end-to-end, and curation_concat_chunk_census (rotating) audits the same span-boundary arithmetic; stays a pinned bench query via curation_shard_export's family
+    "dedup_substring_spans",          # rolling-hash span matching: dedup_winnowing_fingerprints (rotating) selects window minima over the same rolling-hash shingle lane every round; decontam_substring_spans keeps the eval-side-broadcast orientation of the identical kernel
 })
 
 # How many emitted slots per round go to the deterministic

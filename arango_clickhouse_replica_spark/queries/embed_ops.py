@@ -425,6 +425,109 @@ def embed_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adc_serve(
+    codes_wide: DataFrame,
+    queries: DataFrame,
+    cb: DataFrame,
+    vectors: DataFrame,
+) -> DataFrame:
+    """The PQ asymmetric-distance serving read, shared by the full-corpus
+    query and the incremental-index read: per bounded query a 128-entry
+    exact-int LUT broadcasts as one numpy tensor, the ADC scan is a
+    narrow mapInPandas pass over ``codes_wide`` (vec_id, 8-code array)
+    emitting only per-partition shortlists, and the shortlist reranks at
+    full precision against ``vectors`` — the CURRENT vector state."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # Per-(query, m, k) partial distances in the EXACT decimal lane,
+    # scaled to int64 (scale-6 decimal * 1e6 is exact) so the 8-term ADC
+    # sums below are exact integers — the same total order as the
+    # oracle's decimal SUM, immune to float accumulation order.
+    lut_rows = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "m", "k",
+            (F.expr(_DEC.format(
+                x=f"aggregate(zip_with(slice(q_emb, {_PQ_DIM} * m + 1, {_PQ_DIM}),"
+                  " cv, (x, y) -> (cast(x as double) - cast(y as double))"
+                  " * (cast(x as double) - cast(y as double))),"
+                  " cast(0.0 as double), (acc, x) -> acc + x)"
+            )) * 1000000).cast("long").alias("pdist_u"),
+        )
+        .collect()  # bounded: Q_MAX * 8 * 16 = 65,536 tiny rows
+    )
+    qi = sorted({r.query_id for r in lut_rows})
+    q_ids = np.array(qi, dtype=np.int64)
+    q_pos = {q: i for i, q in enumerate(qi)}
+    lut = np.zeros((len(qi), _PQ_M, 16), dtype=np.int64)
+    for r in lut_rows:
+        lut[q_pos[r.query_id], r.m, r.k] = r.pdist_u
+    bc = codes_wide.sparkSession.sparkContext.broadcast((q_ids, lut))
+    n_short = 10
+
+    def adc_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, table = bc.value
+        topn = n_short + 1  # survive self-match removal downstream
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf["codes"].map(np.asarray)).astype(np.int64)
+            cid = pdf["vec_id"].to_numpy()
+            # adc[q, b] = sum_m LUT[q, m, code[b, m]] — 8 gathers, exact.
+            adc = np.zeros((len(ids), cm.shape[0]), dtype=np.int64)
+            for m in range(_PQ_M):
+                adc += table[:, m, cm[:, m]]
+            n = min(topn, adc.shape[1])
+            # Oracle order: adc ASC, neighbor_id ASC — exact ints, so the
+            # partition stage and the global window agree at boundaries.
+            order = np.lexsort((np.broadcast_to(cid, adc.shape), adc),
+                               axis=1)[:, :n]
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, n),
+                "neighbor_id": cid[order.ravel()],
+                "adc_u": np.take_along_axis(adc, order, axis=1).ravel(),
+            })
+
+    shards = codes_wide
+    parallelism = codes_wide.sparkSession.sparkContext.defaultParallelism
+    if shards.rdd.getNumPartitions() < parallelism:
+        shards = shards.repartition(parallelism)
+    partial = shards.mapInPandas(
+        adc_topk, "query_id long, neighbor_id long, adc_u long")
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_u"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    cand = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        _norm(F.col("embedding")).alias("e_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm")), 4
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(shortlist).join(queries, "query_id")
+        .join(cand, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rn").cast("int").alias("rank"))
+    )
+
+
 @query(
     "ann_pq_adc_rerank",
     oracle=f"""
@@ -491,11 +594,6 @@ def embed_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1.2x); only Q*shortlist rows touch full-precision vectors.",
 )
 def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     emb = load_table(spark, "embeddings", sf_dir)
     codes = _pq_codes(emb)
     # One row per vector: the 8 subspace codes as an m-ordered array —
@@ -521,91 +619,8 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("q_nrm"),
         )
     )
-    cb = _pq_codebook(emb)
-    # Per-(query, m, k) partial distances in the EXACT decimal lane,
-    # scaled to int64 (scale-6 decimal * 1e6 is exact) so the 8-term ADC
-    # sums below are exact integers — the same total order as the
-    # oracle's decimal SUM, immune to float accumulation order.
-    lut_rows = (
-        queries.crossJoin(F.broadcast(cb))
-        .select(
-            "query_id", "m", "k",
-            (F.expr(_DEC.format(
-                x=f"aggregate(zip_with(slice(q_emb, {_PQ_DIM} * m + 1, {_PQ_DIM}),"
-                  " cv, (x, y) -> (cast(x as double) - cast(y as double))"
-                  " * (cast(x as double) - cast(y as double))),"
-                  " cast(0.0 as double), (acc, x) -> acc + x)"
-            )) * 1000000).cast("long").alias("pdist_u"),
-        )
-        .collect()  # bounded: Q_MAX * 8 * 16 = 65,536 tiny rows
-    )
-    qi = sorted({r.query_id for r in lut_rows})
-    q_ids = np.array(qi, dtype=np.int64)
-    q_pos = {q: i for i, q in enumerate(qi)}
-    lut = np.zeros((len(qi), _PQ_M, 16), dtype=np.int64)
-    for r in lut_rows:
-        lut[q_pos[r.query_id], r.m, r.k] = r.pdist_u
-    bc = emb.sparkSession.sparkContext.broadcast((q_ids, lut))
-    n_short = 10
-
-    def adc_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, table = bc.value
-        topn = n_short + 1  # survive self-match removal downstream
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cm = np.stack(pdf["codes"].map(np.asarray)).astype(np.int64)
-            cid = pdf["vec_id"].to_numpy()
-            # adc[q, b] = sum_m LUT[q, m, code[b, m]] — 8 gathers, exact.
-            adc = np.zeros((len(ids), cm.shape[0]), dtype=np.int64)
-            for m in range(_PQ_M):
-                adc += table[:, m, cm[:, m]]
-            n = min(topn, adc.shape[1])
-            # Oracle order: adc ASC, neighbor_id ASC — exact ints, so the
-            # partition stage and the global window agree at boundaries.
-            order = np.lexsort((np.broadcast_to(cid, adc.shape), adc),
-                               axis=1)[:, :n]
-            yield pd.DataFrame({
-                "query_id": np.repeat(ids, n),
-                "neighbor_id": cid[order.ravel()],
-                "adc_u": np.take_along_axis(adc, order, axis=1).ravel(),
-            })
-
-    shards = codes_wide
-    parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    if shards.rdd.getNumPartitions() < parallelism:
-        shards = shards.repartition(parallelism)
-    partial = shards.mapInPandas(
-        adc_topk, "query_id long, neighbor_id long, adc_u long")
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_u"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        partial.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rn", F.row_number().over(w_short))
-        .filter(F.col("rn") <= n_short)
-        .select("query_id", "neighbor_id")
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("e_emb"),
-        _norm(F.col("embedding")).alias("e_nrm"),
-    )
-    sim = F.round(
-        _dot(F.col("q_emb"), F.col("e_emb")) / (F.col("q_nrm") * F.col("e_nrm")), 4
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        F.broadcast(shortlist).join(queries, "query_id")
-        .join(cand, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim",
-                F.col("rn").cast("int").alias("rank"))
-    )
+    return _adc_serve(codes_wide, queries, _pq_codebook(emb),
+                      emb.select("vec_id", "embedding"))
 
 
 # ---------------------------------------------------------------------------
@@ -3700,4 +3715,418 @@ def ann_incremental_graph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_adjacency(adj1.unionByName(adj2))
         .select("src", "cell", "degree", "dst_csv", "dst_sum")
         .orderBy("src")
+    )
+
+
+def _incremental_pq_search_oracle() -> str:
+    """DuckDB rebuild of the PQ-ADC SERVING READ over the post-CDC
+    state: codes re-encoded from the final latest state against the
+    frozen base-snapshot codebooks, then the identical ADC read
+    (per-query 128-entry exact-decimal LUT, 8-term sums, 10-candidate
+    shortlist, full-precision rerank to top-5). The Spark side serves
+    the same read from the INCREMENTALLY-maintained code table, so the
+    hash match proves the composed CDC -> PQ codes -> ADC search story
+    end-to-end."""
+    nrm = _NORM_SQL.format(a="embedding")
+    return f"""
+    WITH final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 20 <> 7
+    ),
+    sv AS (
+      SELECT vec_id, CAST(u.m AS INT) AS m,
+             embedding[CAST({_PQ_DIM} * u.m + 1 AS INT)
+                       :CAST({_PQ_DIM} * u.m + {_PQ_DIM} AS INT)] AS sv
+      FROM final, unnest(range(0, {_PQ_M})) AS u(m)
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT sv.vec_id, sv.m, cb.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY {_L2SQ_SQL.format(a='sv.sv', b='cb.cv')} ASC, cb.k
+               ) AS rn
+        FROM sv JOIN ({_PQ_CODEBOOK_SQL}) cb USING (m)
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, {nrm} AS q_nrm
+      FROM final WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 512
+    ),
+    lut AS (
+      SELECT q.query_id, cb.m, cb.k,
+             {_DEC_SQL.format(x=_L2SQ_SQL.format(
+                 a="q.q_emb[CAST(" + str(_PQ_DIM) + " * cb.m + 1 AS INT)"
+                   ":CAST(" + str(_PQ_DIM) + " * cb.m + "
+                   + str(_PQ_DIM) + " AS INT)]",
+                 b='cb.cv'))} AS pdist
+      FROM queries q CROSS JOIN ({_PQ_CODEBOOK_SQL}) cb
+    ),
+    approx AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(l.pdist) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2 ASC, neighbor_id) AS rn
+        FROM approx WHERE neighbor_id <> query_id
+      ) WHERE rn <= 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+                   / (q.q_nrm * {_NORM_SQL.format(a='e.embedding')}), 4)
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round({_DOT_SQL.format(a='q.q_emb', b='e.embedding')}
+                              / (q.q_nrm * {_NORM_SQL.format(a='e.embedding')}),
+                              4) DESC, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN queries q ON q.query_id = s.query_id
+      JOIN final e ON e.vec_id = s.neighbor_id
+    ) WHERE rn <= 5
+    """
+
+
+@query(
+    "ann_incremental_pq_search_read",
+    oracle=_incremental_pq_search_oracle(),
+    tags=("similarity", "ann", "pq", "cdc", "incremental-index", "serving"),
+    doc="PQ-ADC serving read over the INCREMENTALLY-maintained code "
+        "table (r14 — completes the item-1a composition the way r13's "
+        "ann_incremental_search_read completed IVF): embeddings flow "
+        "through the FIXTURES CDC recipe, the 8-codes-per-vector table "
+        "is maintained per-delta against frozen codebooks "
+        "(operators/ann_index.py), and queries are served FROM the live "
+        "codes via the shared _adc_serve kernel — per-query exact-int "
+        "LUT broadcast as one numpy tensor, narrow mapInPandas ADC scan "
+        "emitting per-partition shortlists, full-precision rerank "
+        "against the CURRENT vector state. Deleted vectors can never be "
+        "returned (tombstones win the code-table merge) and re-embedded "
+        "vectors rank under their NEW codes. The oracle serves the "
+        "identical read from a full re-encode, so the hash match proves "
+        "incremental-code serving == rebuild serving end-to-end. "
+        "Scale: the code table is 16x smaller than the float store and "
+        "is never rebuilt; the exchange carries partitions x Q x "
+        "(shortlist+1) rows, never N x Q.",
+)
+def ann_incremental_pq_search_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ann_index import (
+        frozen_pq_codebooks,
+        live_pq_codes,
+        pq_encode_entries,
+        pq_tombstones,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cb = frozen_pq_codebooks(emb).localCheckpoint(eager=True)  # 128 rows
+
+    base = emb.withColumn("_ver", F.col("vec_id") * 2)
+    upd = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        (F.col("vec_id") * 2 + 1).alias("_ver"),
+    )
+    dels = emb.filter(F.col("vec_id") % 20 == 7).select(
+        "vec_id", (F.col("vec_id") * 2 + 1).alias("_ver")
+    )
+    entries = (
+        pq_encode_entries(base, cb)
+        .unionByName(pq_encode_entries(upd, cb))
+        .unionByName(pq_tombstones(dels))
+    )
+    live_codes = live_pq_codes(entries).select("vec_id", "codes")
+
+    vectors = (
+        emb.filter(F.col("vec_id") % 20 != 7)
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        )
+    )
+    queries = (
+        vectors.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(512)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    return _adc_serve(live_codes, queries, cb, vectors)
+
+
+def _incremental_graph_search_oracle() -> str:
+    """DuckDB rebuild of the BEAM-SEARCH serving read over the post-CDC
+    graph: final latest state, frozen base-snapshot centroids, full
+    adjacency rebuild, then the ann_graph_beam_topk beam (entry seeds =
+    the base seeding's vec_ids that are still alive, scored with their
+    CURRENT embeddings; reverse edges unioned; {h} unrolled hops of
+    width {w}; every rank on round(sim,4) + id). The Spark side serves
+    the same beam FROM the incrementally-maintained adjacency, so the
+    hash match proves CDC -> graph patch -> beam search end-to-end.""" \
+        .format(h=_BEAM_HOPS, w=_BEAM_W)
+    c_nrm = _NORM_SQL.format(a="c_emb")
+    nrm = _NORM_SQL.format(a="embedding")
+    f_dot = _DOT_SQL.format(a="f.embedding", b="c.c_emb")
+    pair = (f"round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}"
+            f" / (a.nrm * b.nrm), 4)")
+
+    def qs(m: str) -> str:
+        return (f"round({_DOT_SQL.format(a='q.q_emb', b=f'{m}.embedding')}"
+                f" / (q.q_nrm * {m}.nrm), 4)")
+
+    hops = []
+    prev = "s0"
+    for i in range(1, _BEAM_HOPS + 1):
+        hops.append(f"""
+    c{i} AS (
+      SELECT query_id, vec_id FROM {prev}
+      UNION
+      SELECT {prev}.query_id, e.dst
+      FROM {prev} JOIN edges e ON e.src = {prev}.vec_id
+    ),
+    s{i} AS (
+      SELECT query_id, vec_id, s FROM (
+        SELECT c.query_id, c.vec_id, {qs('m')} AS s,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {qs('m')} DESC, c.vec_id) AS rn
+        FROM c{i} c
+        JOIN f m ON m.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+        WHERE c.vec_id <> c.query_id
+      ) WHERE rn <= {_BEAM_W}
+    )""")
+        prev = f"s{i}"
+    hop_sql = ",".join(hops)
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS seed_id, CAST(vec_id % {_N_CELLS} AS INT) AS cell,
+             embedding AS c_emb, {c_nrm} AS c_nrm
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id % {_N_CELLS}
+                                         ORDER BY vec_id) AS rn
+            FROM embeddings)
+      WHERE rn = 1
+    ),
+    final AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 20 <> 7
+    ),
+    f AS (SELECT vec_id, embedding, {nrm} AS nrm FROM final),
+    assigned AS (
+      SELECT vec_id, embedding, nrm, cell FROM (
+        SELECT f.vec_id, f.embedding, f.nrm, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY {f_dot} / (f.nrm * c.c_nrm) DESC, c.cell) AS rn
+        FROM f CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    edir AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {pair} DESC, b.vec_id) AS rn
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {_BEAM_R}
+    ),
+    edges AS (SELECT src, dst FROM edir UNION SELECT dst, src FROM edir),
+    seeds AS (
+      SELECT f.vec_id, f.embedding, f.nrm
+      FROM f JOIN cents c ON c.seed_id = f.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+          FROM f WHERE vec_id % 100 = 0
+          ORDER BY vec_id LIMIT {_Q_MAX}),
+    s0 AS (
+      SELECT query_id, vec_id, s FROM (
+        SELECT q.query_id, m.vec_id, {qs('m')} AS s,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {qs('m')} DESC, m.vec_id) AS rn
+        FROM q JOIN seeds m ON m.vec_id <> q.query_id
+      ) WHERE rn <= {_BEAM_W}
+    ),{hop_sql}
+    SELECT query_id, vec_id AS neighbor_id, s AS cos_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY s DESC, vec_id) AS rn
+          FROM {prev})
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "ann_incremental_graph_search_read",
+    oracle=_incremental_graph_search_oracle(),
+    tags=("similarity", "ann", "graph", "cdc", "incremental-index",
+          "serving"),
+    doc="Beam-search serving read over the INCREMENTALLY-maintained "
+        "kNN-graph (r14 — completes item 1b the way the IVF and PQ "
+        "serving reads complete theirs, so ALL maintained ANN state is "
+        "now also SERVED from its incremental form): embeddings flow "
+        "through the FIXTURES CDC recipe, the packed adjacency is "
+        "maintained by touched-cell patches (operators/ann_index.py), "
+        "and queries run the ann_graph_beam_topk beam FROM the live "
+        "adjacency — edges = exploded neighbor CSVs + reverse union, "
+        "entry points = the frozen seeding's vec_ids still alive "
+        "(scored with their CURRENT embeddings — a deleted entry point "
+        "degrades navigability instead of resurrecting), {h} unrolled "
+        "hops of width {w}, every rank on round(sim,4) + id. The "
+        "oracle rebuilds adjacency from the final state and runs the "
+        "identical beam, so the hash match proves CDC -> patch -> "
+        "serve end-to-end; tombstoned nodes can appear in neither the "
+        "edge set nor the beam. Scale: edges shuffle 16-byte pairs "
+        "once (localCheckpoint, reused per hop); per-round cost is "
+        "|Q| x beam x (degree+1), independent of N.".format(
+            h=_BEAM_HOPS, w=_BEAM_W),
+)
+def ann_incremental_graph_search_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ann_index import (
+        frozen_centroids,
+        graph_adjacency_patch,
+        graph_node_rows,
+        live_adjacency,
+    )
+    from ..operators.cdc import latest_state as _latest_state
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cents = frozen_centroids(emb).localCheckpoint(eager=True)
+    seed_ids = (
+        emb.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.col("vec_id") % _N_CELLS)
+                .orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id")
+    )
+
+    base = emb.select(
+        "vec_id", "embedding",
+        (F.col("vec_id") * 2).alias("_ver"), F.lit(0).alias("_deleted"),
+    )
+    nodes1 = graph_node_rows(base, cents)
+    adj1 = graph_adjacency_patch(nodes1.filter(F.lit(False)), nodes1, seq=1)
+    delta_changes = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+            (F.col("vec_id") * 2 + 1).alias("_ver"),
+            F.lit(0).alias("_deleted"),
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 20 == 7).select(
+                "vec_id", "embedding",
+                (F.col("vec_id") * 2 + 1).alias("_ver"),
+                F.lit(1).alias("_deleted"),
+            )
+        )
+    )
+    nodes2 = graph_node_rows(delta_changes, cents)
+    adj2 = graph_adjacency_patch(
+        _latest_state(nodes1, ["vec_id"]), nodes2, seq=2
+    )
+    live = live_adjacency(adj1.unionByName(adj2))
+
+    edir = (
+        live.filter(F.col("dst_csv") != "")
+        .select(
+            "src",
+            F.explode(F.split("dst_csv", ",")).alias("dst"),
+        )
+        .select("src", F.col("dst").cast("long").alias("dst"))
+    )
+    edges = edir.union(
+        edir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)  # reused by every hop
+
+    nodes = (
+        emb.filter(F.col("vec_id") % 20 != 7)
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 10 == 0,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        )
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    seeds = nodes.join(F.broadcast(seed_ids), "vec_id")
+    q = (
+        nodes.filter(F.col("vec_id") % 100 == 0)
+        .orderBy("vec_id")
+        .limit(_Q_MAX)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .localCheckpoint(eager=True)  # bounded: Q_MAX rows
+    )
+    qsim = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")), 4)
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("vec_id"))
+    beam = (
+        F.broadcast(q)
+        .join(seeds, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", qsim.alias("s"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _BEAM_W)
+        .select("query_id", "vec_id", "s")
+    )
+    for _ in range(_BEAM_HOPS):
+        cand = (
+            beam.select("query_id", "vec_id")
+            .union(
+                beam.join(edges, beam.vec_id == edges.src)
+                .select("query_id", F.col("dst").alias("vec_id"))
+            )
+            .distinct()
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        beam = (
+            cand.join(nodes, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", qsim.alias("s"))
+            .withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= _BEAM_W)
+            .select("query_id", "vec_id", "s")
+        )
+    return (
+        beam.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("s").alias("cos_sim"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
     )

@@ -263,6 +263,8 @@ HEADLINE = [
     "ann_incremental_pq_parity",
     "ann_incremental_graph_parity",
     "q_clickhouse_quantile_state_parity",
+    "ann_incremental_pq_search_read",
+    "ann_incremental_graph_search_read",
 ]
 
 

@@ -253,6 +253,15 @@ TRANSCENDENTAL_TRIAGE = {
     # round(sim, 4) + id, and the hashed output is integers + the packed
     # id CSV — no raw double reaches a hashed lane.
     "ann_incremental_graph_parity": "exact",
+    # ann_incremental_pq_search_read: sqrt via _norm in the bounded
+    # query set and the full-precision rerank (the ann_pq_adc_rerank
+    # lanes); the ADC scan itself is exact scaled-int LUT sums; serving
+    # rank rides round(sim, 4) + id.
+    "ann_incremental_pq_search_read": "exact",
+    # ann_incremental_graph_search_read: the ann_graph_beam_topk lanes —
+    # fold cosine in assignment/pair-kernel/beam scoring; every rank on
+    # round(sim, 4) + id.
+    "ann_incremental_graph_search_read": "exact",
     "ann_graph_beam_topk": "exact",
     "embed_anisotropy_report": "exact",
     "ann_ivf_nprobe_sweep": "exact",
@@ -524,6 +533,14 @@ BNLJ_ALLOWED = {
         "the touched-cell restriction is a broadcast semi-join on a "
         "<=2x|delta|-row cell list, and the incremental merge is a "
         "src-keyed window over appended adjacency rows",
+    "ann_incremental_graph_search_read":
+        "the BNLJs are the frozen-centroid assignments of the CDC "
+        "deltas (O(delta x K), K=16 constant) and the beam entry-point "
+        "scoring — the Q_MAX-capped query set broadcast against the "
+        "<=16 alive seed rows with a <>-self predicate (the "
+        "ann_graph_beam_topk shape); every hop is a hash equi-join on "
+        "vec_id/query_id over Q x beam x (degree+1) rows, independent "
+        "of N",
     "ann_graph_beam_topk":
         "the only BNLJ is the entry-point scoring: the Q_MAX-capped "
         "query set broadcast against the 16 seed rows with a <>-self "

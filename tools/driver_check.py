@@ -148,12 +148,22 @@ def main() -> int:
             n: (None if n not in seen else latest - seen[n]) for n in emitted
         }
         ages = [a for a in staleness.values() if a is not None]
+        # The emission HEAD (EXEMPT_SAMPLE_SLOTS names) is what the
+        # driver's next correctness window verifies first — so the
+        # stalest names being scheduled there means their age resets in
+        # the NEXT CORRECTNESS_r*.json. staleness_max_emitted therefore
+        # lags the mechanism by one driver cycle: record the scheduled
+        # head so the lag is visible as data, not a mystery.
+        head = emitted[:getattr(mod, "EXEMPT_SAMPLE_SLOTS", 5)]
         Path(args.json).write_text(_json.dumps(
             {"sf": args.sf, "full_registry": bool(args.all),
              "n": len(names),
              "n_pass": len(names) - len(failures),
              "staleness_vs_round": latest,
              "staleness_max_emitted": max(ages, default=None),
+             "scheduled_for_driver_refresh": {
+                 n: staleness.get(n) for n in head
+             },
              "green_age_rounds": staleness,
              "queries": record},
             indent=1, sort_keys=True) + "\n")
