@@ -382,6 +382,9 @@ ROTATION_EXEMPT = frozenset({
     # rounds plus every full-registry VERIFY_FULL record):
     "curation_fim_split",             # deterministic hash-split spans: curation_funnel_report (rotating) composes the curation decision lanes end-to-end, and curation_concat_chunk_census (rotating) audits the same span-boundary arithmetic; stays a pinned bench query via curation_shard_export's family
     "dedup_substring_spans",          # rolling-hash span matching: dedup_winnowing_fingerprints (rotating) selects window minima over the same rolling-hash shingle lane every round; decontam_substring_spans keeps the eval-side-broadcast orientation of the identical kernel
+    # Grown r14 alongside mm_pcx_decode_features (pick has 5 green
+    # driver rounds plus every full-registry VERIFY_FULL record):
+    "q_asof_join_latest_order",       # as-of (latest-at-or-before) selection: cdc_time_travel_read (rotating) serves the same latest-at-or-before-cut selection over the versioned stream every round; q_argmax_latest_order keeps the argmax-latest lane and stays a pinned bench query
 })
 
 # How many emitted slots per round go to the deterministic

@@ -2074,3 +2074,111 @@ def decode_tga(payload: bytes) -> dict:
         luma_rows.reverse()
     return {"width": width, "height": height, "rle": itype == 10,
             "pixels": [v for row in luma_rows for v in row]}
+
+
+def encode_pcx_gray8(pixels, width: int, height: int) -> bytes:
+    """Serialize 8-bit pixels (row-major top-down) as a real ZSoft PCX
+    version 5: 128-byte header (manufacturer 0x0A, RLE encoding 1,
+    8 bits/pixel, 1 plane), per-scan-line RLE whose packets never cross
+    a line, rows padded to an EVEN bytes_per_line (the classic PCX
+    gotcha a decoder must drop), and the 8-bit trailer — 0x0C marker +
+    256x3 VGA palette. The palette is the PERMUTED gray ramp
+    g(i) = (i*37 + 11) % 256 (each channel = g), so a decoder that
+    skips palette resolution produces wrong luma."""
+    px = bytes(pixels)
+    if len(px) != width * height:
+        raise ValueError("pixel count != width*height")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("bad PCX dimensions")
+    bpl = width + (width & 1)  # bytes per line, padded even
+    head = struct.pack(
+        "<BBBBHHHHHH48sBBHHHH54s",
+        0x0A, 5, 1, 8,               # manufacturer, version, RLE, bpp
+        0, 0, width - 1, height - 1,  # xmin ymin xmax ymax
+        72, 72,                       # dpi
+        b"\x00" * 48, 0, 1,           # EGA palette, reserved, planes
+        bpl, 1, 0, 0, b"\x00" * 54,   # bytes/line, palette info, screen
+    )
+    out = bytearray(head)
+    for y in range(height):
+        line = px[y * width:(y + 1) * width] + b"\x00" * (bpl - width)
+        x = 0
+        while x < bpl:
+            v = line[x]
+            run = 1
+            while x + run < bpl and line[x + run] == v and run < 63:
+                run += 1
+            if run > 1 or v >= 0xC0:
+                # values >= 0xC0 MUST go out as (marker, value) even
+                # for a run of one — they collide with the run marker
+                out.append(0xC0 | run)
+                out.append(v)
+            else:
+                out.append(v)
+            x += run
+    out.append(0x0C)
+    for i in range(256):
+        g = (i * 37 + 11) % 256
+        out.extend((g, g, g))
+    return bytes(out)
+
+
+def decode_pcx(payload: bytes) -> dict:
+    """Parse 8-bit single-plane PCX v5: header validation (manufacturer,
+    version, RLE flag, depth, plane count, bytes_per_line >= width),
+    per-scan-line RLE walk with truncation checks and a packets-must-
+    not-cross-lines contract, even-row pad-byte drop, and VGA-trailer
+    palette resolution (0x0C marker + 256x3 at the tail). Returns
+    top-down row-major ITU-R 601 integer luma of the palette-resolved
+    pixels."""
+    if len(payload) < 128 + 769:
+        raise ValueError("truncated PCX")
+    (manu, version, encoding, bpp, xmin, ymin, xmax, ymax,
+     _hd, _vd, _ega, _res, planes, bpl, _pi, _hs, _vs,
+     _fill) = struct.unpack("<BBBBHHHHHH48sBBHHHH54s", payload[:128])
+    if manu != 0x0A:
+        raise ValueError("not a PCX payload")
+    if version != 5 or encoding != 1:
+        raise ValueError(f"unsupported PCX version/encoding "
+                         f"{version}/{encoding}")
+    if bpp != 8 or planes != 1:
+        raise ValueError(f"unsupported PCX depth {bpp}x{planes}")
+    width = xmax - xmin + 1
+    height = ymax - ymin + 1
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError("bad PCX dimensions")
+    if bpl < width:
+        raise ValueError("PCX bytes_per_line < width")
+    if payload[-769] != 0x0C:
+        raise ValueError("missing PCX VGA palette trailer")
+    pal = payload[-768:]
+    end = len(payload) - 769
+    pos = 128
+    rows = []
+    for _y in range(height):
+        line = bytearray()
+        while len(line) < bpl:
+            if pos >= end:
+                raise ValueError("truncated PCX RLE stream")
+            b = payload[pos]
+            pos += 1
+            if b >= 0xC0:
+                count = b & 0x3F
+                if count == 0:
+                    raise ValueError("zero-length PCX run")
+                if pos >= end:
+                    raise ValueError("truncated PCX run packet")
+                line.extend((payload[pos],) * count)
+                pos += 1
+            else:
+                line.append(b)
+        if len(line) > bpl:
+            raise ValueError("PCX run crosses a scan line")
+        rows.append(line[:width])  # drop the even-padding byte(s)
+    luma = []
+    for line in rows:
+        for v in line:
+            r, g, b = pal[3 * v], pal[3 * v + 1], pal[3 * v + 2]
+            luma.append((299 * r + 587 * g + 114 * b) // 1000)
+    return {"width": width, "height": height, "bytes_per_line": bpl,
+            "pixels": luma}

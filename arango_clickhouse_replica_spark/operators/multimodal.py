@@ -2264,3 +2264,82 @@ def extract_tga_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=TGA_FEATURE_SCHEMA)
+
+
+def synth_pcx_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PCX payloads: doc_id seeds width/height and
+    the run-friendly gradient ``p(x,y) = (doc_id*13 + 5y + x//5) % 256``
+    (runs of five per row so RLE packets fire; many values land >= 0xC0
+    so the marker-collision rule is exercised); odd widths exercise the
+    even bytes_per_line pad. Encoded by media_codecs.encode_pcx_gray8
+    with the permuted-gray VGA palette."""
+    from .media_codecs import encode_pcx_gray8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads, metas = [], [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 9 + d % 8, 5 + d % 5
+                px = bytes(
+                    (d * 13 + 5 * y + x // 5) % 256
+                    for y in range(h) for x in range(w)
+                )
+                pcx = encode_pcx_gray8(px, w, h)
+                ids.append(d)
+                payloads.append(pcx)
+                metas.append(
+                    {"mime": "image/x-pcx", "n_bytes": len(pcx),
+                     "source": None}
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+PCX_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_pixels", T.LongType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_pcx_features(media: DataFrame) -> DataFrame:
+    """REAL PCX decode over binary payloads: header validation,
+    per-scan-line bounds-checked RLE walk, even-pad drop, VGA-trailer
+    palette resolution; features are exact integer moments of the
+    DECODED palette-resolved luma. The container label records whether
+    the row pad was actually present (odd width)."""
+    from .media_codecs import decode_pcx
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "container", "width", "height",
+                     "n_pixels", "sum_pixels", "px_min", "px_max")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_pcx(bytes(raw))
+                px = img["pixels"]
+                rows["media_id"].append(mid)
+                rows["container"].append(
+                    "pcx-pad" if img["bytes_per_line"] > img["width"]
+                    else "pcx"
+                )
+                rows["width"].append(img["width"])
+                rows["height"].append(img["height"])
+                rows["n_pixels"].append(len(px))
+                rows["sum_pixels"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=PCX_FEATURE_SCHEMA)

@@ -3142,3 +3142,58 @@ def mm_tga_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_pcx_decode_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 5 + doc_id % 5 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             ((p.doc_id * 13 + 5 * (u.k // p.w) + (u.k % p.w) // 5)
+              % 256 * 37 + 11) % 256 AS v
+      FROM params p, unnest(range(0, CAST(p.w * p.h AS INT))) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN w % 2 = 1 THEN 'pcx-pad' ELSE 'pcx' END AS container,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_pixels,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "image", "codec", "pandas-udf"),
+    doc="REAL PCX decode (r14 — the fourteenth stdlib codec): each "
+        "payload is a genuine ZSoft PCX v5 built by "
+        "media_codecs.encode_pcx_gray8 — per-scan-line RLE whose "
+        "values >= 0xC0 must be escaped as runs-of-one (the marker "
+        "collision rule), rows padded to an EVEN bytes_per_line (odd "
+        "widths carry a pad byte the decoder must drop — the classic "
+        "PCX gotcha), and the 8-bit VGA palette trailer holding a "
+        "PERMUTED gray ramp g(i) = (i*37+11) %% 256, so skipping "
+        "palette resolution breaks the hash. Re-parsed by the "
+        "pure-stdlib header validator + bounds-checked line walker "
+        "that rejects packets crossing a scan line. Features are exact "
+        "integer moments of the DECODED palette-resolved luma, "
+        "hash-matched against a closed-form oracle that never sees a "
+        "byte. Scale: the standard narrow 1:1 Arrow decode stage — no "
+        "shuffle until the |docs|-row aggregate.",
+)
+def mm_pcx_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_pcx_features, synth_pcx_media
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        extract_pcx_features(synth_pcx_media(docs))
+        .select(
+            "media_id", "container", "width", "height", "n_pixels",
+            "sum_pixels", "px_min", "px_max",
+        )
+        .orderBy("media_id")
+    )

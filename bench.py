@@ -265,6 +265,7 @@ HEADLINE = [
     "q_clickhouse_quantile_state_parity",
     "ann_incremental_pq_search_read",
     "ann_incremental_graph_search_read",
+    "mm_pcx_decode_features",
 ]
 
 

@@ -259,3 +259,51 @@ def test_incremental_graph_cells_stay_under_cap(spark):
             f"{GRAPH_CELL_CAP} cap — the parity oracle no longer replays "
             "the edge build"
         )
+
+
+def test_pcx_codec_roundtrip_pads_palette_and_rejects_garbage():
+    """The r14 PCX codec: round-trips through the permuted-gray VGA
+    palette, drops the even-row pad byte, escapes >=0xC0 literals as
+    runs-of-one, and fails loudly (never mis-indexes) on truncation,
+    header corruption, and line-crossing runs."""
+    import pytest
+
+    from arango_clickhouse_replica_spark.operators.media_codecs import (
+        decode_pcx,
+        encode_pcx_gray8,
+    )
+
+    for d in (0, 1, 3, 7, 10):
+        w, h = 9 + d % 8, 5 + d % 5
+        px = bytes(
+            (d * 13 + 5 * y + x // 5) % 256
+            for y in range(h) for x in range(w)
+        )
+        blob = encode_pcx_gray8(px, w, h)
+        out = decode_pcx(blob)
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["bytes_per_line"] == w + (w & 1)
+        # palette-resolved luma: the permuted ramp, exactly
+        assert out["pixels"] == [(v * 37 + 11) % 256 for v in px]
+
+    # >=0xC0 literals survive (marker-collision escape)
+    hot = bytes([0xC5, 0x10, 0xFF, 0xC0])
+    out = decode_pcx(encode_pcx_gray8(hot, 4, 1))
+    assert out["pixels"] == [(v * 37 + 11) % 256 for v in hot]
+
+    blob = encode_pcx_gray8(bytes(range(36)), 6, 6)
+    with pytest.raises(ValueError):
+        decode_pcx(blob[:100])                     # truncated header
+    with pytest.raises(ValueError):
+        decode_pcx(blob[:140] + blob[-769:])       # truncated RLE stream
+    with pytest.raises(ValueError):
+        decode_pcx(b"\x0b" + blob[1:])             # bad manufacturer
+    with pytest.raises(ValueError):
+        decode_pcx(blob[:-769] + b"\x0d" + blob[-768:])  # bad trailer
+    # a run crossing a scan line is rejected: hand-build a 2x2 body
+    # whose single packet emits 4 bytes against bytes_per_line=2
+    head = bytearray(encode_pcx_gray8(bytes(4), 2, 2))
+    body = bytes([0xC4, 7])  # run of 4 across two 2-byte lines
+    bad = bytes(head[:128]) + body + bytes(head[-769:])
+    with pytest.raises(ValueError):
+        decode_pcx(bad)
