@@ -385,6 +385,9 @@ ROTATION_EXEMPT = frozenset({
     # Grown r14 alongside mm_pcx_decode_features (pick has 5 green
     # driver rounds plus every full-registry VERIFY_FULL record):
     "q_asof_join_latest_order",       # as-of (latest-at-or-before) selection: cdc_time_travel_read (rotating) serves the same latest-at-or-before-cut selection over the versioned stream every round; q_argmax_latest_order keeps the argmax-latest lane and stays a pinned bench query
+    # Grown r14 alongside q_clickhouse_max_intersections_parity (pick
+    # has 5 green driver rounds plus every full-registry VERIFY_FULL):
+    "q_range_join_event_bursts",      # time-range interval join: q_clickhouse_max_intersections_parity (rotating) sweeps the same derived activity intervals with the +1/-1 point kernel, and q_event_sessionize_gap (rotating) keeps the gap-ordered event lane; q_interval_merge_coverage keeps the islands-merge lane
 })
 
 # How many emitted slots per round go to the deterministic

@@ -3086,3 +3086,98 @@ def q_clickhouse_topk_weighted_parity(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_clickhouse_max_intersections_parity",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts)
+               + (60 + CAST(floor(value) AS BIGINT) % 3600) * 1000000
+               AS e_us
+      FROM events
+    ),
+    pts AS (
+      SELECT user_id, s_us AS t, 1 AS d, event_id FROM iv
+      UNION ALL
+      SELECT user_id, e_us AS t, -1 AS d, event_id FROM iv
+    ),
+    run AS (
+      SELECT user_id, t,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM pts
+    ),
+    mx AS (
+      SELECT user_id,
+             CAST(MAX(running) AS BIGINT) AS max_intersections,
+             CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+      FROM run GROUP BY user_id
+    )
+    SELECT m.user_id,
+           m.max_intersections,
+           CAST(MIN(CASE WHEN r.running = m.max_intersections
+                         THEN r.t END) // 1000000 AS BIGINT) AS position_s,
+           m.n_intervals
+    FROM run r JOIN mx m ON r.user_id = m.user_id
+    GROUP BY m.user_id, m.max_intersections, m.n_intervals
+    ORDER BY m.user_id
+    """,
+    tags=("analytics", "clickhouse-parity", "intervals", "sweep-line"),
+    doc="maxIntersections / maxIntersectionsPosition parity (r14): the "
+        "maximum number of simultaneously-open activity intervals per "
+        "user and the earliest instant it is reached. Intervals are "
+        "half-open [s, e) and an end sorts BEFORE a start at the same "
+        "instant (d=-1 < d=+1 in the sweep order), so touching "
+        "intervals do not intersect — the documented deterministic "
+        "semantic. The sweep is the classic +1/-1 point explosion with "
+        "ONE running-sum window per user; the max is order-insensitive "
+        "within equal (t, d) groups (all deltas same-signed, so the "
+        "extreme sits at the group boundary), which is what makes the "
+        "cross-engine hash stable. Scale: 2 rows per interval, one "
+        "user_id key shuffle, two aggregates — no self-join, no range "
+        "join; the naive overlap-count self-join this replaces is "
+        "quadratic.",
+)
+def q_clickhouse_max_intersections_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s_us = F.unix_micros("ts")
+    dur_us = (60 + F.floor("value").cast("long") % 3600) * F.lit(1000000)
+    iv = ev.select(
+        "user_id", "event_id",
+        s_us.alias("s_us"), (s_us + dur_us).alias("e_us"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s_us").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("e_us").alias("t"), F.lit(-1).alias("d"),
+            "event_id",
+        )
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "user_id", "t", F.sum("d").over(w_run).alias("running")
+    )
+    w_u = Window.partitionBy("user_id")
+    return (
+        run.withColumn("mx", F.max("running").over(w_u))
+        .groupBy("user_id")
+        .agg(
+            F.max("running").cast("long").alias("max_intersections"),
+            F.expr(
+                "cast(min(case when running = mx then t end) div 1000000 "
+                "as bigint)"
+            ).alias("position_s"),
+            (F.count("*") / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )

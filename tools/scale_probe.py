@@ -260,6 +260,7 @@ PROBES = [
     "ann_incremental_pq_search_read",
     "ann_incremental_graph_search_read",
     "mm_pcx_decode_features",
+    "q_clickhouse_max_intersections_parity",
 ]
 
 
