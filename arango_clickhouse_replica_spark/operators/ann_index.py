@@ -792,7 +792,12 @@ def cell_adjacency(
         members.select("vec_id", "cell", "embedding", "nrm"),
         label_col="cell",
         label_cap=cell_cap,
-    )
+    ).localCheckpoint(eager=False)
+    # localCheckpoint before the self-join: the pair kernel's two sides
+    # would otherwise each re-execute the whole upstream (the
+    # latest_state window + broadcast argmax assignment) — the
+    # materialized side is only the TOUCHED membership, delta-bounded
+    # in production batches.
     a, b = mb.alias("a"), mb.alias("b")
     pair = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
