@@ -497,7 +497,9 @@ def _previous_round_timings(sf) -> tuple[str, dict[str, float]] | None:
     return None
 
 
-def _isolated_triage(offenders: list[str], sf) -> dict[str, tuple[float, float]]:
+def _isolated_triage(
+    offenders: list[str], sf, suite_timings: dict[str, float] | None = None,
+) -> dict[str, tuple[float, float]]:
     """One fresh-JVM subset bench over the surviving offenders, compared
     against the ISOLATED per-query anchors in bench_family_anchors.json
     (>1.5x anchor and >1s = real — reproduces without suite contention).
@@ -506,7 +508,17 @@ def _isolated_triage(offenders: list[str], sf) -> dict[str, tuple[float, float]]
     cleared/real verdicts (and the uniform-contention escape) from the
     ratios. Offenders with no anchor are absent from the result and stay
     flagged. Empty on any subprocess/parse problem (fail-safe: never
-    clears on error)."""
+    clears on error).
+
+    Contamination defense (r14): a fresh-JVM isolated run cannot be
+    slower than the loaded in-suite run for any CODE reason — when the
+    isolated re-time exceeds 2x the suite timing, the subset run itself
+    hit a steal burst (observed: suite 3.8s, isolated 13.2s minutes
+    apart on a bursty host — the r12 114s-artifact class). The subset
+    is retried once, and each offender's verdict evidence is
+    min(isolated tries, in-suite timing): steal only ever inflates, so
+    the minimum of independent measurements is the steal-resistant
+    estimator, while a genuine regression inflates every one of them."""
     here = Path(__file__).resolve().parent
     anchors_path = here / "bench_family_anchors.json"
     if not anchors_path.exists():
@@ -536,28 +548,50 @@ def _isolated_triage(offenders: list[str], sf) -> dict[str, tuple[float, float]]
     env = dict(os.environ,
                SPARK_GRAFT_ONLY=",".join(with_anchor),
                SPARK_GRAFT_NO_REGRESSION_CHECK="1")
-    try:
-        out = subprocess.run(
-            [sys.executable, str(here / "bench.py")],
-            env=env, capture_output=True, text=True, check=True, timeout=900,
-        ).stdout
-        iso = None
-        for line in reversed(out.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                iso = {k: float(v)
-                       for k, v in json.loads(line)["queries"].items()}
-                break
-        if iso is None:
-            return {}
-    except (subprocess.SubprocessError, OSError, json.JSONDecodeError,
-            KeyError, ValueError):
+
+    def run_subset() -> dict[str, float] | None:
+        try:
+            out = subprocess.run(
+                [sys.executable, str(here / "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+                timeout=900,
+            ).stdout
+            for line in reversed(out.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return {k: float(v)
+                            for k, v in json.loads(line)["queries"].items()}
+            return None
+        except (subprocess.SubprocessError, OSError, json.JSONDecodeError,
+                KeyError, ValueError):
+            return None
+
+    iso = run_subset()
+    if iso is None:
         return {}
+    suite = suite_timings or {}
+    contaminated = [n for n in with_anchor
+                    if n in iso and n in suite and iso[n] > 2 * suite[n]]
+    if contaminated:
+        print(
+            "BENCH ISOLATED: steal-burst contamination suspected "
+            "(isolated > 2x the loaded in-suite time) for "
+            + ", ".join(f"{n} ({iso[n]:.2f}s vs suite {suite[n]:.2f}s)"
+                        for n in contaminated)
+            + " — retrying the subset once",
+            file=sys.stderr,
+        )
+        retry = run_subset()
+        if retry:
+            iso = {n: min(iso[n], retry[n]) if n in retry else iso[n]
+                   for n in iso}
     results: dict[str, tuple[float, float]] = {}
     for n in with_anchor:
         t, a = iso.get(n), anchors[n]
         if t is None:
             continue
+        if n in suite:
+            t = min(t, suite[n])
         verdict = ("REAL (reproduces isolated)" if _is_real(t, a)
                    else "cleared (contention)")
         print(f"BENCH ISOLATED {n}: {t:.2f}s vs isolated anchor "
@@ -701,7 +735,7 @@ def _check_regressions(timings: dict[str, float], sf, rerun=None) -> None:
         # .json (tools/family_anchors.py refresh) records those anchors;
         # when present, survivors get ONE isolated subset run compared
         # apples-to-apples before the round fails.
-        triaged = _isolated_triage(survivors, sf)
+        triaged = _isolated_triage(survivors, sf, timings)
         cleared = {n for n, (t, a) in triaged.items() if not _is_real(t, a)}
         remaining = [n for n in survivors if n not in cleared]
         # Uniform-contention escape (r12 VERDICT item 1): when the box is
