@@ -36,7 +36,7 @@ EXEMPT DRIVER SAMPLING (r12, verdict r11 item 4): the first
 ``EXEMPT_SAMPLE_SLOTS`` (5) emitted slots each round go to the exempt
 names whose last DRIVER row is oldest (ties by registry order), so
 every exempt name re-earns a driver-written correctness row on a
-bounded cycle of ceil(|exempt| / 5) rounds (~26 at the current pool)
+bounded cycle of ceil(|exempt| / 5) rounds (~33 at the current pool)
 instead of relying on the self-run VERIFY_FULL alone. The cycle
 self-advances: once the driver verifies a sampled name, its last-seen
 round updates and the next-oldest five rotate in.
