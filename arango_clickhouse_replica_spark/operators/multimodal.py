@@ -53,6 +53,24 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """The id column the synth encoders feed on, hash-spread across the
+    cluster BEFORE the Python stage. The documents fixture is a single
+    small parquet split, so without this every codec batch of every
+    ``synth_*_media`` consumer runs on ONE task while the rest of the
+    cluster idles (optimization guide §2.6 — idle capacity; the encode +
+    decode work here is pure-Python LZW/DCT/RLE, the most expensive
+    per-row compute in the repo). The exchange moves 8 bytes per row —
+    the payload does not exist yet (guide §8: move decisions on small
+    rows, heavy bytes once). Hash partitioning on doc_id is
+    deterministic under task retry (unlike round-robin of a re-read
+    scan) and 5000 ids / 32 partitions clears the 20-100x key-spread
+    rule. Partition count follows the session's default parallelism, so
+    it scales with the cluster rather than the input split count."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n, "doc_id")
+
+
 _HAVE_PIL = False
 try:  # real codec path, absent in this container
     import PIL.Image  # noqa: F401
@@ -150,7 +168,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def synth_png_media(docs: DataFrame) -> DataFrame:
@@ -179,7 +197,7 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -406,7 +424,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_jpeg_features(media: DataFrame) -> DataFrame:
@@ -534,7 +552,7 @@ def synth_mjpeg_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def synth_mjpeg_scene_media(docs: DataFrame) -> DataFrame:
@@ -575,7 +593,7 @@ def synth_mjpeg_scene_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 FRAME_FEATURE_SCHEMA = T.StructType(
@@ -760,7 +778,7 @@ def synth_rgb_png_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_color_image_features(media: DataFrame) -> DataFrame:
@@ -833,7 +851,7 @@ def synth_color_jpeg_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_color_jpeg_features(media: DataFrame) -> DataFrame:
@@ -906,7 +924,7 @@ def synth_group_png_media(docs: DataFrame, group_size: int = 5) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def synth_group_rgb_png_media(docs: DataFrame, group_size: int = 5) -> DataFrame:
@@ -948,7 +966,7 @@ def synth_group_rgb_png_media(docs: DataFrame, group_size: int = 5) -> DataFrame
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 AHASH_SCHEMA = T.StructType(
@@ -1050,7 +1068,7 @@ def synth_gain_wav_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 AUDIO_CLIPPING_SCHEMA = T.StructType(
@@ -1147,7 +1165,7 @@ def synth_mjpeg_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 # Fixed-point 8-point DCT-II basis, T[j][u] = round(1024*cos((2u+1)j*pi/16)).
@@ -1212,7 +1230,7 @@ def synth_phash_group_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_phash(media: DataFrame, grid: int = 8) -> DataFrame:
@@ -1355,7 +1373,7 @@ def synth_group_wav_media(docs: DataFrame, group_size: int = 4) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def synth_bmp_media(docs: DataFrame) -> DataFrame:
@@ -1386,7 +1404,7 @@ def synth_bmp_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 BMP_FEATURE_SCHEMA = T.StructType(
@@ -1458,7 +1476,7 @@ def synth_telephony_wav_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 ULAW_FEATURE_SCHEMA = T.StructType(
@@ -1552,7 +1570,7 @@ def synth_mixed_container_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 CONTENT_SIG_SCHEMA = T.StructType(
@@ -1643,7 +1661,7 @@ def synth_padded_wav_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 AUDIO_SILENCE_SCHEMA = T.StructType(
@@ -1719,7 +1737,7 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_gif_features(media: DataFrame) -> DataFrame:
@@ -1776,7 +1794,7 @@ def synth_qoi_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_qoi_features(media: DataFrame) -> DataFrame:
@@ -1844,7 +1862,7 @@ def synth_adpcm_wav_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def extract_adpcm_transcode_features(media: DataFrame) -> DataFrame:
@@ -1914,7 +1932,7 @@ def synth_tiled_png_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 TILE_SIG_SCHEMA = T.StructType(
@@ -1988,7 +2006,7 @@ def synth_exif_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 EXIF_SCHEMA = T.StructType(
@@ -2060,7 +2078,7 @@ def synth_pnm_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 PNM_FEATURE_SCHEMA = T.StructType(
@@ -2140,7 +2158,7 @@ def synth_ico_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 ICO_FEATURE_SCHEMA = T.StructType(
@@ -2221,7 +2239,7 @@ def synth_tga_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 TGA_FEATURE_SCHEMA = T.StructType(
@@ -2296,7 +2314,7 @@ def synth_pcx_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "payload": payloads, "meta": metas}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread_ids(docs).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 PCX_FEATURE_SCHEMA = T.StructType(

@@ -2767,7 +2767,12 @@ def q_clickhouse_bitmap_ops_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    m = ev.select("event_type", "user_id").distinct()
+    # m feeds the cardinalities AND both sides of the intersection
+    # self-join — materialize the distinct once (guide §2.4).
+    m = (
+        ev.select("event_type", "user_id").distinct()
+        .localCheckpoint(eager=True)
+    )
     card = m.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
     a, b = m.alias("a"), m.alias("b")
     inter = (

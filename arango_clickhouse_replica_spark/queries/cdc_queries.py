@@ -1313,10 +1313,15 @@ def cdc_migration_applied_deadletter(
     kv = ev.select(v.alias("schema_v"), payload.alias("payload"))
     plan_rows = cdc_schema_migration_plan(spark, sf_dir).collect()
     keys = sorted({r["json_key"] for r in plan_rows})
+    # raw (the JSON-extracted columns) feeds 4 aggregates (rejected +
+    # total, x2 mapping states): materialize so the drifted-payload
+    # synthesis + |keys| get_json_object parses run ONCE over the event
+    # stream instead of four times (guide §2.4; this was the whole cost
+    # of the query — the census aggregates are 6 rows).
     raw = kv.select(
         "schema_v",
         *[F.get_json_object("payload", "$." + k).alias(k) for k in keys],
-    )
+    ).localCheckpoint(eager=True)
     before = TableMapping.from_dict(
         {
             "table_name": "events_rmt",
@@ -1828,7 +1833,7 @@ def q_clickhouse_aggregate_state_merge(
         "event_type", "user_id",
         F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
         (F.col("_ver") % _AGG_STATE_PARTS).cast("long").alias("part"),
-    )
+    ).localCheckpoint(eager=True)
     states = partial_states(
         c, ["event_type", "part"], "v_milli", "user_id"
     )
@@ -1909,7 +1914,11 @@ def cdc_txn_atomic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import txn_atomic_split
     from ..sources.cdc_envelopes import synthetic_txn_envelopes
 
-    env = synthetic_txn_envelopes(spark, sf_dir)
+    # env feeds the 3-way txn split AND the per-type doc census —
+    # materialize the envelope synthesis once (guide §2.4); in the
+    # streaming twin this relation IS the already-materialized
+    # micro-batch.
+    env = synthetic_txn_envelopes(spark, sf_dir).localCheckpoint(eager=True)
     split = txn_atomic_split(env)
     rows = preprocess_envelopes(
         split.applyable, tracked_cuids=["c_events"], initial_tick=0
@@ -2365,7 +2374,7 @@ def q_clickhouse_uniq_hll_parity(
         "event_type", "user_id",
         F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
         (F.col("_ver") % _AGG_STATE_PARTS).cast("long").alias("part"),
-    )
+    ).localCheckpoint(eager=True)
     states = partial_states(
         c, ["event_type", "part"], "v_milli", "user_id"
     )

@@ -165,9 +165,12 @@ _KMEANS_ORACLE = f"""
         "driver collect.",
 )
 def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # emb feeds the seeding window and BOTH assignment passes (Lloyd
+    # re-assignment must rescan the vectors) — materialize the scan +
+    # norm once (guide §2.4/§5).
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "nrm", _norm(F.col("embedding"))
-    )
+    ).localCheckpoint(eager=True)
     seeds = _seed_centroids(emb)
 
     seed_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
@@ -441,6 +444,11 @@ def _adc_serve(
 
     import numpy as np
     import pandas as pd
+
+    # The bounded query set feeds the LUT collect AND the final rerank
+    # join — materialize once so the query-selection subtree (scan +
+    # orderBy/limit) doesn't re-execute per reference (guide §2.4).
+    queries = queries.localCheckpoint(eager=True)
 
     # Per-(query, m, k) partial distances in the EXACT decimal lane,
     # scaled to int64 (scale-6 decimal * 1e6 is exact) so the 8-term ADC
@@ -885,8 +893,14 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, seeds, members = _graph_members(spark, sf_dir)
     # graph build: the mutual-kNN cell-local pair kernel, kept to top-R
     # per source; sub-block cap bounds occupancy at scale (inactive at
-    # fixture scale so the oracle replays exactly)
-    mb = with_sub_block(members, label_col="cell", label_cap=_GRAPH_CELL_CAP)
+    # fixture scale so the oracle replays exactly). The kernel input is
+    # materialized once: the self-join's two sides would otherwise EACH
+    # re-execute the whole upstream (scan + seeding window + broadcast
+    # argmax) — the operators/ann_index.py cell_adjacency lesson (r14
+    # opt round, guide §2.4: one pass, not one per plan reference).
+    mb = with_sub_block(
+        members, label_col="cell", label_cap=_GRAPH_CELL_CAP
+    ).localCheckpoint(eager=True)
     a, b = mb.alias("a"), mb.alias("b")
     pair = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -927,6 +941,15 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("q_nrm") * F.col("nrm")), 4)
     w_q = Window.partitionBy("query_id").orderBy(
         F.desc("s"), F.asc("vec_id"))
+    # Each hop references `beam` twice (carry-over union + edge
+    # expansion), so without a materialization the beam lineage DOUBLES
+    # per hop — 2^hops re-executions of the seed scoring (the r14 opt
+    # round found 14 parquet re-scans of the same table in this plan).
+    # The beam is Q_MAX x _BEAM_W rows by construction: checkpointing it
+    # per hop is a bounded, scale-safe truncation (guide §3.3/§5), and
+    # broadcasting it into the edge/node joins replaces per-hop
+    # SortMergeJoins (which shuffled the corpus-sized sides every hop)
+    # with broadcast hash joins that stream the big side (guide §3.1).
     beam = (
         F.broadcast(q)
         .join(seeds, F.col("vec_id") != F.col("query_id"))
@@ -934,25 +957,27 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_q))
         .filter(F.col("rn") <= _BEAM_W)
         .select("query_id", "vec_id", "s")
+        .localCheckpoint(eager=True)
     )
     nodes = emb.select("vec_id", "embedding", "nrm")
     for _ in range(_BEAM_HOPS):
         cand = (
             beam.select("query_id", "vec_id")
             .union(
-                beam.join(edges, beam.vec_id == edges.src)
+                F.broadcast(beam).join(edges, beam.vec_id == edges.src)
                 .select("query_id", F.col("dst").alias("vec_id"))
             )
             .distinct()
             .filter(F.col("vec_id") != F.col("query_id"))
         )
         beam = (
-            cand.join(nodes, "vec_id")
+            F.broadcast(cand).join(nodes, "vec_id")
             .join(F.broadcast(q), "query_id")
             .select("query_id", "vec_id", qsim.alias("s"))
             .withColumn("rn", F.row_number().over(w_q))
             .filter(F.col("rn") <= _BEAM_W)
             .select("query_id", "vec_id", "s")
+            .localCheckpoint(eager=True)
         )
     return (
         beam.withColumn("rn", F.row_number().over(w_q))
@@ -1036,9 +1061,15 @@ def _ann_recall_oracle() -> str:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
+    # ex feeds two consumers (hits join + n_exact agg) and ap feeds two
+    # (hits join + n_approx agg); both are Q x k rows by construction.
+    # Materializing them runs each of the six composed ANN pipelines
+    # exactly ONCE — lazily, every pipeline re-executed per plan
+    # reference (the r14 opt round counted 84 re-scans of the embeddings
+    # table in this one plan). Guide §2.4/§3.3.
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)
     parts = []
     for m in _RECALL_METHODS:
         builder = _REG[_RECALL_SOURCES[m]].build
@@ -1050,6 +1081,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p in parts[1:]:
         ap = ap.unionByName(p)
+    ap = ap.localCheckpoint(eager=True)
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"])
         .groupBy("method", "query_id")
@@ -1147,9 +1179,12 @@ def _recall_curve_oracle() -> str:
 def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
+    # Same materialization as ann_recall_report: ex/ap are Q x k-bounded
+    # and multiply-referenced — checkpoint so each composed pipeline
+    # runs once (guide §2.4/§3.3).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
-    )
+    ).localCheckpoint(eager=True)
     parts = []
     for m in _RECALL_METHODS:
         builder = _REG[_RECALL_SOURCES[m]].build
@@ -1161,6 +1196,7 @@ def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p in parts[1:]:
         ap = ap.unionByName(p)
+    ap = ap.localCheckpoint(eager=True)
     ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
     hits = (
         ex.withColumnRenamed("rank", "e_rank")
@@ -1435,6 +1471,10 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("dot1")
     x = emb.select("vec_id", "embedding", dot1)
+    # comps (the exploded component relation) feeds THREE consumers
+    # (y1, dot2, y2) and v1 two (dot2, lam) — materialize so the scan +
+    # posexplode runs once per query, not per power-iteration reference
+    # (guide §2.4).
     comps = x.select(
         "vec_id",
         "dot1",
@@ -1444,7 +1484,7 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.col("comp0").cast("double").alias("comp"),
         "dot1",
-    )
+    ).localCheckpoint(eager=True)
     y1 = comps.groupBy("dim").agg(
         F.sum(F.expr(_DEC.format(x="comp * dot1"))).cast("double").alias("y")
     )
@@ -1453,7 +1493,7 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = y1.crossJoin(F.broadcast(n1)).select(
         "dim", (F.col("y") / F.col("nrm")).alias("v")
-    )
+    ).localCheckpoint(eager=True)  # dim rows; feeds dot2 + lam
     dot2 = (
         comps.join(F.broadcast(v1), "dim")
         .groupBy("vec_id")
@@ -1463,6 +1503,7 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.join(dot2, "vec_id")
         .groupBy("dim")
         .agg(F.sum(F.expr(_DEC.format(x="comp * d2"))).cast("double").alias("y"))
+        .localCheckpoint(eager=True)  # dim rows; feeds n2 + lam + output
     )
     n2 = y2.agg(
         F.sqrt(F.sum(F.expr(_DEC.format(x="y * y"))).cast("double")).alias("nrm")
@@ -1551,7 +1592,11 @@ def embed_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cells past 500 members (inactive at driver/bench scale, so the
     # oracle stays exact; the histogram becomes within-sub-block at
     # probe scale, the same recall trade SemDeDup accepts).
-    members = with_sub_block(members, label_col="cell", label_cap=500)
+    # Materialized before the self-join — both kernel sides would
+    # otherwise re-execute the scan + broadcast-argmax (guide §2.4).
+    members = with_sub_block(
+        members, label_col="cell", label_cap=500
+    ).localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -1685,9 +1730,13 @@ _NPROBE_SWEEP = (1, 2, 4)
 def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _ivf_topk, ann_cosine_topk_bruteforce
 
+    # ex is Q x k rows and feeds two consumers; the 4-probe union feeds
+    # one join but each _ivf_topk shares the centroid/assign subtrees —
+    # materializing both caps the sweep at one execution per pipeline
+    # (guide §2.4/§3.3).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)
     parts = [
         _ivf_topk(spark, sf_dir, n_probe=p).select(
             F.lit(p).cast("int").alias("nprobe"), "query_id", "neighbor_id"
@@ -1697,6 +1746,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p_ in parts[1:]:
         ap = ap.unionByName(p_)
+    ap = ap.localCheckpoint(eager=True)
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"])
         .groupBy("nprobe", "query_id")
@@ -2800,9 +2850,13 @@ def _kcenter_oracle() -> str:
         "the bounded driver-side state the plan-quality rules allow.",
 )
 def curation_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-center is inherently round-sequential (each pick needs a global
+    # argmax), but the K rounds need not re-read parquet: materialize
+    # the vector relation once and let every round's TakeOrdered scan
+    # the in-memory blocks (guide §5 localCheckpoint).
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
-    )
+    ).localCheckpoint(eager=True)
     seed = emb.orderBy("vec_id").limit(1).collect()[0]
     centers = [(1, int(seed.vec_id), 0.0, list(seed.embedding))]
     for r in range(2, _KCENTER_K + 1):
@@ -3416,7 +3470,9 @@ def ann_incremental_search_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = live_index(entries).select("vec_id", "cell")
 
     # the CURRENT vector state (what the CDC target's latest_alive view
-    # serves) — candidates join back to it for scoring
+    # serves) — candidates join back to it for scoring. Materialized
+    # once: it feeds both the query selection and the candidate join
+    # (guide §2.4).
     vectors = (
         emb.filter(F.col("vec_id") % 20 != 7)
         .select(
@@ -3427,6 +3483,7 @@ def ann_incremental_search_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("embedding")).alias("embedding"),
         )
         .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     q = vectors.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -3683,7 +3740,13 @@ def ann_incremental_graph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         (F.col("vec_id") * 2).alias("_ver"), F.lit(0).alias("_deleted"),
     )
-    nodes1 = graph_node_rows(base, cents)
+    # Materialize the batch-1 node rows once: they feed the batch-1
+    # patch (twice: merged state + touched cells), batch 2's prior
+    # state, and the final live view — without this the broadcast-argmax
+    # assignment over the base snapshot re-executes per reference (r14
+    # opt round, guide §2.4). Batch-1 is the one corpus-sized build in
+    # this simulated story (production batches are delta-bounded).
+    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
     empty_prior = nodes1.filter(F.lit(False))
     adj1 = graph_adjacency_patch(empty_prior, nodes1, seq=1)
 
@@ -3848,6 +3911,8 @@ def ann_incremental_pq_search_read(
     )
     live_codes = live_pq_codes(entries).select("vec_id", "codes")
 
+    # The post-CDC vector state feeds the query selection AND the rerank
+    # candidates — materialize once (guide §2.4).
     vectors = (
         emb.filter(F.col("vec_id") % 20 != 7)
         .select(
@@ -3857,6 +3922,7 @@ def ann_incremental_pq_search_read(
                 F.transform("embedding", lambda x: -x),
             ).otherwise(F.col("embedding")).alias("embedding"),
         )
+        .localCheckpoint(eager=True)
     )
     queries = (
         vectors.filter(F.col("vec_id") % 100 == 0)
@@ -4029,7 +4095,9 @@ def ann_incremental_graph_search_read(
         "vec_id", "embedding",
         (F.col("vec_id") * 2).alias("_ver"), F.lit(0).alias("_deleted"),
     )
-    nodes1 = graph_node_rows(base, cents)
+    # Materialized once for the same reason as in the parity query: the
+    # batch-1 node rows feed both patches and the live view (guide §2.4).
+    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
     adj1 = graph_adjacency_patch(nodes1.filter(F.lit(False)), nodes1, seq=1)
     delta_changes = (
         emb.filter(F.col("vec_id") % 10 == 0)
@@ -4065,6 +4133,11 @@ def ann_incremental_graph_search_read(
         edir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)  # reused by every hop
 
+    # The post-CDC vector state: consumed by the seed scoring, the query
+    # set, and every beam hop's candidate-scoring join. Materialized once
+    # instead of re-deriving (scan + transform + norm) per consumer —
+    # this is exactly the latest-state serving table a production index
+    # persists (AnnIndexStore.persist_serving_tables); guide §2.4/§5.
     nodes = (
         emb.filter(F.col("vec_id") % 20 != 7)
         .select(
@@ -4075,6 +4148,7 @@ def ann_incremental_graph_search_read(
             ).otherwise(F.col("embedding")).alias("embedding"),
         )
         .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     seeds = nodes.join(F.broadcast(seed_ids), "vec_id")
     q = (
@@ -4093,6 +4167,11 @@ def ann_incremental_graph_search_read(
         / (F.col("q_nrm") * F.col("nrm")), 4)
     w_q = Window.partitionBy("query_id").orderBy(
         F.desc("s"), F.asc("vec_id"))
+    # Per-hop beam materialization + broadcast of the bounded sides —
+    # same rationale as in ann_graph_beam_topk: each hop references the
+    # beam twice (lineage doubles per hop) and the Q_MAX x _BEAM_W beam
+    # is the side that must broadcast, never the edge/node tables
+    # (guide §3.1, §3.3/§5).
     beam = (
         F.broadcast(q)
         .join(seeds, F.col("vec_id") != F.col("query_id"))
@@ -4100,24 +4179,26 @@ def ann_incremental_graph_search_read(
         .withColumn("rn", F.row_number().over(w_q))
         .filter(F.col("rn") <= _BEAM_W)
         .select("query_id", "vec_id", "s")
+        .localCheckpoint(eager=True)
     )
     for _ in range(_BEAM_HOPS):
         cand = (
             beam.select("query_id", "vec_id")
             .union(
-                beam.join(edges, beam.vec_id == edges.src)
+                F.broadcast(beam).join(edges, beam.vec_id == edges.src)
                 .select("query_id", F.col("dst").alias("vec_id"))
             )
             .distinct()
             .filter(F.col("vec_id") != F.col("query_id"))
         )
         beam = (
-            cand.join(nodes, "vec_id")
+            F.broadcast(cand).join(nodes, "vec_id")
             .join(F.broadcast(q), "query_id")
             .select("query_id", "vec_id", qsim.alias("s"))
             .withColumn("rn", F.row_number().over(w_q))
             .filter(F.col("rn") <= _BEAM_W)
             .select("query_id", "vec_id", "s")
+            .localCheckpoint(eager=True)
         )
     return (
         beam.withColumn("rn", F.row_number().over(w_q))

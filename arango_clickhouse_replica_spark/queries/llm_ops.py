@@ -347,11 +347,15 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5("gram"), 1, 8).alias("h"),
     )
     win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    # sel feeds the hot list AND both sides of the pair self-join —
+    # materialize so the gram explode + sliding-window min runs once
+    # (guide §2.4); fingerprint-bounded (distinct per doc).
     sel = (
         grams.withColumn("fp", F.min("h").over(win))
         .filter(F.col("p") <= F.col("np") - (w - 1))
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hot = (
         sel.groupBy("fp").agg(F.count("*").alias("__n"))
@@ -518,7 +522,10 @@ def _bloom_pos(col, i: int):
         "entire point of the pre-filter.",
 )
 def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # The shingle stream feeds FIVE consumers (eval set, bloom probe,
+    # exact-truth join, per-doc totals) — materialize the explode+md5
+    # once (guide §2.4).
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
     train = sh.filter(F.col("doc_id") % 97 != 0)
 
@@ -798,7 +805,9 @@ def dedup_exact_union_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sizes, top-20 most-similar pairs with full tiebreak.",
 )
 def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles_capped(spark, sf_dir)
+    # sh feeds the per-doc counts AND the grouped pair generation: one
+    # materialization halves the shingle explode + md5 work (guide §2.4).
+    sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     # Pair generation via grouped doc lists instead of a self-join: ONE
     # shuffle (groupBy shingle) + a narrow combination explode, vs the
@@ -871,7 +880,8 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pairs that motivate the operator. Top-20 with full tiebreak.",
 )
 def dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles_capped(spark, sf_dir)
+    # Same two-consumer shape as dedup_ngram_jaccard_topk (guide §2.4).
+    sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     docs_per_shingle = sh.groupBy("s").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
@@ -950,7 +960,11 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the batch and streaming paths compute the IDENTICAL signature.
     from ..operators.minhash import band_signatures, candidate_pairs
 
-    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
+    # Materialized before candidate_pairs' self-join: both sides would
+    # otherwise re-run the shingle scan + 8-lane min groupBy (guide §2.4).
+    bands = band_signatures(
+        _doc_shingles_capped(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     return candidate_pairs(bands)
 
 
@@ -2588,6 +2602,11 @@ def simhash_band_candidates(hashes: DataFrame) -> DataFrame:
         F.expr("CASE WHEN band < 2 THEN shiftright(lo, 16 * band) & 65535"
                " ELSE shiftright(hi, 16 * (band - 2)) & 65535 END"),
     )
+    # Materialized before the band self-join: both sides would otherwise
+    # re-execute the full signature computation (shingle explode + md5 +
+    # the 65-aggregate balance groupBy) — |docs| x 4 narrow rows, the
+    # standard bounded kernel-input checkpoint (guide §2.4).
+    bands = bands.localCheckpoint(eager=True)
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("lo").alias("lo_a"),
                      F.col("hi").alias("hi_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("lo").alias("lo_b"),
@@ -2704,14 +2723,17 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontam_minhash_fuzzy(
     spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
 ) -> DataFrame:
-    from ..operators.minhash import band_signatures, lane_mins
+    from ..operators.minhash import bands_from_lane_mins, lane_mins
 
     # ONE capped-shingle relation feeds both signature passes (the cap
     # helper runs a corpus count to size the df ceiling — don't pay it,
-    # or the shingle scan, twice).
+    # or the shingle scan, twice). The lane-min relation is materialized
+    # once and feeds BOTH the band keys and the two signature sides —
+    # lazily, band_signatures() would recompute the shingle scan +
+    # groupBy and mt/me would each re-run it again (guide §2.4).
     sh = _doc_shingles_capped(spark, sf_dir)
-    mins = lane_mins(sh)
-    bands = band_signatures(sh)
+    mins = lane_mins(sh).localCheckpoint(eager=True)
+    bands = bands_from_lane_mins(mins)
     is_eval = F.col("doc_id") % eval_mod == 0
     t = bands.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "band", "sig")
     e = bands.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "band", "sig")
@@ -3043,7 +3065,9 @@ def _substring_spans_oracle(k: int = _SUBSTR_K) -> str:
         "quadratic and no suffix array need ever be materialized.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wins = _rolling_windows(spark, sf_dir)
+    # wins feeds the dup-hash aggregate AND the semi-join probe side —
+    # materialize the rolling-window hash explode once (guide §2.4).
+    wins = _rolling_windows(spark, sf_dir).localCheckpoint(eager=True)
     # Window hashes occurring >= 2 times anywhere in the corpus. Not
     # broadcast: on a duplicate-heavy corpus this relation is O(dup
     # windows), so it flows back through the SAME hash-partitioned
@@ -3149,7 +3173,12 @@ def dedup_semdedup_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard LSH recall trade, measured: 19.2x -> sub-linear at 10x
     # data). Inactive at driver/bench scale (<= ~312 members/cell at
     # sf0.1), so the DuckDB oracle stays exact.
-    members = with_sub_block(members, label_col="cell", label_cap=500)
+    # Materialized before the self-join: both kernel sides would
+    # otherwise re-execute the scan + broadcast-argmax assignment
+    # (the operators/ann_index.py cell_adjacency lesson; guide §2.4).
+    members = with_sub_block(
+        members, label_col="cell", label_cap=500
+    ).localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -3360,10 +3389,14 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     ss = decontam_substring_spans(spark, sf_dir).select("doc_id").distinct()
+    # flags feeds the any_method distinct AND the per-method census —
+    # without a materialization all three decontamination pipelines run
+    # twice. Flagged-doc-bounded by construction (guide §2.4).
     flags = (
         ng.withColumn("method", F.lit("ngram_overlap"))
         .unionByName(fz.withColumn("method", F.lit("minhash_fuzzy")))
         .unionByName(ss.withColumn("method", F.lit("substring_spans")))
+        .localCheckpoint(eager=True)
     )
     any_m = (
         flags.select("doc_id")
@@ -3724,8 +3757,16 @@ def dedup_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash_hamming_pairs(spark, sf_dir).select(
         F.lit("simhash_band").alias("method"), "doc_a", "doc_b"
     )
-    cand = mh.unionByName(sh)
-    sh0 = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    # cand (two LSH pipelines, candidate-bounded) feeds the intersection
+    # probe AND the per-method census; sh0 (the df-capped shingle space)
+    # feeds three consumers (cs/a/b). Checkpoint both so each pipeline
+    # and the shingle explode+md5 run once — the dedup_minhash_band_sweep
+    # lesson (VERDICT r8 item 3) applied to this report (guide §2.4).
+    cand = mh.unionByName(sh).localCheckpoint(eager=True)
+    sh0 = (
+        _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+        .localCheckpoint(eager=True)
+    )
     cs = sh0.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh0.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh0.select(F.col("doc_id").alias("doc_b"), "s")
@@ -3969,7 +4010,14 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bands", F.lit(b).cast("int")
         )
 
-    cand = cfg(2).unionByName(cfg(4)).unionByName(cfg(8))
+    # cand feeds two consumers (the distinct pair universe + the
+    # per-config census join) and tru feeds two (union total + census) —
+    # both candidate-bounded. Checkpoint so the three band joins and the
+    # exact-Jaccard verify run once, not once per reference (guide §2.4).
+    cand = (
+        cfg(2).unionByName(cfg(4)).unionByName(cfg(8))
+        .localCheckpoint(eager=True)
+    )
     up = cand.select("doc_a", "doc_b").distinct()
     cs = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -3994,7 +4042,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0).alias("is_true"),
         )
-    )
+    ).localCheckpoint(eager=True)
     tot = tru.agg(F.sum("is_true").alias("nt"))
     per = (
         cand.join(tru, ["doc_a", "doc_b"])
@@ -5261,7 +5309,11 @@ def embed_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _assign(
         emb.select("vec_id", "embedding", "nrm"), centroids, c_sim
     ).select("vec_id", "embedding", "nrm", "cell")
-    members = with_sub_block(members, label_col="cell", label_cap=500)
+    # Materialized before the self-join — both kernel sides would
+    # otherwise re-execute the scan + broadcast-argmax (guide §2.4).
+    members = with_sub_block(
+        members, label_col="cell", label_cap=500
+    ).localCheckpoint(eager=True)
     a, b = members.alias("a"), members.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -5281,10 +5333,13 @@ def embed_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    # best is N rows of 4 narrow columns and self-joins for mutuality:
+    # materialize so the pair kernel + top-1 window run once (guide §2.4).
     best = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("src", "dst", "cell", "sim")
+        .localCheckpoint(eager=True)
     )
     x, y = best.alias("x"), best.alias("y")
     return (
@@ -5875,9 +5930,11 @@ def dedup_minhash_estimate_error(
 
     sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
     mins = lane_mins(sh).localCheckpoint(eager=True)
+    # cand feeds the exact-intersection probe AND the scored join —
+    # checkpoint so the band self-join runs once (guide §2.4).
     cand = candidate_pairs(bands_from_lane_mins(mins)).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -6027,9 +6084,11 @@ def curation_dedup_threshold_curve(
     )
 
     sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
+    # cand feeds the intersection probe AND the scored join — checkpoint
+    # so the lane-min groupBy + band join run once (guide §2.4).
     cand = candidate_pairs(bands_from_lane_mins(lane_mins(sh))).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint(eager=True)
     cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")

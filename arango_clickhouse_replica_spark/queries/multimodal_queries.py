@@ -1824,6 +1824,10 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("grp") * 7 + F.col("j") - 1).alias("pos"),
         F.when(F.row_number().over(w) <= 3, 1).otherwise(0).alias("bit"),
     )
+    # bands feeds THREE consumers (signature pack, hot list, cold join)
+    # and the cold side self-joins — materialize once so the DCT + bit
+    # pipeline doesn't re-execute per reference (guide §2.4); |docs| x 2
+    # narrow rows.
     bands = (
         bits.groupBy(
             "doc_id", F.expr("cast(pos div 14 as int)").alias("band")
@@ -1832,6 +1836,7 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("bit * shiftleft(1, cast(pos % 14 as int))"))
             .cast("int").alias("sig")
         )
+        .localCheckpoint(eager=True)
     )
     sigs = bands.groupBy("doc_id").agg(
         F.max(F.when(F.col("band") == 0, F.col("sig"))).alias("b0"),

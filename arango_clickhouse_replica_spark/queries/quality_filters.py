@@ -1050,11 +1050,14 @@ def curation_quality_decile_calibration(
         "doc_id",
         F.when(gopher_pass_predicate(), 1).otherwise(0).alias("kr"),
     )
+    # j feeds the shard bounds AND the sharded rank relation — without a
+    # materialization the classifier + gopher-stats pipelines execute
+    # once per reference (guide §2.4); |docs| x 3 narrow columns.
     j = clf.join(rules, "doc_id").select(
         "doc_id", "kr",
         F.expr("(score_milli_sum * 1000) div n_features")
         .alias("avg_milli"),
-    )
+    ).localCheckpoint(eager=True)
     # Distributed two-pass rank (r10, re-sharded r12): row_number WITHIN
     # each shard of the (avg_milli, doc_id) total order, then add the
     # broadcast per-shard cumulative offset — global rank without a

@@ -346,7 +346,10 @@ def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double division per pair.",
 )
 def dedup_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wt = _tfidf_weights(spark, sf_dir)
+    # wt (the tf-idf weight relation) feeds THREE consumers (norms + the
+    # two pair-join sides) — materialize the tokenize + df/idf pipeline
+    # once (guide §2.4).
+    wt = _tfidf_weights(spark, sf_dir).localCheckpoint(eager=True)
     nrm = wt.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(
@@ -563,7 +566,12 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    fp = docs.select(F.md5("text").alias("fp"), "source").distinct()
+    # Materialized before the self-join — both sides would otherwise
+    # re-execute the md5 + distinct (guide §2.4).
+    fp = (
+        docs.select(F.md5("text").alias("fp"), "source").distinct()
+        .localCheckpoint(eager=True)
+    )
     a = fp.select("fp", F.col("source").alias("source_a"))
     b = fp.select("fp", F.col("source").alias("source_b"))
     return (
@@ -624,12 +632,16 @@ def _prefix_candidates(tok: DataFrame) -> DataFrame:
                  f"div {_PREFIX_T_DEN}")
         + F.lit(1)
     )
+    # Materialized before the self-join: both sides would otherwise
+    # re-execute the df aggregate + the two windows (guide §2.4); the
+    # prefix relation is strictly smaller than tok by construction.
     prefix = (
         tok.join(df_s, "s")
         .withColumn("rn", F.row_number().over(w_rare))
         .withColumn("n_tok", F.count("*").over(w_doc))
         .filter(F.col("rn") <= plen)
         .select("doc_id", "s")
+        .localCheckpoint(eager=True)
     )
     return (
         prefix.alias("a")
@@ -776,8 +788,11 @@ def prefix_filter_clustered_candidates(spark: SparkSession, sf_dir: str) -> Data
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _doc_shingles
 
+    # tok feeds the candidate build (df + prefix) AND the verification
+    # arrays — one materialization of the explode+distinct (guide §2.4).
+    tok = _doc_shingles(spark, sf_dir).distinct().localCheckpoint(eager=True)
     return (
-        _prefix_verified_pairs(_doc_shingles(spark, sf_dir).distinct())
+        _prefix_verified_pairs(tok)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(20)
     )
@@ -865,8 +880,10 @@ def dedup_prefix_filter_clustered(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("is_canonical") == 0)
         .select("doc_id")
     )
-    tok = _survivor_shingles(spark, sf_dir)
-    cand = _prefix_candidates(tok)
+    # tok feeds the candidate build and the verify arrays; cand feeds the
+    # funnel count and the verify join — materialize both (guide §2.4).
+    tok = _survivor_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _prefix_candidates(tok).localCheckpoint(eager=True)
     residual = _prefix_verified_pairs(tok, cand)
 
     def stage(ord_: int, name: str, rel: DataFrame) -> DataFrame:
@@ -1257,7 +1274,14 @@ _MRR_K = 10
 def text_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = _doc_words(spark, sf_dir)
-    dw = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # dw (the doc-term matrix) feeds FOUR consumers (corpus stats, doc
+    # lengths, query-term pick, scoring join) — materialize so the text
+    # tokenize + explode + groupBy runs once, not per reference
+    # (guide §2.4).
+    dw = (
+        words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     cw = dw.groupBy("w").agg(
         F.count("*").alias("df_w"), F.sum("tf").alias("c_w")
     )

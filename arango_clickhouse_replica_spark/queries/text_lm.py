@@ -796,8 +796,17 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(i2), "w2", "left")
         .select("doc_id", key.alias("k"))
     )
-    dbg = bg.groupBy("doc_id", "k").agg(F.count("*").alias("c"))
-    c12 = dbg.groupBy("k").agg(F.sum("c").alias("c12"))
+    # dbg feeds the final per-doc scoring join and the global counts;
+    # c12 feeds FOUR consumers (c1/c2/np_/lp) — materialize both so the
+    # bigram explode + id mapping runs once (guide §2.4).
+    dbg = (
+        bg.groupBy("doc_id", "k").agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = (
+        dbg.groupBy("k").agg(F.sum("c").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     m1 = F.expr(f"k div {span}")
     m2 = F.col("k") % span
     c1 = c12.groupBy(m1.alias("m1")).agg(

@@ -41,9 +41,11 @@ def main() -> int:
         RAW_RANK_ALLOWED,
         SP_WINDOW_ALLOWED,
         TRANSCENDENTAL_TRIAGE,
+        captured_checkpoint_subtrees,
         raw_double_ranked_windows,
         transcendentals_in_plan,
         unbounded_single_partition_windows,
+        whole_computation_plans,
     )
 
     spark = (
@@ -58,8 +60,12 @@ def main() -> int:
     bad = []
     for name in sorted(QUERIES):
         try:
-            df = QUERIES[name].build(spark, args.sf)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # r14: eager localCheckpoints truncate the plan — capture each
+            # checkpointed subtree and lint the WHOLE computation, exactly
+            # as tests/test_plan_quality.py does.
+            with captured_checkpoint_subtrees() as subtrees:
+                df = QUERIES[name].build(spark, args.sf)
+            plan, opt = whole_computation_plans(df, subtrees)
         except Exception as e:  # noqa: BLE001 — report, don't abort sweep
             bad.append((name, f"build failed: {e}"))
             continue
@@ -73,11 +79,6 @@ def main() -> int:
             spw = unbounded_single_partition_windows(plan)
             if spw:
                 bad.append((name, f"single-partition window: {spw[0]}"))
-        try:
-            opt = df._jdf.queryExecution().optimizedPlan().toString()
-        except Exception as e:  # noqa: BLE001
-            bad.append((name, f"optimized plan failed: {e}"))
-            continue
         # r12 seventh assertion: physical-partition identity never feeds
         # semantics (branch-unstable after exchanges); no allowlist.
         if "SPARK_PARTITION_ID" in opt.upper():
