@@ -50,7 +50,7 @@ def connected_components(
     # ``edges`` (e.g. shingle -> MinHash -> LSH banding) re-executes per
     # round. At 100 TB the edge list is the small derived relation; the
     # corpus scan it came from is the thing you must not repeat.
-    und = und.localCheckpoint(eager=True)
+    und = und.repartition("b").localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))

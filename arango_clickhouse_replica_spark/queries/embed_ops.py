@@ -1062,14 +1062,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
     # ex feeds two consumers (hits join + n_exact agg) and ap feeds two
-    # (hits join + n_approx agg); both are Q x k rows by construction.
-    # Materializing them runs each of the six composed ANN pipelines
-    # exactly ONCE — lazily, every pipeline re-executed per plan
-    # reference (the r14 opt round counted 84 re-scans of the embeddings
-    # table in this one plan). Guide §2.4/§3.3.
+    # (hits join + n_approx agg); both are Q x k rows by construction, so
+    # each composed pipeline executes twice in the lazy plan. An eager
+    # checkpoint here was A/B'd (r14 opt round) and LOST: it serializes
+    # the six pipelines into sequential jobs, while the lazy union lets
+    # their independent stages backfill cores — 11.55s lazy vs 12.8-14.2s
+    # checkpointed at sf0.1 (guide §2.6 overlap beats §2.4 dedup for
+    # bounded Q x k subtrees).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    )
     parts = []
     for m in _RECALL_METHODS:
         builder = _REG[_RECALL_SOURCES[m]].build
@@ -1081,7 +1083,6 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p in parts[1:]:
         ap = ap.unionByName(p)
-    ap = ap.localCheckpoint(eager=True)
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"])
         .groupBy("method", "query_id")
@@ -1179,12 +1180,13 @@ def _recall_curve_oracle() -> str:
 def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
-    # Same materialization as ann_recall_report: ex/ap are Q x k-bounded
-    # and multiply-referenced — checkpoint so each composed pipeline
-    # runs once (guide §2.4/§3.3).
+    # Same shape as ann_recall_report: ex/ap are Q x k-bounded and
+    # referenced twice each; the eager checkpoint was A/B'd out in the
+    # r14 opt round (lazy overlap of the method pipelines beats the
+    # checkpoint's sequential-job barrier at every measured sf).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
-    ).localCheckpoint(eager=True)
+    )
     parts = []
     for m in _RECALL_METHODS:
         builder = _REG[_RECALL_SOURCES[m]].build
@@ -1196,7 +1198,6 @@ def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p in parts[1:]:
         ap = ap.unionByName(p)
-    ap = ap.localCheckpoint(eager=True)
     ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
     hits = (
         ex.withColumnRenamed("rank", "e_rank")
@@ -1730,13 +1731,9 @@ _NPROBE_SWEEP = (1, 2, 4)
 def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _ivf_topk, ann_cosine_topk_bruteforce
 
-    # ex is Q x k rows and feeds two consumers; the 4-probe union feeds
-    # one join but each _ivf_topk shares the centroid/assign subtrees —
-    # materializing both caps the sweep at one execution per pipeline
-    # (guide §2.4/§3.3).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    ).localCheckpoint(eager=True)
+    )
     parts = [
         _ivf_topk(spark, sf_dir, n_probe=p).select(
             F.lit(p).cast("int").alias("nprobe"), "query_id", "neighbor_id"
@@ -1746,7 +1743,6 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p_ in parts[1:]:
         ap = ap.unionByName(p_)
-    ap = ap.localCheckpoint(eager=True)
     hits = (
         ex.join(ap, ["query_id", "neighbor_id"])
         .groupBy("nprobe", "query_id")

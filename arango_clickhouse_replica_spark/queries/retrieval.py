@@ -632,16 +632,12 @@ def _prefix_candidates(tok: DataFrame) -> DataFrame:
                  f"div {_PREFIX_T_DEN}")
         + F.lit(1)
     )
-    # Materialized before the self-join: both sides would otherwise
-    # re-execute the df aggregate + the two windows (guide §2.4); the
-    # prefix relation is strictly smaller than tok by construction.
     prefix = (
         tok.join(df_s, "s")
         .withColumn("rn", F.row_number().over(w_rare))
         .withColumn("n_tok", F.count("*").over(w_doc))
         .filter(F.col("rn") <= plen)
         .select("doc_id", "s")
-        .localCheckpoint(eager=True)
     )
     return (
         prefix.alias("a")
@@ -694,18 +690,25 @@ def _prefix_verified_pairs(tok: DataFrame, cand: DataFrame | None = None) -> Dat
     )
 
 
-def _survivor_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _survivor_shingles(
+    spark: SparkSession, sf_dir: str, dropped: DataFrame | None = None
+) -> DataFrame:
     """Distinct ``(doc_id, s)`` shingles restricted to LSH-cluster
     SURVIVORS — every document except non-canonical near-dup cluster
     members (the keep-list rule, quality_filters.py). The anti-join side
-    is the (small) cluster relation, served from the per-session cache."""
+    is the (small) cluster relation, recomputed per build (r14: the
+    session memo is gone). Callers that already hold the dropped-doc
+    relation pass it in so ONE LSH + connected-components execution
+    serves the whole build (each ``clusters_relation`` call re-runs the
+    pipeline now that the memo is removed)."""
     from .llm_ops import _doc_shingles, clusters_relation
 
-    dropped = (
-        clusters_relation(spark, sf_dir)
-        .filter(F.col("is_canonical") == 0)
-        .select("doc_id")
-    )
+    if dropped is None:
+        dropped = (
+            clusters_relation(spark, sf_dir)
+            .filter(F.col("is_canonical") == 0)
+            .select("doc_id")
+        )
     return (
         _doc_shingles(spark, sf_dir).distinct()
         .join(dropped, "doc_id", "left_anti")
@@ -788,9 +791,7 @@ def prefix_filter_clustered_candidates(spark: SparkSession, sf_dir: str) -> Data
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import _doc_shingles
 
-    # tok feeds the candidate build (df + prefix) AND the verification
-    # arrays — one materialization of the explode+distinct (guide §2.4).
-    tok = _doc_shingles(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    tok = _doc_shingles(spark, sf_dir).distinct()
     return (
         _prefix_verified_pairs(tok)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
@@ -875,15 +876,19 @@ def dedup_prefix_filter_clustered(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     from .llm_ops import clusters_relation
 
+    # ONE clusters_relation execution per build: the dropped list feeds
+    # both the funnel stages and the survivor shingles (r14: with the
+    # session memo removed, a second call re-ran the whole LSH +
+    # connected-components pipeline — measured 15.9s vs 9.6s isolated).
     dropped = (
         clusters_relation(spark, sf_dir)
         .filter(F.col("is_canonical") == 0)
         .select("doc_id")
     )
-    # tok feeds the candidate build and the verify arrays; cand feeds the
-    # funnel count and the verify join — materialize both (guide §2.4).
-    tok = _survivor_shingles(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _prefix_candidates(tok).localCheckpoint(eager=True)
+    tok = _survivor_shingles(spark, sf_dir, dropped=dropped).localCheckpoint(
+        eager=True
+    )
+    cand = _prefix_candidates(tok)
     residual = _prefix_verified_pairs(tok, cand)
 
     def stage(ord_: int, name: str, rel: DataFrame) -> DataFrame:

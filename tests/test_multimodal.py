@@ -661,19 +661,19 @@ def test_color_ahash_luma_weights_match_gray_on_gray_content(spark):
     assert rows[1] == rows[2]
 
 
-def test_media_cache_serves_second_call(spark, sf_dir):
-    """The per-(application, sf_dir) decoded-media cache must hand back
-    the same checkpointed relation on a second build (bench runs each
-    query twice) and key by sf_dir."""
+def test_media_rebuild_recomputes_and_matches(spark, sf_dir):
+    """r14 optimization round: the session-level decoded-media memo was
+    removed (a bench's repeat runs must recompute from parquet — module
+    result memos keyed on the input dir are the banned gaming pattern).
+    Two independent builds must return distinct DataFrames (no shared
+    module state) with identical rows (the decode is deterministic)."""
     from arango_clickhouse_replica_spark.queries import QUERIES
     from arango_clickhouse_replica_spark.queries import multimodal_queries as mq
 
-    mq._MEDIA_CACHE.clear()
+    assert not hasattr(mq, "_MEDIA_CACHE")
     df1 = QUERIES["mm_color_jpeg_decode_features"].build(spark, sf_dir)
-    n_keys = len(mq._MEDIA_CACHE)
-    assert n_keys >= 1
     df2 = QUERIES["mm_color_jpeg_decode_features"].build(spark, sf_dir)
-    assert len(mq._MEDIA_CACHE) == n_keys  # no rebuild, same key
+    assert df1 is not df2
     assert df1.collect() == df2.collect()
 
 
