@@ -56,7 +56,7 @@ def sign_signature(vec: Column, bits: int, dim: int) -> Column:
 
 
 def drop_hot_shingles(
-    shingles: DataFrame, df_cap: int, shingle_col: str = "s"
+    shingles: DataFrame, df_cap: int | DataFrame, shingle_col: str = "s"
 ) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``df_cap``.
 
@@ -71,13 +71,20 @@ def drop_hot_shingles(
     local shuffle reader keeps the probe side un-exchanged), or keeps a
     partitioned anti-join when it isn't. Never trust a pre-aggregation
     cardinality guess enough to force a driver-side build.
+
+    ``df_cap`` is either a collected int or a 1-row single-column
+    DataFrame holding the cap (r14 opt round): the relation form lets a
+    caller fold the cap's own aggregate (e.g. a corpus count) into this
+    plan as a broadcast scalar attach instead of paying a separate
+    driver-blocking count job per build.
     """
-    hot = (
-        shingles.groupBy(shingle_col)
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > df_cap)
-        .select(shingle_col)
-    )
+    counts = shingles.groupBy(shingle_col).agg(F.count("*").alias("__df"))
+    if isinstance(df_cap, DataFrame):
+        cap_col = F.col(df_cap.columns[0])
+        counts = counts.join(F.broadcast(df_cap))
+        hot = counts.filter(F.col("__df") > cap_col).select(shingle_col)
+    else:
+        hot = counts.filter(F.col("__df") > df_cap).select(shingle_col)
     return shingles.join(hot, shingle_col, "left_anti")
 
 

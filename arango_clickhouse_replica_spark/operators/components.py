@@ -51,28 +51,36 @@ def connected_components(
     # round. At 100 TB the edge list is the small derived relation; the
     # corpus scan it came from is the thing you must not repeat.
     und = und.repartition("b").localCheckpoint(eager=True)
+    # Fused first propagation (r14 opt round): enumerating the nodes
+    # already costs a full shuffle of the edge list (the old bare
+    # ``distinct``); grouping by node instead gives min-neighbor for the
+    # same shuffle, so the initial labels start one round ahead —
+    # bit-identical to initializing with the node id and propagating
+    # once (label = min(self, min over neighbors)).
     labels = (
-        und.select(F.col("a").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__mb"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__mb")).alias("component")
+        )
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_rounds):
-        nbr_min = (
-            und.join(labels, und["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+        # One propagation = min over {self} UNION {neighbor labels}: a
+        # single groupBy replaces the old neighbor-min groupBy + re-join
+        # onto labels (same per-round result, one less exchange and one
+        # less join per round — guide §2.4). The edge list keeps its
+        # checkpointed b-partitioning, so only the (node-sized) label
+        # relation moves each round.
+        contrib = und.join(labels, und["b"] == labels["node"]).select(
+            und["a"].alias("node"), "component"
         )
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+            contrib.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(

@@ -81,8 +81,15 @@ def _hot_shingle_cap(n_docs: int) -> int:
 def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.blocking import drop_hot_shingles
 
-    n_docs = load_table(spark, "documents", sf_dir).count()
-    return drop_hot_shingles(_doc_shingles(spark, sf_dir), _hot_shingle_cap(n_docs))
+    # The cap rides the plan as a broadcast 1-row aggregate instead of a
+    # collected literal (r14 opt round): the old ``documents.count()``
+    # was a driver-blocking job paid once per capped consumer; as a
+    # lazy stage it overlaps the shingle scan (guide §2.6) and computes
+    # the identical greatest(5, least(64, n_docs div 100)) value.
+    cap_rel = load_table(spark, "documents", sf_dir).agg(
+        F.expr("greatest(5, least(64, count(*) div 100))").alias("__cap")
+    )
+    return drop_hot_shingles(_doc_shingles(spark, sf_dir), cap_rel)
 
 
 # Same cap in DuckDB: NOT IN the (small) hot-shingle list.

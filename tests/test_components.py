@@ -38,6 +38,19 @@ def test_two_node_component(spark):
     assert got == {7: 7, 8: 7}
 
 
+def test_long_diameter_chain_survives_fused_init(spark):
+    # r14 opt round: the initial labels are one propagation ahead (label
+    # = min(self, min neighbor) fused into the node enumeration) and each
+    # loop round is a single union+groupBy min. A descending-id chain of
+    # diameter 16 forces many loop rounds after the fused init and makes
+    # any off-by-one in the convergence probe (sum unchanged) visible:
+    # the min label must still reach the far end exactly.
+    n = 17
+    edges = [(i + 1, i) for i in range(1, n)]  # 2->1, 3->2, ..., 17->16
+    got = _cc(spark, edges)
+    assert got == {k: 1 for k in range(1, n + 1)}
+
+
 def test_cluster_ids_match_bruteforce(spark):
     # random-ish small graph vs a driver-side union-find
     edges = [(1, 5), (5, 9), (2, 6), (6, 2), (3, 7), (7, 11), (11, 3), (4, 4)]
