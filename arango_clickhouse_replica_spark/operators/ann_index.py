@@ -788,16 +788,19 @@ def cell_adjacency(
     cost |cell|^2 bounded by the cap, never corpus-sized."""
     from .blocking import with_sub_block
 
+    # localCheckpoint the touched membership ONCE: with_sub_block reads
+    # its input twice (per-cell count aggregate + probe), the pair
+    # kernel joins mb against itself, and the empty-row base below needs
+    # (vec_id, cell) — without the checkpoint every reference re-executes
+    # the whole upstream (latest_state window + broadcast argmax
+    # assignment). The materialized side is only the TOUCHED membership,
+    # delta-bounded in production batches (r14 opt round, guide §2.4).
+    m0 = members.select("vec_id", "cell", "embedding", "nrm").localCheckpoint(
+        eager=False
+    )
     mb = with_sub_block(
-        members.select("vec_id", "cell", "embedding", "nrm"),
-        label_col="cell",
-        label_cap=cell_cap,
+        m0, label_col="cell", label_cap=cell_cap
     ).localCheckpoint(eager=False)
-    # localCheckpoint before the self-join: the pair kernel's two sides
-    # would otherwise each re-execute the whole upstream (the
-    # latest_state window + broadcast argmax assignment) — the
-    # materialized side is only the TOUCHED membership, delta-bounded
-    # in production batches.
     a, b = mb.alias("a"), mb.alias("b")
     pair = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -831,8 +834,11 @@ def cell_adjacency(
         ).alias("dst_csv"),
         F.sum("dst").cast("long").alias("dst_sum"),
     )
+    # The empty-row base reads the CHECKPOINTED membership instead of
+    # re-referencing ``members`` (same rows — the second reference used
+    # to re-execute the whole upstream merge + semi-join per patch).
     return (
-        members.select(F.col("vec_id").alias("src"), "cell")
+        m0.select(F.col("vec_id").alias("src"), "cell")
         .join(packed, "src", "left")
         .select(
             "src",
@@ -880,19 +886,29 @@ def graph_adjacency_patch(
     must be monotone across batches (the stream's batch id) — a later
     recompute of the same src supersedes an earlier one by plain
     version comparison."""
-    merged = latest_state(
-        prior_node_state.select(*NODE_COLS).unionByName(
-            node_delta.select(*NODE_COLS)
-        ),
-        ["vec_id"],
+    all_rows = prior_node_state.select(*NODE_COLS).unionByName(
+        node_delta.select(*NODE_COLS)
     )
+    merged = latest_state(all_rows, ["vec_id"])
     after = merged.filter(F.col(DELETED_COL) == 0)
     touched = graph_touched_cells(prior_node_state, node_delta)
     members = after.join(F.broadcast(touched), "cell", "left_semi")
     recomputed = cell_adjacency(members, seq, degree, cell_cap)
-    dels = merged.filter(F.col(DELETED_COL) == 1).join(
-        node_delta.select("vec_id").distinct(), "vec_id", "left_semi"
-    ).select("vec_id")
+    # Tombstones need the merged state of DELTA KEYS only, and per-key
+    # latest state depends only on that key's rows — restrict to the
+    # delta's keys BEFORE the version window (r14 opt round): the old
+    # full-``merged`` reference re-executed the corpus-sized merge a
+    # second time to answer a delta-bounded question.
+    dels = (
+        latest_state(
+            all_rows.join(
+                node_delta.select("vec_id").distinct(), "vec_id", "left_semi"
+            ),
+            ["vec_id"],
+        )
+        .filter(F.col(DELETED_COL) == 1)
+        .select("vec_id")
+    )
     return recomputed.unionByName(adjacency_tombstones(dels, seq))
 
 

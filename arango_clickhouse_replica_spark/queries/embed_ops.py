@@ -3764,7 +3764,12 @@ def ann_incremental_graph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    nodes2 = graph_node_rows(delta_changes, cents)
+    # Delta-bounded by construction (|changes| rows): materialized once
+    # because the patch references the delta several times (merge union,
+    # touched-cell derivation, tombstone key set) and each lazy reference
+    # re-ran the broadcast-argmax assignment over the parquet scan (r14
+    # opt round, guide §2.4).
+    nodes2 = graph_node_rows(delta_changes, cents).localCheckpoint(eager=True)
     from ..operators.cdc import latest_state as _latest_state
 
     prior_state = _latest_state(nodes1, ["vec_id"])
