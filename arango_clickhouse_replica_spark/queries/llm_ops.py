@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_scan
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -53,6 +53,13 @@ _SHINGLES_SQL = (
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # The documents fixture is a single small parquet split, so the
+    # shingle explode + per-shingle md5 + partial aggregates downstream
+    # (the most md5-heavy chain in the dedup family) would run as ONE
+    # task while the rest of the cluster idles (guide §2.6). Every
+    # shingle consumer aggregates order-insensitively, so the spread
+    # never shifts a result.
+    docs = spread_small_scan(docs, "doc_id")
     return (
         docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 3)

@@ -34,6 +34,22 @@ def get_spark(app_name: str = "arango-clickhouse-replica-spark") -> SparkSession
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing reasons in BYTES; the embedding/pair-kernel
+        # stages here are byte-light but compute-heavy (64-dim array
+        # folds per joined row), so the default 1 MB minPartitionSize
+        # floor collapses their shuffles to ONE partition and serializes
+        # the kernel on a single core (measured: the mutual-kNN pair
+        # stage ran 1 task x 2.0 s; at 16k it runs 13 tasks x 0.03 s —
+        # r14 opt round, guide §2.2/§2.6). parallelismFirst (default
+        # true) already targets total/parallelism as the partition size;
+        # this floor just lets it act on small-byte/large-compute
+        # shuffles too. Large shuffles are untouched (their sizes sit
+        # far above any floor), so the setting is scale-neutral at
+        # 100 TB; parameterized for ops override.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         # Static default sized for local test data; AQE coalesces down,
         # and on a real cluster this would be ~2-3x total cores.
         .config("spark.sql.shuffle.partitions", str(cpus))

@@ -67,6 +67,23 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-spread an UNDER-SPLIT scan across the session parallelism
+    before per-row-expensive work (guide §2.6 — the multimodal
+    ``_spread_ids`` lesson generalized): a small fixture file arrives as
+    one input split, so a JSON-synth / shingle-explode / md5 chain over
+    it runs on ONE core while the rest idle. The repartition fires ONLY
+    when the scan has fewer partitions than the session parallelism — at
+    real scale the file splits already provide the parallelism and the
+    corpus is never reshuffled. Hash partitioning on a real key column is
+    deterministic under task retry (guide §2.5: never round-robin or
+    rand-derived keys over a re-read scan)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, key_col)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table keyed by name."""
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
