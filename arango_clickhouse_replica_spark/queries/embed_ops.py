@@ -167,10 +167,15 @@ _KMEANS_ORACLE = f"""
 def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emb feeds the seeding window and BOTH assignment passes (Lloyd
     # re-assignment must rescan the vectors) — materialize the scan +
-    # norm once (guide §2.4/§5).
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    ).localCheckpoint(eager=True)
+    # norm once (guide §2.4/§5). The spread parallelizes the broadcast
+    # argmax (a 64-dim fold x K per row) that otherwise runs on the
+    # single-split scan partitioning (guide §2.6); the checkpoint
+    # materializes it once for both passes.
+    from ..sources.tables import spread_small_scan
+
+    emb = spread_small_scan(
+        load_table(spark, "embeddings", sf_dir), "vec_id"
+    ).withColumn("nrm", _norm(F.col("embedding"))).localCheckpoint(eager=True)
     seeds = _seed_centroids(emb)
 
     seed_sim = _dot(F.col("embedding"), F.col("c_emb")) / (
@@ -602,7 +607,12 @@ def _adc_serve(
         "1.2x); only Q*shortlist rows touch full-precision vectors.",
 )
 def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    from ..sources.tables import spread_small_scan
+
+    # Spread the single-split scan before the per-row PQ encode (8
+    # subvector slices x 16 L2 argmins per vector — guide §2.6);
+    # measured 5.7 -> 3.9 s isolated at sf0.1, no-op at real scale.
+    emb = spread_small_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
     codes = _pq_codes(emb)
     # One row per vector: the 8 subspace codes as an m-ordered array —
     # a single hash aggregate over the N*M code relation.
@@ -4116,7 +4126,12 @@ def ann_incremental_graph_search_read(
             )
         )
     )
-    nodes2 = graph_node_rows(delta_changes, cents)
+    # Delta-bounded by construction (|changes| rows): materialized once —
+    # the patch references the delta THREE times (merge union, touched
+    # cells, tombstone keys) and each lazy reference re-ran the spread +
+    # broadcast-argmax assignment (the parity query already does this;
+    # this read path had been left lazy — r14 opt round, guide §2.4).
+    nodes2 = graph_node_rows(delta_changes, cents).localCheckpoint(eager=True)
     adj2 = graph_adjacency_patch(
         _latest_state(nodes1, ["vec_id"]), nodes2, seq=2
     )

@@ -75,12 +75,23 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     it runs on ONE core while the rest idle. The repartition fires ONLY
     when the scan has fewer partitions than the session parallelism — at
     real scale the file splits already provide the parallelism and the
-    corpus is never reshuffled. Hash partitioning on a real key column is
-    deterministic under task retry (guide §2.5: never round-robin or
-    rand-derived keys over a re-read scan)."""
+    corpus is never reshuffled. The partition key is the guide-§2.5
+    synthetic key — ``pmod(xxhash64(key), 100 * n)`` — deterministic
+    under task retry (never round-robin or rand-derived over a re-read
+    scan) with 100x more distinct values than partitions so the hash
+    spreads evenly; deriving it (rather than hashing the raw key column)
+    also keeps the exchange's partitioning claim disjoint from every
+    downstream JOIN key, so the planner can never elide a required
+    exchange against this claim (observed: a union of two raw-key-spread
+    branches fed a sort-merge join that tried to zip 32- and
+    64-partition RDDs)."""
+    from pyspark.sql import functions as F
+
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
-        return df.repartition(n, key_col)
+        return df.repartition(
+            n, F.pmod(F.xxhash64(F.col(key_col)), F.lit(100 * n))
+        )
     return df
 
 
