@@ -872,6 +872,7 @@ def graph_adjacency_patch(
     seq: int,
     degree: int = GRAPH_DEGREE,
     cell_cap: int = GRAPH_CELL_CAP,
+    merged: DataFrame | None = None,
 ) -> DataFrame:
     """One batch's adjacency delta: fresh rows for every live member of
     a touched cell (computed against the post-batch membership) plus
@@ -885,30 +886,54 @@ def graph_adjacency_patch(
     the tombstone instead of leaving a dangling adjacency row. ``_seq``
     must be monotone across batches (the stream's batch id) — a later
     recompute of the same src supersedes an earlier one by plain
-    version comparison."""
-    all_rows = prior_node_state.select(*NODE_COLS).unionByName(
-        node_delta.select(*NODE_COLS)
-    )
-    merged = latest_state(all_rows, ["vec_id"])
+    version comparison.
+
+    ``merged`` (r15): optionally the PRECOMPUTED
+    ``latest_state(prior_node_state ∪ node_delta, ["vec_id"])`` — the
+    caller guarantees that equality (typically by materializing the
+    merge once and sharing it with its own consumers, e.g. the serving
+    read's post-CDC vector state, which IS this relation). When given,
+    the patch derives both its recompute membership and its tombstone
+    keys from it instead of re-running the corpus-sized version window
+    per lane (guide §2.4)."""
+    if merged is None:
+        all_rows = prior_node_state.select(*NODE_COLS).unionByName(
+            node_delta.select(*NODE_COLS)
+        )
+        merged = latest_state(all_rows, ["vec_id"])
+        # Tombstones need the merged state of DELTA KEYS only, and
+        # per-key latest state depends only on that key's rows —
+        # restrict to the delta's keys BEFORE the version window (r14
+        # opt round): a full-``merged`` reference re-executed the
+        # corpus-sized merge a second time to answer a delta-bounded
+        # question.
+        dels = (
+            latest_state(
+                all_rows.join(
+                    node_delta.select("vec_id").distinct(),
+                    "vec_id", "left_semi",
+                ),
+                ["vec_id"],
+            )
+            .filter(F.col(DELETED_COL) == 1)
+            .select("vec_id")
+        )
+    else:
+        merged = merged.select(*NODE_COLS)
+        # The caller materialized the merge — the delta-key restriction
+        # commutes with the per-key window, so reading the merged
+        # relation directly is the same rows with zero extra windows.
+        dels = (
+            merged.join(
+                node_delta.select("vec_id").distinct(), "vec_id", "left_semi"
+            )
+            .filter(F.col(DELETED_COL) == 1)
+            .select("vec_id")
+        )
     after = merged.filter(F.col(DELETED_COL) == 0)
     touched = graph_touched_cells(prior_node_state, node_delta)
     members = after.join(F.broadcast(touched), "cell", "left_semi")
     recomputed = cell_adjacency(members, seq, degree, cell_cap)
-    # Tombstones need the merged state of DELTA KEYS only, and per-key
-    # latest state depends only on that key's rows — restrict to the
-    # delta's keys BEFORE the version window (r14 opt round): the old
-    # full-``merged`` reference re-executed the corpus-sized merge a
-    # second time to answer a delta-bounded question.
-    dels = (
-        latest_state(
-            all_rows.join(
-                node_delta.select("vec_id").distinct(), "vec_id", "left_semi"
-            ),
-            ["vec_id"],
-        )
-        .filter(F.col(DELETED_COL) == 1)
-        .select("vec_id")
-    )
     return recomputed.unionByName(adjacency_tombstones(dels, seq))
 
 

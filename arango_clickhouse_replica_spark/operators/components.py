@@ -40,8 +40,27 @@ def connected_components(
 
     Returns a DataFrame ``(node, component)``. Nodes are whatever appears
     in ``src``/``dst``; isolated nodes (absent from ``edges``) are absent
-    from the result.
+    from the result. ``src`` and ``dst`` must share one id type — the
+    struct-array explode below fails analysis on mismatched field types
+    (unlike the pre-r14 unionAll form, which silently coerced); mixed
+    integer widths are widened to long here to preserve that tolerance
+    (r15, ADVICE r14).
     """
+    ta = edges.schema[src].dataType
+    tb = edges.schema[dst].dataType
+    if ta != tb:
+        from pyspark.sql import types as T
+
+        ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if not (isinstance(ta, ints) and isinstance(tb, ints)):
+            raise TypeError(
+                f"connected_components: {src} ({ta}) and {dst} ({tb}) "
+                "must share one id type"
+            )
+        edges = edges.select(
+            F.col(src).cast("long").alias(src),
+            F.col(dst).cast("long").alias(dst),
+        )
     # Undirected edge list via ONE reference to ``edges``: the unionAll of
     # two column-swapped projections references the upstream pipeline
     # twice, which re-executes it twice unless exchange reuse happens to

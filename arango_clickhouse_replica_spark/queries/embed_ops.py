@@ -453,7 +453,10 @@ def _adc_serve(
     # The bounded query set feeds the LUT collect AND the final rerank
     # join — materialize once so the query-selection subtree (scan +
     # orderBy/limit) doesn't re-execute per reference (guide §2.4).
-    queries = queries.localCheckpoint(eager=True)
+    # LAZY (r15): the LUT collect below is the first action and
+    # materializes it — one job instead of a checkpoint job + collect
+    # job (the components.py per-round action-economy pattern).
+    queries = queries.localCheckpoint(eager=False)
 
     # Per-(query, m, k) partial distances in the EXACT decimal lane,
     # scaled to int64 (scale-6 decimal * 1e6 is exact) so the 8-term ADC
@@ -504,7 +507,16 @@ def _adc_serve(
                 "adc_u": np.take_along_axis(adc, order, axis=1).ravel(),
             })
 
-    shards = codes_wide
+    # Materialize the code table BEFORE the partition-count probe (r15):
+    # ``.rdd.getNumPartitions()`` on a plan that still contains
+    # Exchanges makes AQE materialize every upstream query stage just to
+    # answer the partitioning question, and the mapInPandas pass below
+    # then re-executed the whole encode/merge a second time (a fresh
+    # physical plan cannot reuse the probe's stages). Checkpointed, the
+    # probe reads the RDD's known partition count and the ADC scan reads
+    # the persisted blocks — the encode runs ONCE (guide §2.4; both
+    # callers' code tables are 16x smaller than the float store).
+    shards = codes_wide.localCheckpoint(eager=True)
     parallelism = codes_wide.sparkSession.sparkContext.defaultParallelism
     if shards.rdd.getNumPartitions() < parallelism:
         shards = shards.repartition(parallelism)
@@ -960,6 +972,10 @@ def ann_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasting it into the edge/node joins replaces per-hop
     # SortMergeJoins (which shuffled the corpus-sized sides every hop)
     # with broadcast hash joins that stream the big side (guide §3.1).
+    # (r15 note: a single-reference rewrite — self-loop edges, one lazy
+    # hop pipeline, fused final top-5 — was built and measured WORSE
+    # isolated (9-48 s vs 5.3 s): the nested per-hop BroadcastExchanges
+    # serialize the whole search into one deep AQE plan. Reverted.)
     beam = (
         F.broadcast(q)
         .join(seeds, F.col("vec_id") != F.col("query_id"))

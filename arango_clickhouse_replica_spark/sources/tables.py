@@ -84,7 +84,15 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     downstream JOIN key, so the planner can never elide a required
     exchange against this claim (observed: a union of two raw-key-spread
     branches fed a sort-merge join that tried to zip 32- and
-    64-partition RDDs)."""
+    64-partition RDDs).
+
+    INPUT CONTRACT (r15, ADVICE r14): ``df`` must be a bare file-source
+    scan (optionally with narrow projections/filters) — the
+    ``df.rdd.getNumPartitions()`` probe below finalizes the physical
+    plan, and under AQE a plan containing Exchanges would eagerly
+    materialize its upstream query stages (running real jobs) just to
+    answer the partition-count question. Every caller passes a
+    ``load_table`` scan; pass nothing wider."""
     from pyspark.sql import functions as F
 
     n = df.sparkSession.sparkContext.defaultParallelism

@@ -22,6 +22,31 @@ def test_drop_hot_shingles_drops_only_hot(spark):
     assert kept.count() == 4
 
 
+def test_drop_hot_shingles_relation_cap_plans_broadcast_hash(spark):
+    """The 1-row relation-cap attach must plan as a BroadcastHashJoin on
+    the constant key, never a BroadcastNestedLoopJoin (r15, ADVICE r14:
+    the least(1, greatest(1, x)) clamp relies on Catalyst having no
+    simplification rule for it — if a future Spark folds it, this test
+    points at the function instead of a distant whole-query plan lint)."""
+    rows = [("d%d" % d, s) for s in ("hot",) for d in range(10)]
+    rows += [("d0", "cold")]
+    sh = spark.createDataFrame(rows, "doc_id string, s string")
+    # Aggregate-derived cap, like the real callers: a LITERAL cap column
+    # constant-folds the least/greatest clamp key and regresses the
+    # attach to BroadcastNestedLoopJoin — the guarantee under test only
+    # holds for attribute-derived caps.
+    cap_rel = spark.range(30).agg(
+        F.expr("greatest(1, least(3, count(*) div 10))").alias("__cap")
+    )
+    kept = drop_hot_shingles(sh, cap_rel)
+    # Execute first: under AQE the pre-execution plan is not final (the
+    # cap attach only shows as BroadcastHashJoin in the finalized plan).
+    assert sorted({r.s for r in kept.collect()}) == ["cold"]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_sub_block_inactive_below_cap(spark):
     emb = spark.range(50).select(
         F.col("id").alias("vec_id"),
