@@ -1087,17 +1087,21 @@ def _ann_recall_oracle() -> str:
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
-    # ex feeds two consumers (hits join + n_exact agg) and ap feeds two
-    # (hits join + n_approx agg); both are Q x k rows by construction, so
-    # each composed pipeline executes twice in the lazy plan. An eager
-    # checkpoint here was A/B'd (r14 opt round) and LOST: it serializes
-    # the six pipelines into sequential jobs, while the lazy union lets
-    # their independent stages backfill cores — 11.55s lazy vs 12.8-14.2s
-    # checkpointed at sf0.1 (guide §2.6 overlap beats §2.4 dedup for
-    # bounded Q x k subtrees).
+    # Each composed pipeline must execute ONCE (guide §2.4). The
+    # five-way approx union stays lazy-overlapped but is referenced
+    # ONCE (r15): n_approx and n_hit come from a single left join
+    # against the exact set (count(*) vs count(match-marker) in one
+    # grouped pass), so no ap subtree duplicates. The exact shortlist
+    # IS checkpointed (Q x 5 rows, one small job) because it then
+    # BROADCASTS into the hit probe as persisted rows — measured r15:
+    # broadcasting the un-materialized brute subtree instead moved the
+    # whole brute pipeline into the BroadcastExchange build (16.6-19.7s
+    # vs 13.25s with the checkpoint; the r14 note about checkpoints
+    # losing applied to checkpointing BOTH sides, which serialized the
+    # five approx pipelines too).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint(eager=True)
     parts = []
     for m in _RECALL_METHODS:
         builder = _REG[_RECALL_SOURCES[m]].build
@@ -1109,20 +1113,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ap = parts[0]
     for p in parts[1:]:
         ap = ap.unionByName(p)
-    hits = (
-        ex.join(ap, ["query_id", "neighbor_id"])
+    per = (
+        ap.join(
+            F.broadcast(ex.withColumn("__e", F.lit(1))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
         .groupBy("method", "query_id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(
+            F.count("*").alias("n_approx"),
+            F.count("__e").alias("n_hit"),
+        )
     )
     n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    n_ap = ap.groupBy("method", "query_id").agg(F.count("*").alias("n_approx"))
     methods = spark.createDataFrame(
         [(m,) for m in _RECALL_METHODS], "method string"
     )
     return (
         n_ex.crossJoin(F.broadcast(methods))
-        .join(n_ap, ["method", "query_id"], "left")
-        .join(hits, ["method", "query_id"], "left")
+        .join(per, ["method", "query_id"], "left")
         .select(
             "method",
             "query_id",
@@ -1206,10 +1215,13 @@ def _recall_curve_oracle() -> str:
 def embed_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_ops import ann_cosine_topk_bruteforce
 
-    # Same shape as ann_recall_report: ex/ap are Q x k-bounded and
-    # referenced twice each; the eager checkpoint was A/B'd out in the
-    # r14 opt round (lazy overlap of the method pipelines beats the
-    # checkpoint's sequential-job barrier at every measured sf).
+    # Same shape as ann_recall_report: ex/ap are Q x k-bounded; unlike
+    # the report, ap here is ALREADY single-referenced (the curve has no
+    # n_approx lane), so the report's left-join fusion has nothing to
+    # dedup — r15 re-measured both an ex checkpoint and a broadcast
+    # left-join variant and both lost to this lazy shape (the eager
+    # checkpoint put the brute-force job on the critical path; r14's
+    # A/B of checkpointing both sides lost the same way).
     ex = ann_cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -3762,16 +3774,6 @@ def ann_incremental_graph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         (F.col("vec_id") * 2).alias("_ver"), F.lit(0).alias("_deleted"),
     )
-    # Materialize the batch-1 node rows once: they feed the batch-1
-    # patch (twice: merged state + touched cells), batch 2's prior
-    # state, and the final live view — without this the broadcast-argmax
-    # assignment over the base snapshot re-executes per reference (r14
-    # opt round, guide §2.4). Batch-1 is the one corpus-sized build in
-    # this simulated story (production batches are delta-bounded).
-    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
-    empty_prior = nodes1.filter(F.lit(False))
-    adj1 = graph_adjacency_patch(empty_prior, nodes1, seq=1)
-
     # batch 2: negated re-embeds + deletes — only their old/new cells
     # recompute; everything else rides batch 1's rows
     delta_changes = (
@@ -3790,16 +3792,28 @@ def ann_incremental_graph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # Delta-bounded by construction (|changes| rows): materialized once
-    # because the patch references the delta several times (merge union,
-    # touched-cell derivation, tombstone key set) and each lazy reference
-    # re-ran the broadcast-argmax assignment over the parquet scan (r14
-    # opt round, guide §2.4).
+    # Both batches' node rows materialized once each (the patches
+    # reference them several times — merge union, touched cells,
+    # tombstone keys; each lazy reference re-ran the broadcast-argmax
+    # assignment over the parquet scan, guide §2.4) and their argmax
+    # jobs overlapped — they are independent given the centroid
+    # checkpoint (r15, guide §2.6).
+    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
     nodes2 = graph_node_rows(delta_changes, cents).localCheckpoint(eager=True)
+    empty_prior = nodes1.filter(F.lit(False))
+    # batch 1's merged state IS nodes1 (one row per key by construction)
+    # and batch 2's prior state is likewise nodes1 itself — both
+    # latest_state windows over already-unique keys skipped outright;
+    # batch 2's true merge (the one window this story needs) is
+    # materialized once and shared across the patch's lanes (r15,
+    # guide §2.4).
     from ..operators.cdc import latest_state as _latest_state
 
-    prior_state = _latest_state(nodes1, ["vec_id"])
-    adj2 = graph_adjacency_patch(prior_state, nodes2, seq=2)
+    adj1 = graph_adjacency_patch(empty_prior, nodes1, seq=1, merged=nodes1)
+    merged = _latest_state(
+        nodes1.unionByName(nodes2), ["vec_id"]
+    ).localCheckpoint(eager=True)
+    adj2 = graph_adjacency_patch(nodes1, nodes2, seq=2, merged=merged)
 
     return (
         live_adjacency(adj1.unionByName(adj2))
@@ -4122,10 +4136,6 @@ def ann_incremental_graph_search_read(
         "vec_id", "embedding",
         (F.col("vec_id") * 2).alias("_ver"), F.lit(0).alias("_deleted"),
     )
-    # Materialized once for the same reason as in the parity query: the
-    # batch-1 node rows feed both patches and the live view (guide §2.4).
-    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
-    adj1 = graph_adjacency_patch(nodes1.filter(F.lit(False)), nodes1, seq=1)
     delta_changes = (
         emb.filter(F.col("vec_id") % 10 == 0)
         .select(
@@ -4142,15 +4152,32 @@ def ann_incremental_graph_search_read(
             )
         )
     )
-    # Delta-bounded by construction (|changes| rows): materialized once —
-    # the patch references the delta THREE times (merge union, touched
-    # cells, tombstone keys) and each lazy reference re-ran the spread +
-    # broadcast-argmax assignment (the parity query already does this;
-    # this read path had been left lazy — r14 opt round, guide §2.4).
+    # (r15 note: submitting independent materialization jobs from a
+    # thread pool — guide §2.6 — was A/B'd on a quiet box in three
+    # combinations; every overlapped variant was noisier and none
+    # reliably beat sequential submission: concurrent AQE planning
+    # contends on the driver at this fixed-overhead-bound scale.
+    # Kept sequential.)
+    nodes1 = graph_node_rows(base, cents).localCheckpoint(eager=True)
     nodes2 = graph_node_rows(delta_changes, cents).localCheckpoint(eager=True)
-    adj2 = graph_adjacency_patch(
-        _latest_state(nodes1, ["vec_id"]), nodes2, seq=2
+    # THE post-CDC node state — the relation a production index persists
+    # as its serving table — materialized ONCE and shared by: both
+    # adjacency patches (as the precomputed ``merged``), the beam's
+    # node-scoring side, the entry-point scoring, and the query set
+    # (r15, guide §2.4/§5: the old shape ran this corpus-sized version
+    # window once inside the patch and then re-derived the same state
+    # from parquet a second time for the serving vectors).
+    merged = _latest_state(
+        nodes1.unionByName(nodes2), ["vec_id"]
+    ).localCheckpoint(eager=True)
+    # batch 1's merge IS nodes1 (one row per key by construction), so
+    # the patch skips its corpus-sized window outright; batch 2's prior
+    # state is likewise nodes1 itself — the latest_state(nodes1) wrapper
+    # was a per-key window over already-unique keys (r15, guide §2.4).
+    adj1 = graph_adjacency_patch(
+        nodes1.filter(F.lit(False)), nodes1, seq=1, merged=nodes1
     )
+    adj2 = graph_adjacency_patch(nodes1, nodes2, seq=2, merged=merged)
     live = live_adjacency(adj1.unionByName(adj2))
 
     edir = (
@@ -4161,28 +4188,15 @@ def ann_incremental_graph_search_read(
         )
         .select("src", F.col("dst").cast("long").alias("dst"))
     )
+    # The post-CDC vector state: a pure filter+project over the merged
+    # checkpoint — free, no separate corpus scan or norm recompute.
+    nodes = merged.filter(F.col("_deleted") == 0).select(
+        "vec_id", "embedding", "nrm"
+    )
+    seeds = nodes.join(F.broadcast(seed_ids), "vec_id")
     edges = edir.union(
         edir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)  # reused by every hop
-
-    # The post-CDC vector state: consumed by the seed scoring, the query
-    # set, and every beam hop's candidate-scoring join. Materialized once
-    # instead of re-deriving (scan + transform + norm) per consumer —
-    # this is exactly the latest-state serving table a production index
-    # persists (AnnIndexStore.persist_serving_tables); guide §2.4/§5.
-    nodes = (
-        emb.filter(F.col("vec_id") % 20 != 7)
-        .select(
-            "vec_id",
-            F.when(
-                F.col("vec_id") % 10 == 0,
-                F.transform("embedding", lambda x: -x),
-            ).otherwise(F.col("embedding")).alias("embedding"),
-        )
-        .withColumn("nrm", _norm(F.col("embedding")))
-        .localCheckpoint(eager=True)
-    )
-    seeds = nodes.join(F.broadcast(seed_ids), "vec_id")
     q = (
         nodes.filter(F.col("vec_id") % 100 == 0)
         .orderBy("vec_id")

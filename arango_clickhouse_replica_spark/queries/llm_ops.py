@@ -85,7 +85,9 @@ def _hot_shingle_cap(n_docs: int) -> int:
     return max(5, min(64, n_docs // 100))
 
 
-def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles_capped(
+    spark: SparkSession, sf_dir: str, *, shingles: DataFrame | None = None
+) -> DataFrame:
     from ..operators.blocking import drop_hot_shingles
 
     # The cap rides the plan as a broadcast 1-row aggregate instead of a
@@ -93,10 +95,15 @@ def _doc_shingles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was a driver-blocking job paid once per capped consumer; as a
     # lazy stage it overlaps the shingle scan (guide §2.6) and computes
     # the identical greatest(5, least(64, n_docs div 100)) value.
+    # ``shingles`` (r15): a composed report that already materialized
+    # the base shingle relation passes it here so the cap pass reads the
+    # checkpoint instead of re-running the scan + explode (guide §2.4).
     cap_rel = load_table(spark, "documents", sf_dir).agg(
         F.expr("greatest(5, least(64, count(*) div 100))").alias("__cap")
     )
-    return drop_hot_shingles(_doc_shingles(spark, sf_dir), cap_rel)
+    if shingles is None:
+        shingles = _doc_shingles(spark, sf_dir)
+    return drop_hot_shingles(shingles, cap_rel)
 
 
 # Same cap in DuckDB: NOT IN the (small) hot-shingle list.
@@ -421,13 +428,20 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe on every shingle partition — no shuffle of the corpus.",
 )
 def decontam_ngram_overlap(
-    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
+    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     # eval_mod parameterizes the fixture's eval-marking rule so the
     # eval-set-scale probe (tools/decontam_probe.py) can drive this SAME
     # pipeline with a 10x-denser eval side; the registered query (and
     # its oracle) stay pinned at 97.
-    sh = _doc_shingles(spark, sf_dir)
+    # ``shingles`` (r15): a composed report's materialized base shingle
+    # relation — the three references below (eval side, per-doc sizes,
+    # overlap probe) then read one checkpoint. Standalone, the relation
+    # stays lazy: an eager checkpoint was measured 1.4s -> 1.8s isolated
+    # (the materialization job barrier costs more than the overlapped
+    # re-executions at this scale).
+    sh = _doc_shingles(spark, sf_dir) if shingles is None else shingles
     eval_sh = sh.filter(F.col("doc_id") % eval_mod == 0).select("s").distinct()
     train = sh.filter(F.col("doc_id") % eval_mod != 0)
     sz = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -969,13 +983,20 @@ _MINHASH_BANDS_SQL = "\n      UNION ALL ".join(
         "dominate the minhash lanes nor the band buckets. At scale the "
         "band join is the only wide shuffle and is bucket-local.",
 )
-def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, *, shingles: DataFrame | None = None
+) -> DataFrame:
     # Shared with the incremental streaming deduper (streaming/dedup.py):
     # the batch and streaming paths compute the IDENTICAL signature.
+    # ``shingles`` (r15): composed reports pass their materialized
+    # capped-shingle relation so this lane reads it instead of
+    # re-running the scan + explode + cap (guide §2.4; per-lane MINs
+    # are multiset-insensitive, so a distinct relation is equivalent).
     from ..operators.minhash import band_signatures, candidate_pairs
 
-    bands = band_signatures(_doc_shingles_capped(spark, sf_dir))
-    return candidate_pairs(bands)
+    if shingles is None:
+        shingles = _doc_shingles_capped(spark, sf_dir)
+    return candidate_pairs(band_signatures(shingles))
 
 
 _SIMHASH_BALANCES_SQL = ",\n           ".join(
@@ -2543,8 +2564,15 @@ _SIMHASH_HAMMING_MAX = 3
 _SIMHASH_N_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands shares >= 1
 
 
-def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash64(
+    spark: SparkSession, sf_dir: str, *, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lo, hi): 64-bit simhash signatures as two 32-bit halves.
+
+    ``shingles`` (r15): composed reports pass their materialized BASE
+    (uncapped, multiset) shingle relation — the majority vote weighs
+    shingle OCCURRENCES, so this lane must never receive a distinct or
+    df-capped relation.
 
     Fast bit lanes: ONE md5 per shingle becomes four 32-bit integer
     chunks (conv once per 8 hex chars), and each nibble contributes TWO
@@ -2554,7 +2582,9 @@ def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops. Same VALUES as the oracle's strpos formulas; the majority
     sign b_g = SUM(+-1) >= 0 is equivalently 2*SUM(bit_g) >= COUNT(*).
     """
-    sh = _doc_shingles(spark, sf_dir).select(
+    if shingles is None:
+        shingles = _doc_shingles(spark, sf_dir)
+    sh = shingles.select(
         "doc_id",
         *[
             F.conv(F.substring(F.md5("s"), 1 + 8 * c, 8), 16, 10)
@@ -2677,8 +2707,10 @@ def simhash_band_candidates(hashes: DataFrame) -> DataFrame:
         "prototype's 201k uniform-collision candidates on 5k docs (and "
         "its quadratic trend) are exactly what this width eliminates.",
 )
-def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = simhash_band_candidates(_simhash64(spark, sf_dir))
+def dedup_simhash_hamming_pairs(
+    spark: SparkSession, sf_dir: str, *, shingles: DataFrame | None = None
+) -> DataFrame:
+    cand = simhash_band_candidates(_simhash64(spark, sf_dir, shingles=shingles))
     hamming = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     return (
         cand.filter(hamming <= _SIMHASH_HAMMING_MAX)
@@ -2727,7 +2759,8 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text.",
 )
 def decontam_minhash_fuzzy(
-    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97
+    spark: SparkSession, sf_dir: str, *, eval_mod: int = 97,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     from ..operators.minhash import bands_from_lane_mins, lane_mins
 
@@ -2737,7 +2770,9 @@ def decontam_minhash_fuzzy(
     # once and feeds BOTH the band keys and the two signature sides —
     # lazily, band_signatures() would recompute the shingle scan +
     # groupBy and mt/me would each re-run it again (guide §2.4).
-    sh = _doc_shingles_capped(spark, sf_dir)
+    # ``shingles`` (r15): a composed report's materialized BASE shingle
+    # relation — the cap pass then reads it instead of re-scanning.
+    sh = _doc_shingles_capped(spark, sf_dir, shingles=shingles)
     mins = lane_mins(sh).localCheckpoint(eager=True)
     bands = bands_from_lane_mins(mins)
     is_eval = F.col("doc_id") % eval_mod == 0
@@ -2922,8 +2957,18 @@ def _method_agreement_oracle() -> str:
         "join of two small candidate relations plus a 3-group aggregate.",
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    sh = dedup_simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE shingle scan serves both method pipelines (r15, guide §2.4):
+    # the minhash lane reads the df-capped view of the checkpoint and
+    # the simhash lane reads the raw multiset — before, each lane
+    # re-ran the documents scan + explode from parquet independently.
+    sh_base = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    capped = _doc_shingles_capped(spark, sf_dir, shingles=sh_base)
+    mh = dedup_minhash_lsh_candidates(
+        spark, sf_dir, shingles=capped
+    ).select("doc_a", "doc_b")
+    sh = dedup_simhash_hamming_pairs(
+        spark, sf_dir, shingles=sh_base
+    ).select("doc_a", "doc_b")
     m = mh.withColumn("in_minhash", F.lit(True)).alias("m")
     s = sh.withColumn("in_simhash", F.lit(True)).alias("s")
     u = m.join(
@@ -3383,13 +3428,18 @@ def _contam_report_oracle(k: int = _SUBSTR_K) -> str:
 )
 def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # ONE shingle scan serves the ngram lane's three references AND the
+    # fuzzy lane's cap pass (r15, guide §2.4 — before, the two lanes
+    # re-ran the documents scan + explode four times between them; the
+    # substring lane rides its own rolling-window base).
+    sh_base = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     ng = (
-        decontam_ngram_overlap(spark, sf_dir)
+        decontam_ngram_overlap(spark, sf_dir, shingles=sh_base)
         .filter("contaminated")
         .select("doc_id")
     )
     fz = (
-        decontam_minhash_fuzzy(spark, sf_dir)
+        decontam_minhash_fuzzy(spark, sf_dir, shingles=sh_base)
         .filter("contaminated")
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
@@ -3758,14 +3808,28 @@ def _lsh_precision_oracle() -> str:
         "and the intersection join rides the df-capped shingle lists.",
 )
 def dedup_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = dedup_minhash_lsh_candidates(spark, sf_dir).select(
+    # ONE shingle scan serves all three lanes (r15, guide §2.4 — the
+    # dedup_minhash_band_sweep discipline): the simhash lane reads the
+    # raw multiset checkpoint; the df-capped DISTINCT relation is
+    # materialized once and feeds the minhash lane (per-lane MINs are
+    # multiset-insensitive) AND the exact-Jaccard truth side's three
+    # references (sizes + both pair sides). The combined candidate set
+    # is bounded (LSH-blocked pairs) and referenced twice (intersection
+    # + outer attach) — materialized once too.
+    sh_base = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh0 = (
+        _doc_shingles_capped(spark, sf_dir, shingles=sh_base)
+        .select("doc_id", "s")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mh = dedup_minhash_lsh_candidates(spark, sf_dir, shingles=sh0).select(
         F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b"
     )
-    sh = dedup_simhash_hamming_pairs(spark, sf_dir).select(
+    sh = dedup_simhash_hamming_pairs(spark, sf_dir, shingles=sh_base).select(
         F.lit("simhash_band").alias("method"), "doc_a", "doc_b"
     )
-    cand = mh.unionByName(sh)
-    sh0 = _doc_shingles_capped(spark, sf_dir).select("doc_id", "s").distinct()
+    cand = mh.unionByName(sh).localCheckpoint(eager=True)
     cs = sh0.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh0.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh0.select(F.col("doc_id").alias("doc_b"), "s")

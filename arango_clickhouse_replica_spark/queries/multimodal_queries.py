@@ -1333,18 +1333,21 @@ def mm_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # walk — no inverse DCT, no pixel reconstruction. Bit-equal to the
     # full decode on this flat-block content (pytest asserts it), so
     # the closed-form oracle is untouched.
-    frames = _cached_media(
-        spark, sf_dir, "mjpeg_group_dc_sigs",
-        lambda: sample_mjpeg_dc_signatures(
-            synth_mjpeg_group_media(docs), every_n=1
-        ),
+    frames = sample_mjpeg_dc_signatures(
+        synth_mjpeg_group_media(docs), every_n=1
     )
+    # Checkpoint AFTER the per-video distinct, not the raw frame rows
+    # (r15, guide §2.4/§5): the decode still runs exactly once — inside
+    # this materialization — but the persisted relation is the small
+    # distinct signature set, and the three consumers below (frame
+    # counts, hot buckets, cold probe) read it without each re-running
+    # the distinct over the wider frame relation.
     sig = frames.select(
         F.col("media_id").alias("doc_id"),
         F.col("sum_pixels").alias("s"),
         F.col("px_min").alias("mn"),
         F.col("px_max").alias("mx"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nfr = sig.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
     hot = (
         sig.groupBy("s", "mn", "mx")
@@ -1931,24 +1934,24 @@ def mm_media_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    img = _cached_media(
-        spark, sf_dir, "phash_gray_hist",
-        lambda: extract_gray_histogram(synth_phash_group_media(docs)),
-    ).select(F.lit("image").alias("modality"),
-             F.col("media_id"), F.col("n_pixels").alias("units"))
-    aud = _cached_media(
-        spark, sf_dir, "audio_fp_energies",
-        lambda: extract_audio_frames(
-            synth_group_wav_media(docs), frame_len=8
-        ),
+    # Each modality's decoded relation is consumed exactly ONCE here, so
+    # the per-lane eager checkpoints (a memo-era relic) were pure
+    # overhead: three serialized materialization jobs, each decoding
+    # while the other lanes' cores idle. Lazy lanes let the final
+    # union+aggregate run all three decodes inside ONE job, overlapped
+    # by the scheduler (r15, guide §2.6; isolated 2.90 -> 2.80 s — the
+    # Python decode work dominates either way, but three jobs' worth of
+    # scheduling and materialization overhead is gone).
+    img = extract_gray_histogram(synth_phash_group_media(docs)).select(
+        F.lit("image").alias("modality"),
+        F.col("media_id"), F.col("n_pixels").alias("units"))
+    aud = extract_audio_frames(
+        synth_group_wav_media(docs), frame_len=8
     ).groupBy("media_id").agg(
         F.sum("n_samples").cast("long").alias("units")
     ).select(F.lit("audio").alias("modality"), "media_id", "units")
-    vid = _cached_media(
-        spark, sf_dir, "mjpeg_group_frames",
-        lambda: sample_mjpeg_frames(
-            synth_mjpeg_group_media(docs), every_n=1
-        ),
+    vid = sample_mjpeg_frames(
+        synth_mjpeg_group_media(docs), every_n=1
     ).groupBy("media_id").agg(
         F.count("*").cast("long").alias("units")
     ).select(F.lit("video").alias("modality"), "media_id", "units")
