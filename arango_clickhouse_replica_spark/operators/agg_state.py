@@ -188,20 +188,28 @@ def partial_states(
 ) -> DataFrame:
     """``-State`` write path: one mergeable state row per key group.
 
-    Two-level hash aggregate (both map-side combinable): per-bucket
-    partials first, then the per-key roll-up that also pivots the KMV
-    bucket mins into the fixed M-wide array. No shuffle beyond the two
-    aggregates; no Python in the row path.
+    ONE pass over the raw rows (r15, guide §2.4): the first map-side-
+    combinable aggregate groups by (keys, uniq-hash bucket, quantile
+    value bucket) — every lane's per-pair partial in one raw scan — and
+    is materialized (a state-cardinality relation, never raw-sized).
+    The uniq/HLL lanes and the value-bucketed quantile lane then roll
+    up from that checkpoint along their own bucket axes. The pre-r15
+    shape ran TWO separate aggregates over ``df``, which re-executed
+    the caller's whole upstream (e.g. the CDC envelope JSON parse) once
+    per lane unless the caller checkpointed it; every fold here is an
+    exact associative integer op, so pair-level-then-rollup is
+    bit-identical to direct grouping.
     """
     h = _kmv_hash(uniq_col)
-    per_bucket = (
+    pair = (
         df.select(
             *keys,
             F.col(value_milli_col).cast("long").alias("__v"),
             (h % _KMV_M).cast("int").alias("__b"),
             h.alias("__h"),
+            _qt_bucket(F.col(value_milli_col).cast("long")).alias("__qb"),
         )
-        .groupBy(*keys, "__b")
+        .groupBy(*keys, "__b", "__qb")
         .agg(
             F.count("*").cast("long").alias("__c"),
             F.sum("__v").cast("long").alias("__s"),
@@ -215,6 +223,15 @@ def partial_states(
                           .cast("long"))
             ).cast("int").alias("__hr"),
         )
+        .localCheckpoint(eager=True)
+    )
+    per_bucket = pair.groupBy(*keys, "__b").agg(
+        F.sum("__c").cast("long").alias("__c"),
+        F.sum("__s").cast("long").alias("__s"),
+        F.min("__mn").cast("long").alias("__mn"),
+        F.max("__mx").cast("long").alias("__mx"),
+        F.min("__u").alias("__u"),
+        F.max("__hr").cast("int").alias("__hr"),
     )
     states = (
         per_bucket.groupBy(*keys)
@@ -250,16 +267,14 @@ def partial_states(
         )
         .drop("__m", "__hm")
     )
-    # Quantile lane: buckets by VALUE, not by the uniq hash, so it needs
-    # its own (map-side-combinable) two-level aggregate; the join back
-    # is keys-cardinality — state rows, never raw rows.
+    # Quantile lane: buckets by VALUE, not by the uniq hash — rolled up
+    # from the SAME materialized pair aggregate along its value-bucket
+    # axis (no second raw pass); the join back is keys-cardinality —
+    # state rows, never raw rows.
     qt = (
-        df.select(
-            *keys,
-            _qt_bucket(F.col(value_milli_col).cast("long")).alias("__qb"),
-        )
+        pair
         .groupBy(*keys, "__qb")
-        .agg(F.count("*").cast("long").alias("__qc"))
+        .agg(F.sum("__c").cast("long").alias("__qc"))
         .groupBy(*keys)
         .agg(
             F.map_from_entries(
